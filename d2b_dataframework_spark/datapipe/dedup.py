@@ -1,0 +1,238 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Everything here is expressed with Catalyst higher-order functions over
+token arrays — zero Python UDFs — so dedup of a 100TB corpus is a pure
+shuffle problem:
+
+- exact:        1 shuffle (groupBy fingerprint)
+- minhash LSH:  map-side signature computation (codegen), explode bands
+                (×n_bands rows), 1 shuffle on band key, candidate join,
+                verify. No O(n²) stage anywhere.
+- jaccard:      blocked self-join — only for small blocks / verification.
+
+Hashing is engine-portable by construction: word hash = first 7 hex chars
+of md5 → integer (< 2^28), permutations (a*h+b) mod 2^31-1 with 32-bit
+a,b — all products < 2^59, so the arithmetic is exact in int64 in ANY
+engine (Spark, DuckDB oracle, a future Flink port...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from d2b_dataframework_spark.datapipe.text import tokens
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# Deterministic permutation constants (odd multipliers, arbitrary offsets),
+# shared verbatim with the SQL oracle generator in plans/queries.py.
+_SEED_A = 1103515245
+_SEED_B = 12345
+PERMS = [
+    ((_SEED_A * (i + 1) + 7919) % MERSENNE31 | 1, (_SEED_B * (i + 1) + 104729) % MERSENNE31)
+    for i in range(N_HASHES)
+]
+
+
+def word_hash(col: Column) -> Column:
+    """Portable token hash: int(md5(token)[:7], 16) — fits in 28 bits."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def token_hashes(text_col: Column | str) -> Column:
+    """Distinct token-hash array for a text column (distinct again after
+    hashing so rare hash collisions can't produce duplicate elements —
+    keeps set semantics for Jaccard)."""
+    toks = F.array_distinct(tokens(text_col))
+    return F.array_distinct(F.transform(toks, word_hash))
+
+
+def _perm_fn(a: int, b: int):
+    # Closure factory: Spark counts lambda parameters, so default-arg
+    # binding (lambda h, A=a: ...) would be misread as a multi-arg HOF.
+    return lambda h: (h * a + b) % MERSENNE31
+
+
+def minhash_signature(hashes: Column) -> list[Column]:
+    """N_HASHES minhash values over a token-hash array."""
+    return [F.array_min(F.transform(hashes, _perm_fn(a, b))) for a, b in PERMS]
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint,
+    group size, canonical (min) id. One shuffle."""
+    from d2b_dataframework_spark.datapipe.text import fingerprint
+
+    fp = fingerprint(df, text_col, id_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """doc_id + mh_0..mh_{N-1} + the token-hash array (kept for verify)."""
+    with_hashes = df.select(F.col(id_col), token_hashes(text_col).alias("token_hashes"))
+    sig = minhash_signature(F.col("token_hashes"))
+    return with_hashes.select(
+        id_col,
+        "token_hashes",
+        *[s.alias(f"mh_{i}") for i, s in enumerate(sig)],
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Explode each doc into N_BANDS (band_id, band_key) rows, self-join on
+    the band bucket, keep id_a < id_b. The join key is (band_id, band_key)
+    so a bucket never crosses bands; shuffle partitions by bucket —
+    linear in corpus size for non-degenerate data.
+    """
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
+    """Set Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(tokens_a, tokens_b)).cast("double")
+    union = F.size(F.array_union(tokens_a, tokens_b)).cast("double")
+    return inter / union
+
+
+def minhash_duplicate_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates
+    → exact Jaccard verification at `threshold`. Returns
+    (id_a, id_b, jaccard_sim)."""
+    sigs = minhash_signatures(df, text_col, id_col).cache()
+    cands = lsh_candidate_pairs(sigs, id_col)
+    toks = sigs.select(F.col(id_col), F.col("token_hashes"))
+    verified = (
+        cands.join(toks.withColumnsRenamed({id_col: "id_a", "token_hashes": "toks_a"}), "id_a")
+        .join(toks.withColumnsRenamed({id_col: "id_b", "token_hashes": "toks_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word n-gram Jaccard similarity over blocked pairs.
+
+    O(block²) — use only with a blocking column or as the verification
+    stage after LSH. ``n=1`` degrades to word-set Jaccard.
+    """
+    toks = tokens(text_col)
+    if n > 1:
+        shingles = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    else:
+        shingles = F.array_distinct(toks)
+    base = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        shingles.alias("shingles"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jaccard(F.col("a.shingles"), F.col("b.shingles")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over token hashes (default 32 bits, drawn from
+    the 28-bit word hash re-hashed per bit via the minhash permutations'
+    low bit — fully portable arithmetic).
+
+    For each bit b: sum over tokens of (2*((perm_b(h) & 1)) - 1); bit is 1
+    iff the sum > 0. Near-dup detection = Hamming distance on the result.
+    """
+    def _vote_fn(mult: int, offset: int):
+        return lambda acc, h: acc + (((h * mult + offset) % MERSENNE31) % 2) * 2 - 1
+
+    hashes = token_hashes(text_col)
+    bit_cols = []
+    for b in range(bits):
+        a_c, b_c = PERMS[b % N_HASHES]
+        # vary the permutation per bit beyond N_HASHES by mixing in b
+        mult = (a_c + 2 * b) | 1
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(mult, b_c))
+        bit_cols.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * (2**b))
+    out = df.select(F.col(id_col), sum(bit_cols[1:], bit_cols[0]).alias("simhash"))
+    return out

@@ -1,0 +1,103 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All Catalyst-native (split/regexp/aggregate higher-order functions) — no
+Python UDFs, so the whole pipeline stays inside whole-stage codegen and
+scales linearly with executors. Designed for the ``documents`` table
+(doc_id, text, lang, source, n_chars) but column names are parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from d2b_dataframework_spark.functions.strings import normalize_whitespace
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language scorer. Deliberately small and deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "en"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization over normalized text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(normalize_whitespace(F.lower(c)), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts: total, unique, and mean token length."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, alpha ratio, punctuation ratio,
+    digit ratio, stopword ratio (English marker set), plus a composite
+    0-1 score. Deterministic; thresholds are the caller's business."""
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"]))).cast("double")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars_measured"),
+        F.round(punct / n, 6).alias("punct_ratio"),
+        F.round(digits / n, 6).alias("digit_ratio"),
+        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+            + F.least(stop_hits / n_tok * 4.0, F.lit(1.0)) * 0.5,
+            6,
+        ).alias("quality"),
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language scoring: per language, the fraction of
+    tokens hitting that language's marker set; ``lang_pred`` is the
+    argmax (ties broken by language code order, deterministically)."""
+    def _hits(words: list[str]):
+        # closure factory — default-arg lambdas are misread as multi-arg HOFs
+        return lambda t: t.isin(words)
+
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    score_cols = {
+        f"score_{lang}": F.round(
+            F.size(F.filter(toks, _hits(words))).cast("double") / n_tok, 6
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in score_cols.items()])
+    # argmax via greatest + chained when (deterministic order)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical document fingerprint: md5 of lowercased,
+    whitespace-normalized text. The exact-dedup key."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_whitespace(F.lower(F.col(text_col)))).alias("fingerprint"),
+    )

@@ -1,0 +1,939 @@
+"""Registered query library: every operator exposed to the driver harness.
+
+Each entry pairs a Spark implementation (built on the engine's operator /
+function / datapipe modules) with an ANSI-SQL oracle that DuckDB runs on
+the same parquet tables. Conventions that make cross-engine value-hash
+matching possible:
+
+- **Money/metric sums route through DecimalType** and cast to DOUBLE at
+  the end: decimal aggregation is exact (order-independent), so Spark and
+  DuckDB produce bit-identical doubles. Raw double sums are
+  order-dependent and would flake the hash.
+- **Averages** are ``cast(sum as double)/cast(count as double)`` — never
+  the engine's AVG (decimal AVG scale rules differ between engines).
+- **Integer outputs are cast to BIGINT** on both sides (Spark ``size()``
+  is 32-bit, DuckDB ``len()`` is 64-bit).
+- **Per-row double math is written with identical parenthesization** in
+  both dialects — IEEE ops on identical inputs are deterministic.
+- **Window/topk queries carry explicit tiebreakers** so row selection is
+  total-order deterministic.
+- Float similarity scores are ``round(x, 6)`` on both sides and ranked on
+  the rounded value.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from d2b_dataframework_spark.datapipe import dedup as dd
+from d2b_dataframework_spark.datapipe import similarity as sim
+from d2b_dataframework_spark.datapipe import text as dt
+from d2b_dataframework_spark.functions.datetimes import (
+    epoch_ms_to_utc_ts,
+    parse_dual_date,
+    utc_ts_to_epoch_ms,
+)
+from d2b_dataframework_spark.functions.nested import action_value
+from d2b_dataframework_spark.functions.strings import normalize_whitespace, urn_id
+from d2b_dataframework_spark.operators.dedup import keep_latest
+from d2b_dataframework_spark.operators.joins import broadcast_dim_join, left_join_fill_zero
+from d2b_dataframework_spark.operators.pivots import pivot_wide
+from d2b_dataframework_spark.operators.unions import concat
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
+        # nanos under this flag — truncate to micros (matches DuckDB's
+        # ns→us truncation) and restore TimestampType.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DEC = "decimal(12,2)"
+DEC_SMALL = "decimal(4,2)"
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# ---------------------------------------------------------------------------
+# Analytics core (TPC-H-shaped; exercise scan+filter+join+agg+sort+limit)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Decimal-exact aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    tax = F.col("l_tax").cast(DEC_SMALL)
+    one = F.lit(1).cast(DEC_SMALL)
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt.cast("double")).alias("avg_qty"),
+            (F.sum(ep).cast("double") / cnt.cast("double")).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt.cast("double")).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sum_qty,
+  CAST(SUM(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2)) * (1::DECIMAL(4,2) + l_tax::DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(l_quantity::DECIMAL(12,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+  CAST(SUM(l_discount::DECIMAL(4,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+  COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 open orders by revenue for one segment."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    one = F.lit(1).cast(DEC_SMALL)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(ep * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue per region/nation via broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    one = F.lit(1).cast(DEC_SMALL)
+    enriched_cust = broadcast_dim_join(
+        broadcast_dim_join(cust, nation, cust.c_nationkey == nation.n_nationkey, "inner"),
+        region,
+        F.col("n_regionkey") == region.r_regionkey,
+        "inner",
+    ).select("c_custkey", "n_name", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(enriched_cust), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(ep * (one - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+  CAST(SUM(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  COUNT(*)::BIGINT AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style selective filter + single-row aggregate.
+
+    Filters push down to the parquet scan (verify via .explain:
+    PushedFilters on l_shipdate/l_discount/l_quantity).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.coalesce(F.sum(ep * disc).cast("double"), F.lit(0.0)).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_REVENUE_DELTA = """
+SELECT
+  COALESCE(CAST(SUM(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2)) AS DOUBLE), 0.0) AS revenue_delta,
+  COUNT(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 25
+"""
+
+
+def q_events_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily KPI rollup over the event stream table (GA4-report analog —
+    groupBy(dims).agg(metrics), SURVEY §2.5 A8)."""
+    ev = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            cnt.alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(val).cast("double").alias("sum_value"),
+            (F.sum(val).cast("double") / cnt.cast("double")).alias("avg_value"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  COUNT(*)::BIGINT AS n_events,
+  COUNT(DISTINCT user_id)::BIGINT AS n_users,
+  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Reference-operator parity (SURVEY §2.3-2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: keep the newest event per user (Alodesk dedup-keep-latest)."""
+    ev = _t(spark, sf_dir, "events")
+    return keep_latest(ev, "user_id", "ts", tiebreakers=["event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+SQL_DEDUP_LATEST = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: long→wide pivot, one column per event type, decimal sums."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    wide = pivot_wide(ev, "day", "event_type", "v", agg="sum", pivot_values=EVENT_TYPES)
+    return wide.select(
+        "day", *[F.col(t).cast("double").alias(t) for t in EVENT_TYPES]
+    ).orderBy("day")
+
+
+SQL_PIVOT_EVENTS = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_union_mixed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: pd.concat semantics — align by name, null-fill missing cols."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("value").alias("purchase_value")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.date_format("ts", "yyyy-MM-dd").alias("signup_day")
+    )
+    return concat([purchases, signups])
+
+
+SQL_UNION_MIXED = """
+SELECT event_id, user_id, value AS purchase_value FROM events WHERE event_type = 'purchase'
+UNION ALL BY NAME
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS signup_day FROM events WHERE event_type = 'signup'
+"""
+
+
+def q_left_join_fill_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + F10: orders ⟕ lineitem rollup, nulls → 0 (posts×engagement
+    pattern, linkedin_organic.py:589-592)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    one = F.lit(1).cast(DEC_SMALL)
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(ep * (one - disc)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    joined = left_join_fill_zero(
+        orders.select("o_orderkey", "o_totalprice"),
+        per_order,
+        "o_orderkey",
+        fill_cols=["n_items"],
+        cast="long",
+    )
+    return joined.withColumn("revenue", F.coalesce(F.col("revenue"), F.lit(0.0)))
+
+
+SQL_LEFT_JOIN_FILL = """
+SELECT o.o_orderkey, o.o_totalprice,
+  COALESCE(r.revenue, 0.0) AS revenue,
+  COALESCE(r.n_items, 0)::BIGINT AS n_items
+FROM orders o LEFT JOIN (
+  SELECT l_orderkey AS o_orderkey,
+    CAST(SUM(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    COUNT(*)::BIGINT AS n_items
+  FROM lineitem GROUP BY 1
+) r USING (o_orderkey)
+"""
+
+
+def q_broadcast_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J6: fact × small dims with explicit broadcast (X_ads summary join)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    out = broadcast_dim_join(
+        broadcast_dim_join(sup, nation, sup.s_nationkey == nation.n_nationkey, "left"),
+        region,
+        F.col("n_regionkey") == region.r_regionkey,
+        "left",
+    )
+    return out.select("s_suppkey", "s_name", "s_acctbal", "n_name", "r_name")
+
+
+SQL_BROADCAST_DIM = """
+SELECT s_suppkey, s_name, s_acctbal, n_name, r_name
+FROM supplier
+LEFT JOIN nation ON s_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_urn_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: URN → trailing id (linkedin_organic.py:393,426)."""
+    sup = _t(spark, sf_dir, "supplier")
+    with_urn = sup.select(
+        "s_suppkey",
+        F.concat(F.lit("urn:li:organization:"), F.col("s_suppkey")).alias("urn"),
+    )
+    return with_urn.select(
+        "s_suppkey",
+        "urn",
+        urn_id("urn").cast("long").alias("extracted_id"),
+    )
+
+
+SQL_URN_EXTRACT = """
+SELECT s_suppkey,
+  'urn:li:organization:' || s_suppkey AS urn,
+  regexp_extract('urn:li:organization:' || s_suppkey, '([^:]+)$', 1)::BIGINT AS extracted_id
+FROM supplier
+"""
+
+
+def q_epochms_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: epoch-ms ↔ UTC timestamp round trip + formatting."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        utc_ts_to_epoch_ms("ts").alias("epoch_ms"),
+        epoch_ms_to_utc_ts(utc_ts_to_epoch_ms("ts")).alias("ts_ms_resolution"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_formatted"),
+    )
+
+
+SQL_EPOCHMS = """
+SELECT event_id,
+  epoch_ms(ts) AS epoch_ms,
+  make_timestamp(epoch_ms(ts) * 1000) AS ts_ms_resolution,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_formatted
+FROM events
+"""
+
+
+def q_dual_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: accept YYYY-MM-DD or YYYYMMDD (facebook_organic.py:303-333)."""
+    orders = _t(spark, sf_dir, "orders")
+    raw = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+        .alias("raw_date"),
+    )
+    return raw.select(
+        "o_orderkey",
+        "raw_date",
+        F.date_format(parse_dual_date("raw_date"), "yyyy-MM-dd").alias("parsed"),
+    )
+
+
+SQL_DUAL_DATE = """
+SELECT o_orderkey, raw_date,
+  strftime(COALESCE(try_strptime(raw_date, '%Y-%m-%d'), try_strptime(raw_date, '%Y%m%d')), '%Y-%m-%d') AS parsed
+FROM (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+         ELSE strftime(o_orderdate, '%Y%m%d') END AS raw_date
+  FROM orders
+)
+"""
+
+
+def q_money_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: Shopify-style per-row financial derivations — pure double
+    per-row math, identical parenthesization both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    gross = F.col("l_extendedprice")
+    disc_amt = F.col("l_extendedprice") * F.col("l_discount")
+    net = gross - disc_amt
+    tax_amt = net * F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        gross.alias("gross_sales"),
+        disc_amt.alias("discounts"),
+        net.alias("net_sales"),
+        tax_amt.alias("taxes"),
+        (net + tax_amt).alias("total_sales"),
+    )
+
+
+SQL_MONEY = """
+SELECT l_orderkey, l_linenumber,
+  l_extendedprice AS gross_sales,
+  l_extendedprice * l_discount AS discounts,
+  l_extendedprice - (l_extendedprice * l_discount) AS net_sales,
+  (l_extendedprice - (l_extendedprice * l_discount)) * l_tax AS taxes,
+  (l_extendedprice - (l_extendedprice * l_discount))
+    + ((l_extendedprice - (l_extendedprice * l_discount)) * l_tax) AS total_sales
+FROM lineitem
+"""
+
+
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (HubSpot properties flattening analog,
+    HubSpot_Api.py:90-92)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS prop_k FROM events
+"""
+
+
+def q_action_array_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: first array element matching action_type → value, else 0
+    (Facebook_Marketing.py:259-265) via higher-order functions."""
+    ev = _t(spark, sf_dir, "events")
+    with_actions = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.array(
+                F.struct(
+                    F.lit("link_click").alias("action_type"),
+                    F.col("value").alias("value"),
+                ),
+                F.struct(
+                    F.lit("purchase").alias("action_type"),
+                    (F.col("value") * 2.0).alias("value"),
+                ),
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(
+                    F.lit("link_click").alias("action_type"),
+                    F.col("value").alias("value"),
+                )
+            )
+        )
+        .alias("actions"),
+    )
+    return with_actions.select(
+        "event_id",
+        action_value("actions", "purchase", default=0.0).alias("action_purchase"),
+        action_value("actions", "link_click", default=0.0).alias("action_link_click"),
+    )
+
+
+SQL_ACTION_ARRAY = """
+WITH with_actions AS (
+  SELECT event_id,
+    CASE WHEN event_type = 'purchase'
+      THEN [{'action_type': 'link_click', 'value': value},
+            {'action_type': 'purchase', 'value': value * 2.0}]
+      ELSE [{'action_type': 'link_click', 'value': value}]
+    END AS actions
+  FROM events
+)
+SELECT event_id,
+  COALESCE(list_filter(actions, x -> x.action_type = 'purchase')[1].value, 0.0) AS action_purchase,
+  COALESCE(list_filter(actions, x -> x.action_type = 'link_click')[1].value, 0.0) AS action_link_click
+FROM with_actions
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total (decimal-exact cumulative sum, explicit ROWS
+    frame and total ordering)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .cast("long")
+        .alias("seq"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT event_id, user_id, ts,
+  CAST(SUM(value::DECIMAL(18,2)) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)::BIGINT AS seq
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Data-pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"list_distinct(string_split({_NORM}, ' '))"
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str, mutate: bool) -> DataFrame:
+    """documents ∪ shifted-id copy (optionally text-mutated) — a
+    deterministic corpus with known duplicate structure. ``n_chars``
+    (the ORIGINAL length metadata, unchanged in the copy) is kept as a
+    blocking key for the quadratic verify paths."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    copy = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        (F.concat(F.col("text"), F.lit(" zzzz")) if mutate else F.col("text")).alias("text"),
+        F.col("n_chars"),
+    )
+    return docs.unionByName(copy)
+
+
+_SQL_DUP_CORPUS_EXACT = (
+    "SELECT doc_id, text, n_chars FROM documents "
+    "UNION ALL SELECT doc_id + 10000 AS doc_id, text, n_chars FROM documents"
+)
+_SQL_DUP_CORPUS_NEAR = (
+    "SELECT doc_id, text, n_chars FROM documents "
+    "UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' zzzz' AS text, n_chars FROM documents"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: fingerprint groups over the duplicated corpus."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=False)
+    return dd.exact_duplicates(corpus).orderBy("fingerprint")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH corpus AS ({_SQL_DUP_CORPUS_EXACT})
+SELECT md5({_NORM}) AS fingerprint,
+  COUNT(*)::BIGINT AS n_docs,
+  MIN(doc_id) AS canonical_id
+FROM corpus
+GROUP BY 1 HAVING COUNT(*) > 1
+ORDER BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting over the raw corpus."""
+    return dt.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer)."""
+    out = dt.token_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+    )
+
+
+_RAW_TOKS = f"string_split({_NORM}, ' ')"
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+  len({_RAW_TOKS})::BIGINT AS n_tokens,
+  len(list_distinct({_RAW_TOKS}))::BIGINT AS n_unique_tokens,
+  round(list_sum(list_transform({_RAW_TOKS}, t -> len(t)))::DOUBLE / len({_RAW_TOKS})::DOUBLE, 6) AS mean_token_len
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/digit/stopword ratios + composite."""
+    return dt.quality_score(_t(spark, sf_dir, "documents"))
+
+
+_EN_LIST = "['" + "', '".join(dt.STOPWORDS["en"]) + "']"
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+  length(text)::DOUBLE AS n_chars_measured,
+  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE, 6) AS punct_ratio,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE, 6) AS digit_ratio,
+  round(len(list_filter({_RAW_TOKS}, t -> list_contains({_EN_LIST}, t)))::DOUBLE / len({_RAW_TOKS})::DOUBLE, 6) AS stopword_ratio,
+  round(
+    least(len({_RAW_TOKS})::DOUBLE / 100.0, 1.0) * 0.5
+    + least((len(list_filter({_RAW_TOKS}, t -> list_contains({_EN_LIST}, t)))::DOUBLE / len({_RAW_TOKS})::DOUBLE) * 4.0, 1.0) * 0.5,
+  6) AS quality
+FROM documents
+"""
+
+
+def q_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID scores + argmax prediction."""
+    return dt.language_scores(_t(spark, sf_dir, "documents"))
+
+
+def _sql_language_scores() -> str:
+    langs = sorted(dt.STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        lst = "['" + "', '".join(dt.STOPWORDS[lang]) + "']"
+        score_exprs.append(
+            f"round(len(list_filter({_RAW_TOKS}, t -> list_contains({lst}, t)))::DOUBLE"
+            f" / len({_RAW_TOKS})::DOUBLE, 6) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, {", ".join(score_exprs)} FROM documents)
+SELECT doc_id, {", ".join(f"score_{l}" for l in langs)}, {pred} AS lang_pred FROM scored
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs over the mutated dup corpus,
+    length-blocked (``n_chars`` metadata) so the pair space stays linear
+    in practice — exact-Jaccard verification is the quadratic stage of a
+    dedup pipeline and must always run behind a blocker at scale."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    return dd.ngram_jaccard_pairs(
+        corpus, n=1, threshold=0.7, block_col="n_chars"
+    ).orderBy("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
+toks AS (SELECT doc_id, n_chars, {_WORDS} AS words FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.words, b.words))::DOUBLE
+        / len(list_distinct(a.words || b.words))::DOUBLE, 6) AS jaccard_sim
+FROM toks a JOIN toks b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.words, b.words))::DOUBLE
+        / len(list_distinct(a.words || b.words))::DOUBLE, 6) >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection over the mutated dup
+    corpus, Jaccard-verified at 0.7."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    return dd.minhash_duplicate_pairs(corpus, threshold=0.7).orderBy("id_a", "id_b")
+
+
+def _sql_minhash() -> str:
+    perms = dd.PERMS
+    p = dd.MERSENNE31
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))" for a, b in perms
+    )
+    band_rows = ", ".join(f"({b})" for b in range(dd.N_BANDS))
+    rpb = dd.ROWS_PER_BAND
+    return f"""
+WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
+toks AS (SELECT doc_id, {_WORDS} AS words FROM corpus),
+hashes AS (SELECT doc_id,
+  list_distinct(list_transform(words, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)) AS hs
+  FROM toks),
+sigs AS (SELECT doc_id, hs, [{sig_items}] AS sig FROM hashes),
+bands AS (
+  SELECT doc_id,
+    b.band_id,
+    array_to_string(list_slice(sig, b.band_id * {rpb} + 1, b.band_id * {rpb} + {rpb}), '_') AS band_key
+  FROM sigs, (VALUES {band_rows}) b(band_id)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    round(len(list_intersect(h1.hs, h2.hs))::DOUBLE
+          / len(list_distinct(h1.hs || h2.hs))::DOUBLE, 6) AS jaccard_sim
+  FROM cands c
+  JOIN hashes h1 ON h1.doc_id = c.id_a
+  JOIN hashes h2 ON h2.doc_id = c.id_b)
+SELECT * FROM verified WHERE jaccard_sim >= 0.7 ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (32-bit, portable arithmetic)."""
+    return dd.simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    p = dd.MERSENNE31
+    terms = []
+    for b in range(32):
+        a_c, b_c = dd.PERMS[b % dd.N_HASHES]
+        mult = (a_c + 2 * b) | 1
+        vote = (
+            f"list_sum(list_transform(hs, h -> ((h * {mult} + {b_c}) % {p}) % 2 * 2 - 1))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN 1 ELSE 0 END)::BIGINT * {2**b}")
+    total = " + ".join(terms)
+    return f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+hashes AS (SELECT doc_id,
+  list_distinct(list_transform(words, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)) AS hs
+  FROM toks)
+SELECT doc_id, {total} AS simhash FROM hashes ORDER BY doc_id
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+# ---------------------------------------------------------------------------
+# Forecasting (closed-form OLS — exact arithmetic, so fully oracle-checkable;
+# the Prophet-compatible operator lives in forecast/ with rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear-trend forecast, 7 days ahead — closed-form OLS
+    over daily decimal-exact totals; all sums exact, final math in double
+    with identical parenthesization → bit-stable across engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y"))
+    daily = daily.select(
+        "event_type",
+        "day",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast("long").alias("x"),
+        "y",
+    )
+    fitted = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,2)") * F.col("y")).cast("double").alias("sxy"),
+        F.max("x").cast("double").alias("xmax"),
+        F.max("day").alias("dmax"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") / F.col("n")) - slope * (F.col("sx") / F.col("n"))
+    return (
+        fitted.withColumn("slope", slope)
+        .withColumn("intercept", intercept)
+        .select(
+            "event_type",
+            "slope",
+            "intercept",
+            "xmax",
+            "dmax",
+            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.date_add(F.col("dmax"), F.col("h")), "yyyy-MM-dd").alias("pred_date"),
+            F.round(
+                F.col("slope") * (F.col("xmax") + F.col("h")) + F.col("intercept"), 4
+            ).alias("pred_value"),
+        )
+        .orderBy("event_type", "pred_date")
+    )
+
+
+SQL_FORECAST_LINEAR = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, SUM(value::DECIMAL(18,2)) AS y
+  FROM events GROUP BY 1, 2),
+indexed AS (
+  SELECT event_type, day, date_diff('day', DATE '2024-01-01', day)::BIGINT AS x, y FROM daily),
+fitted AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx,
+    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+    CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x::DECIMAL(18,2) * y) AS DOUBLE) AS sxy,
+    CAST(MAX(x) AS DOUBLE) AS xmax,
+    MAX(day) AS dmax
+  FROM indexed GROUP BY 1),
+params AS (
+  SELECT event_type, xmax, dmax,
+    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+    (sy / n) - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n) AS intercept
+  FROM fitted)
+SELECT event_type,
+  strftime(dmax + h::INTEGER, '%Y-%m-%d') AS pred_date,
+  round(slope * (xmax + h) + intercept, 4) AS pred_value
+FROM params, (SELECT unnest(range(1, 8)) AS h)
+ORDER BY event_type, pred_date
+"""
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(q_pricing_summary, SQL_PRICING, "TPC-H Q1-style agg"),
+    "top_revenue_orders": QuerySpec(q_top_revenue_orders, SQL_TOP_REVENUE, "Q3-style top-k"),
+    "region_revenue": QuerySpec(q_region_revenue, SQL_REGION_REVENUE, "Q5-style broadcast dims"),
+    "revenue_delta": QuerySpec(q_revenue_delta, SQL_REVENUE_DELTA, "Q6-style selective filter"),
+    "events_daily_kpis": QuerySpec(q_events_daily_kpis, SQL_EVENTS_DAILY, "A8 daily rollup"),
+    "dedup_keep_latest": QuerySpec(q_dedup_keep_latest, SQL_DEDUP_LATEST, "D1 keep-latest"),
+    "pivot_event_values": QuerySpec(q_pivot_event_values, SQL_PIVOT_EVENTS, "A1/A2 pivot"),
+    "union_mixed_schema": QuerySpec(q_union_mixed_schema, SQL_UNION_MIXED, "U1 concat-by-name"),
+    "left_join_fill_zero": QuerySpec(q_left_join_fill_zero, SQL_LEFT_JOIN_FILL, "J1+F10"),
+    "broadcast_dim_enrich": QuerySpec(q_broadcast_dim_enrich, SQL_BROADCAST_DIM, "J3/J6"),
+    "urn_extract": QuerySpec(q_urn_extract, SQL_URN_EXTRACT, "F3 urn→id"),
+    "epochms_roundtrip": QuerySpec(q_epochms_roundtrip, SQL_EPOCHMS, "F4 epoch-ms"),
+    "dual_date_parse": QuerySpec(q_dual_date_parse, SQL_DUAL_DATE, "F5 dual-format dates"),
+    "money_derivations": QuerySpec(q_money_derivations, SQL_MONEY, "F13 financials"),
+    "json_props_extract": QuerySpec(q_json_props_extract, SQL_JSON_PROPS, "JSON flatten"),
+    "action_array_extract": QuerySpec(q_action_array_extract, SQL_ACTION_ARRAY, "F15 HOF"),
+    "window_running_total": QuerySpec(q_window_running_total, SQL_RUNNING_TOTAL, "window"),
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup"),
+    "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_FINGERPRINT, "md5 fingerprint"),
+    "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS, "token counting"),
+    "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY, "quality scoring"),
+    "language_scores": QuerySpec(q_language_scores, _sql_language_scores(), "lang-ID"),
+    "ngram_jaccard": QuerySpec(q_ngram_jaccard, SQL_NGRAM_JACCARD, "word-set Jaccard dedup"),
+    "minhash_lsh_dedup": QuerySpec(q_minhash_lsh_dedup, _sql_minhash(), "MinHash LSH dedup"),
+    "simhash": QuerySpec(q_simhash, _sql_simhash(), "SimHash fingerprints"),
+    "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "brute-force ANN baseline"),
+    "forecast_linear": QuerySpec(q_forecast_linear, SQL_FORECAST_LINEAR, "OLS forecast"),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql}
