@@ -51,6 +51,33 @@ def token_hashes(text_col: Column | str) -> Column:
     return F.array_distinct(F.transform(toks, word_hash))
 
 
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, order-preserving construction.
+
+    MinHash over single words degenerates on low-vocabulary corpora
+    (every document's word *set* converges to the vocabulary, so all
+    LSH buckets collide and the candidate join goes quadratic).
+    Shingling into n-grams expands the element space to |vocab|^n,
+    which keeps bucket sizes O(1) — this is the canonical choice in
+    near-dup literature (Broder '97) and what keeps the pipeline
+    linear at 100TB. Documents shorter than ``n`` tokens collapse to a
+    single whole-text shingle.
+    """
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    )
+
+
+def shingle_hashes(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct hash set of word n-gram shingles (portable md5-prefix)."""
+    return F.array_distinct(F.transform(shingles(text_col, n), word_hash))
+
+
 def _perm_fn(a: int, b: int):
     # Closure factory: Spark counts lambda parameters, so default-arg
     # binding (lambda h, A=a: ...) would be misread as a multi-arg HOF.
@@ -81,10 +108,15 @@ def exact_duplicates(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """doc_id + mh_0..mh_{N-1} + the token-hash array (kept for verify)."""
-    with_hashes = df.select(F.col(id_col), token_hashes(text_col).alias("token_hashes"))
+    """doc_id + mh_0..mh_{N-1} + the shingle-hash set (kept for verify).
+
+    ``n`` is the shingle width; ``n=1`` degrades to word-set MinHash
+    (only safe on large-vocabulary corpora — see :func:`shingles`).
+    """
+    hashes = shingle_hashes(text_col, n) if n > 1 else token_hashes(text_col)
+    with_hashes = df.select(F.col(id_col), hashes.alias("token_hashes"))
     sig = minhash_signature(F.col("token_hashes"))
     return with_hashes.select(
         id_col,
@@ -152,11 +184,12 @@ def minhash_duplicate_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates
     → exact Jaccard verification at `threshold`. Returns
     (id_a, id_b, jaccard_sim)."""
-    sigs = minhash_signatures(df, text_col, id_col).cache()
+    sigs = minhash_signatures(df, text_col, id_col, n).cache()
     cands = lsh_candidate_pairs(sigs, id_col)
     toks = sigs.select(F.col(id_col), F.col("token_hashes"))
     verified = (
@@ -226,13 +259,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     def _vote_fn(mult: int, offset: int):
         return lambda acc, h: acc + (((h * mult + offset) % MERSENNE31) % 2) * 2 - 1
 
-    hashes = token_hashes(text_col)
+    # Materialize the hash array in its own projection so the md5
+    # tokenization runs once per row, not once per bit.
+    hashed = df.select(F.col(id_col), token_hashes(text_col).alias("_hs"))
     bit_cols = []
     for b in range(bits):
         a_c, b_c = PERMS[b % N_HASHES]
         # vary the permutation per bit beyond N_HASHES by mixing in b
         mult = (a_c + 2 * b) | 1
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(mult, b_c))
+        vote = F.aggregate(F.col("_hs"), F.lit(0).cast("long"), _vote_fn(mult, b_c))
         bit_cols.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * (2**b))
-    out = df.select(F.col(id_col), sum(bit_cols[1:], bit_cols[0]).alias("simhash"))
-    return out
+    return hashed.select(F.col(id_col), sum(bit_cols[1:], bit_cols[0]).alias("simhash"))

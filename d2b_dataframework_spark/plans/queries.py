@@ -583,6 +583,15 @@ FROM events
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"list_distinct(string_split({_NORM}, ' '))"
+_WORDS_ORDERED = f"string_split({_NORM}, ' ')"
+# Word 3-gram shingles over the ordered token list (1-indexed lists;
+# range(a,b) is [a, b) in DuckDB). Docs shorter than 3 tokens collapse to
+# one whole-text shingle — mirrors datapipe.dedup.shingles().
+_SHINGLES = (
+    "CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(words) - 1), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END"
+)
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str, mutate: bool) -> DataFrame:
@@ -740,10 +749,11 @@ def _sql_minhash() -> str:
     rpb = dd.ROWS_PER_BAND
     return f"""
 WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
-toks AS (SELECT doc_id, {_WORDS} AS words FROM corpus),
+toks AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
 hashes AS (SELECT doc_id,
-  list_distinct(list_transform(words, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)) AS hs
-  FROM toks),
+  list_distinct(list_transform(shingles, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)) AS hs
+  FROM sh),
 sigs AS (SELECT doc_id, hs, [{sig_items}] AS sig FROM hashes),
 bands AS (
   SELECT doc_id,
