@@ -62,6 +62,13 @@ class FakeTransport:
             raise TransportError(f"no fixture for {k}", status_code=404)
         return self.responses[k]
 
+    def post(self, endpoint: str, body: dict | None = None):
+        """Record-and-ack write calls (sink egress paths); a canned
+        response keyed like ``get`` is returned when one exists."""
+        self.calls.append((endpoint, dict(body or {})))
+        k = self.key(endpoint, body)
+        return self.responses.get(k, {"status": "ok"})
+
 
 def rows_to_df(
     spark: SparkSession,
