@@ -906,6 +906,26 @@ FROM params, (SELECT unnest(range(1, 8)) AS h)
 ORDER BY event_type, pred_date
 """
 
+def q_forecast_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3: the Prophet-compatible distributed forecaster (OLS+weekly
+    fallback backend) over daily per-event-type totals — one
+    applyInPandas task per metric series. Rows-only check: the weekly
+    seasonal decomposition is not SQL-expressible."""
+    from d2b_dataframework_spark.forecast import ForecastConfig, forecast
+
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )
+    return forecast(
+        wide,
+        ForecastConfig(days=7, include_intervals=True, clip_negative=True,
+                       round_decimals=4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -938,6 +958,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "simhash": QuerySpec(q_simhash, _sql_simhash(), "SimHash fingerprints"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "brute-force ANN baseline"),
     "forecast_linear": QuerySpec(q_forecast_linear, SQL_FORECAST_LINEAR, "OLS forecast"),
+    "forecast_operator": QuerySpec(
+        q_forecast_operator, None, "M1 applyInPandas forecaster (rows-only)"
+    ),
 }
 
 

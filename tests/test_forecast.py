@@ -1,0 +1,145 @@
+"""Forecast operator tests (SURVEY §2.8 M1–M6), mirroring the reference
+suite's assertions on shape/columns/config wiring/persistence
+(tests/prophet_forecaster/test_prophet_forecaster.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from d2b_dataframework_spark.forecast import (
+    ForecastConfig,
+    detect_date_column,
+    fit_models,
+    forecast,
+    load_models,
+    predict_from_loaded,
+    save_models,
+    select_metrics,
+)
+
+
+@pytest.fixture()
+def metrics_df(spark):
+    """60 daily rows from 2024-01-01: sessions = 100 + 2t (exact line),
+    conversions = 10 + t + weekly wave, spend regressor-ish column."""
+    rows = []
+    for t in range(60):
+        day = (pd.Timestamp("2024-01-01") + pd.Timedelta(days=t)).strftime("%Y-%m-%d")
+        rows.append(
+            (day, 100.0 + 2.0 * t, 10.0 + t + 3.0 * math.sin(2 * math.pi * (t % 7) / 7),
+             50.0 + t)
+        )
+    return spark.createDataFrame(
+        rows, "date string, sessions double, conversions double, spend double"
+    )
+
+
+def test_date_detection_and_metric_selection(spark, metrics_df):
+    assert detect_date_column(["fecha", "x"]) == "fecha"
+    with pytest.raises(ValueError, match="no date column"):
+        detect_date_column(["a", "b"])
+    assert select_metrics(metrics_df, "date", ["spend"]) == ["sessions", "conversions"]
+    bad = spark.createDataFrame([("2024-01-01", "x")], "date string, label string")
+    with pytest.raises(TypeError, match="not numeric"):
+        select_metrics(bad, "date", [])
+
+
+def test_forecast_shape_and_linear_extrapolation(spark, metrics_df):
+    out = forecast(metrics_df, ForecastConfig(days=7, round_decimals=4))
+    rows = out.collect()
+    assert out.columns == ["date", "sessions", "conversions", "spend"]
+    assert len(rows) == 7
+    # sessions is exactly linear: day 60 → 100 + 2*60 = 220
+    assert rows[0]["sessions"] == pytest.approx(220.0, abs=1e-6)
+    assert rows[6]["sessions"] == pytest.approx(232.0, abs=1e-6)
+    # sorted by date (D5)
+    dates = [r["date"] for r in rows]
+    assert dates == sorted(dates)
+
+
+def test_include_history_and_intervals(spark, metrics_df):
+    cfg = ForecastConfig(days=3, include_history=True, include_intervals=True,
+                         round_decimals=None)
+    out = forecast(metrics_df.select("date", "sessions"), cfg)
+    assert out.columns == ["date", "sessions", "sessions_lower", "sessions_upper"]
+    assert out.count() == 63
+    r = out.collect()[-1]
+    assert r["sessions_lower"] <= r["sessions"] <= r["sessions_upper"]
+
+
+def test_clip_and_round(spark):
+    df = spark.createDataFrame(
+        [((pd.Timestamp("2024-01-01") + pd.Timedelta(days=t)).strftime("%Y-%m-%d"),
+          float(10 - 5 * t)) for t in range(10)],
+        "date string, declining double",
+    )
+    out = forecast(df, ForecastConfig(days=3, clip_negative=True))
+    vals = [r["declining"] for r in out.collect()]
+    assert all(v == 0.0 for v in vals)  # F11 clip at zero
+    assert all(v == int(v) for v in vals)  # F12 default round to 0 decimals
+
+
+def test_flat_growth_and_per_metric_cap(spark, metrics_df):
+    const = spark.createDataFrame(
+        [((pd.Timestamp("2024-01-01") + pd.Timedelta(days=t)).strftime("%Y-%m-%d"), 42.0)
+         for t in range(30)],
+        "date string, visits double",
+    )
+    flat = forecast(const, ForecastConfig(days=2, growth="flat", round_decimals=2))
+    vals = [r["visits"] for r in flat.collect()]
+    # flat growth → the history mean everywhere
+    assert vals[0] == vals[1] == pytest.approx(42.0, abs=0.01)
+
+    capped = forecast(
+        metrics_df,
+        ForecastConfig(days=2, growth="logistic",
+                       cap={"sessions": 210.0, "conversions": 1000.0},
+                       round_decimals=2),
+    )
+    assert all(r["sessions"] <= 210.0 for r in capped.collect())
+
+
+def test_regressor_join_and_missing_error(spark, metrics_df):
+    cfg = ForecastConfig(days=3, regressors=["spend"], round_decimals=None)
+    future_reg = spark.createDataFrame(
+        [((pd.Timestamp("2024-03-01") + pd.Timedelta(days=t)).strftime("%Y-%m-%d"),
+          110.0 + t) for t in range(3)],
+        "date string, spend double",
+    )
+    out = forecast(metrics_df, cfg, future_regressors=future_reg)
+    assert out.count() == 3
+
+    with pytest.raises(Exception, match="regressor values missing"):
+        forecast(metrics_df, cfg).count()  # M4: no future regressors → error
+
+
+def test_grouped_series_scale_axis(spark):
+    rows = []
+    for entity in ["cl", "pe"]:
+        base = 100.0 if entity == "cl" else 500.0
+        for t in range(20):
+            day = (pd.Timestamp("2024-01-01") + pd.Timedelta(days=t)).strftime("%Y-%m-%d")
+            rows.append((entity, day, base + t))
+    df = spark.createDataFrame(rows, "country string, date string, visits double")
+    out = forecast(df, ForecastConfig(days=2, round_decimals=2), group_cols=["country"])
+    got = {(r["country"], str(r["date"])[:10]): r["visits"] for r in out.collect()}
+    assert got[("cl", "2024-01-21")] == pytest.approx(120.0, abs=0.01)
+    assert got[("pe", "2024-01-21")] == pytest.approx(520.0, abs=0.01)
+
+
+def test_model_persistence_roundtrip(spark, metrics_df, tmp_path):
+    models = fit_models(metrics_df.select("date", "sessions"), ForecastConfig(days=5))
+    paths = save_models(models, str(tmp_path))
+    assert [p.endswith("sessions_model.pkl") for p in paths] == [True]
+
+    loaded = load_models(str(tmp_path))
+    assert set(loaded) == {"sessions"}
+    pred = predict_from_loaded(loaded, days=3)
+    assert list(pred.columns) == ["date", "sessions"]
+    assert len(pred) == 3
+
+    with pytest.warns(UserWarning, match="no saved model"):
+        assert load_models(str(tmp_path), ["sessions", "missing"]).keys() == {"sessions"}
