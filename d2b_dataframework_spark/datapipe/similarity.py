@@ -11,6 +11,9 @@ codegen); no Python in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -138,6 +141,212 @@ def lsh_bucket_topk(
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + IVF (scale paths for dedup / ANN at 100TB)
+# ---------------------------------------------------------------------------
+
+# Quantization scale: embeddings and hyperplanes are rounded to integers
+# (value*1000) before signature dot products, so LSH bucket keys are
+# EXACT integer arithmetic — bit-identical across engines (no FP sign
+# flips near zero), verifiable by a SQL oracle, and stable across Spark
+# versions. 64 dims x (10^3)^2 products stay far below int64.
+QUANT = 1000
+NEAR_DUP_PLANES = 32  # 4 bands x 8 planes: 256 keys/band keeps buckets O(1)
+NEAR_DUP_BANDS = 4
+PLANES_PER_BAND = NEAR_DUP_PLANES // NEAR_DUP_BANDS
+
+
+def quantized_planes(dim: int = 64, n_planes: int = NEAR_DUP_PLANES) -> list[list[int]]:
+    """Deterministic integer hyperplanes in [-QUANT, QUANT]."""
+    return [
+        [int(round(w * QUANT)) for w in plane] for plane in _hyperplanes(dim, n_planes)
+    ]
+
+
+def _quantize(vec: Column) -> Column:
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def _signature_pandas_udf(planes: list[list[int]]):
+    """Arrow-batched signature: one int64 matmul per batch instead of
+    n_planes interpreted higher-order aggregates per row (~20× faster —
+    HOF lambdas evaluate outside codegen). Arithmetic is EXACTLY the
+    quantized-integer dot of :func:`_int_signature` / the SQL oracle:
+    round-half-away-from-zero to int, int64 matmul (no overflow:
+    64·(10³)²·|w|≤1000 ≪ 2^63), sign test."""
+    pmat = np.array(planes, dtype=np.int64).T  # dim × n_planes
+
+    @F.pandas_udf("string")
+    def sig_str(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64) * QUANT
+        q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+        bits = (q @ pmat) > 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return sig_str
+
+
+def _int_signature(qvec: Column, planes: list[list[int]]) -> Column:
+    """Bit string over integer plane dots (exact arithmetic)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    qvec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded quantized-LSH
+    blocking + exact cosine verification.
+
+    Scale shape: signatures are map-side codegen; candidates come from a
+    band-key equi-join (explode x n_bands, one shuffle); only candidate
+    pairs pay the exact-cosine verify. No O(n^2) stage. Recall misses
+    pairs whose signatures differ in every band - by design; raise
+    NEAR_DUP_PLANES density or band count for tighter corpora.
+    """
+    planes = quantized_planes(dim)
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("sig", _signature_pandas_udf(planes)(F.col("v")))
+    # Bands carry ONLY (vid, band_id, band_key) — the candidate shuffle
+    # moves ids, never 64-double vectors.
+    bands = base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.substring("sig", b * PLANES_PER_BAND + 1, PLANES_PER_BAND).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(NEAR_DUP_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vid", "band.band_id", "band.band_key")
+    left = bands.select(F.col("vid").alias("id_a"), "band_id", "band_key")
+    right = bands.select(F.col("vid").alias("id_b"), "band_id", "band_key")
+    cands = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Verify: re-attach vectors with PREcomputed norms (norm once per
+    # vector, not twice per candidate pair). Broadcast is a hint for the
+    # query-sized case; at corpus scale Catalyst shuffles on id instead.
+    vecs = base.select("vid", "v").withColumn("n", norm(F.col("v")))
+    va = vecs.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    return (
+        cands.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``nlist`` inverted lists
+    (nearest centroid by cosine), probe only the ``nprobe`` lists nearest
+    each query, exact top-k within the probed lists.
+
+    Centroid "training" here is deterministic-by-construction: the first
+    ``nlist`` corpus vectors (lowest ids) seed the lists — swap in
+    KMeans centroids at scale; the plan shape (broadcast centroids →
+    map-side assignment → shuffle only on list id) is identical. At 100TB
+    the corpus scan assigns lists map-side and only candidate lists are
+    read per query batch (partition pruning when the corpus is stored
+    bucketed by list_id).
+    """
+    cent = corpus.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("list_id"), _as_double(F.col(vec_col)).alias("centroid")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    # Map-side assignment: argmax cosine over broadcast centroids.
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cent_sim").desc(), F.col("list_id").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", F.round(cosine(F.col("cv"), F.col("centroid")), 6))
+        .withColumn("arn", F.row_number().over(assign_w))
+        .filter(F.col("arn") == 1)
+        .select("neighbor_id", "cv", "list_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_sim", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

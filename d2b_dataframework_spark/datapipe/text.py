@@ -101,3 +101,31 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(normalize_whitespace(F.lower(F.col(text_col)))).alias("fingerprint"),
     )
+
+
+# Portable BPE-ish pre-tokenization pattern: letter runs, digit runs,
+# single non-alphanumeric marks - the GPT-2 pre-tokenizer's shape without
+# the lookahead constructs (identical semantics in Java regex and RE2, so
+# a SQL oracle can replicate it verbatim).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_bpe_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Subword-ish token counting via regex pre-tokenization: total
+    pieces, unique pieces, and chars-per-piece (the compression-ratio
+    proxy training pipelines threshold on). Catalyst-native
+    (regexp_extract_all), zero Python."""
+    norm = normalize_whitespace(F.lower(F.col(text_col)))
+    pieces = F.regexp_extract_all(norm, F.lit(BPE_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_unique_pieces"),
+        F.round(
+            F.length(F.regexp_replace(norm, " ", "")).cast("double")
+            / F.size(pieces).cast("double"),
+            6,
+        ).alias("chars_per_piece"),
+    )

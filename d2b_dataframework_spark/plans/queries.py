@@ -35,6 +35,7 @@ from d2b_dataframework_spark.datapipe import text as dt
 from d2b_dataframework_spark.functions.datetimes import (
     epoch_ms_to_utc_ts,
     parse_dual_date,
+    region_day_bounds,
     utc_ts_to_epoch_ms,
 )
 from d2b_dataframework_spark.functions.nested import action_value
@@ -780,7 +781,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-def _sql_simhash() -> str:
+def _sql_simhash_expr() -> str:
+    """The 32-bit SimHash as a DuckDB expression over a token-hash list
+    column ``hs`` — shared by the fingerprint and near-dup oracles."""
     p = dd.MERSENNE31
     terms = []
     for b in range(32):
@@ -790,13 +793,207 @@ def _sql_simhash() -> str:
             f"list_sum(list_transform(hs, h -> ((h * {mult} + {b_c}) % {p}) % 2 * 2 - 1))"
         )
         terms.append(f"(CASE WHEN {vote} > 0 THEN 1 ELSE 0 END)::BIGINT * {2**b}")
-    total = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _sql_simhash() -> str:
+    total = _sql_simhash_expr()
     return f"""
 WITH toks AS (SELECT doc_id, {_WORDS} AS words FROM documents),
 hashes AS (SELECT doc_id,
   list_distinct(list_transform(words, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)) AS hs
   FROM toks)
 SELECT doc_id, {total} AS simhash FROM hashes ORDER BY doc_id
+"""
+
+
+def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copy (vec_id+10000, first element +0.05) —
+    known near-duplicate structure for the embedding-dedup paths."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(copy)
+
+
+_SQL_EMB_DUP_CORPUS = """
+SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 10000 AS vec_id,
+  list_prepend(embedding[1]::DOUBLE + 0.05, embedding[2:64]::DOUBLE[]) AS embedding
+FROM embeddings
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded quantized-LSH blocking +
+    exact cosine verify at 0.99 over the perturbed dup corpus."""
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    return sim.cosine_near_dup_pairs(corpus, threshold=0.99).orderBy("id_a", "id_b")
+
+
+def _sql_embedding_near_dup() -> str:
+    planes = sim.quantized_planes()
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(str(w) for w in plane)}]::BIGINT[])"
+        for i, plane in enumerate(planes)
+    )
+    ppb = sim.PLANES_PER_BAND
+    band_rows = ", ".join(f"({b})" for b in range(sim.NEAR_DUP_BANDS))
+    return f"""
+WITH corpus AS ({_SQL_EMB_DUP_CORPUS}),
+planes(plane_id, w) AS (VALUES {plane_rows}),
+qv AS (SELECT vec_id, embedding AS v,
+  list_transform(embedding, x -> round(x * 1000)::BIGINT) AS q FROM corpus),
+sig AS (
+  SELECT vec_id, any_value(v) AS v,
+    string_agg(CASE WHEN list_dot_product(q, w) > 0 THEN '1' ELSE '0' END, ''
+               ORDER BY plane_id) AS sig
+  FROM qv, planes GROUP BY vec_id),
+bands AS (
+  SELECT vec_id, v, b.band_id,
+    substr(sig, b.band_id * {ppb} + 1, {ppb}) AS band_key
+  FROM sig, (VALUES {band_rows}) b(band_id)),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    round(list_dot_product(s1.v, s2.v)
+          / (sqrt(list_dot_product(s1.v, s1.v)) * sqrt(list_dot_product(s2.v, s2.v))),
+          6) AS cosine_sim
+  FROM cands c
+  JOIN sig s1 ON s1.vec_id = c.id_a
+  JOIN sig s2 ON s2.vec_id = c.id_b)
+SELECT * FROM verified WHERE cosine_sim >= 0.99 ORDER BY id_a, id_b
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: 16 deterministic inverted lists, probe 4,
+    exact top-5 within probed lists for queries vec_id < 8."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = sim.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+SQL_IVF_TOPK = """
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cent AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS centroid
+         FROM embeddings WHERE vec_id < 16),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT neighbor_id, cv, list_id FROM (
+    SELECT c.neighbor_id, c.cv, cent.list_id,
+      row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+        round(list_dot_product(cv, centroid)
+              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))), 6) DESC,
+        cent.list_id ASC) AS arn
+    FROM c CROSS JOIN cent)
+  WHERE arn = 1),
+probes AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.query_id, q.qv, cent.list_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round(list_dot_product(qv, centroid)
+              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))), 6) DESC,
+        cent.list_id ASC) AS prn
+    FROM q CROSS JOIN cent)
+  WHERE prn <= 4),
+scored AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id,
+    round(list_dot_product(p.qv, a.cv)
+          / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cosine_sim
+  FROM assigned a JOIN probes p USING (list_id)
+  WHERE a.neighbor_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id ASC)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3, banded candidates) over the
+    mutated dup corpus."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    return dd.simhash_near_dup_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _sql_simhash_near_dup() -> str:
+    simhash_sql = _sql_simhash_expr()
+    bpb = dd.BITS_PER_BAND
+    band_rows = ", ".join(f"({b})" for b in range(dd.SIMHASH_BANDS))
+    return f"""
+WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
+toks AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+hashes AS (SELECT doc_id,
+  list_distinct(list_transform(shingles, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)) AS hs
+  FROM sh),
+sigs AS (SELECT doc_id, {simhash_sql} AS simhash FROM hashes),
+bands AS (
+  SELECT doc_id, simhash, b.band_id,
+    (simhash >> (b.band_id * {bpb})) & {(1 << bpb) - 1} AS band_val
+  FROM sigs, (VALUES {band_rows}) b(band_id)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization counts over documents."""
+    return dt.token_bpe_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+SQL_TOKEN_BPE = f"""
+SELECT doc_id,
+  len(regexp_extract_all({_NORM}, '{dt.BPE_PATTERN}'))::BIGINT AS n_pieces,
+  len(list_distinct(regexp_extract_all({_NORM}, '{dt.BPE_PATTERN}')))::BIGINT AS n_unique_pieces,
+  round(length(replace({_NORM}, ' ', ''))::DOUBLE
+        / len(regexp_extract_all({_NORM}, '{dt.BPE_PATTERN}'))::DOUBLE, 6) AS chars_per_piece
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_utc_day_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7: region-local day bounds → UTC epoch seconds (UTCConverter
+    start/end modes, utc_converter.py:53-56; Peru = fixed-offset zone)."""
+    orders = _t(spark, sf_dir, "orders")
+    start_utc, end_utc = region_day_bounds(F.to_date("o_orderdate"), "peru")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("local_date"),
+        F.unix_seconds(start_utc).alias("day_start_epoch"),
+        F.unix_seconds(end_utc).alias("day_end_epoch"),
+    )
+
+
+SQL_UTC_BOUNDS = """
+SELECT o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS local_date,
+  epoch(timezone('America/Lima', CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)))::BIGINT AS day_start_epoch,
+  epoch(timezone('America/Lima',
+        CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) + INTERVAL 23 HOURS + INTERVAL 59 MINUTES + INTERVAL 59 SECONDS))::BIGINT AS day_end_epoch
+FROM orders
 """
 
 
@@ -957,6 +1154,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_lsh_dedup": QuerySpec(q_minhash_lsh_dedup, _sql_minhash(), "MinHash LSH dedup"),
     "simhash": QuerySpec(q_simhash, _sql_simhash(), "SimHash fingerprints"),
     "cosine_topk": QuerySpec(q_cosine_topk, SQL_COSINE_TOPK, "brute-force ANN baseline"),
+    "embedding_near_dup": QuerySpec(
+        q_embedding_near_dup, _sql_embedding_near_dup(), "quantized-LSH cosine dedup"
+    ),
+    "ivf_topk": QuerySpec(q_ivf_topk, SQL_IVF_TOPK, "IVF-bucketed ANN"),
+    "simhash_near_dup": QuerySpec(
+        q_simhash_near_dup, _sql_simhash_near_dup(), "SimHash hamming pairs"
+    ),
+    "token_bpe": QuerySpec(q_token_bpe, SQL_TOKEN_BPE, "BPE-ish pre-tokenization"),
+    "utc_day_bounds": QuerySpec(q_utc_day_bounds, SQL_UTC_BOUNDS, "F6 region→UTC bounds"),
     "forecast_linear": QuerySpec(q_forecast_linear, SQL_FORECAST_LINEAR, "OLS forecast"),
     "forecast_operator": QuerySpec(
         q_forecast_operator, None, "M1 applyInPandas forecaster (rows-only)"

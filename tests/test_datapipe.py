@@ -1,0 +1,105 @@
+"""Datapipe operator tests: dedup / similarity / text-analysis scale
+paths (the training-data-pipeline layer)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from d2b_dataframework_spark.datapipe import dedup as dd
+from d2b_dataframework_spark.datapipe import similarity as sim
+from d2b_dataframework_spark.datapipe import text as dt
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """16 base vectors + near-identical copies of the first 3."""
+    import math
+
+    rows = []
+    for i in range(16):
+        v = [math.sin(0.1 * (i + 1) * (d + 1)) for d in range(64)]
+        rows.append((i, v))
+    for i in range(3):
+        v = [math.sin(0.1 * (i + 1) * (d + 1)) for d in range(64)]
+        v[0] += 0.01
+        rows.append((100 + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_near_dup_finds_planted_pairs(vectors):
+    out = sim.cosine_near_dup_pairs(vectors, threshold=0.98)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(0, 100), (1, 101), (2, 102)} <= pairs
+    assert all(r["cosine_sim"] >= 0.98 for r in out.collect())
+
+
+def test_ivf_agrees_with_brute_force_on_probed_lists(vectors):
+    queries = vectors.filter(F.col("vec_id") < 2)
+    exact = sim.brute_force_topk(vectors, queries, k=3)
+    approx = sim.ivf_topk(vectors, queries, k=3, nlist=4, nprobe=4)
+    # nprobe == nlist → every list probed → identical to brute force
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
+    assert e == a
+
+
+def test_simhash_vectorized_matches_declarative(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "the quick brown fox jumps over the lazy cat")],
+        "doc_id long, text string",
+    )
+    fast = {r["doc_id"]: r["simhash"]
+            for r in dd.simhash(docs, vectorized=True, shingle_n=3).collect()}
+    slow = {r["doc_id"]: r["simhash"]
+            for r in dd.simhash(docs, vectorized=False, shingle_n=3).collect()}
+    assert fast == slow
+    fast_w = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, vectorized=True).collect()}
+    slow_w = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, vectorized=False).collect()}
+    assert fast_w == slow_w
+
+
+def test_simhash_near_dup_pigeonhole(spark):
+    base_words = [f"w{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base_words)),
+            (2, " ".join(base_words[:-1] + ["extra"])),  # 1-word edit
+            (3, " ".join(f"z{i}" for i in range(50))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = dd.simhash_near_dup_pairs(docs, max_hamming=3)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_token_bpe_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! 42 times"), (2, "aaa aaa")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dt.token_bpe_stats(docs).collect()}
+    # "hello , world ! 42 times" → pieces: hello , world ! 42 times = 6
+    assert out[1]["n_pieces"] == 6
+    assert out[1]["n_unique_pieces"] == 6
+    assert out[2]["n_pieces"] == 2 and out[2]["n_unique_pieces"] == 1
+    # chars_per_piece: non-space chars / pieces = 6/2 = 3
+    assert out[2]["chars_per_piece"] == pytest.approx(3.0)
+
+
+def test_exact_and_minhash_dedup_consistency(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven"),
+         (2, "one two three four five six seven"),
+         (3, "something else entirely different now")],
+        "doc_id long, text string",
+    )
+    exact = dd.exact_duplicates(docs).collect()
+    assert len(exact) == 1 and exact[0]["n_docs"] == 2 and exact[0]["canonical_id"] == 1
+    mh = dd.minhash_duplicate_pairs(docs, threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in mh.collect()} == {(1, 2)}
