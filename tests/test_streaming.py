@@ -1,0 +1,117 @@
+"""Streaming micro-batch layer tests: file-source stream → watermarked
+windowed KPIs → date-sharded dynamic-overwrite sink, and the polling
+bridge's delta-append semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from d2b_dataframework_spark.streaming.microbatch import (
+    EVENTS_SCHEMA_DDL,
+    poll_connector_stream,
+    run_available_now,
+    stream_files,
+    to_date_sharded_sink,
+    windowed_kpis,
+)
+
+
+@pytest.fixture()
+def landing(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00", "click", 1.5, "{}"),
+            (2, 11, "2024-01-01 11:00:00", "view", 2.5, "{}"),
+            (3, 10, "2024-01-02 09:00:00", "click", 4.0, "{}"),
+        ],
+        "event_id long, user_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    return src
+
+
+def test_stream_windowed_kpis_to_sharded_sink(spark, tmp_path, landing):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_files(spark, landing, EVENTS_SCHEMA_DDL)
+    assert stream.isStreaming
+    kpis = windowed_kpis(stream)
+    q = run_available_now(to_date_sharded_sink(kpis, out, ckpt))
+    q.awaitTermination(60)
+
+    result = {str(r["date"]): r for r in spark.read.parquet(out).collect()}
+    assert result["2024-01-01"]["n_events"] == 2
+    assert result["2024-01-01"]["sum_value"] == pytest.approx(4.0)
+    assert result["2024-01-02"]["n_events"] == 1
+
+
+def test_sharded_sink_overwrites_only_present_partitions(spark, tmp_path, landing):
+    """Replaying a day replaces that day's partition and leaves others
+    (K1 idempotent per-day replace)."""
+    out = str(tmp_path / "out")
+    q = run_available_now(
+        to_date_sharded_sink(
+            windowed_kpis(stream_files(spark, landing, EVENTS_SCHEMA_DDL)),
+            out, str(tmp_path / "ckpt1"),
+        )
+    )
+    q.awaitTermination(60)
+    # New micro-batch run (fresh checkpoint) over day-2-only data.
+    day2 = str(tmp_path / "landing2")
+    spark.createDataFrame(
+        [(9, 12, "2024-01-02 12:00:00", "view", 10.0, "{}")],
+        "event_id long, user_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(day2)
+    q2 = run_available_now(
+        to_date_sharded_sink(
+            windowed_kpis(stream_files(spark, day2, EVENTS_SCHEMA_DDL)),
+            out, str(tmp_path / "ckpt2"),
+        )
+    )
+    q2.awaitTermination(60)
+    result = {str(r["date"]): r for r in spark.read.parquet(out).collect()}
+    assert result["2024-01-01"]["n_events"] == 2  # untouched partition
+    assert result["2024-01-02"]["n_events"] == 1  # replaced, not appended
+    assert result["2024-01-02"]["sum_value"] == pytest.approx(10.0)
+
+
+def test_poll_connector_stream_delta_append(spark, tmp_path):
+    """Polling bridge: repeated fetches of overlapping pages land each
+    key exactly once (K5 delta-fetch semantics)."""
+    sink = str(tmp_path / "sink")
+    calls = {"n": 0}
+
+    def fetch_batch():
+        calls["n"] += 1
+        # Same overlapping page every tick; key 'b' appears twice.
+        return [
+            {"k": "a", "v": 1},
+            {"k": "b", "v": 2},
+        ] if calls["n"] == 1 else [
+            {"k": "b", "v": 2},
+            {"k": "c", "v": 3},
+        ]
+
+    writer = poll_connector_stream(
+        spark, fetch_batch, "k string, v long", sink,
+        str(tmp_path / "ckpt"), key_col="k", interval="1 second",
+    )
+    q = writer.start()
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                keys = {r["k"] for r in spark.read.parquet(sink).collect()}
+                if keys >= {"a", "b", "c"}:
+                    break
+            except Exception:  # noqa: BLE001 — sink not created yet
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["k"] for r in rows) == ["a", "b", "c"]  # no dup 'b'
