@@ -98,6 +98,8 @@ def fanout_fetch(
     tasks are spread round-robin via repartition so slow endpoints don't
     convoy on one executor.
     """
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
     if not tasks:
         return spark.createDataFrame([], schema)
     task_cols = sorted({k for t in tasks for k in t})
