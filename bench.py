@@ -35,6 +35,14 @@ def main() -> None:
     REGISTRY["pricing_summary"].spark(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python UDF workers (one per core) so the first
+    # Arrow-batched query doesn't pay ~8s of interpreter spawns.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    _noop = F.pandas_udf(lambda s: s, "long")  # lambda form: hint-free scalar UDF
+    spark.range(10_000, numPartitions=int(cpus)).select(
+        _noop(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():

@@ -81,6 +81,41 @@ def shingle_hashes(text_col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.transform(shingles(text_col, n), word_hash))
 
 
+def _text_to_hashes(text: str, shingle_n: int | None):
+    """Python twin of the declarative normalize→tokenize→(shingle)→
+    md5-prefix-hash pipeline; returns the distinct hash array (int64).
+    A worker-level memo caches item→hash across documents — near-dup
+    corpora share most shingles, so this halves md5 work. ASCII parity
+    caveat with Java lower()/\\s as documented on the callers."""
+    import hashlib
+    import re
+
+    cache = _text_to_hashes._cache
+    norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    toks = norm.split(" ")
+    if shingle_n is None or shingle_n <= 1:
+        items = set(toks)
+    elif len(toks) < shingle_n:
+        items = {" ".join(toks)}
+    else:
+        items = {
+            " ".join(toks[i : i + shingle_n])
+            for i in range(len(toks) - shingle_n + 1)
+        }
+    out = np.empty(len(items), dtype=np.int64)
+    for i, w in enumerate(items):
+        h = cache.get(w)
+        if h is None:
+            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:7], 16)
+            if len(cache) < 2_000_000:  # bound worker memory
+                cache[w] = h
+        out[i] = h
+    return np.unique(out)
+
+
+_text_to_hashes._cache = {}
+
+
 def _perm_fn(a: int, b: int):
     # Closure factory: Spark counts lambda parameters, so default-arg
     # binding (lambda h, A=a: ...) would be misread as a multi-arg HOF.
@@ -111,13 +146,26 @@ def exact_duplicates(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    vectorized: bool = True,
 ) -> DataFrame:
     """doc_id + mh_0..mh_{N-1} + the shingle-hash set (kept for verify).
 
     ``n`` is the shingle width; ``n=1`` degrades to word-set MinHash
     (only safe on large-vocabulary corpora — see :func:`shingles`).
+
+    ``vectorized=True`` computes shingle hashes + all N_HASHES minhash
+    values in one Arrow-batched pass (numpy int64 broadcast) instead of
+    N_HASHES interpreted ``array_min(transform(...))`` trees per row —
+    identical arithmetic (md5-prefix hash, PERMS constants, mod 2^31-1),
+    same SQL oracle; ASCII-normalization caveat as
+    :func:`_simhash_vectorized`.
     """
+    if vectorized:
+        return _minhash_signatures_vectorized(df, text_col, id_col, n)
     hashes = shingle_hashes(text_col, n) if n > 1 else token_hashes(text_col)
     with_hashes = df.select(F.col(id_col), hashes.alias("token_hashes"))
     sig = minhash_signature(F.col("token_hashes"))
@@ -126,6 +174,38 @@ def minhash_signatures(
         "token_hashes",
         *[s.alias(f"mh_{i}") for i, s in enumerate(sig)],
     )
+
+
+def _minhash_signatures_vectorized(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Arrow-batched twin of the declarative signature pipeline."""
+    a_consts = np.array([a for a, _ in PERMS], dtype=np.int64)[:, None]
+    b_consts = np.array([b for _, b in PERMS], dtype=np.int64)[:, None]
+
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, token_hashes array<bigint>, "
+        + ", ".join(f"mh_{i} bigint" for i in range(N_HASHES))
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            ids, hash_lists, sigs = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                hs = _text_to_hashes(text, n)
+                ids.append(doc_id)
+                hash_lists.append(hs.tolist())
+                sigs.append(
+                    ((hs[None, :] * a_consts + b_consts) % MERSENNE31).min(axis=1)
+                )
+            sig_mat = np.stack(sigs) if sigs else np.empty((0, N_HASHES), np.int64)
+            out = {id_col: ids, "token_hashes": hash_lists}
+            for i in range(N_HASHES):
+                out[f"mh_{i}"] = sig_mat[:, i]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
 
 
 def lsh_candidate_pairs(
@@ -216,25 +296,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact word n-gram Jaccard similarity over blocked pairs.
+    """Exact n-gram Jaccard similarity over blocked pairs, computed on
+    md5-prefix HASHED element sets (near-dup-literature standard): the
+    pair join then moves fixed-width int64 arrays instead of string
+    arrays — a fraction of the shuffle bytes, and `array_intersect` on
+    longs beats UTF8 comparisons. Identical hashing on the oracle side
+    keeps values bit-matched; hash collisions (2^-28/pair) perturb both
+    engines identically.
 
     O(block²) — use only with a blocking column or as the verification
     stage after LSH. ``n=1`` degrades to word-set Jaccard.
     """
-    toks = tokens(text_col)
-    if n > 1:
-        shingles = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        )
-    else:
-        shingles = F.array_distinct(toks)
+    hashed = shingle_hashes(text_col, n) if n > 1 else token_hashes(text_col)
     base = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        shingles.alias("shingles"),
+        hashed.alias("shingles"),
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -305,9 +382,6 @@ def _simhash_vectorized(
 ) -> DataFrame:
     """Arrow-batched simhash twin: same normalize→tokenize→(shingle)→
     md5-prefix-hash→permute→vote pipeline, numpy int64 inside."""
-    import hashlib
-    import re
-
     consts = []
     for b in range(bits):
         a_c, b_c = PERMS[b % N_HASHES]
@@ -320,29 +394,7 @@ def _simhash_vectorized(
     def sim_udf(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
-            toks = norm.split(" ")
-            if shingle_n is None:
-                items = set(toks)
-            elif len(toks) < shingle_n:
-                items = {" ".join(toks)}
-            else:
-                items = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
-            # np.unique: the declarative twin dedupes HASHES (not just
-            # shingles) — set semantics must survive hash collisions.
-            hs = np.unique(
-                np.fromiter(
-                    (
-                        int(hashlib.md5(w.encode("utf-8")).hexdigest()[:7], 16)
-                        for w in items
-                    ),
-                    dtype=np.int64,
-                    count=len(items),
-                )
-            )
+            hs = _text_to_hashes(text, shingle_n)
             votes = (2 * (((hs[None, :] * mults + offs) % MERSENNE31) % 2) - 1).sum(axis=1)
             out.append(int(((votes > 0).astype(np.int64) * powers).sum()))
         return pd.Series(out)

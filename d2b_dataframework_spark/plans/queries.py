@@ -722,13 +722,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD = f"""
 WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
-toks AS (SELECT doc_id, n_chars, {_WORDS} AS words FROM corpus)
+toks AS (SELECT doc_id, n_chars,
+  list_distinct(list_transform({_WORDS}, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)) AS hs
+  FROM corpus)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  round(len(list_intersect(a.words, b.words))::DOUBLE
-        / len(list_distinct(a.words || b.words))::DOUBLE, 6) AS jaccard_sim
+  round(len(list_intersect(a.hs, b.hs))::DOUBLE
+        / len(list_distinct(a.hs || b.hs))::DOUBLE, 6) AS jaccard_sim
 FROM toks a JOIN toks b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.words, b.words))::DOUBLE
-        / len(list_distinct(a.words || b.words))::DOUBLE, 6) >= 0.7
+WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE
+        / len(list_distinct(a.hs || b.hs))::DOUBLE, 6) >= 0.7
 ORDER BY id_a, id_b
 """
 
