@@ -18,6 +18,7 @@ from d2b_dataframework_spark.sources.connectors import (  # noqa: F401
     linkedin_marketing,
     linkedin_organic,
     search_console,
+    serpapi,
     sheets,
     shopify,
     tiktok,
@@ -36,6 +37,7 @@ __all__ = [
     "linkedin_marketing",
     "linkedin_organic",
     "search_console",
+    "serpapi",
     "sheets",
     "shopify",
     "tiktok",

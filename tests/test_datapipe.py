@@ -103,3 +103,33 @@ def test_exact_and_minhash_dedup_consistency(spark):
     assert len(exact) == 1 and exact[0]["n_docs"] == 2 and exact[0]["canonical_id"] == 1
     mh = dd.minhash_duplicate_pairs(docs, threshold=0.9)
     assert {(r["id_a"], r["id_b"]) for r in mh.collect()} == {(1, 2)}
+
+
+def test_multimodal_image_features_plumbing(spark):
+    from d2b_dataframework_spark.datapipe.multimodal import (
+        ASSET_SCHEMA,
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            ("a1", "image", bytes(range(200)), {"src": "cam"}),
+            ("a2", "image", b"", None),
+            ("a3", "audio", b"\x00" * 50, None),  # filtered before Python
+            ("v1", "video", b"\x01" * 4096, None),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = extract_image_features(assets, feature_dim=8)
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    assert set(rows) == {"a1", "a2"}  # modality filter pushed before UDF
+    assert rows["a1"]["n_bytes"] == 200 and len(rows["a1"]["features"]) == 8
+    assert rows["a2"]["width"] == 64 and rows["a2"]["features"] == [0.0] * 8
+    # determinism: same bytes → same features
+    feats2 = {r["asset_id"]: r for r in extract_image_features(assets, 8).collect()}
+    assert feats2["a1"]["features"] == rows["a1"]["features"]
+
+    frames = sample_video_frames(assets, every_n=2).collect()
+    assert all(r["asset_id"] == "v1" for r in frames)
+    assert [r["frame_index"] for r in frames] == [0, 2]  # 4 frames, step 2
