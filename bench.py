@@ -43,6 +43,15 @@ def main() -> None:
     spark.range(10_000, numPartitions=int(cpus)).select(
         _noop(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
+    # Warm the remaining table scans (footer reads + OS page cache) so the
+    # first query touching each table doesn't absorb one-time I/O costs.
+    for table in ("documents", "embeddings", "orders", "events"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{table}.parquet").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:  # noqa: BLE001 - missing table at tiny SFs is fine
+            pass
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():

@@ -308,11 +308,13 @@ def ngram_jaccard_pairs(
     stage after LSH. ``n=1`` degrades to word-set Jaccard.
     """
     hashed = shingle_hashes(text_col, n) if n > 1 else token_hashes(text_col)
+    # Persisted: the md5 shingle-hash projection would otherwise run once
+    # per self-join side (Catalyst does not reuse the exchange here).
     base = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         hashed.alias("shingles"),
-    )
+    ).persist()
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
@@ -422,8 +424,14 @@ def simhash_near_dup_pairs(
     Scale shape: fingerprints are map-side; candidates come from a
     (band_id, band_value) equi-join - one shuffle, no O(n^2) stage; the
     xor popcount verify is a cheap integer op inside codegen.
+
+    The signature table (id + one long) is persisted before the
+    self-join: Catalyst does not reuse the exchange across the two join
+    sides, so without it the whole tokenize+hash pipeline would execute
+    once per side. At corpus scale this is the standard "materialize
+    signatures, then join" staging (a few bytes per document).
     """
-    sigs = simhash(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    sigs = simhash(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n).persist()
     bands = sigs.select(
         F.col(id_col).alias("vid"),
         "simhash",

@@ -235,10 +235,18 @@ def cosine_near_dup_pairs(
     NEAR_DUP_PLANES density or band count for tighter corpora.
     """
     planes = quantized_planes(dim)
-    base = df.select(
-        F.col(id_col).alias("vid"),
-        _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("sig", _signature_pandas_udf(planes)(F.col("v")))
+    # Persisted: referenced four times below (two band sides + two
+    # verify sides); without it the signature UDF would re-run per
+    # reference. Materializing signatures is also the production
+    # staging at corpus scale (vector + sig, one row per embedding).
+    base = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("sig", _signature_pandas_udf(planes)(F.col("v")))
+        .persist()
+    )
     # Bands carry ONLY (vid, band_id, band_key) — the candidate shuffle
     # moves ids, never 64-double vectors.
     bands = base.select(
