@@ -1125,6 +1125,42 @@ def q_forecast_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: build an asset table (opaque
+    binary content + typed metadata) from ``documents``, then run the
+    Arrow-batched ``mapInPandas`` image-feature extractor. The decode is
+    a deterministic stub (arithmetic on byte length), so the full
+    JVM→Arrow→Python→Arrow path is oracle-checkable in SQL."""
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(F.lit("src"), F.lit("documents")).alias("meta"),
+    )
+    return (
+        mm.extract_image_features(assets)
+        .select("asset_id", "width", "height", "n_bytes")
+        .orderBy("asset_id")
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT 'asset-' || doc_id::VARCHAR AS asset_id,
+  (64 + octet_length(encode(text)) % 512)::BIGINT AS width,
+  (64 + (octet_length(encode(text)) * 7) % 512)::BIGINT AS height,
+  octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+WHERE doc_id % 3 = 0
+ORDER BY asset_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1168,6 +1204,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "forecast_linear": QuerySpec(q_forecast_linear, SQL_FORECAST_LINEAR, "OLS forecast"),
     "forecast_operator": QuerySpec(
         q_forecast_operator, None, "M1 applyInPandas forecaster (rows-only)"
+    ),
+    "multimodal_features": QuerySpec(
+        q_multimodal_features, SQL_MULTIMODAL, "binary-column mapInPandas plumbing"
     ),
 }
 
