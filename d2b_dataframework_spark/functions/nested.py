@@ -26,7 +26,9 @@ def action_value(actions: Column | str, action_type: str, default=0) -> Column:
     ``action_type`` matches → its ``value``; absent → default (F15)."""
     c = F.col(actions) if isinstance(actions, str) else actions
     matched = F.filter(c, lambda x: x["action_type"] == F.lit(action_type))
-    return F.coalesce(F.element_at(matched, 1)["value"], F.lit(default))
+    # try_element_at: null (not error) on empty match — ANSI-safe; the
+    # reference's dict.get never raises on a missing action type.
+    return F.coalesce(F.try_element_at(matched, F.lit(1))["value"], F.lit(default))
 
 
 def expand_map_to_columns(df: DataFrame, map_col: str, keys: list[str], prefix: str = "") -> DataFrame:
@@ -57,8 +59,10 @@ def lifetime_value(values: Column | str, default=None) -> Column:
     """From ``array<struct<period,value>>`` take the ``lifetime`` period's
     value, falling back to the first element, absent → default (F24)."""
     c = F.col(values) if isinstance(values, str) else values
-    lifetime = F.element_at(F.filter(c, lambda v: v["period"] == F.lit("lifetime")), 1)["value"]
-    return F.coalesce(lifetime, F.element_at(c, 1)["value"], F.lit(default))
+    # try_element_at on both lookups: a row with no "lifetime" period or an
+    # empty values array must yield the default, never an ANSI index error.
+    lifetime = F.try_element_at(F.filter(c, lambda v: v["period"] == F.lit("lifetime")), F.lit(1))["value"]
+    return F.coalesce(lifetime, F.try_element_at(c, F.lit(1))["value"], F.lit(default))
 
 
 def json_stringify(col: Column | str) -> Column:

@@ -51,8 +51,8 @@ def read_leads(
 ) -> DataFrame:
     """S25 scan + D1 dedup-keep-latest.
 
-    ``updated_at`` parses with coerce-to-null semantics (the session
-    default keeps ANSI off, so the cast mirrors pandas
+    ``updated_at`` parses with coerce-to-null semantics
+    (``try_to_timestamp`` — ANSI-safe analog of pandas
     ``to_datetime(errors='coerce')`` at Alodesk_API.py:41); null
     timestamps sort first so any valid timestamp wins over an invalid
     one, matching pandas NaT ordering under keep='last'.
@@ -83,5 +83,5 @@ def read_leads(
     df = rows_to_df(spark, rows, LEADS_SCHEMA)
     if not dedup:
         return df
-    df = df.withColumn("_ts", F.to_timestamp("updated_at"))
+    df = df.withColumn("_ts", F.try_to_timestamp("updated_at"))
     return keep_latest(df, "lead_id", "_ts", tiebreakers=["updated_at"]).drop("_ts")

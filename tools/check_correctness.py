@@ -52,6 +52,13 @@ def main() -> int:
     from d2b_dataframework_spark.plans.queries import REGISTRY
 
     spark = get_session("correctness-check")
+    # The driver's harness builds its own session with Spark 4's default
+    # ANSI mode ON; SPARK_GRAFT_ANSI=true reproduces that locally so
+    # ANSI-sensitive expressions (element_at, strict casts) can't hide
+    # behind the engine's ANSI-off default.
+    if os.environ.get("SPARK_GRAFT_ANSI", "").lower() in ("1", "true"):
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("[ansi] spark.sql.ansi.enabled=true")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
