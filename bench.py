@@ -63,13 +63,28 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - missing table at tiny SFs is fine
             pass
 
-    timings: dict[str, float] = {}
-    for name, spec in REGISTRY.items():
-        start = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
-        print(f"{name}: {timings[name]}s", file=sys.stderr, flush=True)
+    # n>=3 interleaved rounds; report the per-query MEDIAN so round-over-
+    # round comparisons aren't dominated by the ±10% single-run noise of
+    # local[32] (each query's JSON value is its median; detail carries
+    # median/min/n).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in REGISTRY}
+    for _ in range(n_runs):
+        for name, spec in REGISTRY.items():
+            start = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t = time.perf_counter() - start
+            samples[name].append(t)
+            print(f"{name}: {round(t, 4)}s", file=sys.stderr, flush=True)
+        spark.catalog.clearCache()  # drop this round's pair-builder persists
 
+    from statistics import median
+
+    timings = {name: round(median(ts), 4) for name, ts in samples.items()}
+    detail = {
+        name: {"median": round(median(ts), 4), "min": round(min(ts), 4), "n": len(ts)}
+        for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -78,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_detail": detail,
                 "sf": sf,
             }
         )

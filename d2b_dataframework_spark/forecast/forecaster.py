@@ -156,6 +156,7 @@ class OLSSeasonalModel:
             "slope": slope,
             "intercept": intercept,
             "ds0": hist["ds"].min(),
+            "ds_last": hist["ds"].max(),
             "weekday_effect": weekday_effect,
             "reg_coefs": reg_coefs,
             "reg_means": {r: float(hist[r].astype(float).mean()) for r in self.extra_regressors},
@@ -509,7 +510,10 @@ def predict_from_loaded(
     (cap/regressors re-derived from the model, ProphetForecaster.py:475-524)."""
     frames = []
     for metric, model in models.items():
-        last = model.params["ds0"]  # fallback if no history retained
+        # Anchor at the END of history (the reference builds futures from
+        # make_future_dataframe, i.e. past the last observed date); ds0
+        # only as a fallback for pickles saved before ds_last existed.
+        last = model.params.get("ds_last", model.params["ds0"])
         future_ds = pd.date_range(last, periods=days + 1, freq=freq, inclusive="right")
         future = pd.DataFrame({"ds": future_ds})
         for reg in model.extra_regressors:

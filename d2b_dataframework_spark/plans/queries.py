@@ -1125,6 +1125,134 @@ def q_forecast_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M4 value-checked: the full ``applyInPandas`` forecast operator
+    pinned to the deterministic OLS backend with EVERY output path on —
+    intervals (z·sd, M3), an external regressor with future values (M4),
+    negative clip (F11), rounding (F12), wide-format merge (J4).
+
+    Two metric series (daily click/view value totals) share one
+    regressor (daily purchase count; future value pinned at 50). The OLS
+    + weekly-seasonality math is closed-form, so the oracle SQL mirrors
+    the fit step-by-step: trend by normal equations, per-regressor OLS
+    on the residual, per-weekday mean residual, ddof=1 residual std.
+    Inputs are decimal-exact; outputs round to 2 decimals, which absorbs
+    summation-order FP noise between numpy and DuckDB.
+
+    Ref: d2b_data/ProphetForecaster.py:221-248,336-399 (fit/predict with
+    regressors + intervals); clip/round :230-248.
+    """
+    from d2b_dataframework_spark.forecast import ForecastConfig, forecast
+
+    ev = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    wide = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date")).agg(
+        F.sum(F.when(F.col("event_type") == "click", val)).cast("double").alias("click_value"),
+        F.sum(F.when(F.col("event_type") == "view", val)).cast("double").alias("view_value"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+        .cast("double")
+        .alias("n_purchase"),
+    )
+    fut_reg = (
+        wide.agg(F.max(F.to_date("date")).alias("dmax"))
+        .select(F.explode(F.sequence(F.lit(1), F.lit(14))).alias("h"), "dmax")
+        .select(
+            F.date_format(F.date_add(F.col("dmax"), F.col("h")), "yyyy-MM-dd").alias("date"),
+            F.lit(50.0).alias("n_purchase"),
+        )
+    )
+    cfg = ForecastConfig(
+        days=14,
+        include_intervals=True,
+        clip_negative=True,
+        round_decimals=2,
+        regressors=["n_purchase"],
+        interval_width=0.8,
+        backend="ols",
+    )
+    return forecast(wide, cfg, future_regressors=fut_reg).orderBy("date")
+
+
+def _sql_forecast_full() -> str:
+    """DuckDB mirror of q_forecast_full: same closed-form arithmetic,
+    identical operation order (trend → regressor → weekday → std)."""
+    from d2b_dataframework_spark.forecast.forecaster import _z_for
+
+    z = repr(_z_for(0.8))
+    metric_cols = []
+    for m in ("click_value", "view_value"):
+        metric_cols.append(
+            f"""
+  ROUND(GREATEST(MAX(CASE WHEN metric = '{m}' THEN yhat END), 0.0), 2) AS {m},
+  ROUND(GREATEST(MAX(CASE WHEN metric = '{m}' THEN yhat - half END), 0.0), 2) AS {m}_lower,
+  ROUND(GREATEST(MAX(CASE WHEN metric = '{m}' THEN yhat + half END), 0.0), 2) AS {m}_upper"""
+        )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS click_value,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS view_value,
+    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS n_purchase
+  FROM events GROUP BY 1),
+hist AS (
+  SELECT 'click_value' AS metric, CAST(day AS TIMESTAMP) AS ds, click_value AS y, n_purchase AS r
+  FROM daily WHERE click_value IS NOT NULL
+  UNION ALL
+  SELECT 'view_value', CAST(day AS TIMESTAMP), view_value, n_purchase
+  FROM daily WHERE view_value IS NOT NULL),
+hx AS (
+  SELECT metric, ds, y, r,
+    epoch(ds - MIN(ds) OVER (PARTITION BY metric)) / 86400.0 AS x
+  FROM hist),
+st AS (
+  SELECT metric, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy, AVG(r) AS rmean,
+    MIN(ds) AS ds0, MAX(ds) AS ds_last
+  FROM hx GROUP BY metric),
+tr AS (
+  SELECT metric, ds0, ds_last, rmean,
+    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+    sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n) AS intercept
+  FROM st),
+r1 AS (
+  SELECT hx.metric, ds, x, r, tr.rmean,
+    y - (intercept + slope * x) AS resid
+  FROM hx JOIN tr USING (metric)),
+rcoef AS (
+  SELECT metric,
+    CASE WHEN SUM((r - rmean) * (r - rmean)) = 0 THEN 0.0
+         ELSE SUM((r - rmean) * resid) / SUM((r - rmean) * (r - rmean)) END AS coef
+  FROM r1 GROUP BY metric),
+r2 AS (
+  SELECT r1.metric, ds, resid - coef * (r - rmean) AS resid2
+  FROM r1 JOIN rcoef USING (metric)),
+wd AS (
+  SELECT metric, isodow(ds) - 1 AS wdy, AVG(resid2) AS weff
+  FROM r2 GROUP BY 1, 2),
+r3 AS (
+  SELECT r2.metric, resid2 - weff AS resid3
+  FROM r2 JOIN wd ON wd.metric = r2.metric AND wd.wdy = isodow(r2.ds) - 1),
+sdq AS (
+  SELECT metric, {z} * COALESCE(STDDEV_SAMP(resid3), 0.0) AS half FROM r3 GROUP BY metric),
+fut AS (
+  SELECT tr.metric, tr.ds0, tr.rmean, tr.slope, tr.intercept,
+    tr.ds_last + d * INTERVAL '1 day' AS ds
+  FROM tr, (SELECT unnest(range(1, 15)) AS d)),
+pred AS (
+  SELECT f.metric, f.ds,
+    f.intercept + f.slope * (epoch(f.ds - f.ds0) / 86400.0)
+      + rc.coef * (50.0 - f.rmean)
+      + w.weff AS yhat,
+    s.half
+  FROM fut f
+  JOIN rcoef rc USING (metric)
+  JOIN wd w ON w.metric = f.metric AND w.wdy = isodow(f.ds) - 1
+  JOIN sdq s ON s.metric = f.metric)
+SELECT ds AS date,{",".join(metric_cols)}
+FROM pred GROUP BY ds ORDER BY ds
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: build an asset table (opaque
     binary content + typed metadata) from ``documents``, then run the
@@ -1204,6 +1332,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "forecast_linear": QuerySpec(q_forecast_linear, SQL_FORECAST_LINEAR, "OLS forecast"),
     "forecast_operator": QuerySpec(
         q_forecast_operator, None, "M1 applyInPandas forecaster (rows-only)"
+    ),
+    "forecast_full": QuerySpec(
+        q_forecast_full,
+        _sql_forecast_full(),
+        "M1-M4 full forecaster: intervals+regressor+clip+round, OLS backend",
     ),
     "multimodal_features": QuerySpec(
         q_multimodal_features, SQL_MULTIMODAL, "binary-column mapInPandas plumbing"

@@ -24,6 +24,7 @@ present in the batch.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
@@ -86,16 +87,52 @@ def to_date_sharded_sink(
     checkpoint: str,
     date_col: str = "date",
     output_mode: str = "update",
+    merge_keys: list[str] | None = None,
 ) -> DataStreamWriter:
     """K1 as a streaming sink: every micro-batch lands through the
     date-sharded dynamic partition overwrite — re-emitted windows
     (update mode) REPLACE their day partition, exactly the reference's
-    ``if_exists='replace'`` per day. Restart-safe via checkpoint."""
+    ``if_exists='replace'`` per day. Restart-safe via checkpoint.
+
+    CONTRACT without ``merge_keys``: the aggregation must produce ONE row
+    group per date (the ``windowed_kpis`` default — date is the whole
+    key). A stream keyed beyond the date (sub-day windows, per-entity
+    rows) updates only SOME of a date's rows per batch, and a bare
+    partition overwrite would silently drop that date's other rows.
+    Pass ``merge_keys`` for such streams: the batch is merged into the
+    affected partitions by (date, *merge_keys) — existing rows for other
+    keys survive, re-emitted keys are replaced. The merge materializes
+    the affected partitions via ``localCheckpoint`` (the K5 pattern,
+    sinks.partitioned.upsert_cache) — bounded by the updated partitions'
+    size, not the sink's.
+    """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        write_date_sharded(batch_df, path, date_col=date_col, clean=False)
+        out = batch_df.withColumn(date_col, F.date_format(F.col(date_col), "yyyy-MM-dd"))
+        if merge_keys:
+            spark = batch_df.sparkSession
+            try:
+                spark.catalog.refreshByPath(path)
+                existing = spark.read.parquet(path)
+                # Semi-join prunes to the batch's partitions (dynamic
+                # partition pruning at scale; no driver collect), then
+                # anti-join drops the rows this batch replaces.
+                keep = (
+                    existing.join(
+                        out.select(date_col).distinct(), date_col, "left_semi"
+                    )
+                    .join(
+                        out.select(date_col, *merge_keys).distinct(),
+                        on=[date_col, *merge_keys],
+                        how="left_anti",
+                    )
+                )
+                out = keep.unionByName(out).localCheckpoint(eager=True)
+            except AnalysisException:
+                pass  # sink not created yet — first batch writes as-is
+        write_date_sharded(out, path, date_col=date_col, clean=False)
 
     return (
         df.writeStream.outputMode(output_mode)
@@ -128,15 +165,18 @@ def poll_connector_stream(
     loops — same at-least-once fetch + idempotent landing, but with
     checkpointed scheduling and backpressure for free.
 
-    Key state lives driver-side: hydrated ONCE from the sink at start
-    (restart safety), then maintained in memory — re-reading the sink
-    every batch would race its own appends' file-listing visibility.
-    Polling bridges pull bounded pages, so the key set stays small; for
-    unbounded keyed streams use a real state store
-    (``applyInPandasWithState``) instead.
+    Dedup state IS the sink: each batch left-anti joins the fetched page
+    against the sink's key column (the K5 pattern,
+    sinks.partitioned.upsert_cache), so no key set lives in driver
+    memory, the state is bounded by the sink itself, and a restarted
+    stream — or a second writer — picks up exactly where the files say.
+    ``refreshByPath`` before each read keeps the file listing current
+    with this stream's own appends. Only ``AnalysisException``
+    (sink-not-yet-created) is treated as "nothing landed"; transient
+    read errors propagate and fail the batch, so at-least-once retry
+    applies instead of silently re-appending duplicates.
     """
     ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-    state: dict = {"seen": None}
 
     def on_tick(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -144,20 +184,16 @@ def poll_connector_stream(
         rows = fetch_batch()
         if not rows:
             return
-        if state["seen"] is None:
-            try:
-                spark.catalog.refreshByPath(sink_path)
-                state["seen"] = {
-                    r[0]
-                    for r in spark.read.parquet(sink_path).select(key_col).collect()
-                }
-            except Exception:  # noqa: BLE001 — nothing landed yet
-                state["seen"] = set()
-        fresh = [r for r in rows if r[key_col] not in state["seen"]]
-        if not fresh:
+        fetched = spark.createDataFrame(rows, schema).dropDuplicates([key_col])
+        try:
+            spark.catalog.refreshByPath(sink_path)
+            landed = spark.read.parquet(sink_path).select(key_col)
+            fresh = fetched.join(landed, key_col, "left_anti")
+        except AnalysisException:  # sink not created yet — first batch
+            fresh = fetched
+        if fresh.isEmpty():
             return
-        spark.createDataFrame(fresh, schema).write.mode("append").parquet(sink_path)
-        state["seen"].update(r[key_col] for r in fresh)
+        fresh.write.mode("append").parquet(sink_path)
 
     return (
         ticks.writeStream.outputMode("append")

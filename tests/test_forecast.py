@@ -140,6 +140,11 @@ def test_model_persistence_roundtrip(spark, metrics_df, tmp_path):
     pred = predict_from_loaded(loaded, days=3)
     assert list(pred.columns) == ["date", "sessions"]
     assert len(pred) == 3
+    # The horizon must EXTEND history (anchor at ds_last, not ds0): the
+    # fixture ends 2024-02-29, so days=3 predicts Mar 1-3 on the exact
+    # sessions = 100 + 2t line (t=60..62).
+    assert list(pred["date"]) == list(pd.date_range("2024-03-01", periods=3))
+    assert list(pred["sessions"]) == pytest.approx([220.0, 222.0, 224.0], abs=1e-6)
 
     with pytest.warns(UserWarning, match="no saved model"):
         assert load_models(str(tmp_path), ["sessions", "missing"]).keys() == {"sessions"}

@@ -115,3 +115,66 @@ def test_poll_connector_stream_delta_append(spark, tmp_path):
         q.stop()
     rows = spark.read.parquet(sink).collect()
     assert sorted(r["k"] for r in rows) == ["a", "b", "c"]  # no dup 'b'
+
+
+def test_poll_connector_stream_dedup_survives_restart(spark, tmp_path):
+    """Dedup state IS the sink: a brand-new stream (fresh checkpoint)
+    against the same sink must not re-append keys the previous stream
+    landed — the driver-side key set of round 1 could not do this."""
+    import time
+
+    sink = str(tmp_path / "sink")
+
+    def run_once(page, ckpt):
+        writer = poll_connector_stream(
+            spark, lambda: page, "k string, v long", sink,
+            str(tmp_path / ckpt), key_col="k", interval="1 second",
+        )
+        q = writer.start()
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if {r["k"] for r in spark.read.parquet(sink).collect()} >= {
+                        d["k"] for d in page
+                    }:
+                        break
+                except Exception:  # noqa: BLE001 — sink not created yet
+                    pass
+                time.sleep(1)
+        finally:
+            q.stop()
+
+    run_once([{"k": "a", "v": 1}, {"k": "b", "v": 2}], "ckpt1")
+    run_once([{"k": "b", "v": 2}, {"k": "c", "v": 3}], "ckpt2")  # restart
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["k"] for r in rows) == ["a", "b", "c"]  # 'b' once
+
+
+def test_sharded_sink_merge_keys_preserves_other_rows(spark, tmp_path):
+    """A keyed stream (rows beyond one-per-date) with merge_keys: a
+    batch updating one key must not drop the date's other rows."""
+    ddl = "date string, k string, v long"
+    first = str(tmp_path / "in1")
+    spark.createDataFrame(
+        [("2024-01-01", "k1", 1), ("2024-01-01", "k2", 2)], ddl
+    ).write.parquet(first)
+    out = str(tmp_path / "out")
+    q = run_available_now(
+        to_date_sharded_sink(
+            stream_files(spark, first, ddl), out, str(tmp_path / "c1"),
+            output_mode="append", merge_keys=["k"],
+        )
+    )
+    q.awaitTermination(60)
+    second = str(tmp_path / "in2")
+    spark.createDataFrame([("2024-01-01", "k1", 9)], ddl).write.parquet(second)
+    q2 = run_available_now(
+        to_date_sharded_sink(
+            stream_files(spark, second, ddl), out, str(tmp_path / "c2"),
+            output_mode="append", merge_keys=["k"],
+        )
+    )
+    q2.awaitTermination(60)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {"k1": 9, "k2": 2}  # k1 replaced, k2 preserved
