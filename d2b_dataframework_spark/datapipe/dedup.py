@@ -18,6 +18,8 @@ engine (Spark, DuckDB oracle, a future Flink port...).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -82,17 +84,33 @@ def shingle_hashes(text_col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.transform(shingles(text_col, n), word_hash))
 
 
+# Java-regex parity: Spark's regexp_replace(\s+) matches ONLY Java's
+# default \s = [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS), and Java
+# String.trim() strips code points <= U+0020 — while Python's \s and
+# str.strip() are Unicode-aware (\xa0,  - , 　, ...).
+# The twin must use the JAVA definitions or a non-breaking space makes
+# the two paths tokenize differently.
+_JAVA_WS_RUN = re.compile("[ \t\n\x0b\f\r]+")
+_JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
+
+
 def _text_to_hashes(text: str, shingle_n: int | None):
     """Python twin of the declarative normalize→tokenize→(shingle)→
     md5-prefix-hash pipeline; returns the distinct hash array (int64).
     A worker-level memo caches item→hash across documents — near-dup
-    corpora share most shingles, so this halves md5 work. ASCII parity
-    caveat with Java lower()/\\s as documented on the callers."""
+    corpora share most shingles, so this halves md5 work.
+
+    Unicode parity: whitespace/trim use the Java definitions (above);
+    ``str.lower()`` and JVM ``toLowerCase()`` both apply Unicode default
+    case mappings, so accented/Greek/CJK text hashes identically on both
+    paths (equivalence-tested with a Unicode corpus). Remaining caveat:
+    a JVM running under a Turkish default locale lowercases I/İ
+    differently — an environment property, not a data one.
+    """
     import hashlib
-    import re
 
     cache = _text_to_hashes._cache
-    norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    norm = _JAVA_WS_RUN.sub(" ", (text or "").lower()).strip(_JAVA_TRIM_CHARS)
     toks = norm.split(" ")
     if shingle_n is None or shingle_n <= 1:
         items = set(toks)
@@ -162,8 +180,9 @@ def minhash_signatures(
     values in one Arrow-batched pass (numpy int64 broadcast) instead of
     N_HASHES interpreted ``array_min(transform(...))`` trees per row —
     identical arithmetic (md5-prefix hash, PERMS constants, mod 2^31-1),
-    same SQL oracle; ASCII-normalization caveat as
-    :func:`_simhash_vectorized`.
+    same SQL oracle; normalization matches Java whitespace/trim/lower
+    semantics, so parity holds on Unicode corpora too (see
+    :func:`_text_to_hashes`).
     """
     if vectorized:
         return _minhash_signatures_vectorized(df, text_col, id_col, n)
@@ -357,9 +376,9 @@ def simhash(
     interpreted higher-order aggregates — HOF lambdas run outside
     codegen, so the declarative form is ~10× slower). Arithmetic is
     IDENTICAL (md5-prefix hash, same permutation constants, int64 exact);
-    both paths hash-match the same SQL oracle. ASCII corpora only caveat:
-    Python ``str.lower``/``\\s`` equal Java's for ASCII; keep
-    ``vectorized=False`` for exotic-Unicode text.
+    both paths hash-match the same SQL oracle, and normalization follows
+    Java whitespace/trim/lower semantics so Unicode corpora hash
+    identically on both paths (see :func:`_text_to_hashes`).
     """
     if vectorized:
         return _simhash_vectorized(df, text_col, id_col, bits, shingle_n)
