@@ -11,6 +11,7 @@ the writer does natively, with no driver-side iteration.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,9 +71,9 @@ def upsert_cache(
     try:
         cached = spark.read.parquet(cache_path)
         have_cache = True
-    except Exception:  # noqa: BLE001 — first run: no cache yet
-        cached = None
-        have_cache = False
+    except AnalysisException:  # first run: no cache yet; transient I/O
+        cached = None          # errors propagate (don't clobber a cache
+        have_cache = False     # that exists but failed to read)
 
     if have_cache:
         missing = all_keys.join(cached.select(key_col), key_col, "left_anti")

@@ -140,6 +140,29 @@ def _fetch_day(
     return rows
 
 
+def read_realtime_report(
+    spark: SparkSession,
+    transport,
+    property_id: str,
+    query: dict,
+    policy: RetryPolicy = GOOGLE_POLICY,
+) -> DataFrame:
+    """Realtime/intraday branch (Google_GA4.py:21,30; README.md:68 —
+    vestigial in the reference, modeled here for API completeness).
+
+    ``runRealtimeReport`` has no date ranges (``minuteRanges`` instead)
+    and no offset pagination — one request, same header/row flattening
+    and string-typed output contract as the core report scan. Realtime
+    responses carry no sampling metadata.
+    """
+    dims, mets = query_columns(query)
+    req = query["requests"][0] if "requests" in query else query
+    payload = policy.call(
+        lambda: transport.get(f"properties/{property_id}:runRealtimeReport", req)
+    )
+    return rows_to_df(spark, flatten_report(payload), report_schema(dims, mets))
+
+
 def read_report(
     spark: SparkSession,
     transport,

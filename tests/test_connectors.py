@@ -104,6 +104,29 @@ def test_ga4_daily_fanout(spark):
     assert df.columns == ["date", "city", "sessions"]
 
 
+def test_ga4_realtime_report_single_call(spark):
+    """Realtime branch: one runRealtimeReport call, no date split, no
+    pagination, same string-typed header/row contract."""
+    rt_query = {
+        "dimensions": [{"name": "city"}],
+        "metrics": [{"name": "activeUsers"}],
+        "minuteRanges": [{"startMinutesAgo": 29}],
+    }
+    t = FakeTransport()
+    t.responses[FakeTransport.key("properties/p1:runRealtimeReport", rt_query)] = {
+        "dimensionHeaders": [{"name": "city"}],
+        "metricHeaders": [{"name": "activeUsers"}],
+        "rows": [
+            {"dimensionValues": [{"value": "Santiago"}],
+             "metricValues": [{"value": "42"}]},
+        ],
+    }
+    df = ga4.read_realtime_report(spark, t, "p1", rt_query)
+    assert df.columns == ["city", "activeUsers"]
+    assert [(r["city"], r["activeUsers"]) for r in df.collect()] == [("Santiago", "42")]
+    assert len(t.calls) == 1  # single call: no day fan-out, no offset loop
+
+
 def test_ga4_offset_pagination_within_day(spark):
     # Page size 2: first page full (2 rows) → second page short (1 row).
     q = ga4.daily_query(GA4_QUERY, "2024-01-01")
