@@ -11,6 +11,8 @@ codegen); no Python in the hot path.
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 
@@ -332,15 +334,25 @@ def ivf_topk(
         .collect(),
         key=lambda r: r["list_id"],
     )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["list_id"])).cast("long").alias("list_id"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("cvec"),
-                F.lit(float(np.sqrt(sum(x * x for x in r["centroid"])))).alias("cnorm"),
-            )
-            for r in cent_rows
-        ]
+    # ONE Literal node for the whole centroid table: pyspark's F.lit on a
+    # (nested) list expands to array(lit, lit, ...) — a 1000+-node tree
+    # whose build costs ~1.3s of py4j round-trips and which every
+    # Catalyst analysis pass re-walks. from_json on a literal string is
+    # CONSTANT-FOLDED into a single array<struct> Literal value by the
+    # optimizer (verified in the optimized plan), so the expression tree
+    # stays ~5 nodes regardless of nlist×dim. JSON doubles round-trip
+    # exactly (repr shortest-form → Double.parseDouble).
+    cent_payload = [
+        {
+            "list_id": int(r["list_id"]),
+            "cvec": [float(x) for x in r["centroid"]],
+            "cnorm": float(np.sqrt(sum(x * x for x in r["centroid"]))),
+        }
+        for r in cent_rows
+    ]
+    cent_arr = F.from_json(
+        F.lit(json.dumps(cent_payload)),
+        "array<struct<list_id: bigint, cvec: array<double>, cnorm: double>>",
     )
 
     def _cent_sims(vec: Column, vnorm: Column) -> Column:
