@@ -491,3 +491,76 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return cache.track(out, sigs)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pair graph → connected components: ``(id, cluster_id)``
+    where ``cluster_id`` is the MIN doc id in the component — the
+    canonical-document assignment that turns pair output (MinHash/
+    SimHash/cosine) into an actual dedup decision ("keep cluster_id,
+    drop the rest").
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetrized edge list, takes the per-node min over neighbor labels,
+    and stops at a fixpoint (label sum is monotonically non-increasing,
+    compared driver-side — one scalar per round, no row-level diff
+    join). Rounds needed = graph diameter; near-dup components are
+    dense and shallow (a cluster of variants of one document), so this
+    converges in a handful of rounds. Each round is 2 shuffles over
+    (id, label) pairs — never text or vectors. For adversarial
+    long-chain graphs swap in large-star/small-star (Kiveris et al.);
+    the fixpoint contract is identical.
+
+    Materialization: edges are persisted (re-referenced every round);
+    each round's labels are ``localCheckpoint``-ed, which BOTH
+    materializes them and truncates lineage — without truncation the
+    logical plan deepens every round and Catalyst analysis time grows
+    superlinearly (measured 1.2s → 10s per round by round 4 at sf0.1).
+    Checkpoint blocks of dropped rounds are reclaimed by the context
+    cleaner; the loop is bounded by ``max_iter``.
+    """
+    sym = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    edges = (
+        sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("a"), F.col("cluster_id").alias("lab")),
+                "a",
+            )
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_lab", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:  # fixpoint: no label decreased
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -934,6 +934,35 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dup_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → CLUSTERS: connected components (min-label propagation)
+    over the simhash near-dup pair graph; each doc maps to the min doc
+    id of its component — the canonical-keeper assignment a real dedup
+    pipeline ships. Iterative-fixpoint operator, oracle-checked against
+    a DuckDB recursive-CTE transitive closure."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=3)
+    return dd.connected_components(pairs).orderBy("doc_id")
+
+
+def _sql_dedup_clusters() -> str:
+    pair_sql = _sql_simhash_near_dup().replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id WHERE w.lab < e.b)
+SELECT id::BIGINT AS doc_id, MIN(lab)::BIGINT AS cluster_id
+FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
 def _sql_simhash_near_dup() -> str:
     simhash_sql = _sql_simhash_expr()
     bpb = dd.BITS_PER_BAND
@@ -1326,6 +1355,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivf_topk": QuerySpec(q_ivf_topk, SQL_IVF_TOPK, "IVF-bucketed ANN"),
     "simhash_near_dup": QuerySpec(
         q_simhash_near_dup, _sql_simhash_near_dup(), "SimHash hamming pairs"
+    ),
+    "dedup_clusters": QuerySpec(
+        q_dedup_clusters,
+        _sql_dedup_clusters(),
+        "connected components over the near-dup pair graph",
     ),
     "token_bpe": QuerySpec(q_token_bpe, SQL_TOKEN_BPE, "BPE-ish pre-tokenization"),
     "utc_day_bounds": QuerySpec(q_utc_day_bounds, SQL_UTC_BOUNDS, "F6 region→UTC bounds"),

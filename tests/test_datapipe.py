@@ -117,6 +117,19 @@ def test_vectorized_twins_match_declarative_on_unicode(spark):
     assert fast_m == slow_m, "minhash diverges on unicode"
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 4-chain (needs label propagation across hops), a 2-island, and
+    a triangle — min id labels every member of its component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain: all → 1
+         (10, 11),                      # island: both → 10
+         (20, 21), (21, 22), (20, 22)], # triangle: all → 20
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_simhash_near_dup_pigeonhole(spark):
     base_words = [f"w{i}" for i in range(100)]
     docs = spark.createDataFrame(
