@@ -532,10 +532,13 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Seed with min(id, min neighbor) — the same fixpoint one round
+    # early: star-shaped near-dup components (a doc and its variants)
+    # are already converged at init, so the loop only pays the one
+    # verification round. Same shuffle count as a plain distinct init.
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("cluster_id"))
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.least(F.col("a"), F.min("b")).alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
