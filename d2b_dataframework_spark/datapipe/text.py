@@ -129,3 +129,59 @@ def token_bpe_stats(
             6,
         ).alias("chars_per_piece"),
     )
+
+
+def clean_text(col: Column | str, lowercase: bool = True) -> Column:
+    """Training-corpus scrub: lowercase, drop HTML tags, URLs, and e-mail
+    addresses, collapse whitespace. Patterns use constructs with
+    identical semantics in Java regex and RE2 (``\\S``, char classes),
+    so a SQL oracle replicates them verbatim. Lowercasing happens FIRST
+    so ``Https://`` matches the URL pattern.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    c = F.regexp_replace(c, "<[^>]+>", " ")
+    c = F.regexp_replace(c, "https?://\\S+", " ")
+    c = F.regexp_replace(c, "\\S+@\\S+\\.\\S+", " ")
+    return normalize_whitespace(c)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    overlap: int = 10,
+    clean: bool = True,
+) -> DataFrame:
+    """Token-window chunking — the doc→training-window split every LLM
+    data pipeline runs before tokenizer/packing: overlapping windows of
+    ``chunk_size`` tokens advancing by ``chunk_size - overlap``.
+
+    One row per (doc, window): ``doc_id, chunk_id, chunk_text,
+    n_tokens``. Fully Catalyst-native (sequence → transform(slice) →
+    posexplode), no shuffle at all — chunking is a per-row flatMap, so
+    at 100TB it runs at scan speed and partition boundaries are
+    preserved. The final window is short (no padding), matching the
+    usual keep-the-tail convention.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    src = clean_text(F.col(text_col)) if clean else normalize_whitespace(F.lower(F.col(text_col)))
+    toks = F.split(src, " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
+        ).alias("chunk_id", "_ctoks"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", "_ctoks").alias("chunk_text"),
+        F.size("_ctoks").cast("long").alias("n_tokens"),
+    )

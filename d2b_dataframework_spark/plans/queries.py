@@ -1057,6 +1057,50 @@ ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window prep: scrub (HTML/URL/email → space, lower,
+    collapse ws) then overlapping token-window chunking (40 tokens,
+    stride 32). Noise is injected deterministically so the scrub paths
+    are exercised; chunking is a per-row flatMap — no shuffle, runs at
+    scan speed at 100TB."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="x">'),
+            F.col("text"),
+            F.lit(" see Https://ex.com/a?b=1 or mail Bob.Smith@corp.example.com </p>"),
+        ).alias("text"),
+    )
+    return dt.chunk_documents(noisy, chunk_size=40, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+SQL_TEXT_CHUNKS = """
+WITH noisy AS (
+  SELECT doc_id,
+    '<p class="x">' || text || ' see Https://ex.com/a?b=1 or mail Bob.Smith@corp.example.com </p>' AS text
+  FROM documents),
+cleaned AS (
+  SELECT doc_id, trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), '<[^>]+>', ' ', 'g'),
+        'https?://\\S+', ' ', 'g'),
+      '\\S+@\\S+\\.\\S+', ' ', 'g'),
+    '\\s+', ' ', 'g')) AS t
+  FROM noisy),
+toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM cleaned),
+starts AS (
+  SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 32)) AS s FROM toks)
+SELECT doc_id, (s // 32)::BIGINT AS chunk_id,
+  array_to_string(tk[s+1 : s+40], ' ') AS chunk_text,
+  len(tk[s+1 : s+40])::BIGINT AS n_tokens
+FROM starts ORDER BY doc_id, chunk_id
+"""
+
+
 def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series linear-trend forecast, 7 days ahead — closed-form OLS
     over daily decimal-exact totals; all sums exact, final math in double
@@ -1362,6 +1406,9 @@ REGISTRY: dict[str, QuerySpec] = {
         "connected components over the near-dup pair graph",
     ),
     "token_bpe": QuerySpec(q_token_bpe, SQL_TOKEN_BPE, "BPE-ish pre-tokenization"),
+    "text_chunks": QuerySpec(
+        q_text_chunks, SQL_TEXT_CHUNKS, "scrub + token-window chunking"
+    ),
     "utc_day_bounds": QuerySpec(q_utc_day_bounds, SQL_UTC_BOUNDS, "F6 region→UTC bounds"),
     "forecast_linear": QuerySpec(q_forecast_linear, SQL_FORECAST_LINEAR, "OLS forecast"),
     "forecast_operator": QuerySpec(

@@ -117,6 +117,33 @@ def test_vectorized_twins_match_declarative_on_unicode(spark):
     assert fast_m == slow_m, "minhash diverges on unicode"
 
 
+def test_clean_text_scrubs_markup_urls_emails(spark):
+    df = spark.createDataFrame(
+        [(1, '<b>Hello</b> World visit Https://x.io/a?z=1 mail A.B@c.io now')],
+        "doc_id long, text string",
+    )
+    out = df.select(dt.clean_text("text").alias("t")).collect()[0]["t"]
+    assert out == "hello world visit mail now"
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    # 10 tokens, chunk 4, overlap 2 → stride 2: starts 0,2,4,6,8
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    rows = dt.chunk_documents(df, chunk_size=4, overlap=2, clean=False).collect()
+    got = [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in rows]
+    assert got == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t2 t3 t4 t5", 4),
+        (2, "t4 t5 t6 t7", 4),
+        (3, "t6 t7 t8 t9", 4),
+        (4, "t8 t9", 2),  # short tail kept, unpadded
+    ]
+    with pytest.raises(ValueError, match="overlap"):
+        dt.chunk_documents(df, chunk_size=4, overlap=4)
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 4-chain (needs label propagation across hops), a 2-island, and
     a triangle — min id labels every member of its component."""
