@@ -185,3 +185,62 @@ def chunk_documents(
         F.concat_ws(" ", "_ctoks").alias("chunk_text"),
         F.size("_ctoks").cast("long").alias("n_tokens"),
     )
+
+
+def filter_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    min_quality: float = 0.0,
+    allowed_langs: list[str] | None = None,
+) -> DataFrame:
+    """The keep/drop decision a training pipeline ships: token-count
+    window + composite quality threshold + predicted-language allowlist,
+    composed in ONE projection + filter (every signal is an expression
+    over the text column — no joins, no Python, the filter evaluates at
+    scan speed and Catalyst prunes dropped rows before any downstream
+    shuffle). Signal formulas are identical to :func:`token_stats`,
+    :func:`quality_score`, :func:`language_scores`, each independently
+    oracle-verified.
+
+    Returns surviving rows as ``id, n_tokens, quality, lang_pred``.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"]))).cast("double")
+    quality = F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_hits / n_tok * 4.0, F.lit(1.0)) * 0.5,
+        6,
+    )
+
+    def _hits(words: list[str]):
+        return lambda t: t.isin(words)
+
+    langs = sorted(STOPWORDS)
+    scores = {
+        lang: F.round(
+            F.size(F.filter(toks, _hits(words))).cast("double") / n_tok, 6
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+        pred.alias("lang_pred"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+    if allowed_langs is not None:
+        out = out.filter(F.col("lang_pred").isin(list(allowed_langs)))
+    return out

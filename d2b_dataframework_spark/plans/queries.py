@@ -1057,6 +1057,47 @@ ORDER BY query_id, rank
 # ---------------------------------------------------------------------------
 
 
+def q_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop decision (token window + quality threshold
+    + language allowlist) in one scan-speed projection+filter — the
+    operator a training pipeline runs before dedup/chunking."""
+    docs = _t(spark, sf_dir, "documents")
+    return dt.filter_documents(
+        docs, min_tokens=10, min_quality=0.3, allowed_langs=["en", "es"]
+    ).orderBy("doc_id")
+
+
+def _sql_filter_documents() -> str:
+    langs = sorted(dt.STOPWORDS)
+    score = {
+        lang: (
+            f"round(len(list_filter({_RAW_TOKS}, t -> list_contains("
+            "['" + "', '".join(dt.STOPWORDS[lang]) + "']"
+            f", t)))::DOUBLE / len({_RAW_TOKS})::DOUBLE, 6)"
+        )
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(f"WHEN score_{l} = {best} THEN '{l}'" for l in langs) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+    len({_RAW_TOKS})::BIGINT AS n_tokens,
+    round(
+      least(len({_RAW_TOKS})::DOUBLE / 100.0, 1.0) * 0.5
+      + least((len(list_filter({_RAW_TOKS}, t -> list_contains({_EN_LIST}, t)))::DOUBLE
+               / len({_RAW_TOKS})::DOUBLE) * 4.0, 1.0) * 0.5,
+    6) AS quality,
+    {", ".join(f"{score[l]} AS score_{l}" for l in langs)}
+  FROM documents)
+SELECT doc_id, n_tokens, quality, {pred} AS lang_pred
+FROM scored
+WHERE n_tokens >= 10 AND n_tokens <= 1000000 AND quality >= 0.3
+  AND {pred} IN ('en', 'es')
+ORDER BY doc_id
+"""
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-window prep: scrub (HTML/URL/email → space, lower,
     collapse ws) then overlapping token-window chunking (40 tokens,
@@ -1408,6 +1449,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "token_bpe": QuerySpec(q_token_bpe, SQL_TOKEN_BPE, "BPE-ish pre-tokenization"),
     "text_chunks": QuerySpec(
         q_text_chunks, SQL_TEXT_CHUNKS, "scrub + token-window chunking"
+    ),
+    "filter_documents": QuerySpec(
+        q_filter_documents,
+        _sql_filter_documents(),
+        "composed quality/lang/token keep-drop filter",
     ),
     "utc_day_bounds": QuerySpec(q_utc_day_bounds, SQL_UTC_BOUNDS, "F6 region→UTC bounds"),
     "forecast_linear": QuerySpec(q_forecast_linear, SQL_FORECAST_LINEAR, "OLS forecast"),

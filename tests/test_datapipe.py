@@ -117,6 +117,22 @@ def test_vectorized_twins_match_declarative_on_unicode(spark):
     assert fast_m == slow_m, "minhash diverges on unicode"
 
 
+def test_filter_documents_thresholds_and_allowlist(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and that is all of the story today"),  # en, keeps
+            (2, "tiny"),                                                        # too short
+            (3, "el perro corre en la casa y los gatos de el barrio un dia"),   # es
+        ],
+        "doc_id long, text string",
+    )
+    kept = dt.filter_documents(df, min_tokens=5, min_quality=0.0)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    en_only = dt.filter_documents(df, min_tokens=5, min_quality=0.0, allowed_langs=["en"])
+    rows = {r["doc_id"]: r["lang_pred"] for r in en_only.collect()}
+    assert rows == {1: "en"}
+
+
 def test_clean_text_scrubs_markup_urls_emails(spark):
     df = spark.createDataFrame(
         [(1, '<b>Hello</b> World visit Https://x.io/a?z=1 mail A.B@c.io now')],
