@@ -1220,10 +1220,11 @@ ORDER BY event_type, pred_date
 """
 
 def q_forecast_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1-M3: the Prophet-compatible distributed forecaster (OLS+weekly
-    fallback backend) over daily per-event-type totals — one
-    applyInPandas task per metric series. Rows-only check: the weekly
-    seasonal decomposition is not SQL-expressible."""
+    """M1-M3: the Prophet-compatible distributed forecaster over daily
+    per-event-type totals — one applyInPandas task per metric series.
+    backend='auto' exercises M6's lazy fallback (resolves to the
+    deterministic OLS+weekly backend in this environment, so the
+    closed-form math is fully value-checked against the SQL oracle)."""
     from d2b_dataframework_spark.forecast import ForecastConfig, forecast
 
     ev = _t(spark, sf_dir, "events")
@@ -1287,51 +1288,46 @@ def q_forecast_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast(wide, cfg, future_regressors=fut_reg).orderBy("date")
 
 
-def _sql_forecast_full() -> str:
-    """DuckDB mirror of q_forecast_full: same closed-form arithmetic,
-    identical operation order (trend → regressor → weekday → std)."""
+def _sql_forecast_ols(
+    metric_specs: list[tuple[str, str]],
+    days: int,
+    nd: int,
+    regressor: bool,
+) -> str:
+    """DuckDB mirror of the OLS+weekly forecast operator: same
+    closed-form arithmetic, identical operation order (trend →
+    [regressor →] weekday → ddof=1 std), parameterized over the metric
+    list, horizon, rounding, and the optional purchase-count regressor
+    (future value pinned at 50)."""
     from d2b_dataframework_spark.forecast.forecaster import _z_for
 
     z = repr(_z_for(0.8))
     metric_cols = []
-    for m in ("click_value", "view_value"):
+    for m, _ in metric_specs:
         metric_cols.append(
             f"""
-  ROUND(GREATEST(MAX(CASE WHEN metric = '{m}' THEN yhat END), 0.0), 2) AS {m},
-  ROUND(GREATEST(MAX(CASE WHEN metric = '{m}' THEN yhat - half END), 0.0), 2) AS {m}_lower,
-  ROUND(GREATEST(MAX(CASE WHEN metric = '{m}' THEN yhat + half END), 0.0), 2) AS {m}_upper"""
+  ROUND(GREATEST(MAX(CASE WHEN metric = '{m}' THEN yhat END), 0.0), {nd}) AS {m},
+  ROUND(GREATEST(MAX(CASE WHEN metric = '{m}' THEN yhat - half END), 0.0), {nd}) AS {m}_lower,
+  ROUND(GREATEST(MAX(CASE WHEN metric = '{m}' THEN yhat + half END), 0.0), {nd}) AS {m}_upper"""
         )
-    return f"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS day,
-    CAST(SUM(CASE WHEN event_type = 'click' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS click_value,
-    CAST(SUM(CASE WHEN event_type = 'view' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS view_value,
-    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS n_purchase
-  FROM events GROUP BY 1),
-hist AS (
-  SELECT 'click_value' AS metric, CAST(day AS TIMESTAMP) AS ds, click_value AS y, n_purchase AS r
-  FROM daily WHERE click_value IS NOT NULL
-  UNION ALL
-  SELECT 'view_value', CAST(day AS TIMESTAMP), view_value, n_purchase
-  FROM daily WHERE view_value IS NOT NULL),
-hx AS (
-  SELECT metric, ds, y, r,
-    epoch(ds - MIN(ds) OVER (PARTITION BY metric)) / 86400.0 AS x
-  FROM hist),
-st AS (
-  SELECT metric, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
-    SUM(x * x) AS sxx, SUM(x * y) AS sxy, AVG(r) AS rmean,
-    MIN(ds) AS ds0, MAX(ds) AS ds_last
-  FROM hx GROUP BY metric),
-tr AS (
-  SELECT metric, ds0, ds_last, rmean,
-    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-    sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n) AS intercept
-  FROM st),
-r1 AS (
-  SELECT hx.metric, ds, x, r, tr.rmean,
-    y - (intercept + slope * x) AS resid
-  FROM hx JOIN tr USING (metric)),
+    daily_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{ev}' THEN value::DECIMAL(18,2) END) AS DOUBLE) AS {m}"
+        for m, ev in metric_specs
+    )
+    if regressor:
+        daily_cols += (
+            ",\n    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)"
+            " AS DOUBLE) AS n_purchase"
+        )
+    hist = "\n  UNION ALL\n".join(
+        f"  SELECT '{m}' AS metric, CAST(day AS TIMESTAMP) AS ds, {m} AS y"
+        + (", n_purchase AS r" if regressor else "")
+        + f"\n  FROM daily WHERE {m} IS NOT NULL"
+        for m, _ in metric_specs
+    )
+    r_stats = "AVG(r) AS rmean,\n    " if regressor else ""
+    reg_ctes = (
+        """
 rcoef AS (
   SELECT metric,
     CASE WHEN SUM((r - rmean) * (r - rmean)) = 0 THEN 0.0
@@ -1339,7 +1335,36 @@ rcoef AS (
   FROM r1 GROUP BY metric),
 r2 AS (
   SELECT r1.metric, ds, resid - coef * (r - rmean) AS resid2
-  FROM r1 JOIN rcoef USING (metric)),
+  FROM r1 JOIN rcoef USING (metric)),"""
+        if regressor
+        else """
+r2 AS (
+  SELECT metric, ds, resid AS resid2 FROM r1),"""
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    {daily_cols}
+  FROM events GROUP BY 1),
+hist AS (
+{hist}),
+hx AS (
+  SELECT metric, ds, y{", r" if regressor else ""},
+    epoch(ds - MIN(ds) OVER (PARTITION BY metric)) / 86400.0 AS x
+  FROM hist),
+st AS (
+  SELECT metric, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy, {r_stats}MIN(ds) AS ds0, MAX(ds) AS ds_last
+  FROM hx GROUP BY metric),
+tr AS (
+  SELECT metric, ds0, ds_last, {"rmean, " if regressor else ""}
+    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+    sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n) AS intercept
+  FROM st),
+r1 AS (
+  SELECT hx.metric, ds, x{", r, tr.rmean" if regressor else ""},
+    y - (intercept + slope * x) AS resid
+  FROM hx JOIN tr USING (metric)),{reg_ctes}
 wd AS (
   SELECT metric, isodow(ds) - 1 AS wdy, AVG(resid2) AS weff
   FROM r2 GROUP BY 1, 2),
@@ -1349,22 +1374,34 @@ r3 AS (
 sdq AS (
   SELECT metric, {z} * COALESCE(STDDEV_SAMP(resid3), 0.0) AS half FROM r3 GROUP BY metric),
 fut AS (
-  SELECT tr.metric, tr.ds0, tr.rmean, tr.slope, tr.intercept,
+  SELECT tr.metric, tr.ds0, {"tr.rmean, " if regressor else ""}tr.slope, tr.intercept,
     tr.ds_last + d * INTERVAL '1 day' AS ds
-  FROM tr, (SELECT unnest(range(1, 15)) AS d)),
+  FROM tr, (SELECT unnest(range(1, {days + 1})) AS d)),
 pred AS (
   SELECT f.metric, f.ds,
     f.intercept + f.slope * (epoch(f.ds - f.ds0) / 86400.0)
-      + rc.coef * (50.0 - f.rmean)
+      {"+ rc.coef * (50.0 - f.rmean)" if regressor else ""}
       + w.weff AS yhat,
     s.half
   FROM fut f
-  JOIN rcoef rc USING (metric)
+  {"JOIN rcoef rc USING (metric)" if regressor else ""}
   JOIN wd w ON w.metric = f.metric AND w.wdy = isodow(f.ds) - 1
   JOIN sdq s ON s.metric = f.metric)
 SELECT ds AS date,{",".join(metric_cols)}
 FROM pred GROUP BY ds ORDER BY ds
 """
+
+
+def _sql_forecast_full() -> str:
+    return _sql_forecast_ols(
+        [("click_value", "click"), ("view_value", "view")], days=14, nd=2, regressor=True
+    )
+
+
+def _sql_forecast_operator() -> str:
+    return _sql_forecast_ols(
+        [(t, t) for t in EVENT_TYPES], days=7, nd=4, regressor=False
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,7 +1495,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "utc_day_bounds": QuerySpec(q_utc_day_bounds, SQL_UTC_BOUNDS, "F6 region→UTC bounds"),
     "forecast_linear": QuerySpec(q_forecast_linear, SQL_FORECAST_LINEAR, "OLS forecast"),
     "forecast_operator": QuerySpec(
-        q_forecast_operator, None, "M1 applyInPandas forecaster (rows-only)"
+        q_forecast_operator,
+        _sql_forecast_operator(),
+        "M1 applyInPandas forecaster, 5 metrics, OLS+weekly backend",
     ),
     "forecast_full": QuerySpec(
         q_forecast_full,
