@@ -40,9 +40,11 @@ from d2b_dataframework_spark.functions.datetimes import (
 )
 from d2b_dataframework_spark.functions.nested import action_value
 from d2b_dataframework_spark.functions.strings import normalize_whitespace, urn_id
+from d2b_dataframework_spark.operators.asof import asof_join
 from d2b_dataframework_spark.operators.dedup import keep_latest
 from d2b_dataframework_spark.operators.joins import broadcast_dim_join, left_join_fill_zero
 from d2b_dataframework_spark.operators.pivots import pivot_wide
+from d2b_dataframework_spark.operators.sessions import session_summary
 from d2b_dataframework_spark.operators.unions import concat
 
 
@@ -1440,6 +1442,89 @@ ORDER BY asset_id
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization + per-session rollup over the event
+    stream (8h gap). One shuffle on user_id, two collapsed window passes
+    — the scan-speed clickstream operator."""
+    ev = _t(spark, sf_dir, "events")
+    return session_summary(ev, gap_minutes=480).orderBy("user_id", "session_idx")
+
+
+SQL_SESSIONIZE = """
+WITH lagd AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                      OR epoch_us(ts) - prev_us > 28800000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM lagd),
+sess AS (
+  SELECT *, (SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx,
+  min(ts) AS session_start, max(ts) AS session_end,
+  (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us,
+  COUNT(*)::BIGINT AS n_events,
+  COUNT(DISTINCT event_type)::BIGINT AS n_event_types,
+  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event matched to the freshest prior
+    order of the same customer. Orders are deterministically re-dated
+    into the events window (day = datediff % 30 + 1) so matches vary
+    per event and day-1 events exercise the no-prior-row NULL path.
+    Union-sort forward-fill — ONE shuffle, no non-equi join."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = _t(spark, sf_dir, "orders")
+    right = od.select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")) % 30) + 1,
+            )
+        ).alias("order_ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return asof_join(
+        ev,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="order_ts",
+        right_cols=["o_orderkey", "o_totalprice"],
+        dedup_tiebreaker="o_orderkey",
+    ).orderBy("event_id")
+
+
+SQL_ASOF_JOIN = """
+WITH r0 AS (
+  SELECT o_custkey AS user_id,
+    (DATE '2024-01-01'
+     + (datediff('day', DATE '1995-01-01', o_orderdate) % 30 + 1)
+       * INTERVAL 1 DAY)::TIMESTAMP AS order_ts,
+    o_orderkey, o_totalprice
+  FROM orders),
+r AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, order_ts
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM r0) WHERE rn = 1)
+SELECT e.event_id, e.user_id, e.ts,
+  r.order_ts, r.o_orderkey, r.o_totalprice
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.order_ts
+ORDER BY e.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1507,6 +1592,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(
         q_multimodal_features, SQL_MULTIMODAL, "binary-column mapInPandas plumbing"
     ),
+    "sessionize": QuerySpec(
+        q_sessionize, SQL_SESSIONIZE, "gap-based sessionization + rollup"
+    ),
+    "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN, "point-in-time as-of join"),
 }
 
 

@@ -59,3 +59,114 @@ def test_concat_aligns_by_name_null_fills(spark):
     assert set(out.columns) == {"id", "only_a", "only_b"}
     rows = {r["id"]: (r["only_a"], r["only_b"]) for r in out.collect()}
     assert rows == {1: ("x", None), 2: (None, 9.5)}
+
+
+# ---------------------------------------------------------------------------
+# sessionize / session_summary
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_boundaries(spark):
+    from d2b_dataframework_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00"),
+            (1, 2, "2024-01-01 10:29:00"),  # 29m gap -> same session
+            (1, 3, "2024-01-01 11:00:00"),  # 31m gap -> new session
+            (2, 4, "2024-01-01 10:00:00"),
+        ],
+        "user_id long, event_id long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = {r["event_id"]: (r["session_idx"], r["session_id"])
+           for r in sessionize(df, gap_minutes=30).collect()}
+    assert out == {1: (0, "1-0"), 2: (0, "1-0"), 3: (1, "1-1"), 4: (0, "2-0")}
+
+
+def test_sessionize_gap_exactly_at_threshold_stays(spark):
+    from d2b_dataframework_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (1, 2, "2024-01-01 10:30:00")],
+        "user_id long, event_id long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = sessionize(df, gap_minutes=30).select("session_idx").distinct().collect()
+    assert [r["session_idx"] for r in out] == [0]  # gap == threshold: same session
+
+
+def test_session_summary_rollup(spark):
+    from d2b_dataframework_spark.operators.sessions import session_summary
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00", "view", 1.0),
+            (1, 2, "2024-01-01 10:10:00", "click", 2.5),
+            (1, 3, "2024-01-02 10:00:00", "view", 4.0),
+        ],
+        "user_id long, event_id long, ts_s string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    rows = {(r["user_id"], r["session_idx"]): r
+            for r in session_summary(df, gap_minutes=30).collect()}
+    s0 = rows[(1, 0)]
+    assert s0["n_events"] == 2 and s0["n_event_types"] == 2
+    assert s0["duration_us"] == 600 * 1_000_000
+    assert s0["total_value"] == 3.5
+    assert rows[(1, 1)]["n_events"] == 1
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-05"), (2, "k", "2024-01-10"), (3, "k", "2024-01-02"),
+         (4, "z", "2024-01-05")],
+        "event_id long, k string, d string",
+    ).withColumn("ts", F.to_timestamp("d")).drop("d")
+    right = spark.createDataFrame(
+        [("k", "2024-01-03", 30), ("k", "2024-01-10", 100), ("k", "2024-01-20", 999)],
+        "k string, d string, px long",
+    ).withColumn("rts", F.to_timestamp("d")).drop("d")
+    return left, right
+
+
+def test_asof_join_backward_with_equal_ts_and_nulls(spark):
+    from d2b_dataframework_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    right_cols=["px"])
+    rows = {r["event_id"]: r["px"] for r in out.collect()}
+    # e1: latest rts<=Jan5 is Jan3 -> 30; e2: equal ts matches -> 100
+    # e3: no prior right row -> NULL; e4: key with no right rows -> NULL
+    assert rows == {1: 30, 2: 100, 3: None, 4: None}
+    assert out.count() == 4  # left-preserving
+
+
+def test_asof_join_dedup_tiebreaker_picks_max(spark):
+    from d2b_dataframework_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", "2024-01-05")], "event_id long, k string, d string")
+    left = left.withColumn("ts", F.to_timestamp("d")).drop("d")
+    right = spark.createDataFrame(
+        [("k", "2024-01-03", 1, 10.0), ("k", "2024-01-03", 2, 20.0)],
+        "k string, d string, seq long, px double",
+    ).withColumn("rts", F.to_timestamp("d")).drop("d")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    right_cols=["seq", "px"], dedup_tiebreaker="seq")
+    r = out.collect()[0]
+    assert (r["seq"], r["px"]) == (2, 20.0)
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    from d2b_dataframework_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    right_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union-sort formulation: no join operator at all, exactly one exchange
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
