@@ -1,0 +1,86 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+Every assignment is a pure function of (salt, id) via the engine's
+portable md5-prefix hash (same convention as datapipe/dedup.py:48) — so
+splits are reproducible across runs, engines, and cluster sizes, never
+dependent on partition layout or RNG state (Spark's ``rand()`` is
+neither cross-engine portable nor stable under repartitioning).
+
+Scale notes:
+
+* :func:`assign_split` is a projection — zero shuffle, scan-speed at
+  any size, and downstream ``WHERE split = 'train'`` predicate-pushes.
+* :func:`sample_per_group` is one shuffle on the group key + a per-group
+  sort. With few, huge groups the window sort is the bottleneck; for
+  tiny ``n_per_group`` on billion-row groups, pre-filter with
+  ``hash_bucket(id, salt, B) == 0`` (B sized so ~10-100x n survives)
+  before the window — the hash-ordered rank of survivors equals the
+  global hash-ordered rank, so the result is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, salt: str, n_buckets: int) -> Column:
+    """Deterministic bucket in [0, n_buckets): int(md5(salt:id)[:7], 16)
+    mod n_buckets. 28-bit hash — portable to any engine with md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string"))), 1, 7), 16, 10
+    ).cast("long")
+    return (h % F.lit(int(n_buckets))).alias("bucket")
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add ``bucket`` and ``split`` columns. ``weights`` maps split name
+    to an integer share (default train/val/test = 8/1/1); a row lands in
+    the split whose cumulative range covers its bucket. Pure projection:
+    no shuffle, stable under any repartitioning."""
+    if weights is None:
+        weights = {"train": 8, "val": 1, "test": 1}
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive integer")
+    bucket = hash_bucket(id_col, salt, total)
+    expr = F.lit(None).cast("string")
+    hi = total
+    for name, share in reversed(list(weights.items())):
+        lo = hi - share
+        expr = F.when((F.col("bucket") >= lo) & (F.col("bucket") < hi), name).otherwise(
+            expr
+        )
+        hi = lo
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_group`` rows with the
+    smallest hash(salt:id) per group (ties broken by id). Adds ``rank``
+    (1-based within group). Equivalent to a uniform random sample per
+    stratum, but reproducible and engine-portable."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n_per_group)
+    )

@@ -187,6 +187,134 @@ def chunk_documents(
     )
 
 
+# PII patterns over LOWERCASED text. Dict order = redaction order (emails
+# before ipv4/card/phone so their digit runs aren't partially eaten).
+# Constructs restricted to the Java-regex ∩ RE2 common subset (char
+# classes, bounded quantifiers, \b) — no lookaround, no backrefs — so a
+# SQL oracle replicates them verbatim and they run in whole-stage codegen.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "card": (r"\b[0-9]{13,16}\b", "<CARD>"),
+    "phone": (r"\+[0-9][0-9() \-]{6,}[0-9]", "<PHONE>"),
+}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its ``<TYPE>`` token, in the fixed
+    PII_PATTERNS order. Input is lowercased first (patterns are
+    lower-only by design)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    for pattern, token in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts (one ``n_<type>`` column per pattern,
+    counted independently on the raw lowercased text) — the audit table
+    a compliance pipeline keeps next to the scrubbed corpus."""
+    c = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(c, F.lit(pattern)).cast("long").alias(f"n_{name}")
+            for name, (pattern, _) in PII_PATTERNS.items()
+        ],
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Counts + redacted text in ONE projection (single pass over the
+    corpus — at 100 TB you never want the audit and the scrub to be two
+    scans). Returns ``id, n_email, n_ipv4, n_card, n_phone, text``
+    where ``text`` is the redacted lowercased document."""
+    c = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(c, F.lit(pattern)).cast("long").alias(f"n_{name}")
+            for name, (pattern, _) in PII_PATTERNS.items()
+        ],
+        redact_pii(F.col(text_col)).alias(text_col),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals for corpus quality filtering:
+    per document, the duplicate-token ratio, the most-frequent-token
+    fraction, and the most-frequent-bigram fraction (high values mark
+    boilerplate / machine-generated spam).
+
+    Scale design: explode → ``groupBy(doc, token)`` → ``groupBy(doc)``
+    instead of per-row O(L²) higher-order functions. Both aggregations
+    get map-side partial combine and whole-stage codegen, so cost is
+    linear in corpus size and the shuffle carries (doc, token, count)
+    triples — the standard word-count shape that survives 100 TB. The
+    two signal tables (token, bigram) join on the doc key they are
+    already partitioned by.
+    """
+    toks = tokens(text_col)
+    # bigrams are built in a second projection where _tk is a real column
+    # (transform lambdas can't reference sibling select aliases)
+    base = df.select(F.col(id_col), toks.alias("_tk")).select(
+        id_col,
+        "_tk",
+        F.when(
+            F.size("_tk") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tk") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.try_element_at("_tk", i), F.try_element_at("_tk", i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_bg"),
+    )
+    tok_counts = (
+        base.select(id_col, F.explode("_tk").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tok_stats_df = tok_counts.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("_u"),
+        F.max("_c").cast("long").alias("_top"),
+    )
+    bg_counts = (
+        base.select(id_col, F.explode("_bg").alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bg_stats = bg_counts.groupBy(id_col).agg(F.max("_c").cast("long").alias("_topbg"))
+    n = F.col("n_tokens").cast("double")
+    return (
+        tok_stats_df.join(bg_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.lit(1.0) - F.col("_u").cast("double") / n, 6).alias(
+                "dup_token_ratio"
+            ),
+            F.round(F.col("_top").cast("double") / n, 6).alias("top_token_frac"),
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.round(
+                    F.coalesce(F.col("_topbg"), F.lit(0)).cast("double")
+                    / (n - F.lit(1.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
 def filter_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -1474,6 +1474,170 @@ FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals. Boilerplate is injected
+    into every third document (a repeated sentence appended twice) so
+    the dup/top-fraction paths see real variation."""
+    docs = _t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" subscribe now click here subscribe now click here"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dt.repetition_signals(noisy).orderBy("doc_id")
+
+
+SQL_REPETITION = f"""
+WITH noisy AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' subscribe now click here subscribe now click here'
+         ELSE text END AS text
+  FROM documents),
+base AS (SELECT doc_id, {_RAW_TOKS} AS tk FROM noisy),
+tok AS (SELECT doc_id, unnest(tk) AS t FROM base),
+tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+ts AS (SELECT doc_id, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS u,
+              MAX(c)::BIGINT AS top FROM tc GROUP BY doc_id),
+bg0 AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS b
+        FROM base),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg0 GROUP BY doc_id, b),
+bs AS (SELECT doc_id, MAX(c)::BIGINT AS topbg FROM bc GROUP BY doc_id)
+SELECT ts.doc_id, ts.n AS n_tokens,
+  round(1.0 - ts.u::DOUBLE / ts.n::DOUBLE, 6) AS dup_token_ratio,
+  round(ts.top::DOUBLE / ts.n::DOUBLE, 6) AS top_token_frac,
+  CASE WHEN ts.n >= 2
+       THEN round(COALESCE(bs.topbg, 0)::DOUBLE / (ts.n::DOUBLE - 1.0), 6)
+       ELSE 0.0 END AS top_bigram_frac
+FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+ORDER BY ts.doc_id
+"""
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8/1/1 train/val/test assignment — pure md5-bucket
+    projection, zero shuffle, reproducible on any engine/cluster."""
+    from d2b_dataframework_spark.datapipe.splits import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs.select("doc_id"), "doc_id").orderBy("doc_id")
+
+
+SQL_TRAIN_SPLIT = """
+SELECT doc_id,
+  ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 10 AS bucket,
+  CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 10 < 8
+       THEN 'train'
+       WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 10 < 9
+       THEN 'val' ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sample (20 docs/stratum by hash
+    order): one shuffle on the stratum key, hash-ranked window."""
+    from d2b_dataframework_spark.datapipe.splits import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        sample_per_group(docs, "lang", 20)
+        .select("lang", "rank", "doc_id")
+        .orderBy("lang", "rank")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, rank, doc_id FROM (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY
+      ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 7))::BIGINT,
+      doc_id)::BIGINT AS rank
+  FROM documents)
+WHERE rank <= 20 ORDER BY lang, rank
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance scrub: PII injected deterministically by doc_id % 4
+    (email / phone / ipv4 / card), then counts + redaction in a single
+    projection — one corpus scan for audit table AND scrubbed text."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" contact bob.smith+"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@corp.example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(
+                    F.lit(" call +1 555 0"),
+                    (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                    F.lit(" today"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".17 up"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" card 4111111111111"),
+                    (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                    F.lit(" ok"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return dt.pii_scrub(injected).orderBy("doc_id")
+
+
+def _sql_pii_scrub() -> str:
+    pats = {name: p for name, (p, _) in dt.PII_PATTERNS.items()}
+    toks = {name: t for name, (_, t) in dt.PII_PATTERNS.items()}
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(lower(text), '{pats[n]}'))::BIGINT AS n_{n}"
+        for n in pats
+    )
+    red = "lower(text)"
+    for n in pats:
+        red = f"regexp_replace({red}, '{pats[n]}', '{toks[n]}', 'g')"
+    return f"""
+WITH injected AS (
+  SELECT doc_id, text ||
+    CASE doc_id % 4
+      WHEN 0 THEN ' contact bob.smith+' || doc_id::VARCHAR || '@corp.example.com now'
+      WHEN 1 THEN ' call +1 555 0' || (100 + doc_id % 900)::VARCHAR || ' today'
+      WHEN 2 THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.17 up'
+      ELSE ' card 4111111111111' || (100 + doc_id % 900)::VARCHAR || ' ok'
+    END AS text
+  FROM documents)
+SELECT doc_id,
+  {counts},
+  {red} AS text
+FROM injected ORDER BY doc_id
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each event matched to the freshest prior
     order of the same customer. Orders are deterministically re-dated
@@ -1596,6 +1760,20 @@ REGISTRY: dict[str, QuerySpec] = {
         q_sessionize, SQL_SESSIONIZE, "gap-based sessionization + rollup"
     ),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN, "point-in-time as-of join"),
+    "repetition_signals": QuerySpec(
+        q_repetition_signals, SQL_REPETITION, "Gopher-style repetition quality signals"
+    ),
+    "pii_scrub": QuerySpec(
+        q_pii_scrub, _sql_pii_scrub(), "PII audit counts + redaction in one scan"
+    ),
+    "train_split": QuerySpec(
+        q_train_split, SQL_TRAIN_SPLIT, "deterministic md5-bucket train/val/test split"
+    ),
+    "stratified_sample": QuerySpec(
+        q_stratified_sample,
+        SQL_STRATIFIED_SAMPLE,
+        "per-stratum deterministic hash sample",
+    ),
 }
 
 

@@ -244,3 +244,86 @@ def test_multimodal_image_features_plumbing(spark):
     frames = sample_video_frames(assets, every_n=2).collect()
     assert all(r["asset_id"] == "v1" for r in frames)
     assert [r["frame_index"] for r in frames] == [0, 2]  # 4 frames, step 2
+
+
+# ---------------------------------------------------------------------------
+# repetition signals / PII / splits
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam eggs"),      # top tok 3/4, bigram "spam spam" 2/3
+            (2, "all words differ here"),
+            (3, "one"),                       # single token: bigram frac 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dt.repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_token_ratio"] == 0.5          # 2 unique / 4
+    assert r1["top_token_frac"] == 0.75
+    assert r1["top_bigram_frac"] == round(2 / 3, 6)
+    r2 = rows[2]
+    assert r2["dup_token_ratio"] == 0.0 and r2["top_token_frac"] == 0.25
+    assert rows[3]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Mail Bob.Smith@corp.EXAMPLE.com or +1 555 0100 from 10.0.0.7"),
+            (2, "card 4111111111111111 twice 4111111111111111"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dt.pii_scrub(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (1, 1, 1)
+    assert r1["text"] == "mail <EMAIL> or <PHONE> from <IP>"
+    assert rows[2]["n_card"] == 2
+    assert rows[2]["text"] == "card <CARD> twice <CARD>"
+    r3 = rows[3]
+    assert (r3["n_email"], r3["n_ipv4"], r3["n_card"], r3["n_phone"]) == (0, 0, 0, 0)
+    assert r3["text"] == "clean text only"
+
+
+def test_assign_split_deterministic_and_partitioning_invariant(spark):
+    from d2b_dataframework_spark.datapipe.splits import assign_split
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in assign_split(df).collect()}
+    b = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in assign_split(df.repartition(7)).collect()
+    }
+    assert a == b  # pure function of id, independent of layout
+    assert all(0 <= v[0] < 10 for v in a.values())
+    splits = {v[1] for v in a.values()}
+    assert splits == {"train", "val", "test"}
+    n_train = sum(1 for v in a.values() if v[1] == "train")
+    assert 120 < n_train < 190  # ~80% of 200
+
+
+def test_assign_split_custom_weights_cover_all_buckets(spark):
+    from d2b_dataframework_spark.datapipe.splits import assign_split
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, weights={"a": 1, "b": 1}).collect()
+    assert all(r["split"] in ("a", "b") for r in out)
+
+
+def test_sample_per_group_exact_n_and_stable(spark):
+    from d2b_dataframework_spark.datapipe.splits import sample_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], "doc_id long, lang string"
+    )
+    s1 = sample_per_group(df, "lang", 5)
+    assert s1.groupBy("lang").count().collect()[0]["count"] == 5
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in sample_per_group(df.repartition(11), "lang", 5).collect())
+    assert ids1 == ids2
