@@ -567,3 +567,103 @@ def connected_components(
         prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — same
+    ``(doc_id, cluster_id=min id in component)`` contract as
+    :func:`connected_components`, but round count is O(log n) in the
+    WORST case, not O(diameter): the right choice when the pair graph
+    may contain adversarial long chains (transitive near-dup drift,
+    e.g. v1~v2~...~v500 of one evolving document).
+
+    Per round, two phases over the edge set, each expressed as
+    groupBy-min + equi-join back (NO ``collect_list`` of neighbor sets:
+    a celebrity node with 10M neighbors would OOM a task; min+join
+    keeps every shuffle row at two longs and lets AQE split skewed
+    keys):
+
+    * large-star: every neighbor v > u re-attaches to m = min(N(u)∪{u})
+    * small-star: every neighbor v <= u (edges oriented to the larger
+      endpoint) re-attaches to the min of that neighborhood
+
+    Both phases strictly shrink ``sum(parent)`` until the graph is a
+    forest of stars rooted at component minima; the fixpoint test is a
+    two-scalar driver-side compare (edge count + endpoint sum), one
+    tiny job per round. Edge frames are localCheckpoint-ed each round —
+    lineage truncation, same rationale as :func:`connected_components`.
+    """
+    sym0 = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    nodes = (
+        sym0.select(F.col("a").alias("id"))
+        .unionByName(sym0.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical (big, small) orientation; self-loops dropped
+    edges = (
+        sym0.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).collect()[0]
+        return (row["n"], row["su"], row["sv"])
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        # ---- large-star: neighbors of u larger than u attach to
+        # m = min(N(u) ∪ {u}). Symmetrize, group on the small side.
+        sym = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m_l = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_l, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # ---- small-star on the large-star output (edges already point
+        # big→small): every small neighbor, and u itself, attach to the
+        # neighborhood min.
+        ls = large.distinct()
+        m_s = ls.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            ls.join(m_s, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_s.select("u", F.col("m").alias("v")))
+        )
+        edges = (
+            small.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    labels = nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("root", "id").alias("cluster_id"),
+    )
+    return labels

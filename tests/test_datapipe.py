@@ -327,3 +327,31 @@ def test_sample_per_group_exact_n_and_stable(spark):
     ids1 = sorted(r["doc_id"] for r in s1.collect())
     ids2 = sorted(r["doc_id"] for r in sample_per_group(df.repartition(11), "lang", 5).collect())
     assert ids1 == ids2
+
+
+def test_connected_components_star_chain_and_equivalence(spark):
+    import random
+
+    def labels(df):
+        return {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+
+    # adversarial chain: diameter >> O(log n) star rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    ls = labels(dd.connected_components_star(chain))
+    assert len(ls) == 60 and set(ls.values()) == {0}
+
+    random.seed(3)
+    edges = [(random.randrange(40), random.randrange(40)) for _ in range(45)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    assert labels(dd.connected_components_star(df)) == labels(
+        dd.connected_components(df)
+    )
+
+
+def test_connected_components_star_singleton_and_selfloop(spark):
+    df = spark.createDataFrame([(5, 5), (7, 8)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dd.connected_components_star(df).collect()}
+    assert out == {5: 5, 7: 7, 8: 7}
