@@ -1566,6 +1566,175 @@ WHERE rank <= 20 ORDER BY lang, rank
 """
 
 
+def q_rolling_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day KPI window over the daily rollup. The frame is a
+    RANGE window on the numeric day index, so missing days are handled
+    correctly (rows-frames silently widen across gaps). Window input is
+    the already-aggregated daily table — tiny at any corpus scale; at
+    100TB you'd partition the window by tenant/region, same shape."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    daynum = F.datediff("day", F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(daynum).rangeBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.sum("sv").over(w).cast("double").alias("sum7_value"),
+            (
+                F.sum("sv").over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+            ).alias("avg7_value"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_ROLLING_KPIS = """
+WITH daily AS (
+  SELECT ts::DATE AS day, COUNT(*)::BIGINT AS n_events,
+    SUM(value::DECIMAL(18,2)) AS sv
+  FROM events GROUP BY 1),
+win AS (
+  SELECT day, n_events,
+    SUM(sv) OVER w AS s7, COUNT(*) OVER w AS d7
+  FROM daily
+  WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+  CAST(s7 AS DOUBLE) AS sum7_value,
+  CAST(s7 AS DOUBLE) / d7::DOUBLE AS avg7_value
+FROM win ORDER BY day
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the event stream: first view → first click
+    at-or-after it → first purchase at-or-after that, per user; one
+    summary row. Three aggregations all shuffled on user_id — AQE
+    chains them on one exchange key, no window over raw events."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = views.join(clicks, "user_id", "left").join(purchases, "user_id", "left")
+    n_view = F.count(F.lit(1)).cast("long")
+    n_click = F.count("t_click").cast("long")
+    n_purchase = F.count("t_purchase").cast("long")
+    return funnel.agg(
+        n_view.alias("n_view_users"),
+        n_click.alias("n_click_users"),
+        n_purchase.alias("n_purchase_users"),
+        F.round(n_click.cast("double") / n_view.cast("double"), 6).alias("click_rate"),
+        F.round(n_purchase.cast("double") / n_view.cast("double"), 6).alias(
+            "purchase_rate"
+        ),
+    )
+
+
+SQL_FUNNEL = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+clicks AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY e.user_id),
+purchases AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY e.user_id)
+SELECT COUNT(*)::BIGINT AS n_view_users,
+  COUNT(c.t_click)::BIGINT AS n_click_users,
+  COUNT(p.t_purchase)::BIGINT AS n_purchase_users,
+  round(COUNT(c.t_click)::DOUBLE / COUNT(*)::DOUBLE, 6) AS click_rate,
+  round(COUNT(p.t_purchase)::DOUBLE / COUNT(*)::DOUBLE, 6) AS purchase_rate
+FROM views v
+LEFT JOIN clicks c ON v.user_id = c.user_id
+LEFT JOIN purchases p ON v.user_id = p.user_id
+"""
+
+
+def q_customer_activity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join pair: customers flagged active/dormant by
+    existence of an order on/after 2000-01-01. left_semi/left_anti
+    never materialize order payload columns — at scale the build side
+    is just the distinct key stream (and broadcasts when small)."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    cond = cust["c_custkey"] == recent["o_custkey"]
+    active = cust.join(recent, cond, "left_semi").withColumn(
+        "status", F.lit("active")
+    )
+    dormant = cust.join(recent, cond, "left_anti").withColumn(
+        "status", F.lit("dormant")
+    )
+    return (
+        active.unionByName(dormant)
+        .select("c_custkey", "c_name", "c_mktsegment", "status")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_ACTIVITY_FLAGS = """
+SELECT c_custkey, c_name, c_mktsegment,
+  CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_orderdate >= DATE '2000-01-01')
+       THEN 'active' ELSE 'dormant' END AS status
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: token counts per document,
+    then a per-language shard pack plan at a 512-token budget — one
+    window cumsum per shard, deterministic md5 order."""
+    from d2b_dataframework_spark.datapipe.packing import pack_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang", "doc_id", F.size(dt.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_plan(
+        counted, budget=512, partition_cols=["lang"]
+    ).orderBy("lang", "pack_id", "offset_in_pack", "doc_id")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH counted AS (
+  SELECT lang, doc_id, len({_RAW_TOKS})::BIGINT AS n_tokens FROM documents),
+cum AS (
+  SELECT lang, doc_id, n_tokens,
+    (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY
+       ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 7))::BIGINT, doc_id
+       ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS off
+  FROM counted)
+SELECT lang, doc_id, n_tokens,
+  (off // 512)::BIGINT AS pack_id,
+  (off % 512)::BIGINT AS offset_in_pack
+FROM cum ORDER BY lang, pack_id, offset_in_pack, doc_id
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compliance scrub: PII injected deterministically by doc_id % 4
     (email / phone / ipv4 / card), then counts + redaction in a single
@@ -1773,6 +1942,18 @@ REGISTRY: dict[str, QuerySpec] = {
         q_stratified_sample,
         SQL_STRATIFIED_SAMPLE,
         "per-stratum deterministic hash sample",
+    ),
+    "pack_sequences": QuerySpec(
+        q_pack_sequences, SQL_PACK_SEQUENCES, "concat-and-split sequence packing plan"
+    ),
+    "rolling_kpis": QuerySpec(
+        q_rolling_kpis, SQL_ROLLING_KPIS, "trailing-7-day RANGE-window KPIs"
+    ),
+    "funnel_conversion": QuerySpec(
+        q_funnel_conversion, SQL_FUNNEL, "ordered view→click→purchase funnel"
+    ),
+    "customer_activity_flags": QuerySpec(
+        q_customer_activity_flags, SQL_ACTIVITY_FLAGS, "semi + anti join activity flags"
     ),
 }
 

@@ -355,3 +355,34 @@ def test_connected_components_star_singleton_and_selfloop(spark):
     out = {r["doc_id"]: r["cluster_id"]
            for r in dd.connected_components_star(df).collect()}
     assert out == {5: 5, 7: 7, 8: 7}
+
+
+def test_pack_plan_offsets_contiguous_and_budgeted(spark):
+    from d2b_dataframework_spark.datapipe.packing import pack_plan
+
+    df = spark.createDataFrame(
+        [(i, "s", 100) for i in range(10)], "doc_id long, shard string, n_tokens long"
+    )
+    rows = sorted(
+        pack_plan(df, budget=256, partition_cols=["shard"]).collect(),
+        key=lambda r: (r["pack_id"], r["offset_in_pack"]),
+    )
+    # stream of 10x100 tokens cut every 256: offsets are 0,100,200,300,...
+    offs = [r["pack_id"] * 256 + r["offset_in_pack"] for r in rows]
+    assert offs == [i * 100 for i in range(10)]
+    assert all(0 <= r["offset_in_pack"] < 256 for r in rows)
+    assert rows[-1]["pack_id"] == 900 // 256
+
+
+def test_pack_plan_deterministic_under_repartition(spark):
+    from d2b_dataframework_spark.datapipe.packing import pack_plan
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), 10 + i) for i in range(40)],
+        "doc_id long, shard string, n_tokens long",
+    )
+    a = {r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+         for r in pack_plan(df, budget=64, partition_cols=["shard"]).collect()}
+    b = {r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+         for r in pack_plan(df.repartition(13), budget=64, partition_cols=["shard"]).collect()}
+    assert a == b
