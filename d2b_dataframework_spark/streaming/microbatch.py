@@ -81,6 +81,49 @@ def windowed_kpis(
     )
 
 
+def session_kpis(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``operators.sessions.session_summary``: Spark's
+    native ``session_window`` merges events into gap-based sessions
+    incrementally — state per (user, open session), closed and emitted
+    once the watermark passes the session end. This is the
+    scale-correct streaming sessionizer: no applyInPandasWithState
+    needed, the merge logic is JVM-side, and state is bounded by the
+    watermark horizon.
+
+    Batch/stream parity: on a static frame this produces the same
+    per-session boundaries as the batch operator for the same gap
+    (session_window's gap is > semantics on merge, matching the batch
+    operator's strict-gap boundary).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def to_date_sharded_sink(
     df: DataFrame,
     path: str,

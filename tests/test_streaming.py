@@ -178,3 +178,48 @@ def test_sharded_sink_merge_keys_preserves_other_rows(spark, tmp_path):
     q2.awaitTermination(60)
     got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
     assert got == {"k1": 9, "k2": 2}  # k1 replaced, k2 preserved
+
+
+def test_session_kpis_streaming_and_batch_parity(spark, tmp_path):
+    from d2b_dataframework_spark.operators.sessions import session_summary
+    from d2b_dataframework_spark.streaming.microbatch import session_kpis
+
+    src = str(tmp_path / "sess_landing")
+    rows = [
+        (1, 10, "2024-01-01 10:00:00", "click", 1.0, "{}"),
+        (2, 10, "2024-01-01 10:20:00", "view", 2.0, "{}"),   # same session
+        (3, 10, "2024-01-01 12:00:00", "click", 3.0, "{}"),  # new session
+        (4, 11, "2024-01-01 10:05:00", "view", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+
+    stream = stream_files(spark, src, EVENTS_SCHEMA_DDL)
+    sessions = session_kpis(stream, gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    assert got == {
+        (10, "2024-01-01 10:00:00"): (2, 3.0),
+        (10, "2024-01-01 12:00:00"): (1, 3.0),
+        (11, "2024-01-01 10:05:00"): (1, 4.0),
+    }
+
+    # batch operator agrees on boundaries and rollups for the same gap
+    batch = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["total_value"])
+        for r in session_summary(df, gap_minutes=30).collect()
+    }
+    assert batch == got
