@@ -1566,6 +1566,93 @@ WHERE rank <= 20 ORDER BY lang, rank
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per type (PERCENTILE_CONT
+    semantics, matching DuckDB quantile_cont bit-for-bit after round)."""
+    from d2b_dataframework_spark.operators.aggregates import exact_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_percentiles(ev, "event_type", "value", [0.5, 0.9, 0.99]).orderBy(
+        "event_type"
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP(day, event_type): leaf rows,
+    per-day subtotals, and the grand total in one shuffle pass (Spark
+    expands grouping sets map-side — no N-pass union of aggs)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+  COALESCE(event_type, 'ALL') AS event_type,
+  COUNT(*)::BIGINT AS n_events,
+  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)
+ORDER BY day, event_type
+"""
+
+
+def q_salted_event_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation over the 5 hot event-type keys:
+    stage 1 shuffles on (key, salt) so a hot key fans out over 32
+    reducers, stage 2 combines the partials exactly. Oracle is the
+    plain GROUP BY — the rewrite must be value-identical."""
+    from d2b_dataframework_spark.operators.aggregates import salted_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_sum(
+        ev,
+        "event_type",
+        {
+            "n_events": F.lit(1).cast("long"),
+            "sum_value": F.col("value").cast("decimal(18,2)"),
+        },
+        buckets=32,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
+
+
+SQL_SALTED_SUMS = """
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_rolling_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day KPI window over the daily rollup. The frame is a
     RANGE window on the numeric day index, so missing days are handled
@@ -1954,6 +2041,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "customer_activity_flags": QuerySpec(
         q_customer_activity_flags, SQL_ACTIVITY_FLAGS, "semi + anti join activity flags"
+    ),
+    "value_percentiles": QuerySpec(
+        q_value_percentiles, SQL_PERCENTILES, "exact PERCENTILE_CONT per group"
+    ),
+    "events_rollup": QuerySpec(
+        q_events_rollup, SQL_EVENTS_ROLLUP, "ROLLUP grouping sets in one pass"
+    ),
+    "salted_event_sums": QuerySpec(
+        q_salted_event_sums, SQL_SALTED_SUMS, "skew-safe two-stage salted aggregation"
     ),
 }
 

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from d2b_dataframework_spark.operators.dedup import keep_latest
@@ -170,3 +172,45 @@ def test_asof_join_single_shuffle_plan(spark):
     # union-sort formulation: no join operator at all, exactly one exchange
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation / percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_salted_sum_matches_plain_groupby(spark):
+    from d2b_dataframework_spark.operators.aggregates import salted_sum
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(500)] + [("cold", 1.0)],
+        "k string, v double",
+    )
+    out = salted_sum(
+        df, "k",
+        {"n": F.lit(1).cast("long"), "s": F.col("v").cast("decimal(18,2)")},
+        buckets=8,
+    )
+    rows = {r["k"]: (r["n"], float(r["s"])) for r in out.collect()}
+    assert rows == {"hot": (500, float(sum(range(500)))), "cold": (1, 1.0)}
+
+
+def test_salted_sum_plans_two_aggregation_stages(spark):
+    from d2b_dataframework_spark.operators.aggregates import salted_sum
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    out = salted_sum(df, "k", {"s": F.col("v")}, buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two logical stages -> >=4 HashAggregate nodes (partial+final each)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_exact_percentiles_interpolation(spark):
+    from d2b_dataframework_spark.operators.aggregates import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4)], "k string, v double"
+    )
+    r = exact_percentiles(df, "k", "v", [0.5, 0.9]).collect()[0]
+    assert r["p50"] == 2.5          # continuous interpolation, not nearest
+    assert r["p90"] == pytest.approx(3.7)

@@ -69,3 +69,43 @@ def test_vacuum_expired_partitions(spark, tmp_path):
     assert removed == ["date=2020-01-01"]
     remaining = {str(r["date"]) for r in read_date_sharded(spark, path).collect()}
     assert remaining == {"2024-01-02"}
+
+
+def test_bucketed_join_elides_exchanges(spark, tmp_path):
+    from d2b_dataframework_spark.sinks.bucketed import bucketed_join, write_bucketed
+
+    left = spark.range(1000).selectExpr("id as k", "id * 2 as a")
+    right = spark.range(1000).selectExpr("id as k", "id * 3 as b")
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    write_bucketed(left, "bt_left", "k", buckets=4)
+    write_bucketed(right, "bt_right", "k", buckets=4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bt_left", "bt_right", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket co-location: no shuffle at all
+        assert joined.count() == 1000
+        row = joined.filter("k = 7").collect()[0]
+        assert (row["a"], row["b"]) == (14, 21)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_date_sharded_read_prunes_partitions(spark, tmp_path):
+    """A day-filtered read of the K1 sink must touch only that day's
+    partition: the filter appears as a PartitionFilter on the scan, not
+    a post-scan Filter over all files."""
+    path = str(tmp_path / "pruned")
+    write_date_sharded(
+        _days_df(spark, [("2024-01-0%d" % d, d) for d in range(1, 6)]), path
+    )
+    scan = spark.read.parquet(path).filter(F.col("date") == "2024-01-03")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date" in plan
+    assert scan.count() == 1
