@@ -28,10 +28,24 @@ def epoch_ms_to_utc_ts(col: Column | str) -> Column:
     return F.timestamp_millis(F.col(col).cast("long") if isinstance(col, str) else col.cast("long"))
 
 
+def as_instant(col: Column | str) -> Column:
+    """Cast a timestamp of either flavor to TIMESTAMP_LTZ.
+
+    Parquet written without the UTC-adjusted flag reads back as
+    TIMESTAMP_NTZ under Spark 4's default ``inferTimestampNTZ``, and
+    ANSI mode refuses the implicit NTZ→LTZ coercion that epoch
+    extractors (``unix_millis``/``unix_micros``) rely on. The explicit
+    cast is ANSI-legal, a no-op on LTZ input, and — because the engine
+    pins ``spark.sql.session.timeZone=UTC`` (core/session.py) — a
+    wall-clock identity on NTZ input.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz")
+
+
 def utc_ts_to_epoch_ms(col: Column | str) -> Column:
     """UTC timestamp → epoch milliseconds (inverse of F4)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.unix_millis(c)
+    return F.unix_millis(as_instant(col))
 
 
 def parse_dual_date(col: Column | str) -> Column:

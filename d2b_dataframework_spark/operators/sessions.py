@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from d2b_dataframework_spark.functions.datetimes import as_instant
+
 
 def sessionize(
     df: DataFrame,
@@ -39,9 +41,9 @@ def sessionize(
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreaker))
     gap_us = F.lit(int(gap_minutes) * 60 * 1_000_000)
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev = F.lag(F.unix_micros(as_instant(ts_col))).over(w)
     is_new = F.when(
-        prev.isNull() | ((F.unix_micros(F.col(ts_col)) - prev) > gap_us), F.lit(1)
+        prev.isNull() | ((F.unix_micros(as_instant(ts_col)) - prev) > gap_us), F.lit(1)
     ).otherwise(F.lit(0))
     run = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreaker)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -76,7 +78,8 @@ def session_summary(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         (
-            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+            F.unix_micros(F.max(ts_col).cast("timestamp_ltz"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp_ltz"))
         ).alias("duration_us"),
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_event_types"),
