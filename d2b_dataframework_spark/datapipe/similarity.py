@@ -57,19 +57,25 @@ def brute_force_topk(
     query set is drawn from the corpus.
     """
     qid = query_id_col or id_col
+    # Norms are computed ONCE per vector on each side (n rows + m rows),
+    # never per pair (n*m): at corpus scale the pair count dwarfs the
+    # vector count, so per-pair norm recomputation triples the hot-loop
+    # arithmetic for no reason.
     q = queries.select(
         F.col(qid).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -129,21 +135,31 @@ def lsh_bucket_topk(
         ]
         return F.concat_ws("", *[b.cast("string") for b in bits])
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", signature(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", signature(F.col("qv")))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("bucket", signature(F.col("cv")))
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("bucket", signature(F.col("qv")))
+        .withColumn("qn", norm(F.col("qv")))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -278,8 +294,10 @@ def cosine_near_dup_pairs(
         .distinct()
     )
     # Verify: re-attach vectors with PREcomputed norms (norm once per
-    # vector, not twice per candidate pair). Broadcast is a hint for the
-    # query-sized case; at corpus scale Catalyst shuffles on id instead.
+    # vector, not twice per candidate pair). NO broadcast hint: the vector
+    # side is the FULL corpus, so forcing a broadcast would OOM the
+    # executors at 100TB — AQE broadcasts it when (and only when) the
+    # runtime size is actually small.
     vecs = base.select("vid", "v").withColumn("n", norm(F.col("v")))
     va = vecs.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -288,8 +306,8 @@ def cosine_near_dup_pairs(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
     out = (
-        cands.join(F.broadcast(va), "id_a")
-        .join(F.broadcast(vb), "id_b")
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cosine_sim",
             F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
@@ -378,7 +396,7 @@ def ivf_topk(
         )
         .withColumn("cvn", norm(F.col("cv")))
         .withColumn("list_id", (-best["neg_id"]).alias("list_id"))
-        .select("neighbor_id", "cv", "list_id")
+        .select("neighbor_id", "cv", "cvn", "list_id")
     )
     # Probe selection (query side): same literal centroids, top-nprobe by
     # (sim desc, list_id asc) via sort_array on struct(-sim, list_id) —
@@ -398,16 +416,20 @@ def ivf_topk(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
         .withColumn("qvn", norm(F.col("qv")))
-        .select("query_id", "qv", F.explode(top_probes).alias("probe"))
-        .select("query_id", "qv", F.col("probe.list_id").alias("list_id"))
+        .select("query_id", "qv", "qvn", F.explode(top_probes).alias("probe"))
+        .select("query_id", "qv", "qvn", F.col("probe.list_id").alias("list_id"))
     )
+    # Verify with the norms already computed for assignment/probing —
+    # per-pair arithmetic is one dot, not dot + two norms.
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qvn") * F.col("cvn")), 6
+            ).alias("cosine_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
