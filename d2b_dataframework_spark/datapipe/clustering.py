@@ -1,0 +1,182 @@
+"""Distributed k-means over embedding columns (Lloyd's algorithm).
+
+Built for training-data curation at corpus scale: cluster the embedding
+space, then sample/balance/inspect per cluster (semantic dedup, domain
+discovery, diversity-aware mixing — the FAISS/k-means stage of a modern
+LLM data pipeline, re-expressed on Spark DataFrames).
+
+Scale shape (the same one MLlib's KMeans uses, minus its RDD layer):
+
+* **Assignment is map-side.** Centroids are model parameters — a
+  k×dim table collected to the driver and embedded as ONE constant-folded
+  ``from_json`` literal (same trick as :func:`similarity.ivf_topk`), so
+  each iteration's assignment is a pure projection over the corpus scan:
+  no crossJoin, no Window, no Exchange.
+* **The update step aggregates k×dim cells, not rows.** ``posexplode``
+  fans each vector into (cluster, dim, value) cells whose partial sums
+  combine map-side; the shuffle moves ~k×dim×n_partitions partial rows,
+  independent of corpus size. The driver materializes k×dim longs —
+  exactly the "reduce cluster sums" step of every distributed Lloyd.
+* **Iterations are driver-coordinated jobs** (2-20 passes over the
+  corpus). Each pass is scan + projection + tiny agg: embarrassingly
+  parallel, no state beyond the k×dim model.
+
+Cross-engine determinism (what makes a SQL oracle possible at all):
+embeddings are quantized to integers (``round(x*1000)``), so cluster
+sums, counts, and dot products are EXACT integer arithmetic that any
+engine reproduces bit-for-bit in float64 (all magnitudes ≪ 2^53).
+Distances are compared via the rational decomposition
+
+    ``d_j = x·x − (2·x·s_j)/n_j + (s_j·s_j)/n_j²``
+
+where ``s_j`` (cluster sum vector) and ``n_j`` (cluster size) are exact
+integers: the only roundings are two exact-integer-input divisions and
+two adds/subs of identical doubles — bit-identical on Spark, DuckDB,
+or NumPy, with NO dependence on summation order (integer sums are exact
+in any order). Ties break to the lowest cluster id.
+
+Reference parity: the reference has no clustering operator — this is
+part of the LLM-data-pipeline surface the build brief adds on top of
+the reference's API (see COVERAGE.md), sited next to its embedding
+sources (`d2b_data/README.md` pipeline docs).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+
+def _quantized(vec: Column) -> Column:
+    """Integer-valued double array: round(x*1000). Exact in float64."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _centroid_literal(cents: list[dict]) -> Column:
+    """k centroids as ONE constant-folded literal (see ivf_topk's note on
+    why from_json beats a nested F.lit tree: ~5 expression nodes instead
+    of k×dim py4j-built ones)."""
+    return F.from_json(
+        F.lit(json.dumps(cents)),
+        "array<struct<cid: bigint, s: array<double>, ss: double, n: double>>",
+    )
+
+
+def _assign(qv: Column, cent_arr: Column) -> Column:
+    """struct<dist, cid> of the nearest centroid (min dist, then min cid).
+
+    dist = (x·x − (2·(x·s))/n) + ss/n² — see module docstring for why
+    this exact decomposition is engine-portable.
+    """
+    xx = _dot(qv, qv)
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (
+                (xx - (_dot(qv, c["s"]) * F.lit(2.0)) / c["n"])
+                + c["ss"] / (c["n"] * c["n"])
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(scored)
+
+
+def kmeans_assignments(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd assignment passes; return the final assignment
+    ``(id, cluster, dist)`` where dist is the exact quantized squared-L2
+    distance to the final centroid, rounded to 6 for display.
+
+    Seeding is deterministic-by-construction: the ``k`` lowest-id
+    vectors are the initial centroids (swap in kmeans|| at scale; the
+    plan shape is identical). Clusters that receive no members drop out
+    of subsequent iterations (never happens on real corpora with sane
+    k; defined behavior, mirrored by the SQL oracle, if it does).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("qv")
+    ).persist()
+
+    # Seed: s = the vector itself, n = 1 (so s/n is exactly the vector).
+    seed_rows = sorted(
+        base.filter(F.col("vid") < k).collect(), key=lambda r: r["vid"]
+    )
+    cents = [
+        {
+            "cid": int(r["vid"]),
+            "s": [float(v) for v in r["qv"]],
+            "ss": float(sum(int(v) * int(v) for v in r["qv"])),
+            "n": 1.0,
+        }
+        for r in seed_rows
+    ]
+
+    assigned = None
+    for it in range(iters):
+        cent_arr = _centroid_literal(cents)
+        best = _assign(F.col("qv"), cent_arr)
+        assigned = base.select(
+            "vid",
+            "qv",
+            best["cid"].alias("cluster"),
+            best["dist"].alias("dist"),
+        )
+        if it == iters - 1:
+            break
+        # Update: exact integer cluster sums via k×dim cell aggregation.
+        cells = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("qv")).alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum(F.col("val").cast("long")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
+        for row in cells:
+            by_cid.setdefault(int(row["cluster"]), {})[int(row["dim"])] = int(row["s"])
+            counts[int(row["cluster"])] = int(row["n"])
+        cents = [
+            {
+                "cid": cid,
+                "s": [float(dims[i]) for i in range(len(dims))],
+                "ss": float(sum(v * v for v in dims.values())),
+                "n": float(counts[cid]),
+            }
+            for cid, dims in sorted(by_cid.items())
+        ]
+
+    out = assigned.select(
+        "vid", "cluster", F.round(F.col("dist"), 6).alias("dist")
+    )
+    from d2b_dataframework_spark.datapipe import cache
+
+    return cache.track(out, base)
+
+
+def cluster_profile(assignments: DataFrame) -> DataFrame:
+    """Per-cluster size + mean distance (curation dashboard stage)."""
+    return assignments.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        (
+            F.sum(F.col("dist").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_dist"),
+    )

@@ -667,3 +667,107 @@ def connected_components_star(
         F.coalesce("root", "id").alias("cluster_id"),
     )
     return labels
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation/benchmark set (the n-gram-overlap
+    rule used for LLM training corpora; canonical n is 8-13 words —
+    smaller here only because the synthetic corpus is tiny).
+
+    Scale shape: both sides explode to hashed n-grams (map-side, the
+    same portable md5-prefix hash as the dedup family); the benchmark
+    gram set is distinct-ed and BROADCAST — benchmark suites are
+    thousands of documents, never corpus-scale — so contamination
+    detection is a broadcast semi-join over the training scan: one
+    aggregation shuffle on doc_id, nothing shuffled by corpus text.
+    Output keeps every training doc with its gram counts so the caller
+    chooses the drop threshold.
+    """
+    t_grams = train.select(
+        F.col(id_col).alias("did"),
+        F.explode(shingle_hashes(text_col, n)).alias("g"),
+    )
+    b_grams = (
+        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        t_grams.join(F.broadcast(b_grams), "g", "left")
+        .groupBy("did")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+    )
+    return per_doc.select(
+        F.col("did").alias(id_col),
+        "n_grams",
+        "n_contaminated",
+        (F.col("n_contaminated") > 0).alias("contaminated"),
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("contamination_ratio"),
+    )
+
+
+def segment_dup_stats(
+    df: DataFrame,
+    window: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line/segment-level dedup signal (the RefinedWeb/Falcon "duplicated
+    lines" filter, adapted to unpunctuated text): split each document
+    into non-overlapping ``window``-token segments, hash them, and score
+    each document by how many of its segments occur in OTHER documents.
+
+    Two shuffles total — (1) segment-hash counts (map-side combine;
+    the heavy hitters ARE the duplicates, and partial aggregation
+    absorbs them before the shuffle), (2) regroup per doc. The join
+    back to segments is on the hash — salting-free because stage-1
+    already collapsed each hash to ONE row, so no key carries more than
+    its distinct-segment weight.
+    """
+    toks = tokens(F.col(text_col))
+    n_segs = F.greatest(
+        F.lit(1), F.ceil(F.size(toks).cast("double") / window).cast("int")
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * window + 1, window))),
+    )
+    doc_segs = df.select(
+        F.col(id_col).alias("did"), F.posexplode(segs).alias("seg_idx", "seg_hash")
+    )
+    # Per segment hash: in how many distinct docs does it appear?
+    seg_docs = doc_segs.groupBy("seg_hash").agg(
+        F.countDistinct("did").cast("long").alias("n_docs_with_seg")
+    )
+    return (
+        doc_segs.join(seg_docs, "seg_hash")
+        .groupBy("did")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum(F.when(F.col("n_docs_with_seg") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_segments"),
+        )
+        .select(
+            F.col("did").alias(id_col),
+            "n_segments",
+            "n_shared_segments",
+            F.round(
+                F.col("n_shared_segments").cast("double")
+                / F.col("n_segments").cast("double"),
+                6,
+            ).alias("shared_ratio"),
+        )
+    )

@@ -441,3 +441,39 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x|/127``,
+    ``code_i = floor(x_i/scale + 0.5)`` (explicit half-up — identical
+    arithmetic on any engine, unlike round()'s dialect-specific ties).
+
+    The 4x size cut (float32→int8) is what makes trillion-token
+    embedding stores and their ANN indexes affordable; reconstruction
+    error is the quality meter. Pure projection: zero shuffle,
+    scan-speed at 100TB. Output carries codes as a CSV string (compact,
+    engine-neutral ordering) plus saturation count and squared
+    reconstruction error.
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(127.0)
+    codes = F.when(
+        amax == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    )
+    recon = F.zip_with(
+        v, codes, lambda x, c: x - c.cast("double") * scale
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(",", codes).alias("codes"),
+        F.size(F.filter(codes, lambda c: F.abs(c) == 127)).cast("long").alias("n_saturated"),
+        F.round(dot(recon, recon), 6).alias("recon_err"),
+    )

@@ -84,3 +84,72 @@ def sample_per_group(
         df.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= n_per_group)
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every row gets a ``shard`` and a ``pos`` (1-based) within it, both
+    pure functions of (salt, id).
+
+    This is how you shuffle 100TB: NOT a random sort (non-reproducible,
+    one global sort) but a hash-shard + within-shard hash sort — one
+    shuffle on the shard key, each shard sorts independently, and the
+    (shard, pos) order is a uniform permutation that any engine, any
+    cluster size, any restart reproduces exactly. Downstream writers
+    emit one file per shard; readers stream shards in order.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("h", h).withColumn(
+        "shard", (F.col("h") % F.lit(int(n_shards))).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("h"), F.col(id_col))
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("h")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Domain-mixture downsampling: keep each row with its group's rate,
+    decided by a deterministic per-row hash — the Bernoulli thinning
+    stage of a data-mixing pipeline (e.g. web 30% / books 100%).
+
+    Pure projection + filter: zero shuffle, scan-speed at any size,
+    reproducible across engines (hash < rate·resolution on a 28-bit
+    md5-prefix bucket — integer compare, no float RNG). Groups absent
+    from ``rates`` keep ``default_rate``. Rates are derived offline from
+    target mixture weights and per-group counts (model parameters, like
+    centroids) — deriving them inline would be one count-agg job.
+    """
+    bucket = hash_bucket(id_col, salt, resolution)
+    thresholds = F.create_map(
+        *[
+            x
+            for name, rate in sorted(rates.items())
+            for x in (F.lit(name), F.lit(int(round(rate * resolution))))
+        ]
+    )
+    thr = F.coalesce(
+        thresholds.getItem(F.col(group_col)),
+        F.lit(int(round(default_rate * resolution))),
+    )
+    return df.withColumn("bucket", bucket).filter(F.col("bucket") < thr).drop("bucket")

@@ -2060,3 +2060,349 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql}
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: clustering, decontamination, mixing/shuffle, int8
+# quantization, segment dedup, and two more optimizer-shaped SQL queries
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 assignment passes) over the
+    embeddings table: map-side assignment against a constant-folded
+    centroid literal, k x dim cell aggregation for the update — the
+    semantic-clustering stage of an LLM data-curation pipeline."""
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_assignments(emb, k=8, iters=2)
+    return out.select(
+        F.col("vid").alias("vec_id"), F.col("cluster").cast("long").alias("cluster"), "dist"
+    ).orderBy("vec_id")
+
+
+# Exact-arithmetic mirror of datapipe/clustering.py: quantized integer
+# vectors, centroids as (sum, count) rationals — see that module's
+# docstring for the bit-identical cross-engine argument.
+SQL_KMEANS = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], v -> round(v * 1000)) AS qv
+  FROM embeddings
+),
+xq AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS xx FROM x),
+c0 AS (
+  SELECT vec_id::BIGINT AS cid, qv AS s, list_dot_product(qv, qv) AS ss, 1.0 AS n
+  FROM x WHERE vec_id < 8
+),
+a1 AS (
+  SELECT vec_id, qv, xx, cid FROM (
+    SELECT x.vec_id, x.qv, x.xx, c.cid,
+      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        ((x.xx - (list_dot_product(x.qv, c.s) * 2.0) / c.n) + c.ss / (c.n * c.n)) ASC,
+        c.cid ASC) AS rn
+    FROM xq x CROSS JOIN c0 c) WHERE rn = 1
+),
+csum AS (
+  SELECT cid, list(sd ORDER BY i) AS s, max(n)::DOUBLE AS n
+  FROM (SELECT cid, i, sum(qv[i]::BIGINT)::BIGINT::DOUBLE AS sd, count(*) AS n
+        FROM a1, range(1, 65) t(i) GROUP BY cid, i)
+  GROUP BY cid
+),
+c1 AS (SELECT cid, s, list_dot_product(s, s) AS ss, n FROM csum),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT x.vec_id, c.cid,
+      ((x.xx - (list_dot_product(x.qv, c.s) * 2.0) / c.n) + c.ss / (c.n * c.n)) AS dist,
+      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        ((x.xx - (list_dot_product(x.qv, c.s) * 2.0) / c.n) + c.ss / (c.n * c.n)) ASC,
+        c.cid ASC) AS rn
+    FROM xq x CROSS JOIN c1 c) WHERE rn = 1
+)
+SELECT vec_id, cid AS cluster, round(dist, 6) AS dist
+FROM a2 ORDER BY vec_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 50 != 0)
+    flagged by hashed word-3-gram overlap with the benchmark slice
+    (doc_id % 50 == 0); benchmark gram set is broadcast."""
+    from d2b_dataframework_spark.datapipe.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=3).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = f"""
+WITH base AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM documents),
+sh AS (SELECT doc_id,
+  list_distinct(list_transform({_SHINGLES}, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)) AS gs
+  FROM base),
+bench AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 50 = 0),
+tg AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 50 <> 0),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+    sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+  FROM tg LEFT JOIN bench b USING (g) GROUP BY doc_id)
+SELECT doc_id, n_grams, n_contaminated,
+  n_contaminated > 0 AS contaminated,
+  round(n_contaminated::DOUBLE / n_grams::DOUBLE, 6) AS contamination_ratio
+FROM per ORDER BY doc_id
+"""
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-shard + within-shard hash-sort permutation of
+    the corpus (the scale-safe way to shuffle training data)."""
+    from d2b_dataframework_spark.datapipe.splits import global_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, n_shards=8).orderBy("shard", "pos")
+
+
+SQL_GLOBAL_SHUFFLE = """
+SELECT doc_id, shard, pos FROM (
+  SELECT doc_id,
+    h % 8 AS shard,
+    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)::BIGINT AS pos
+  FROM (SELECT doc_id,
+          ('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 7))::BIGINT AS h
+        FROM documents))
+ORDER BY shard, pos
+"""
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: per-source deterministic keep rates
+    (src0 100%, src1 75%, src2 50%, src3 25%, rest 10%) — zero-shuffle
+    Bernoulli thinning by hash threshold."""
+    from d2b_dataframework_spark.datapipe.splits import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = weighted_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25},
+        default_rate=0.1,
+    )
+    return out.orderBy("doc_id")
+
+
+SQL_DOMAIN_MIXTURE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 7))::BIGINT % 1000000 AS bucket
+  FROM documents)
+WHERE bucket < CASE source
+  WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 750000
+  WHEN 'src2' THEN 500000 WHEN 'src3' THEN 250000 ELSE 100000 END
+ORDER BY doc_id
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with saturation count and
+    squared reconstruction error — pure projection, scan-speed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.quantize_int8(emb).orderBy("vec_id")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+q AS (SELECT vec_id, v, scale,
+        CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+             ELSE list_transform(v, x -> floor(x / scale + 0.5)::BIGINT) END AS codes
+      FROM s)
+SELECT vec_id,
+  round(scale, 6) AS scale,
+  array_to_string(codes, ',') AS codes,
+  len(list_filter(codes, c -> abs(c) = 127))::BIGINT AS n_saturated,
+  round(list_dot_product(
+    list_transform(range(1, len(v) + 1), i -> v[i] - codes[i]::DOUBLE * scale),
+    list_transform(range(1, len(v) + 1), i -> v[i] - codes[i]::DOUBLE * scale)), 6) AS recon_err
+FROM q ORDER BY vec_id
+"""
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/segment-level dedup signal: per-document count and share of
+    non-overlapping 10-token segments that also occur in other docs."""
+    from d2b_dataframework_spark.datapipe.dedup import segment_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dup_stats(docs, window=10).orderBy("doc_id")
+
+
+SQL_SEGMENT_DEDUP = f"""
+WITH base AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM documents),
+segs AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' ')) AS seg_hash
+  FROM (SELECT doc_id, words,
+          unnest(range(0, greatest(1, ceil(len(words) / 10.0)::INT))) AS i
+        FROM base)),
+seg_docs AS (
+  SELECT seg_hash, count(DISTINCT doc_id)::BIGINT AS n_docs_with_seg
+  FROM segs GROUP BY seg_hash)
+SELECT doc_id,
+  count(*)::BIGINT AS n_segments,
+  sum(CASE WHEN n_docs_with_seg > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared_segments,
+  round(sum(CASE WHEN n_docs_with_seg > 1 THEN 1 ELSE 0 END)::DOUBLE
+        / count(*)::DOUBLE, 6) AS shared_ratio
+FROM segs JOIN seg_docs USING (seg_hash)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: per order-year, each supplier
+    nation's share of ECONOMY-part revenue delivered to EUROPE
+    customers. Dims broadcast; one shuffle for the year/nation agg;
+    per-year total via a second tiny agg over grouped rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    one = F.lit(1).cast(DEC_SMALL)
+    euro_cust = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    supp_nation = (
+        supp.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                      F.col("n_name").alias("supp_nation"))),
+            supp.s_nationkey == F.col("sn_key"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    eco_parts = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    grouped = (
+        li.join(F.broadcast(eco_parts), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(euro_cust, orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("o_year"), "supp_nation"
+        )
+        .agg(F.sum(ep * (one - disc)).alias("nation_rev_dec"))
+    )
+    w = Window.partitionBy("o_year")
+    return (
+        grouped.withColumn("year_rev_dec", F.sum("nation_rev_dec").over(w))
+        .select(
+            F.col("o_year").cast("long").alias("o_year"),
+            "supp_nation",
+            F.col("nation_rev_dec").cast("double").alias("nation_revenue"),
+            F.round(
+                F.col("nation_rev_dec").cast("double")
+                / F.col("year_rev_dec").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year", "supp_nation")
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH grouped AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year, n2.n_name AS supp_nation,
+    SUM(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))) AS nation_rev_dec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+  GROUP BY 1, 2)
+SELECT o_year, supp_nation,
+  CAST(nation_rev_dec AS DOUBLE) AS nation_revenue,
+  round(CAST(nation_rev_dec AS DOUBLE)
+        / CAST(SUM(nation_rev_dec) OVER (PARTITION BY o_year) AS DOUBLE), 6) AS mkt_share
+FROM grouped
+ORDER BY o_year, supp_nation
+"""
+
+
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast range join: parts bucketed into literal retail-price
+    bands via a non-equi (lo <= p < hi) broadcast join — the band table
+    is model-parameter sized, so the join is map-side at any scale."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 900.0, 925.0), ("mid", 925.0, 950.0),
+         ("high", 950.0, 975.0), ("premium", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast(DEC)).cast("double").alias("sum_price"),
+            F.min("p_size").cast("long").alias("min_size"),
+            F.max("p_size").cast("long").alias("max_size"),
+        )
+        .orderBy("band")
+    )
+
+
+SQL_PRICE_BAND = """
+SELECT band, COUNT(*)::BIGINT AS n_parts,
+  CAST(SUM(p_retailprice::DECIMAL(12,2)) AS DOUBLE) AS sum_price,
+  MIN(p_size)::BIGINT AS min_size, MAX(p_size)::BIGINT AS max_size
+FROM part
+JOIN (VALUES ('low', 900.0, 925.0), ('mid', 925.0, 950.0),
+             ('high', 950.0, 975.0), ('premium', 975.0, 1000.0)) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+REGISTRY.update(
+    {
+        "kmeans_clusters": QuerySpec(
+            q_kmeans_clusters, SQL_KMEANS, "distributed Lloyd k-means, exact quantized arithmetic"
+        ),
+        "decontaminate": QuerySpec(
+            q_decontaminate, SQL_DECONTAMINATE, "benchmark n-gram decontamination"
+        ),
+        "global_shuffle": QuerySpec(
+            q_global_shuffle, SQL_GLOBAL_SHUFFLE, "deterministic hash-shard training shuffle"
+        ),
+        "domain_mixture": QuerySpec(
+            q_domain_mixture, SQL_DOMAIN_MIXTURE, "per-source mixture downsampling"
+        ),
+        "embedding_quantize": QuerySpec(
+            q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, "int8 symmetric quantization"
+        ),
+        "segment_dedup": QuerySpec(
+            q_segment_dedup, SQL_SEGMENT_DEDUP, "segment-level dup-share signal"
+        ),
+        "market_share": QuerySpec(
+            q_market_share, SQL_MARKET_SHARE, "TPC-H Q8-style market share"
+        ),
+        "price_band_join": QuerySpec(
+            q_price_band_join, SQL_PRICE_BAND, "broadcast non-equi range join"
+        ),
+    }
+)

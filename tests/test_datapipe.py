@@ -386,3 +386,112 @@ def test_pack_plan_deterministic_under_repartition(spark):
     b = {r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
          for r in pack_plan(df.repartition(13), budget=64, partition_cols=["shard"]).collect()}
     assert a == b
+
+
+def test_kmeans_two_blobs_separate(spark):
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+
+    # Two tight blobs far apart; k=2 seeded by ids 0 (blob A) and 1 (blob B).
+    rows = []
+    for i in range(10):
+        base = [10.0, 10.0] if i % 2 == 0 else [-10.0, -10.0]
+        rows.append((i, [base[0] + 0.01 * i, base[1] - 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vid"]: r["cluster"] for r in kmeans_assignments(df, k=2, iters=3).collect()}
+    assert all(out[i] == 0 for i in range(0, 10, 2))
+    assert all(out[i] == 1 for i in range(1, 10, 2))
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {(r["vid"], r["cluster"], r["dist"]) for r in kmeans_assignments(df, k=4, iters=2).collect()}
+    b = {(r["vid"], r["cluster"], r["dist"])
+         for r in kmeans_assignments(df.repartition(7), k=4, iters=2).collect()}
+    assert a == b and len(a) == 40
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from d2b_dataframework_spark.datapipe.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the secret benchmark answer is here today"),
+         (2, "completely unrelated words nothing shared at all")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "the secret benchmark answer differs later")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+    assert out[2]["contamination_ratio"] == 0.0
+
+
+def test_global_shuffle_is_permutation(spark):
+    from d2b_dataframework_spark.datapipe.splits import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    rows = global_shuffle(df, n_shards=4).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(100))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():  # positions are 1..n contiguous per shard
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in global_shuffle(df.repartition(9), n_shards=4).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from d2b_dataframework_spark.datapipe.splits import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else "drop") for i in range(200)],
+        "doc_id long, group string",
+    )
+    out = weighted_sample(df, "group", {"keep": 1.0, "drop": 0.0}).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == list(range(0, 200, 2))  # rate 1.0 keeps all, 0.0 drops all
+    half = weighted_sample(df, "group", {"keep": 0.5, "drop": 0.5}).count()
+    assert 60 <= half <= 140  # ~100 expected, deterministic but hash-spread
+    again = weighted_sample(df.repartition(11), "group", {"keep": 0.5, "drop": 0.5}).count()
+    assert half == again
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from d2b_dataframework_spark.datapipe.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    codes1 = [int(c) for c in out[1]["codes"].split(",")]
+    assert codes1[0] == 127 and all(-127 <= c <= 127 for c in codes1)
+    assert out[1]["n_saturated"] >= 1
+    assert out[1]["recon_err"] < (out[1]["scale"] ** 2) * len(codes1)
+    assert out[2]["codes"] == "0,0,0,0" and out[2]["recon_err"] == 0.0
+
+
+def test_segment_dup_stats_flags_shared_segments(spark):
+    from d2b_dataframework_spark.datapipe.dedup import segment_dup_stats
+
+    shared = " ".join(f"w{i}" for i in range(10))  # exactly one 10-token segment
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"{shared} {uniq_a}"), (2, f"{shared} {uniq_b}"), (3, uniq_b + " tail words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dup_stats(df, window=10).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_shared_segments"] == 1
+    assert out[1]["shared_ratio"] == 0.5
+    # doc 3's first segment is exactly uniq_b, which doc 2 also contains —
+    # so doc 2 shares both its segments and doc 3 shares one of two.
+    assert out[2]["n_shared_segments"] == 2
+    assert out[3]["n_segments"] == 2 and out[3]["n_shared_segments"] == 1
