@@ -57,7 +57,9 @@ def token_hashes(text_col: Column | str) -> Column:
     return F.array_distinct(F.transform(toks, word_hash))
 
 
-def shingles(text_col: Column | str, n: int = 3) -> Column:
+def shingles(
+    text_col: Column | str, n: int = 3, pre_tokenized: bool = False
+) -> Column:
     """Distinct word n-gram shingles, order-preserving construction.
 
     MinHash over single words degenerates on low-vocabulary corpora
@@ -68,8 +70,22 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
     near-dup literature (Broder '97) and what keeps the pipeline
     linear at 100TB. Documents shorter than ``n`` tokens collapse to a
     single whole-text shingle.
+
+    ``pre_tokenized=True`` treats the input column as an ALREADY
+    tokenized array. This matters for evaluation cost, not just API
+    convenience: the gram lambda captures the token expression, and
+    interpreted HOF lambdas re-evaluate captured subexpressions per
+    element — raw text in means the tokenizer (lower+trim+regex+split)
+    runs once per GRAM (~5x slower end-to-end, measured). Callers
+    working on a DataFrame should stage ``tokens(text)`` as a real
+    column first and pass it here; a multi-referenced non-cheap alias
+    is not collapsed back into the lambda (SPARK-36718).
     """
-    toks = tokens(text_col)
+    toks = (
+        (F.col(text_col) if isinstance(text_col, str) else text_col)
+        if pre_tokenized
+        else tokens(text_col)
+    )
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -79,9 +95,13 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
     )
 
 
-def shingle_hashes(text_col: Column | str, n: int = 3) -> Column:
+def shingle_hashes(
+    text_col: Column | str, n: int = 3, pre_tokenized: bool = False
+) -> Column:
     """Distinct hash set of word n-gram shingles (portable md5-prefix)."""
-    return F.array_distinct(F.transform(shingles(text_col, n), word_hash))
+    return F.array_distinct(
+        F.transform(shingles(text_col, n, pre_tokenized=pre_tokenized), word_hash)
+    )
 
 
 # Java-regex parity: Spark's regexp_replace(\s+) matches ONLY Java's
@@ -690,12 +710,18 @@ def decontaminate(
     Output keeps every training doc with its gram counts so the caller
     chooses the drop threshold.
     """
+    # Tokens staged as a real column so the gram lambda reads an
+    # attribute instead of re-running the tokenizer per gram (see
+    # shingles() docstring; ~5x end-to-end).
     t_grams = train.select(
-        F.col(id_col).alias("did"),
-        F.explode(shingle_hashes(text_col, n)).alias("g"),
+        F.col(id_col).alias("did"), tokens(text_col).alias("toks")
+    ).select(
+        "did",
+        F.explode(shingle_hashes("toks", n, pre_tokenized=True)).alias("g"),
     )
     b_grams = (
-        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("g"))
+        benchmark.select(tokens(text_col).alias("toks"))
+        .select(F.explode(shingle_hashes("toks", n, pre_tokenized=True)).alias("g"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
@@ -736,7 +762,7 @@ def segment_dup_stats(
     already collapsed each hash to ONE row, so no key carries more than
     its distinct-segment weight.
     """
-    toks = tokens(F.col(text_col))
+    toks = F.col("toks")
     n_segs = F.greatest(
         F.lit(1), F.ceil(F.size(toks).cast("double") / window).cast("int")
     )
@@ -745,7 +771,9 @@ def segment_dup_stats(
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * window + 1, window))),
     )
     doc_segs = df.select(
-        F.col(id_col).alias("did"), F.posexplode(segs).alias("seg_idx", "seg_hash")
+        F.col(id_col).alias("did"), tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "did", F.posexplode(segs).alias("seg_idx", "seg_hash")
     )
     # Per segment hash: in how many distinct docs does it appear?
     seg_docs = doc_segs.groupBy("seg_hash").agg(

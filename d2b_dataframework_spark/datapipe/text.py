@@ -170,11 +170,16 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_size")
     stride = chunk_size - overlap
     src = clean_text(F.col(text_col)) if clean else normalize_whitespace(F.lower(F.col(text_col)))
-    toks = F.split(src, " ")
+    # Tokens staged as a column: the window lambda captures them, and a
+    # captured raw-text expression would re-run clean+split per window
+    # (interpreted HOF lambdas re-evaluate captures per element).
+    toks = F.col("_toks")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )
     return df.select(
+        F.col(id_col), F.split(src, " ").alias("_toks")
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))

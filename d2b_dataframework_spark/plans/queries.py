@@ -2406,3 +2406,127 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: lineitems shipped >90 days after order date,
+    counted by returnflag x priority class (high = 1-URGENT/2-HIGH).
+    One join shuffle + one agg; CASE folds map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_priority"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_priority"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_LATE_SHIPMENT = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_priority,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_priority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta per event type: lag window over the
+    per-day decimal-exact sums; pct change round 6 (null first day)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v_dec"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    v = F.col("v_dec").cast("double")
+    prev = F.lag(F.col("v_dec")).over(w).cast("double")
+    return (
+        daily.select(
+            "day",
+            "event_type",
+            v.alias("sum_value"),
+            prev.alias("prev_value"),
+            F.round((v - prev) / prev, 6).alias("pct_change"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_DOD_CHANGE = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+    SUM(value::DECIMAL(18,2)) AS v_dec
+  FROM events GROUP BY 1, 2)
+SELECT day, event_type,
+  CAST(v_dec AS DOUBLE) AS sum_value,
+  CAST(lag(v_dec) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS prev_value,
+  round((CAST(v_dec AS DOUBLE) - CAST(lag(v_dec) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE))
+        / CAST(lag(v_dec) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE), 6) AS pct_change
+FROM daily ORDER BY event_type, day
+"""
+
+
+def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: ntile(4) over (quality desc, doc_id) —
+    documents ranked into 4 training phases, summarized per bucket.
+    The ntile window is the only shuffle; summary agg is tiny."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = dt.quality_score(docs).select("doc_id", "quality")
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("phase", F.ntile(4).over(w).cast("long"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_quality"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("phase")
+    )
+
+
+SQL_QUALITY_CURRICULUM = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS words, length(text)::DOUBLE AS n
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+    round(least(len(words)::DOUBLE / 100.0, 1.0) * 0.5
+      + least(len(list_filter(words, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+              / len(words)::DOUBLE * 4.0, 1.0) * 0.5, 6) AS quality
+  FROM toks),
+phased AS (
+  SELECT doc_id, quality,
+    ntile(4) OVER (ORDER BY quality DESC, doc_id)::BIGINT AS phase
+  FROM scored)
+SELECT phase, count(*)::BIGINT AS n_docs,
+  CAST(SUM(quality::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE AS mean_quality,
+  MIN(doc_id)::BIGINT AS first_doc
+FROM phased GROUP BY phase ORDER BY phase
+"""
+
+
+REGISTRY.update(
+    {
+        "late_shipment_priority": QuerySpec(
+            q_late_shipment_priority, SQL_LATE_SHIPMENT, "Q12-style CASE-bucketed counts"
+        ),
+        "dod_change": QuerySpec(q_dod_change, SQL_DOD_CHANGE, "lag-window derivative"),
+        "quality_curriculum": QuerySpec(
+            q_quality_curriculum, SQL_QUALITY_CURRICULUM, "ntile curriculum phases"
+        ),
+    }
+)

@@ -495,3 +495,18 @@ def test_segment_dup_stats_flags_shared_segments(spark):
     # so doc 2 shares both its segments and doc 3 shares one of two.
     assert out[2]["n_shared_segments"] == 2
     assert out[3]["n_segments"] == 2 and out[3]["n_shared_segments"] == 1
+
+
+def test_kmeans_assignment_plan_is_map_side(spark):
+    """The returned assignment plan must be a pure projection over the
+    cached base — no Exchange/Window between scan and cluster id (the
+    whole point of literal-centroid assignment)."""
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_assignments(df, k=3, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
