@@ -8,7 +8,7 @@ scales linearly with executors. Designed for the ``documents`` table
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from d2b_dataframework_spark.functions.strings import normalize_whitespace
@@ -389,3 +389,95 @@ def filter_documents(
     if allowed_langs is not None:
         out = out.filter(F.col("lang_pred").isin(list(allowed_langs)))
     return out
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set —
+    the retrieval-scoring stage of a RAG/data-curation pipeline
+    (idf-weighted, length-normalized term frequency).
+
+    Scale shape: per-doc term frequencies are ONE staged projection over
+    the corpus scan; the corpus statistics (N, avgdl, per-term document
+    frequencies) are a single-row aggregate crossJoin-broadcast back —
+    no collect, no per-term shuffle, one pass + one tiny broadcast.
+    idf uses the standard ln(1 + (N - df + 0.5)/(df + 0.5)).
+    """
+    tf_cols = [
+        F.size(F.filter(F.col("_tk"), _eq_factory(t))).cast("double").alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    staged = df.select(F.col(id_col), tokens(text_col).alias("_tk")).select(
+        F.col(id_col), F.size("_tk").cast("long").alias("dl"), *tf_cols
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("dl").cast("double").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).cast("double").alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = staged.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl") / F.col("_n")
+    norm_len = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df_{i}") + F.lit(0.5)) / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        score = score + idf * ((tf * F.lit(k1 + 1.0)) / (tf + norm_len))
+    return joined.select(
+        F.col(id_col),
+        F.col("dl").alias("n_tokens"),
+        F.round(score, 6).alias("bm25"),
+    )
+
+
+def _eq_factory(term: str):
+    # closure factory — a default-arg lambda would be misread as a
+    # multi-argument HOF by F.filter
+    return lambda t: t == F.lit(term)
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 10,
+) -> DataFrame:
+    """One BPE "learn" step over the corpus: the most frequent adjacent
+    character pairs inside words (rank 1 is the next merge a byte-pair
+    tokenizer trainer would apply).
+
+    Word-count shape end to end: explode words → explode char pairs
+    (per-row flatMap, no shuffle) → groupBy(pair) with map-side combine
+    → global top-n. The shuffle carries (pair, count) — at most
+    |alphabet|² keys per partition regardless of corpus size.
+    """
+    words = df.select(F.explode(tokens(text_col)).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "pair", "n_occ")
+    )

@@ -2530,3 +2530,98 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document vs the fixed query terms
+    {spark, table, merge}: one corpus pass for tf/dl, single-row stats
+    broadcast back, idf-weighted length-normalized score."""
+    docs = _t(spark, sf_dir, "documents")
+    return dt.bm25_scores(docs, ["spark", "table", "merge"]).orderBy("doc_id")
+
+
+SQL_BM25 = f"""
+WITH staged AS (
+  SELECT doc_id, {_WORDS_ORDERED} AS words FROM documents),
+tf AS (
+  SELECT doc_id, len(words)::BIGINT AS dl,
+    len(list_filter(words, t -> t = 'spark'))::DOUBLE AS tf0,
+    len(list_filter(words, t -> t = 'table'))::DOUBLE AS tf1,
+    len(list_filter(words, t -> t = 'merge'))::DOUBLE AS tf2
+  FROM staged),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl,
+    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+  FROM tf)
+SELECT doc_id, dl AS n_tokens,
+  round(
+    (0.0
+     + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sumdl / n)))))
+     + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sumdl / n)))))
+     + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sumdl / n))))))
+  , 6) AS bm25
+FROM tf CROSS JOIN stats ORDER BY doc_id
+"""
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The next 10 BPE merges a tokenizer trainer would learn: global
+    adjacent-character-pair counts inside words, word-count shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return dt.bpe_merge_candidates(docs, top_n=10).orderBy("rank")
+
+
+SQL_BPE_MERGE = f"""
+WITH words AS (
+  SELECT unnest({_WORDS_ORDERED.replace("list_distinct", "")}) AS w FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2),
+counted AS (
+  SELECT pair, count(*)::BIGINT AS n_occ FROM pairs GROUP BY pair)
+SELECT row_number() OVER (ORDER BY n_occ DESC, pair ASC)::BIGINT AS rank, pair, n_occ
+FROM counted ORDER BY n_occ DESC, pair ASC LIMIT 10
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (bucket = floor(n_tokens/10) capped at 12):
+    exact integer bucketing, map-side combine, ~13 groups at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = dt.tokens(F.col("text"))
+    bucket = F.least(F.floor(F.size(toks) / F.lit(10.0)), F.lit(12)).cast("long")
+    return (
+        docs.select(bucket.alias("bucket"), F.size(toks).cast("long").alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_LENGTH_HISTOGRAM = f"""
+WITH t AS (SELECT least(floor(len({_WORDS_ORDERED}) / 10.0), 12)::BIGINT AS bucket,
+             len({_WORDS_ORDERED})::BIGINT AS n_tokens
+           FROM documents)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+  min(n_tokens)::BIGINT AS min_tokens, max(n_tokens)::BIGINT AS max_tokens
+FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+
+REGISTRY.update(
+    {
+        "bm25_scores": QuerySpec(q_bm25_scores, SQL_BM25, "Okapi BM25 retrieval scoring"),
+        "bpe_merge_step": QuerySpec(
+            q_bpe_merge_step, SQL_BPE_MERGE, "BPE trainer merge step (char-pair counts)"
+        ),
+        "length_histogram": QuerySpec(
+            q_length_histogram, SQL_LENGTH_HISTOGRAM, "integer token-length histogram"
+        ),
+    }
+)

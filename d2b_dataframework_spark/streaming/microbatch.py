@@ -244,3 +244,26 @@ def poll_connector_stream(
         .trigger(processingTime=interval)
         .foreachBatch(on_tick)
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit each key once, dropping re-deliveries
+    that arrive within the watermark horizon (the at-least-once →
+    exactly-once repair stage in front of any streaming sink).
+
+    ``dropDuplicatesWithinWatermark`` is the scale-correct primitive:
+    state holds one entry per key and is EVICTED once the watermark
+    passes its first-seen event time — unlike a plain
+    ``dropDuplicates`` on a streaming frame, whose state grows without
+    bound. Duplicates separated by more than the watermark are the
+    upstream contract's problem (same convention as the reference's
+    engagement cache: d2b_data/facebook_organic.py cache upsert).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -510,3 +510,29 @@ def test_kmeans_assignment_plan_is_map_side(spark):
     out = kmeans_assignments(df, k=3, iters=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_bm25_ranks_term_rich_docs_higher(spark):
+    from d2b_dataframework_spark.datapipe.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark table row"),
+         (2, "spark unrelated words only here"),
+         (3, "nothing matching at all today")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark", "table"]).collect()}
+    assert out[1] > out[2] > out[3] == 0.0
+
+
+def test_bpe_merge_counts_char_pairs(spark):
+    from d2b_dataframework_spark.datapipe.text import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "aaaa bb"), (2, "aaab x")], "doc_id long, text string"
+    )
+    # "aaaa" -> aa,aa,aa; "aaab" -> aa,aa,ab; "bb" -> bb; "x" skipped
+    rows = {r["pair"]: (r["rank"], r["n_occ"])
+            for r in bpe_merge_candidates(df, top_n=10).collect()}
+    assert rows["aa"] == (1, 5)
+    assert rows["ab"][1] == 1 and rows["bb"][1] == 1

@@ -223,3 +223,43 @@ def test_session_kpis_streaming_and_batch_parity(spark, tmp_path):
         for r in session_summary(df, gap_minutes=30).collect()
     }
     assert batch == got
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    from d2b_dataframework_spark.streaming.microbatch import (
+        EVENTS_SCHEMA_DDL,
+        dedup_stream,
+        run_available_now,
+        stream_files,
+    )
+
+    src = str(tmp_path / "dup_landing")
+    rows1 = [
+        (1, 10, "2024-01-01 10:00:00", "click", 1.0, "{}"),
+        (2, 11, "2024-01-01 10:05:00", "view", 2.0, "{}"),
+        (1, 10, "2024-01-01 10:00:30", "click", 1.0, "{}"),  # same-batch dup
+    ]
+    rows2 = [
+        (2, 11, "2024-01-01 10:06:00", "view", 2.0, "{}"),  # cross-file dup
+        (3, 12, "2024-01-01 10:10:00", "click", 3.0, "{}"),
+    ]
+    schema = "event_id long, user_id long, ts string, event_type string, value double, props string"
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    stream = stream_files(spark, src, EVENTS_SCHEMA_DDL, max_files_per_trigger=1)
+    deduped = dedup_stream(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
