@@ -2625,3 +2625,106 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced subset: k-means clusters the embedding space,
+    then a deterministic per-cluster hash sample takes 20 vectors from
+    each cluster — the "semantic diversity" sampling stage of corpus
+    curation, composed from two already-verified operators."""
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+    from d2b_dataframework_spark.datapipe.splits import sample_per_group
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(emb, k=8, iters=2).select(
+        F.col("vid").alias("vec_id"), "cluster"
+    )
+    return (
+        sample_per_group(assigned, "cluster", 20, id_col="vec_id")
+        .select(F.col("cluster").cast("long").alias("cluster"), "rank", "vec_id")
+        .orderBy("cluster", "rank")
+    )
+
+
+def _sql_cluster_balanced_sample() -> str:
+    kmeans_cte = SQL_KMEANS.replace(
+        "SELECT vec_id, cid AS cluster, round(dist, 6) AS dist\nFROM a2 ORDER BY vec_id",
+        "SELECT vec_id, cid AS cluster FROM a2",
+    )
+    return f"""
+WITH assigned AS ({kmeans_cte})
+SELECT cluster, rank, vec_id FROM (
+  SELECT cluster, vec_id,
+    row_number() OVER (PARTITION BY cluster ORDER BY
+      ('0x' || substr(md5('sample:' || vec_id::VARCHAR), 1, 7))::BIGINT,
+      vec_id)::BIGINT AS rank
+  FROM assigned)
+WHERE rank <= 20 ORDER BY cluster, rank
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality/language filter → exact-dedup
+    keep-first → deterministic train/val/test split → per-(split, lang)
+    summary. The composed pipeline a real training-data run ships, each
+    stage an independently oracle-verified operator; everything before
+    the final tiny agg is projections + one fingerprint shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dt.filter_documents(
+        docs, min_tokens=10, min_quality=0.3, allowed_langs=["en", "es"]
+    )
+    keepers = (
+        dt.fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper"))
+        .select(F.col("keeper").alias("doc_id"))
+    )
+    from d2b_dataframework_spark.datapipe.splits import assign_split
+
+    deduped = kept.join(keepers, "doc_id", "left_semi")
+    return (
+        assign_split(deduped, "doc_id")
+        .groupBy("split", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split", "lang_pred")
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    filtered = _sql_filter_documents().replace("ORDER BY doc_id", "")
+    return f"""
+WITH filtered AS ({filtered}),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+  GROUP BY fp),
+deduped AS (SELECT f.* FROM filtered f JOIN keepers USING (doc_id)),
+split AS (
+  SELECT *,
+    CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 10 < 8
+         THEN 'train'
+         WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7))::BIGINT % 10 < 9
+         THEN 'val' ELSE 'test' END AS split
+  FROM deduped)
+SELECT split, lang_pred, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM split GROUP BY split, lang_pred ORDER BY split, lang_pred
+"""
+
+
+REGISTRY.update(
+    {
+        "cluster_balanced_sample": QuerySpec(
+            q_cluster_balanced_sample,
+            _sql_cluster_balanced_sample(),
+            "k-means + per-cluster hash sample (diversity-balanced subset)",
+        ),
+        "curation_pipeline": QuerySpec(
+            q_curation_pipeline,
+            _sql_curation_pipeline(),
+            "filter -> exact-dedup -> split -> summary, composed end-to-end",
+        ),
+    }
+)
