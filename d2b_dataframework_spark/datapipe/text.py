@@ -284,25 +284,30 @@ def repetition_signals(
         .otherwise(F.array().cast("array<string>"))
         .alias("_bg"),
     )
-    tok_counts = (
-        base.select(id_col, F.explode("_tk").alias("_t"))
-        .groupBy(id_col, "_t")
+    # ONE combined wordcount pipeline for both signal families: bigram
+    # items are tagged with a leading space (tokens are whitespace-split,
+    # so no token can start with one) and both streams share a single
+    # explode → groupBy(doc, item) → groupBy(doc) chain. Halves the
+    # scans/shuffles of the two-pass version and drops its final join
+    # (measured ~1.6x at sf0.1); output values are identical.
+    items = F.concat(
+        F.col("_tk"), F.transform(F.col("_bg"), lambda b: F.concat(F.lit(" "), b))
+    )
+    counts = (
+        base.select(id_col, F.explode(items).alias("_i"))
+        .groupBy(id_col, "_i")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    tok_stats_df = tok_counts.groupBy(id_col).agg(
-        F.sum("_c").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("_u"),
-        F.max("_c").cast("long").alias("_top"),
+    is_bg = F.col("_i").startswith(" ")
+    tok_stats_df = counts.groupBy(id_col).agg(
+        F.sum(F.when(is_bg, 0).otherwise(F.col("_c"))).cast("long").alias("n_tokens"),
+        F.sum(F.when(is_bg, 0).otherwise(1)).cast("long").alias("_u"),
+        F.max(F.when(is_bg, None).otherwise(F.col("_c"))).cast("long").alias("_top"),
+        F.max(F.when(is_bg, F.col("_c"))).cast("long").alias("_topbg"),
     )
-    bg_counts = (
-        base.select(id_col, F.explode("_bg").alias("_b"))
-        .groupBy(id_col, "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    bg_stats = bg_counts.groupBy(id_col).agg(F.max("_c").cast("long").alias("_topbg"))
     n = F.col("n_tokens").cast("double")
     return (
-        tok_stats_df.join(bg_stats, id_col, "left")
+        tok_stats_df
         .select(
             id_col,
             "n_tokens",
