@@ -102,6 +102,12 @@ def global_shuffle(
     (shard, pos) order is a uniform permutation that any engine, any
     cluster size, any restart reproduces exactly. Downstream writers
     emit one file per shard; readers stream shards in order.
+
+    Size ``n_shards`` to the cluster, not the default: the within-shard
+    sort runs one reducer per shard, so at 100TB use thousands of
+    shards (~ total cores, and small enough that a shard fits an
+    executor's spill budget). The permutation stays deterministic for
+    any shard count.
     """
     h = F.conv(
         F.substring(

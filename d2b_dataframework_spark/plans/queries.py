@@ -2728,3 +2728,51 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator coverage: INTERSECT / EXCEPT / UNION-DISTINCT over
+    the click and purchase user sets, counted declaratively (no driver
+    collect; each branch compiles to Spark's semi/anti aggregate
+    shapes). The single-pass production rewrite of the same decision is
+    `customer_activity_flags` (conditional aggregation) — this query
+    exists to pin the set operators themselves."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+
+    def counted(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("op"), F.count(F.lit(1)).cast("long").alias("n_users")
+        )
+
+    return (
+        counted("click_and_buy", clicks.intersect(buys))
+        .unionByName(counted("click_only", clicks.subtract(buys)))
+        .unionByName(counted("click_or_buy", clicks.union(buys).distinct()))
+        .orderBy("op")
+    )
+
+
+SQL_USER_SET_OPS = """
+WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buys AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'click_and_buy' AS op, count(*)::BIGINT AS n_users
+  FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys)
+UNION ALL
+SELECT 'click_only', count(*)::BIGINT
+  FROM (SELECT user_id FROM clicks EXCEPT SELECT user_id FROM buys)
+UNION ALL
+SELECT 'click_or_buy', count(*)::BIGINT
+  FROM (SELECT user_id FROM clicks UNION SELECT user_id FROM buys)
+ORDER BY op
+"""
+
+
+REGISTRY.update(
+    {
+        "user_set_ops": QuerySpec(
+            q_user_set_ops, SQL_USER_SET_OPS, "INTERSECT/EXCEPT/UNION set operators"
+        ),
+    }
+)
