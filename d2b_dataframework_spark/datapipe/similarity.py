@@ -244,9 +244,22 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded quantized-LSH
     blocking + exact cosine verification.
+
+    ``max_bucket_size``: optional hot-bucket guard. LSH's linearity
+    assumes the cloud is spread; a tightly concentrated family (e.g.
+    thousands of embeddings of near-identical boilerplate) lands in ONE
+    bucket per band and the candidate join goes quadratic in that
+    family's size (tools/scale_probe.py reproduces a ~200x blowup this
+    way). Capping drops band buckets with more than this many members
+    before the join — the standard production mitigation. Recall
+    tradeoff: pairs whose EVERY matching band is over the cap are
+    missed; genuinely duplicated families that big should be routed
+    through exact dedup first (their fingerprints collide anyway).
+    Default None preserves exact banded semantics (and the SQL oracle).
 
     Scale shape: signatures are map-side codegen; candidates come from a
     band-key equi-join (explode x n_bands, one shuffle); only candidate
@@ -285,6 +298,18 @@ def cosine_near_dup_pairs(
             )
         ).alias("band"),
     ).select("vid", "band.band_id", "band.band_key")
+    if max_bucket_size is not None:
+        # Hot-bucket guard: one extra count-agg on (band_id, band_key) —
+        # the same shuffle key the candidate join uses — then drop rows
+        # of over-cap buckets before the join fans them out.
+        sizes = bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = (
+            bands.join(sizes, ["band_id", "band_key"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     left = bands.select(F.col("vid").alias("id_a"), "band_id", "band_key")
     right = bands.select(F.col("vid").alias("id_b"), "band_id", "band_key")
     cands = (

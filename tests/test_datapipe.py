@@ -536,3 +536,20 @@ def test_bpe_merge_counts_char_pairs(spark):
             for r in bpe_merge_candidates(df, top_n=10).collect()}
     assert rows["aa"] == (1, 5)
     assert rows["ab"][1] == 1 and rows["bb"][1] == 1
+
+
+def test_cosine_near_dup_hot_bucket_cap(spark):
+    """A concentrated family (identical vectors) lands in one bucket per
+    band; the cap drops those buckets, spread pairs still verify."""
+    rows = [(i, [10.0, 10.0, 0.0, 0.0]) for i in range(20)]  # hot family
+    rows += [(100, [1.0, -2.0, 3.0, -4.0]), (101, [1.0, -2.0, 3.0, -4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = sim.cosine_near_dup_pairs(df, threshold=0.99, dim=4)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 20 * 19 // 2  # hot family is quadratic
+    capped = sim.cosine_near_dup_pairs(df, threshold=0.99, dim=4, max_bucket_size=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs          # spread pair survives the cap
+    assert all(a >= 100 for a, _ in pairs)  # hot family dropped
+    cache.release(uncapped)
+    cache.release(capped)

@@ -1,0 +1,128 @@
+"""Scaling probe: do the heavy operators actually scale linearly?
+
+Synthesizes 3x and 10x variants of the sf0.1 documents/embeddings tables
+(replica-prefixed tokens / replica-perturbed vectors, so replicas are
+DISTINCT documents — no artificial duplicate clusters inflating candidate
+counts) and times the dedup/ANN family at each size in one session.
+
+A banded/blocked pipeline should grow ~linearly in corpus size; an
+accidental O(n^2) stage shows up as a ~9x/100x blowup at 3x/10x. This is
+the empirical check behind the "survives 100TB" claims in README.md —
+run it after touching anything in datapipe/.
+
+Usage: python tools/scale_probe.py [sf_dir]   (writes nothing outside /tmp)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def synth_docs(docs, mult: int):
+    """mult distinct replicas: every token gets a replica prefix, ids are
+    offset — replicas share no shingles with each other or the base."""
+    replicas = []
+    n = docs.count()
+    for r in range(mult):
+        rep = docs.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"r{r}_$1").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        replicas.append(rep)
+    out = replicas[0]
+    for rep in replicas[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def synth_vecs(emb, mult: int):
+    """Replica vectors perturbed PER VECTOR (offset a function of
+    (vec_id, dim)), keeping the cloud's spread. Any fixed per-replica
+    shift of magnitude ≳ the data spread concentrates that replica on
+    one side of every LSH hyperplane — one hot bucket per band, a
+    quadratic candidate join. That is a pathological (though real:
+    near-constant embedding clusters) input, not a scaling measurement;
+    the guard for it is max_bucket_size in cosine_near_dup_pairs.
+    Perturbation sd ~0.1 matches the table's per-dim sd of 0.125."""
+    replicas = []
+    for r in range(mult):
+        rep = emb.select(
+            (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                F.sequence(F.lit(1), F.size("embedding")),
+                lambda x, i: x
+                + F.lit(0.1 * min(r, 1))
+                * F.sin(
+                    (F.col("vec_id") * F.lit(0.7) + i.cast("double") * F.lit(2.39996))
+                    * F.lit(float(r))
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+        replicas.append(rep)
+    out = replicas[0]
+    for rep in replicas[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from d2b_dataframework_spark.core.session import get_session
+    from d2b_dataframework_spark.datapipe import cache
+    from d2b_dataframework_spark.datapipe import dedup as dd
+    from d2b_dataframework_spark.datapipe import similarity as sim
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+
+    spark = get_session("scale_probe", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    ops = {
+        "minhash_lsh": lambda d, e: dd.minhash_duplicate_pairs(d, threshold=0.7),
+        "simhash_near_dup": lambda d, e: dd.simhash_near_dup_pairs(d, max_hamming=3),
+        "segment_dedup": lambda d, e: dd.segment_dup_stats(d, window=10),
+        "exact_dedup": lambda d, e: dd.exact_duplicates(d),
+        "cosine_near_dup": lambda d, e: sim.cosine_near_dup_pairs(e, threshold=0.95),
+        "kmeans_2iter": lambda d, e: kmeans_assignments(e, k=8, iters=2),
+    }
+
+    print(f"{'op':20s} {'1x':>8s} {'3x':>8s} {'10x':>8s} {'r3':>6s} {'r10':>6s}")
+    for name, build in ops.items():
+        times = {}
+        for mult in (1, 3, 10):
+            docs = base_docs if mult == 1 else synth_docs(base_docs, mult)
+            emb = base_emb if mult == 1 else synth_vecs(base_emb, mult)
+            # warm once at 1x so JVM costs don't land on the 1x timing
+            if mult == 1:
+                out = build(docs, emb)
+                out.write.format("noop").mode("overwrite").save()
+                cache.release(out)
+                spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = build(docs, emb)
+            out.write.format("noop").mode("overwrite").save()
+            times[mult] = time.perf_counter() - t0
+            cache.release(out)
+            spark.catalog.clearCache()
+        r3, r10 = times[3] / times[1], times[10] / times[1]
+        print(
+            f"{name:20s} {times[1]:8.2f} {times[3]:8.2f} {times[10]:8.2f}"
+            f" {r3:6.1f} {r10:6.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
