@@ -45,6 +45,9 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,12 +95,39 @@ def _assign(qv: Column, cent_arr: Column) -> Column:
     return F.array_min(scored)
 
 
+def _assign_pandas_udf(cents: list[dict]):
+    """Arrow-batched assignment twin: one int64 matmul per batch instead
+    of k×dim interpreted HOF lambdas per row. BIT-IDENTICAL to
+    :func:`_assign` by construction, not by luck: x·x, x·s and 2·(x·s)
+    are exact integer values (every int64 add is exact, so summation
+    order is irrelevant — no SIMD-vs-fold divergence possible), the two
+    divisions see identical operands, and the final sub/add are single
+    IEEE ops on identical doubles. Ties break to the lowest cid on both
+    paths (cents are cid-sorted; np.argmin returns the first minimum)."""
+    S = np.array([c["s"] for c in cents], dtype=np.int64)  # k × dim
+    SS = np.array([c["ss"] for c in cents], dtype=np.float64)
+    N = np.array([c["n"] for c in cents], dtype=np.float64)
+    CIDS = np.array([c["cid"] for c in cents], dtype=np.int64)
+
+    def assign(emb):  # hint-free: plain scalar pandas UDF
+        Q = np.stack(emb.to_numpy()).astype(np.int64)  # integer-valued
+        XX = (Q * Q).sum(axis=1).astype(np.float64)  # exact ints
+        T2 = (2 * (Q @ S.T)).astype(np.float64)  # exact ints
+        D = (XX[:, None] - T2 / N[None, :]) + SS[None, :] / (N * N)[None, :]
+        idx = np.argmin(D, axis=1)
+        rows = np.arange(len(idx))
+        return pd.DataFrame({"cid": CIDS[idx], "dist": D[rows, idx]})
+
+    return F.pandas_udf(assign, "struct<cid: bigint, dist: double>")
+
+
 def kmeans_assignments(
     corpus: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Run ``iters`` Lloyd assignment passes; return the final assignment
     ``(id, cluster, dist)`` where dist is the exact quantized squared-L2
@@ -108,6 +138,11 @@ def kmeans_assignments(
     plan shape is identical). Clusters that receive no members drop out
     of subsequent iterations (never happens on real corpora with sane
     k; defined behavior, mirrored by the SQL oracle, if it does).
+
+    ``vectorized=True`` assigns via the Arrow-batched twin
+    (:func:`_assign_pandas_udf` — equivalence guaranteed by exact
+    integer arithmetic, equivalence-tested too); ``False`` keeps the
+    pure-Catalyst HOF path.
     """
     base = corpus.select(
         F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("qv")
@@ -129,8 +164,10 @@ def kmeans_assignments(
 
     assigned = None
     for it in range(iters):
-        cent_arr = _centroid_literal(cents)
-        best = _assign(F.col("qv"), cent_arr)
+        if vectorized:
+            best = _assign_pandas_udf(cents)(F.col("qv"))
+        else:
+            best = _assign(F.col("qv"), _centroid_literal(cents))
         assigned = base.select(
             "vid",
             "qv",

@@ -249,7 +249,7 @@ def _minhash_signatures_vectorized(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id"
+    signatures: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -257,6 +257,13 @@ def lsh_candidate_pairs(
     the band bucket, keep id_a < id_b. The join key is (band_id, band_key)
     so a bucket never crosses bands; shuffle partitions by bucket —
     linear in corpus size for non-degenerate data.
+
+    ``max_bucket_size``: optional hot-bucket guard for degenerate data
+    (a family of thousands of identical/near-identical docs collapses
+    into one bucket per band and the join goes quadratic in the family
+    size — see SCALING.md). Over-cap buckets are dropped before the
+    join; such families should be collapsed by exact dedup first.
+    Default None preserves exact banded semantics (the oracle contract).
     """
     bands = signatures.select(
         F.col(id_col),
@@ -278,6 +285,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = (
+            bands.join(sizes, ["band_id", "band_key"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -308,12 +324,14 @@ def minhash_duplicate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates
     → exact Jaccard verification at `threshold`. Returns
-    (id_a, id_b, jaccard_sim)."""
+    (id_a, id_b, jaccard_sim). ``max_bucket_size`` passes through to the
+    hot-bucket guard in :func:`lsh_candidate_pairs`."""
     sigs = minhash_signatures(df, text_col, id_col, n).cache()
-    cands = lsh_candidate_pairs(sigs, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
     toks = sigs.select(F.col(id_col), F.col("token_hashes"))
     verified = (
         cands.join(toks.withColumnsRenamed({id_col: "id_a", "token_hashes": "toks_a"}), "id_a")
@@ -456,6 +474,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int | None = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the 32-bit fingerprint into 4
     bytes; any shared byte makes a candidate pair (pigeonhole: hamming
@@ -490,6 +509,16 @@ def simhash_near_dup_pairs(
             )
         ).alias("band"),
     ).select("vid", "simhash", "band.band_id", "band.band_val")
+    if max_bucket_size is not None:
+        # Hot-bucket guard — same rationale as lsh_candidate_pairs.
+        sizes = bands.groupBy("band_id", "band_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = (
+            bands.join(sizes, ["band_id", "band_val"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     left = bands.select(
         F.col("vid").alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val"
     )

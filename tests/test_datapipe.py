@@ -553,3 +553,16 @@ def test_cosine_near_dup_hot_bucket_cap(spark):
     assert all(a >= 100 for a, _ in pairs)  # hot family dropped
     cache.release(uncapped)
     cache.release(capped)
+
+
+def test_kmeans_vectorized_matches_declarative(spark):
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+
+    rows = [(i, [((i * 13 + d * 7) % 29) / 7.0 - 2.0 for d in range(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fast = {(r["vid"], r["cluster"], r["dist"])
+            for r in kmeans_assignments(df, k=5, iters=3, vectorized=True).collect()}
+    slow = {(r["vid"], r["cluster"], r["dist"])
+            for r in kmeans_assignments(df, k=5, iters=3, vectorized=False).collect()}
+    assert fast == slow and len(fast) == 60
