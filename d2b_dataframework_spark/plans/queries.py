@@ -2776,3 +2776,42 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster curation dashboard over the k-means assignment:
+    member count and mean quantized distance (decimal-exact sum)."""
+    from d2b_dataframework_spark.datapipe.clustering import (
+        cluster_profile,
+        kmeans_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cluster_profile(kmeans_assignments(emb, k=8, iters=2))
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_members",
+        F.round(F.col("mean_dist"), 4).alias("mean_dist"),
+    ).orderBy("cluster")
+
+
+def _sql_cluster_profile() -> str:
+    kmeans_cte = SQL_KMEANS.replace(
+        "SELECT vec_id, cid AS cluster, round(dist, 6) AS dist\nFROM a2 ORDER BY vec_id",
+        "SELECT vec_id, cid AS cluster, round(dist, 6) AS dist FROM a2",
+    )
+    return f"""
+WITH assigned AS ({kmeans_cte})
+SELECT cluster, count(*)::BIGINT AS n_members,
+  round(CAST(SUM(dist::DECIMAL(28,6)) AS DOUBLE) / count(*)::DOUBLE, 4) AS mean_dist
+FROM assigned GROUP BY cluster ORDER BY cluster
+"""
+
+
+REGISTRY.update(
+    {
+        "cluster_profile": QuerySpec(
+            q_cluster_profile, _sql_cluster_profile(), "per-cluster size + mean distance"
+        ),
+    }
+)
