@@ -104,11 +104,14 @@ def extract_image_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame
     )
 
 
-def sample_video_frames(assets: DataFrame, every_n: int = 30) -> DataFrame:
+def sample_video_frames(
+    assets: DataFrame, every_n: int = 30, bytes_per_frame: int = 1024
+) -> DataFrame:
     """Frame-sampling plumbing for video assets. The decode is stubbed to
-    a deterministic frame count derived from byte length; the output shape
-    (one row per sampled frame, frame index + frame bytes) is the real
-    contract a production decoder must honor."""
+    a deterministic frame count derived from byte length
+    (``len(content) // bytes_per_frame``); the output shape (one row per
+    sampled frame, frame index + frame bytes) is the real contract a
+    production decoder must honor."""
     schema = StructType(
         [
             StructField("asset_id", StringType()),
@@ -122,7 +125,7 @@ def sample_video_frames(assets: DataFrame, every_n: int = 30) -> DataFrame:
             rows = {"asset_id": [], "frame_index": [], "frame": []}
             for _, row in pdf.iterrows():
                 content = row["content"] or b""
-                n_frames = max(1, len(content) // 1024)
+                n_frames = max(1, len(content) // bytes_per_frame)
                 for idx in range(0, n_frames, every_n):
                     rows["asset_id"].append(row["asset_id"])
                     rows["frame_index"].append(idx)

@@ -2815,3 +2815,48 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out over video assets (every 2nd stub frame of
+    64-byte units): verifies the one-row-per-frame mapInPandas contract
+    — the row multiplication a production decoder must reproduce."""
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("video")).otherwise(F.lit("image")).alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(F.lit("src"), F.lit("documents")).alias("meta"),
+    )
+    frames = mm.sample_video_frames(assets, every_n=2, bytes_per_frame=64)
+    return frames.select(
+        "asset_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.octet_length("frame").cast("long").alias("n_frame_bytes"),
+    ).orderBy("asset_id", "frame_index")
+
+
+SQL_VIDEO_FRAMES = """
+WITH vids AS (
+  SELECT 'asset-' || doc_id::VARCHAR AS asset_id,
+    octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents WHERE doc_id % 3 = 2),
+frames AS (
+  SELECT asset_id, n_bytes,
+    unnest(range(0, greatest(n_bytes // 64, 1), 2))::BIGINT AS frame_index
+  FROM vids)
+SELECT asset_id, frame_index,
+  least(16, n_bytes - frame_index)::BIGINT AS n_frame_bytes
+FROM frames ORDER BY asset_id, frame_index
+"""
+
+
+REGISTRY.update(
+    {
+        "video_frame_sample": QuerySpec(
+            q_video_frame_sample, SQL_VIDEO_FRAMES, "per-frame fan-out plumbing (stub decode)"
+        ),
+    }
+)
