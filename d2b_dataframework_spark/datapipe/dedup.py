@@ -104,14 +104,16 @@ def shingle_hashes(
     )
 
 
-# Java-regex parity: Spark's regexp_replace(\s+) matches ONLY Java's
-# default \s = [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS), and Java
-# String.trim() strips code points <= U+0020 — while Python's \s and
-# str.strip() are Unicode-aware (\xa0,  - , 　, ...).
-# The twin must use the JAVA definitions or a non-breaking space makes
-# the two paths tokenize differently.
+# Engine parity: Spark's regexp_replace(\s+) matches ONLY Java's
+# default \s = [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS), and Spark's
+# SQL trim() strips ONLY U+0020 — while Python's \s and bare str.strip()
+# are Unicode-aware (\xa0, thin/ideographic spaces, ...) and strip() also
+# eats control chars. The twin must mirror the engine definitions exactly:
+# collapse the Java \s class, then strip spaces ONLY (a stray \x08 is a
+# token byte, not whitespace — caught by hypothesis in test_properties.py;
+# the former strip of all chars <= U+0020 silently dropped it).
 _JAVA_WS_RUN = re.compile("[ \t\n\x0b\f\r]+")
-_JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
+_SQL_TRIM_CHARS = " "
 
 
 def _text_to_hashes(text: str, shingle_n: int | None):
@@ -130,7 +132,7 @@ def _text_to_hashes(text: str, shingle_n: int | None):
     import hashlib
 
     cache = _text_to_hashes._cache
-    norm = _JAVA_WS_RUN.sub(" ", (text or "").lower()).strip(_JAVA_TRIM_CHARS)
+    norm = _JAVA_WS_RUN.sub(" ", (text or "").lower()).strip(_SQL_TRIM_CHARS)
     toks = norm.split(" ")
     if shingle_n is None or shingle_n <= 1:
         items = set(toks)

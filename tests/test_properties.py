@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): engine-portability invariants that
+example tests can't sweep — arbitrary unicode ids/weights/sizes. These
+guard the determinism contracts the oracle gate relies on."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=30, unique=True),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=5),
+        min_size=2,
+        max_size=4,
+    ),
+)
+@settings(**SETTINGS)
+def test_assign_split_total_and_stable(spark, ids, weights):
+    """Every row lands in exactly one split, and assignment is invariant
+    under repartitioning (pure function of the id)."""
+    from d2b_dataframework_spark.datapipe.splits import assign_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in assign_split(df, weights=weights).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in assign_split(df.repartition(5), weights=weights).collect()}
+    assert a == b
+    assert set(a) == set(ids)
+    assert set(a.values()) <= set(weights)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_vectorized_twin_on_arbitrary_unicode(spark, texts):
+    """The Arrow twin must hash ARBITRARY unicode identically to the
+    declarative path (the r1 caveat, generalized beyond examples)."""
+    from d2b_dataframework_spark.datapipe import dedup as dd
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = ["doc_id"] + [f"mh_{i}" for i in range(dd.N_HASHES)]
+    fast = sorted(
+        tuple(r[c] for c in cols)
+        for r in dd.minhash_signatures(df, vectorized=True).collect()
+    )
+    slow = sorted(
+        tuple(r[c] for c in cols)
+        for r in dd.minhash_signatures(df, vectorized=False).collect()
+    )
+    assert fast == slow
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=25),
+    budget=st.integers(min_value=64, max_value=512),
+)
+@settings(**SETTINGS)
+def test_pack_plan_never_splits_mid_doc_and_fills_in_order(spark, sizes, budget):
+    from d2b_dataframework_spark.datapipe.packing import pack_plan
+
+    rows = [(i, "s", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tokens long")
+    out = sorted(
+        pack_plan(df, budget=budget, partition_cols=["shard"]).collect(),
+        key=lambda r: (r["pack_id"], r["offset_in_pack"]),
+    )
+    # concat-and-split: global stream offset is contiguous over doc order
+    stream = 0
+    for r in out:
+        assert r["pack_id"] * budget + r["offset_in_pack"] == stream
+        stream += sizes[r["doc_id"]]
+    assert len(out) == len(sizes)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=2,
+        max_size=16,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_int8_roundtrip_error_bound(spark, vals):
+    """|x - code*scale| <= scale/2 per element (half-up rounding), so
+    recon_err <= dim * (scale/2)^2 + fp slack."""
+    from d2b_dataframework_spark.datapipe.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, vals)], "vec_id long, embedding array<double>")
+    r = quantize_int8(df).collect()[0]
+    codes = [int(c) for c in r["codes"].split(",")]
+    assert all(-127 <= c <= 127 for c in codes)
+    bound = len(vals) * (r["scale"] / 2.0) ** 2 if r["scale"] else 0.0
+    assert r["recon_err"] <= bound * 1.001 + 1e-9
