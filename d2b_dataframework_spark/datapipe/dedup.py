@@ -830,3 +830,90 @@ def segment_dup_stats(
             ).alias("shared_ratio"),
         )
     )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Daily-ingest admission control: classify each NEW document against
+    the EXISTING corpus as ``exact_dup`` (fingerprint collision),
+    ``near_dup`` (MinHash-banded Jaccard >= threshold vs any corpus
+    doc), or ``new`` (admitted).
+
+    Scale shape: this is the asymmetric version of the self-join dedup —
+    the ingest batch is orders of magnitude smaller than the corpus, so
+    the band join is new x corpus on the band key (linear, never
+    corpus x corpus), the fingerprint check is a semi-join, and in
+    production the corpus side reads PREcomputed fingerprint/signature
+    artifacts (the staging tables every operator here can emit) instead
+    of recomputing them per batch.
+    """
+    from d2b_dataframework_spark.datapipe.text import fingerprint
+
+    corp_fp = fingerprint(corpus, text_col, id_col).select("fingerprint").distinct()
+    new_fp = fingerprint(new, text_col, id_col)
+    exact_ids = (
+        new_fp.join(corp_fp, "fingerprint", "left_semi")
+        .select(F.col(id_col).alias("_eid"))
+        .distinct()
+    )
+
+    sigs_new = minhash_signatures(new, text_col, id_col, n).cache()
+    sigs_corp = minhash_signatures(corpus, text_col, id_col, n).cache()
+
+    def bands_of(sigs, out_id):
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"mh_{b * ROWS_PER_BAND + r}")
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select(out_id, "band.band_id", "band.band_key")
+
+    cands = (
+        bands_of(sigs_new, "_nid")
+        .join(bands_of(sigs_corp, "_cid"), ["band_id", "band_key"])
+        .select("_nid", "_cid")
+        .distinct()
+    )
+    toks_new = sigs_new.select(F.col(id_col).alias("_nid"), F.col("token_hashes").alias("_tn"))
+    toks_corp = sigs_corp.select(F.col(id_col).alias("_cid"), F.col("token_hashes").alias("_tc"))
+    near_ids = (
+        cands.join(toks_new, "_nid")
+        .join(toks_corp, "_cid")
+        .filter(F.round(jaccard(F.col("_tn"), F.col("_tc")), 6) >= threshold)
+        .select(F.col("_nid").alias("_near_id"))
+        .distinct()
+    )
+    out = (
+        new.select(id_col)
+        .join(exact_ids, F.col(id_col) == F.col("_eid"), "left")
+        .join(near_ids, F.col(id_col) == F.col("_near_id"), "left")
+        .select(
+            id_col,
+            F.when(F.col("_eid").isNotNull(), "exact_dup")
+            .when(F.col("_near_id").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("status"),
+            (F.col("_eid").isNull() & F.col("_near_id").isNull()).alias("admitted"),
+        )
+    )
+    return cache.track(out, sigs_new, sigs_corp)

@@ -2860,3 +2860,86 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest admission: a synthetic batch (one exact copy, one
+    near-dup mutant, one genuinely-new rewrite per 3 docs) classified
+    against the existing corpus — exact fingerprint semi-join + banded
+    MinHash near-dup check, new x corpus (never corpus x corpus)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" zzzz")))
+        .otherwise(F.regexp_replace(F.col("text"), r"(\S+)", r"x$1"))
+        .alias("text"),
+    )
+    out = dd.incremental_dedup(batch, docs, threshold=0.7)
+    return out.orderBy("doc_id")
+
+
+def _sql_incremental_ingest() -> str:
+    perms = dd.PERMS
+    p = dd.MERSENNE31
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))" for a, b in perms
+    )
+    band_rows = ", ".join(f"({b})" for b in range(dd.N_BANDS))
+    rpb = dd.ROWS_PER_BAND
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+newb AS (
+  SELECT doc_id + 10000 AS doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text
+         WHEN doc_id % 3 = 1 THEN text || ' zzzz'
+         ELSE regexp_replace(text, '(\\S+)', 'x\\1', 'g') END AS text
+  FROM documents),
+corp_fp AS (SELECT DISTINCT md5({_NORM}) AS fp FROM corpus),
+new_fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM newb),
+exact_ids AS (SELECT DISTINCT doc_id FROM new_fp WHERE fp IN (SELECT fp FROM corp_fp)),
+ch AS (SELECT doc_id, list_distinct(list_transform({_SHINGLES}, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)) AS hs
+       FROM (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus)),
+nh AS (SELECT doc_id, list_distinct(list_transform({_SHINGLES}, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)) AS hs
+       FROM (SELECT doc_id, {_WORDS_ORDERED} AS words FROM newb)),
+csig AS (SELECT doc_id, hs, [{sig_items}] AS sig FROM ch),
+nsig AS (SELECT doc_id, hs, [{sig_items}] AS sig FROM nh),
+cbands AS (
+  SELECT doc_id, b.band_id,
+    array_to_string(list_slice(sig, b.band_id * {rpb} + 1, b.band_id * {rpb} + {rpb}), '_') AS band_key
+  FROM csig, (VALUES {band_rows}) b(band_id)),
+nbands AS (
+  SELECT doc_id, b.band_id,
+    array_to_string(list_slice(sig, b.band_id * {rpb} + 1, b.band_id * {rpb} + {rpb}), '_') AS band_key
+  FROM nsig, (VALUES {band_rows}) b(band_id)),
+cands AS (
+  SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+  FROM nbands n JOIN cbands c ON n.band_id = c.band_id AND n.band_key = c.band_key),
+near_ids AS (
+  SELECT DISTINCT cands.nid AS doc_id
+  FROM cands
+  JOIN nh ON nh.doc_id = cands.nid
+  JOIN ch ON ch.doc_id = cands.cid
+  WHERE round(len(list_intersect(nh.hs, ch.hs))::DOUBLE
+        / len(list_distinct(nh.hs || ch.hs))::DOUBLE, 6) >= 0.7)
+SELECT n.doc_id,
+  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'new' END AS status,
+  (e.doc_id IS NULL AND nr.doc_id IS NULL) AS admitted
+FROM newb n
+LEFT JOIN exact_ids e ON e.doc_id = n.doc_id
+LEFT JOIN near_ids nr ON nr.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "incremental_ingest": QuerySpec(
+            q_incremental_ingest,
+            _sql_incremental_ingest(),
+            "new-batch admission vs existing corpus (exact + banded near-dup)",
+        ),
+    }
+)

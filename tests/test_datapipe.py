@@ -566,3 +566,25 @@ def test_kmeans_vectorized_matches_declarative(spark):
     slow = {(r["vid"], r["cluster"], r["dist"])
             for r in kmeans_assignments(df, k=5, iters=3, vectorized=False).collect()}
     assert fast == slow and len(fast) == 60
+
+
+def test_incremental_dedup_classifies_batch(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),          # exact
+         (11, "one two three four five six seven eight nine extra"),      # near
+         (12, "wholly unrelated fresh content with novel words only")],   # new
+        "doc_id long, text string",
+    )
+    out = dd.incremental_dedup(batch, corpus, threshold=0.5)
+    got = {r["doc_id"]: (r["status"], r["admitted"]) for r in out.collect()}
+    assert got == {
+        10: ("exact_dup", False),
+        11: ("near_dup", False),
+        12: ("new", True),
+    }
+    cache.release(out)
