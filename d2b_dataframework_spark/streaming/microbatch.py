@@ -267,3 +267,65 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def ingest_admission_stream(
+    docs_stream: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    audit_path: str | None = None,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataStreamWriter:
+    """Continuous corpus-ingest admission: every micro-batch of documents
+    is classified against the CURRENT sink corpus with
+    ``datapipe.dedup.incremental_dedup`` (exact fingerprint + banded
+    MinHash near-dup) and only admitted docs are appended; rejected rows
+    optionally land in ``audit_path`` with their status.
+
+    The corpus-state problem is solved the same way as
+    :func:`poll_connector_stream`: state IS the sink. No signature set
+    in driver memory, restart-safe by construction, and a batch never
+    self-inflates the corpus (admission compares against what has
+    actually landed). At scale the sink side would read the persisted
+    signature staging table instead of recomputing — the operator's
+    contract is unchanged.
+    """
+    from d2b_dataframework_spark.datapipe import cache as dp_cache
+    from d2b_dataframework_spark.datapipe.dedup import incremental_dedup
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([id_col])
+        try:
+            spark.catalog.refreshByPath(sink_path)
+            corpus = spark.read.parquet(sink_path)
+        except AnalysisException:  # first batch — empty corpus, admit all
+            batch.write.mode("append").parquet(sink_path)
+            return
+        verdict_lazy = incremental_dedup(
+            batch, corpus, threshold=threshold, text_col=text_col, id_col=id_col
+        )
+        # Materialize ONCE before any sink write: the verdict plan reads
+        # the sink, and it is consumed twice (admission filter + audit).
+        # Lazy re-execution after the append would re-list the sink and
+        # classify a just-admitted doc as a duplicate of itself.
+        verdict = verdict_lazy.localCheckpoint(eager=True)
+        dp_cache.release(verdict_lazy)
+        admitted = batch.join(
+            verdict.filter(F.col("admitted")).select(id_col), id_col, "left_semi"
+        )
+        admitted.write.mode("append").parquet(sink_path)
+        if audit_path is not None:
+            verdict.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(audit_path)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(on_batch)
+    )

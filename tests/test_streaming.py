@@ -263,3 +263,44 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]
+
+
+def test_ingest_admission_stream_blocks_dups(spark, tmp_path):
+    from d2b_dataframework_spark.streaming.microbatch import (
+        ingest_admission_stream,
+        run_available_now,
+        stream_files,
+    )
+
+    src = str(tmp_path / "ingest_landing")
+    schema = "doc_id long, text string"
+    # file 1: two distinct docs. file 2: one exact dup, one near dup, one new.
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "one two three four five six seven eight nine extra"),
+         (12, "wholly unrelated fresh content with novel words only")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "corpus")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    q = run_available_now(
+        ingest_admission_stream(stream, sink, ckpt, audit_path=audit, threshold=0.5)
+    )
+    q.awaitTermination(180)
+
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    # 1,2 admitted as the seed corpus; of the second file only 12 survives
+    # (10 exact-dup, 11 near-dup). Batch order across the two files is
+    # checkpoint-deterministic (maxFilesPerTrigger=1, lexicographic).
+    assert set(landed) >= {1, 2, 12} and 10 not in landed and 11 not in landed
+    statuses = {r["doc_id"]: r["status"] for r in spark.read.parquet(audit).collect()}
+    assert statuses.get(10) == "exact_dup" and statuses.get(11) == "near_dup"
+    assert statuses.get(12) == "new"
