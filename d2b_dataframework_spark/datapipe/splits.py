@@ -155,7 +155,7 @@ def weighted_sample(
         ]
     )
     thr = F.coalesce(
-        thresholds.getItem(F.col(group_col)),
+        thresholds[F.col(group_col)],
         F.lit(int(round(default_rate * resolution))),
     )
     return df.withColumn("bucket", bucket).filter(F.col("bucket") < thr).drop("bucket")

@@ -818,7 +818,7 @@ def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy = emb.select(
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.array(F.try_element_at("embedding", F.lit(1)) + F.lit(0.05)),
             F.slice("embedding", 2, 63),
         ).alias("embedding"),
     )
