@@ -89,6 +89,18 @@ def main() -> None:
 
     base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # Fixed ingest batch for the asymmetric probe: a mutated 1x copy
+    # (mix of near-dups and fresh docs vs any corpus replica set).
+    base_docs_mut = [
+        base_docs.select(
+            (F.col("doc_id") + 90_000_000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" qq"))
+            )
+            .otherwise(F.regexp_replace(F.col("text"), r"(\S+)", r"y$1"))
+            .alias("text"),
+        )
+    ]
 
     ops = {
         "minhash_lsh": lambda d, e: dd.minhash_duplicate_pairs(d, threshold=0.7),
@@ -97,6 +109,12 @@ def main() -> None:
         "exact_dedup": lambda d, e: dd.exact_duplicates(d),
         "cosine_near_dup": lambda d, e: sim.cosine_near_dup_pairs(e, threshold=0.95),
         "kmeans_2iter": lambda d, e: kmeans_assignments(e, k=8, iters=2),
+        # Asymmetric ingest: FIXED 1x batch admitted against the GROWING
+        # corpus — the daily-ingest contract. Should grow with corpus
+        # scan cost only (signatures + band join), never batch x corpus.
+        "incremental_vs_corpus": lambda d, e: dd.incremental_dedup(
+            base_docs_mut[0], d, threshold=0.7
+        ),
     }
 
     print(f"{'op':20s} {'1x':>8s} {'3x':>8s} {'10x':>8s} {'r3':>6s} {'r10':>6s}")
