@@ -2943,3 +2943,43 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components on an adversarial
+    LONG-CHAIN pair graph (doc i ~ doc i+1 within runs of 25) — the
+    worst case for diameter-bound label propagation, converged in
+    O(log n) rounds by the star algorithm."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = docs.filter(F.col("doc_id") % 25 != 24).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return dd.connected_components_star(pairs).orderBy("doc_id")
+
+
+SQL_CHAIN_COMPONENTS = """
+WITH RECURSIVE pairs AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id % 25 <> 24),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id WHERE w.lab < e.b)
+SELECT id::BIGINT AS doc_id, MIN(lab)::BIGINT AS cluster_id
+FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "chain_components": QuerySpec(
+            q_chain_components,
+            SQL_CHAIN_COMPONENTS,
+            "star connected components on adversarial chains (O(log n) rounds)",
+        ),
+    }
+)
