@@ -2947,11 +2947,11 @@ REGISTRY.update(
 
 def q_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star connected components on an adversarial
-    LONG-CHAIN pair graph (doc i ~ doc i+1 within runs of 25) — the
+    LONG-CHAIN pair graph (doc i ~ doc i+1 within runs of 12) — the
     worst case for diameter-bound label propagation, converged in
     O(log n) rounds by the star algorithm."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    pairs = docs.filter(F.col("doc_id") % 25 != 24).select(
+    pairs = docs.filter(F.col("doc_id") % 12 != 11).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
     return dd.connected_components_star(pairs).orderBy("doc_id")
@@ -2959,7 +2959,7 @@ def q_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHAIN_COMPONENTS = """
 WITH RECURSIVE pairs AS (
-  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id % 25 <> 24),
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id % 12 <> 11),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
