@@ -51,7 +51,13 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Long-running sessions (streaming drivers, bench loops, notebooks)
+        # accumulate broadcast/checkpoint blocks that the ContextCleaner
+        # only releases after a driver GC; with a large heap, full GCs are
+        # rare, so blocks pile up for the default 30min. A 1min periodic
+        # GC keeps block-manager memory flat at negligible CPU cost.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
     )
     if master:

@@ -2983,3 +2983,90 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2/CDC apply without MERGE INTO: seed customer history, then an
+    update batch (every 3rd customer's balance changes, every 7th is a
+    brand-new key, the rest are no-op duplicates) — closed + opened +
+    carried rows via anti/semi joins and unions, one key shuffle."""
+    from d2b_dataframework_spark.operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    history = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+        "c_mktsegment",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.select(
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_custkey") + 1_000_000)
+        .otherwise(F.col("c_custkey"))
+        .alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            (F.col("c_acctbal").cast("decimal(12,2)") + F.lit(100).cast("decimal(12,2)")),
+        )
+        .otherwise(F.col("c_acctbal").cast("decimal(12,2)"))
+        .cast("decimal(12,2)")
+        .alias("acctbal"),
+        "c_mktsegment",
+        F.lit("2024-02-01").alias("effective_date"),
+    )
+    merged = scd2_apply(history, updates, "c_custkey", ["acctbal", "c_mktsegment"])
+    return merged.select(
+        "c_custkey",
+        F.col("acctbal").cast("double").alias("acctbal"),
+        "c_mktsegment",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ).orderBy("c_custkey", "valid_from")
+
+
+SQL_SCD2_MERGE = """
+WITH history AS (
+  SELECT c_custkey, c_acctbal::DECIMAL(12,2) AS acctbal, c_mktsegment,
+    '2024-01-01' AS valid_from, NULL::VARCHAR AS valid_to, TRUE AS is_current
+  FROM customer),
+updates AS (
+  SELECT CASE WHEN c_custkey % 7 = 0 THEN c_custkey + 1000000 ELSE c_custkey END AS c_custkey,
+    (CASE WHEN c_custkey % 3 = 0 THEN c_acctbal::DECIMAL(12,2) + 100::DECIMAL(12,2)
+          ELSE c_acctbal::DECIMAL(12,2) END)::DECIMAL(12,2) AS acctbal,
+    c_mktsegment, '2024-02-01' AS effective_date
+  FROM customer),
+changed AS (
+  SELECT h.c_custkey FROM history h JOIN updates u USING (c_custkey)
+  WHERE h.is_current AND (h.acctbal IS DISTINCT FROM u.acctbal
+                          OR h.c_mktsegment IS DISTINCT FROM u.c_mktsegment)),
+merged AS (
+  SELECT c_custkey, acctbal, c_mktsegment, valid_from, valid_to, is_current
+  FROM history WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT h.c_custkey, h.acctbal, h.c_mktsegment, h.valid_from,
+    u.effective_date AS valid_to, FALSE AS is_current
+  FROM history h JOIN updates u USING (c_custkey)
+  WHERE h.c_custkey IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT u.c_custkey, u.acctbal, u.c_mktsegment, u.effective_date AS valid_from,
+    NULL AS valid_to, TRUE AS is_current
+  FROM updates u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT u.c_custkey, u.acctbal, u.c_mktsegment, u.effective_date AS valid_from,
+    NULL AS valid_to, TRUE AS is_current
+  FROM updates u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM history))
+SELECT c_custkey, CAST(acctbal AS DOUBLE) AS acctbal, c_mktsegment,
+  valid_from, valid_to, is_current
+FROM merged ORDER BY c_custkey, valid_from
+"""
+
+
+REGISTRY.update(
+    {
+        "scd2_merge": QuerySpec(
+            q_scd2_merge, SQL_SCD2_MERGE, "SCD2/CDC apply via anti/semi joins + unions"
+        ),
+    }
+)

@@ -214,3 +214,31 @@ def test_exact_percentiles_interpolation(spark):
     r = exact_percentiles(df, "k", "v", [0.5, 0.9]).collect()[0]
     assert r["p50"] == 2.5          # continuous interpolation, not nearest
     assert r["p90"] == pytest.approx(3.7)
+
+
+def test_scd2_apply_versions_changes_and_is_idempotent(spark):
+    from d2b_dataframework_spark.operators.scd import scd2_apply
+
+    history = spark.createDataFrame(
+        [(1, 10.0, "A", "d0", None, True),
+         (2, 20.0, "B", "d0", None, True),
+         (2, 15.0, "B", "c0", "d0", False)],  # prior closed version
+        "k long, bal double, seg string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, 11.0, "A", "d1"),   # changed -> close + open
+         (2, 20.0, "B", "d1"),   # identical -> no-op
+         (3, 30.0, "C", "d1")],  # new key -> insert
+        "k long, bal double, seg string, effective_date string",
+    )
+    out = scd2_apply(history, updates, "k", ["bal", "seg"])
+    rows = {(r["k"], r["valid_from"]): r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[(1, "d0")]["valid_to"] == "d1" and not rows[(1, "d0")]["is_current"]
+    assert rows[(1, "d1")]["bal"] == 11.0 and rows[(1, "d1")]["is_current"]
+    assert rows[(2, "d0")]["is_current"] and rows[(2, "d0")]["valid_to"] is None
+    assert (2, "c0") in rows  # closed-out history carried through
+    assert rows[(3, "d1")]["is_current"]
+    # idempotent: re-applying the same batch changes nothing
+    again = scd2_apply(out, updates, "k", ["bal", "seg"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
