@@ -39,3 +39,24 @@ def pivot_wide(
     grouped = df.groupBy(index)
     pivoted = grouped.pivot(column, pivot_values) if pivot_values else grouped.pivot(column)
     return pivoted.agg(agg_fn(F.col(value)))
+
+
+def unpivot_long(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide→long unpivot (the inverse of :func:`pivot_wide`): one output
+    row per (id, value column). Native ``DataFrame.unpivot`` — a
+    per-row flatMap in the plan (Expand node), zero shuffle, scan-speed
+    at any size. Null cells are kept (the round-trip inverse of a pivot
+    whose absent combinations became nulls); filter afterwards to drop
+    them."""
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

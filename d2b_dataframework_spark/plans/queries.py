@@ -3070,3 +3070,44 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_unpivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot→unpivot round trip: the wide per-day event-type sums melt
+    back to long (day, event_type, sum_value) through the native Expand
+    node — zero shuffle beyond the original pivot aggregation."""
+    from d2b_dataframework_spark.operators.pivots import pivot_wide, unpivot_long
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    wide = pivot_wide(ev, "day", "event_type", "v", agg="sum", pivot_values=EVENT_TYPES)
+    long = unpivot_long(wide, ["day"], EVENT_TYPES, "event_type", "sum_dec")
+    return long.select(
+        "day", "event_type", F.col("sum_dec").cast("double").alias("sum_value")
+    ).orderBy("day", "event_type")
+
+
+SQL_UNPIVOT_EVENTS = """
+WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+sums AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+    SUM(value::DECIMAL(18,2)) AS sum_dec
+  FROM events GROUP BY 1, 2)
+SELECT d.day, t.event_type, CAST(s.sum_dec AS DOUBLE) AS sum_value
+FROM days d CROSS JOIN types t
+LEFT JOIN sums s ON s.day = d.day AND s.event_type = t.event_type
+ORDER BY d.day, t.event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "unpivot_event_values": QuerySpec(
+            q_unpivot_event_values, SQL_UNPIVOT_EVENTS, "wide→long unpivot round trip"
+        ),
+    }
+)

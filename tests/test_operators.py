@@ -242,3 +242,19 @@ def test_scd2_apply_versions_changes_and_is_idempotent(spark):
     # idempotent: re-applying the same batch changes nothing
     again = scd2_apply(out, updates, "k", ["bal", "seg"])
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_unpivot_inverts_pivot(spark):
+    from d2b_dataframework_spark.operators.pivots import pivot_wide, unpivot_long
+
+    df = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d1", "b", 2.0), ("d2", "a", 3.0)],
+        "day string, k string, v double",
+    )
+    wide = pivot_wide(df, "day", "k", "v", agg="sum", pivot_values=["a", "b"])
+    long = unpivot_long(wide, ["day"], ["a", "b"], "k", "v")
+    got = {(r["day"], r["k"]): r["v"] for r in long.collect()}
+    assert got == {("d1", "a"): 1.0, ("d1", "b"): 2.0,
+                   ("d2", "a"): 3.0, ("d2", "b"): None}
+    plan = long._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # unpivot is a per-row flatMap, not a shuffle
