@@ -258,3 +258,33 @@ def test_unpivot_inverts_pivot(spark):
                    ("d2", "a"): 3.0, ("d2", "b"): None}
     plan = long._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # unpivot is a per-row flatMap, not a shuffle
+
+
+def test_parquet_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Selective predicates must reach the parquet reader (PushedFilters)
+    and projection must prune the read schema — the two properties that
+    decide whether a 100TB scan reads 100TB or a sliver."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") < 5)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity,5" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_approx_functions_within_tolerance(spark, sf_dir):
+    """The documented 100TB paths for distinct counts and quantiles are
+    approx_count_distinct / percentile_approx; pin their error envelope
+    vs the exact answers so a regression in accuracy (or a silently
+    changed rsd) is caught."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)").alias("exact_p90"),
+        F.percentile_approx("value", 0.9, 1000).alias("approx_p90"),
+    ).collect()[0]
+    assert abs(row["approx_users"] - row["exact_users"]) <= 0.1 * row["exact_users"]
+    assert abs(row["approx_p90"] - row["exact_p90"]) <= 0.05 * abs(row["exact_p90"]) + 1e-9
