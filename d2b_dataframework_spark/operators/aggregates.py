@@ -13,7 +13,7 @@ cardinality per partition or decimal sums over many distinct groups).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,80 @@ def exact_percentiles(
         for q in percentiles
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key counts reduced to the
+    numbers that decide a salting strategy — max/mean ratio, share of
+    rows on the hottest key, and the top-N keys themselves.
+
+    One word-count shuffle (map-side combine) + a tiny top-N sort; run
+    it on a join key BEFORE shipping the join at 100TB. Rule of thumb
+    the engine's salted_sum docstring uses: max/mean > ~#partitions
+    means a single reducer owns the key — salt it or let AQE split it.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            F.col(key_col).cast("string").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round(
+                F.col("max_n").cast("double")
+                / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")),
+                6,
+            ).alias("max_over_mean"),
+            F.round(F.col("n").cast("double") / F.col("n_rows").cast("double"), 6).alias(
+                "row_share"
+            ),
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Table-version diff: classify every key as ``added`` / ``removed``
+    / ``changed`` / ``unchanged`` by comparing a row hash of the tracked
+    columns across a full outer join on the key.
+
+    The regression-audit primitive for daily warehouse loads: one
+    co-partitioned join (bucket both snapshots by key and it is
+    shuffle-free), row hashes computed map-side, output is keys +
+    status only — never wide rows.
+    """
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key_col),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols])).alias(
+                f"h_{side}"
+            ),
+        )
+
+    return (
+        hashed(old, "old")
+        .join(hashed(new, "new"), key_col, "full_outer")
+        .select(
+            key_col,
+            F.when(F.col("h_old").isNull(), "added")
+            .when(F.col("h_new").isNull(), "removed")
+            .when(F.col("h_old") != F.col("h_new"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+    )

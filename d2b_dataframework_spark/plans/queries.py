@@ -3111,3 +3111,96 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic over the events join key (event_type — 5 hot
+    keys): word-count shuffle + tiny top-N; the pre-flight check before
+    salting a 100TB join."""
+    from d2b_dataframework_spark.operators.aggregates import key_skew_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_stats(ev, "event_type", top_n=5).orderBy("rank")
+
+
+SQL_KEY_SKEW = """
+WITH counts AS (SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type),
+stats AS (SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows, max(n)::BIGINT AS max_n FROM counts)
+SELECT rank, key, n, n_keys,
+  round(max_n::DOUBLE / (n_rows::DOUBLE / n_keys::DOUBLE), 6) AS max_over_mean,
+  round(n::DOUBLE / n_rows::DOUBLE, 6) AS row_share
+FROM (
+  SELECT event_type AS key, n,
+    row_number() OVER (ORDER BY n DESC, event_type ASC)::BIGINT AS rank
+  FROM counts) c
+CROSS JOIN stats
+WHERE rank <= 5 ORDER BY rank
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: customer table vs a mutated next-day version
+    (every 5th balance changed, every 11th key dropped, 50 new keys) —
+    added/removed/changed/unchanged counts via one keyed full-outer
+    join over map-side row hashes."""
+    from d2b_dataframework_spark.operators.aggregates import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+    new = (
+        cust.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + F.lit(1.0)
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") < 50).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    out = snapshot_diff(old, new, "c_custkey", ["c_acctbal", "c_mktsegment"])
+    return (
+        out.groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .orderBy("status")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+new AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal,
+    c_mktsegment
+  FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment FROM customer WHERE c_custkey < 50),
+ho AS (SELECT c_custkey, md5(concat_ws(chr(31), c_acctbal::VARCHAR, c_mktsegment::VARCHAR)) AS h FROM old),
+hn AS (SELECT c_custkey, md5(concat_ws(chr(31), c_acctbal::VARCHAR, c_mktsegment::VARCHAR)) AS h FROM new),
+diff AS (
+  SELECT COALESCE(ho.c_custkey, hn.c_custkey) AS c_custkey,
+    CASE WHEN ho.h IS NULL THEN 'added'
+         WHEN hn.h IS NULL THEN 'removed'
+         WHEN ho.h <> hn.h THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM ho FULL OUTER JOIN hn USING (c_custkey))
+SELECT status, count(*)::BIGINT AS n_keys FROM diff GROUP BY status ORDER BY status
+"""
+
+
+REGISTRY.update(
+    {
+        "key_skew_stats": QuerySpec(
+            q_key_skew_stats, SQL_KEY_SKEW, "join-key skew diagnostic (pre-salting check)"
+        ),
+        "snapshot_diff": QuerySpec(
+            q_snapshot_diff, SQL_SNAPSHOT_DIFF, "table-version diff via keyed row hashes"
+        ),
+    }
+)

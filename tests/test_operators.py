@@ -288,3 +288,28 @@ def test_approx_functions_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row["approx_users"] - row["exact_users"]) <= 0.1 * row["exact_users"]
     assert abs(row["approx_p90"] - row["exact_p90"]) <= 0.05 * abs(row["exact_p90"]) + 1e-9
+
+
+def test_key_skew_stats_flags_hot_key(spark):
+    from d2b_dataframework_spark.operators.aggregates import key_skew_stats
+
+    rows = [(i, "hot") for i in range(90)] + [(100 + i, f"cold{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = key_skew_stats(df, "k", top_n=3).collect()
+    top = out[0]
+    assert top["rank"] == 1 and top["key"] == "hot" and top["n"] == 90
+    # 11 keys, 100 rows -> mean ~9.09; hot key 90 -> ratio ~9.9
+    assert top["max_over_mean"] > 9 and top["row_share"] == 0.9
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    from d2b_dataframework_spark.operators.aggregates import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
