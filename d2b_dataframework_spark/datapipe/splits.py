@@ -159,3 +159,64 @@ def weighted_sample(
         F.lit(int(round(default_rate * resolution))),
     )
     return df.withColumn("bucket", bucket).filter(F.col("bucket") < thr).drop("bucket")
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: keep rows so the output
+    group shares follow ``n_g^alpha`` (normalized) — the standard
+    multilingual/multi-domain LLM recipe that up-samples small groups
+    (alpha < 1 flattens the distribution; alpha = 1 keeps natural
+    proportions). ``target_frac`` sets the output size as a fraction of
+    the input; a group whose implied rate exceeds 1 is fully kept (no
+    up-replication here — pair with an explicit repeat stage if true
+    oversampling is needed).
+
+    Scale shape: one tiny per-group count agg broadcast back, then the
+    same zero-shuffle hash-threshold projection as
+    :func:`weighted_sample`. Determinism across engines: the alpha
+    powers are rounded to 6 decimals and summed as DECIMAL (exact,
+    order-independent) before normalizing, so the per-group rates — and
+    therefore every keep decision — are bit-identical on any engine.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w6 = F.round(F.pow(F.col("_n").cast("double"), F.lit(alpha)), 6).cast(
+        "decimal(28,6)"
+    )
+    weighted = counts.select(group_col, "_n", w6.alias("_w"))
+    totals = weighted.agg(
+        F.sum("_w").alias("_sumw"), F.sum("_n").alias("_total")
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(target_frac)
+                    * F.col("_total").cast("double")
+                    * (F.col("_w").cast("double") / F.col("_sumw").cast("double"))
+                )
+                / F.col("_n").cast("double"),
+            ).alias("_rate"),
+        )
+        .select(
+            group_col,
+            F.round(F.col("_rate") * resolution, 0).cast("long").alias("_thr"),
+        )
+    )
+    bucket = hash_bucket(id_col, salt, resolution)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("_bucket", bucket)
+        .filter(F.col("_bucket") < F.col("_thr"))
+        .drop("_bucket", "_thr")
+    )

@@ -3204,3 +3204,44 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (alpha=0.7, half the corpus): small
+    sources up-sampled toward flat, hot sources thinned — per-group
+    rates from one tiny agg broadcast into a zero-shuffle hash filter."""
+    from d2b_dataframework_spark.datapipe.splits import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(docs, "source", alpha=0.7, target_frac=0.5).orderBy(
+        "doc_id"
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH counts AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+weighted AS (
+  SELECT source, n, round(pow(n::DOUBLE, 0.7), 6)::DECIMAL(28,6) AS w FROM counts),
+totals AS (SELECT sum(w) AS sumw, sum(n)::BIGINT AS total FROM weighted),
+rates AS (
+  SELECT source,
+    round(least(1.0,
+      (0.5 * total::DOUBLE * (w::DOUBLE / sumw::DOUBLE)) / n::DOUBLE
+    ) * 1000000, 0)::BIGINT AS thr
+  FROM weighted CROSS JOIN totals)
+SELECT doc_id, source FROM documents
+JOIN rates USING (source)
+WHERE ('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 7))::BIGINT % 1000000 < thr
+ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "temperature_mixture": QuerySpec(
+            q_temperature_mixture,
+            SQL_TEMPERATURE_MIXTURE,
+            "counts^alpha temperature mixture sampling",
+        ),
+    }
+)

@@ -588,3 +588,21 @@ def test_incremental_dedup_classifies_batch(spark):
         12: ("new", True),
     }
     cache.release(out)
+
+
+def test_temperature_sample_flattens_distribution(spark):
+    from d2b_dataframework_spark.datapipe.splits import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, group string")
+    out = temperature_sample(df, "group", alpha=0.5, target_frac=0.5)
+    kept = out.groupBy("group").count().collect()
+    got = {r["group"]: r["count"] for r in kept}
+    # natural shares 90/10; alpha=0.5 weights 30/10 -> small's share triples
+    big_share = got["big"] / (got["big"] + got["small"])
+    assert 0.6 < big_share < 0.85  # flattened from 0.9 toward 0.75
+    assert got["small"] == 100  # rate > 1 -> fully kept, never replicated
+    again = temperature_sample(df.repartition(7), "group", alpha=0.5, target_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
