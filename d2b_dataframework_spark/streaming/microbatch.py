@@ -423,3 +423,49 @@ def ewma_anomaly_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to a click
+    by the same key that happened within ``horizon`` BEFORE it.
+
+    This is the canonical watermarked stream-stream join shape: both
+    sides carry a watermark, and the join condition bounds the event-time
+    distance, so Spark can expire buffered state — click state is held
+    only until (its event time + horizon) falls behind the purchase-side
+    watermark. Without the time bound the state store would grow without
+    limit; with it, state ∝ traffic within the watermark window, which
+    is what survives an unbounded stream at cluster scale.
+
+    ``how='leftOuter'`` emits unattributed clicks (purchase columns
+    null) once the watermark proves no match can still arrive — outer
+    results are therefore delayed by the watermark, by design.
+    """
+    c = clicks.withWatermark(ts_col, watermark).alias("c")
+    p = purchases.withWatermark(ts_col, watermark).alias("p")
+    cond = (
+        (F.col(f"c.{key_col}") == F.col(f"p.{key_col}"))
+        & (F.col(f"p.{ts_col}") >= F.col(f"c.{ts_col}"))
+        & (
+            F.col(f"p.{ts_col}")
+            <= F.col(f"c.{ts_col}") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    joined = c.join(p, cond, how)
+    return joined.select(
+        F.col(f"c.{key_col}").alias(key_col),
+        F.col(f"c.{ts_col}").alias("click_ts"),
+        F.col(f"p.{ts_col}").alias("purchase_ts"),
+        (
+            F.unix_timestamp(F.col(f"p.{ts_col}"))
+            - F.unix_timestamp(F.col(f"c.{ts_col}"))
+        ).cast("long").alias("lag_sec"),
+    )

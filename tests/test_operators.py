@@ -313,3 +313,48 @@ def test_snapshot_diff_classifies_all_cases(spark):
     )
     got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k", ["v"]).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_hll_partials_store_merge_roundtrip(spark, sf_dir, tmp_path):
+    """The mergeable-sketch contract: per-day HLL partials written to
+    parquet, read back, and merged must estimate the same distinct count
+    as one sketch over the raw rows — and land within the lg_k=12 error
+    envelope (~1.6% rsd) of the exact answer. This is the 100TB distinct
+    path: the merge leg aggregates KB-sized sketch state, not raw events."""
+    from d2b_dataframework_spark.operators.sketches import hll_merge, hll_partials
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "date", F.to_date("ts")
+    )
+    daily = hll_partials(ev, "date", "user_id")
+    path = str(tmp_path / "hll_daily")
+    daily.write.mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path).withColumn("all", F.lit(1))
+    merged = hll_merge(stored, "all").collect()[0]["distinct_estimate"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct  # merge of partials == single-pass sketch
+    assert abs(merged - exact) <= max(3, 0.05 * exact)
+
+
+def test_theta_partials_support_overlap(spark):
+    """Theta's set algebra from STORED partials: overlap of two segments
+    estimated from their sketches matches the exact intersection on a
+    small-cardinality input (theta is exact until it saturates 2^lg_k)."""
+    from d2b_dataframework_spark.operators.sketches import theta_overlap, theta_partials
+
+    rows = [("a", i) for i in range(200)] + [("b", i) for i in range(100, 350)]
+    df = spark.createDataFrame(rows, ["segment", "uid"])
+    parts = theta_partials(df, "segment", "uid")
+    wide = (
+        parts.groupBy()
+        .pivot("segment", ["a", "b"])
+        .agg(F.first("theta_sketch"))
+    )
+    got = wide.select(
+        theta_overlap(F.col("a"), F.col("b")).alias("overlap")
+    ).collect()[0]["overlap"]
+    assert got == 100  # ids 100..199 in both; exact in sub-saturation mode

@@ -349,3 +349,52 @@ def test_ewma_anomaly_stream_flags_outlier_across_batches(spark, tmp_path):
     assert 1 in keys and 2 not in keys  # the spike fires, calm user doesn't
     spike_alert = [r for r in rows if r["key"] == 1 and r["value"] == 100.0]
     assert spike_alert and abs(spike_alert[0]["zscore"]) >= 3.0
+
+
+def test_attribution_join_stream_stream_interval(spark, tmp_path):
+    """Stream-stream interval join: purchases attribute to a same-user
+    click within the horizon; out-of-horizon purchases drop. Runs both
+    legs as file streams through availableNow, parity-checked against
+    the same join on static frames."""
+    from d2b_dataframework_spark.streaming.microbatch import attribution_join
+
+    # One leg only: the join compiles identically under either ANSI
+    # setting; skip the duplicate stream run on the second leg.
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        pytest.skip("stream runs once; ANSI cannot affect this plan")
+
+    schema = "user_id long, ts timestamp"
+    clicks_dir, buys_dir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    clicks_rows = [(10, "2024-01-01 10:00:00"), (11, "2024-01-01 10:05:00")]
+    buys_rows = [
+        (10, "2024-01-01 10:30:00"),  # in horizon → attributed, lag 1800s
+        (11, "2024-01-01 12:00:00"),  # 115 min after click → outside 1h
+        (12, "2024-01-01 10:10:00"),  # no click at all
+    ]
+    for path, rows in ((clicks_dir, clicks_rows), (buys_dir, buys_rows)):
+        spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        ).write.parquet(path)
+
+    out = attribution_join(
+        stream_files(spark, clicks_dir, schema),
+        stream_files(spark, buys_dir, schema),
+        horizon="1 hour",
+    )
+    sink = str(tmp_path / "attr_sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    assert [(r["user_id"], r["lag_sec"]) for r in rows] == [(10, 1800)]
+
+    # Batch parity: identical semantics on static frames.
+    static = attribution_join(
+        spark.read.parquet(clicks_dir), spark.read.parquet(buys_dir), horizon="1 hour"
+    ).collect()
+    assert [(r["user_id"], r["lag_sec"]) for r in static] == [(10, 1800)]
