@@ -486,3 +486,139 @@ def bpe_merge_candidates(
         .filter(F.col("rank") <= top_n)
         .select("rank", "pair", "n_occ")
     )
+
+
+def _bigram_array(tok_col: str) -> Column:
+    """Bigrams of a token-array column via shifted-slice zip (one linear
+    pass per doc — see repetition_signals for why not element_at)."""
+    n = F.size(tok_col)
+    return (
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(tok_col, 1, n - 1),
+                F.slice(tok_col, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def lm_bigram_scores(
+    train: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model filtering signal: score every document
+    by how predictable its bigrams are under an add-k-smoothed bigram
+    model fit on ``train`` (in production: a held-out clean corpus, e.g.
+    Wikipedia — documents whose bigrams the clean model finds improbable
+    are candidates for removal).
+
+    P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k*V); emitted per doc:
+    ``n_bigrams``, ``oov_bigrams`` (bigrams unseen in train), and
+    ``mean_bigram_p`` — the mean smoothed probability, accumulated as
+    a decimal sum of per-bigram doubles so the aggregate is
+    order-independent (engine-exact; a log-space KenLM score would hinge
+    on ln() ulp parity across engines, which IEEE does not guarantee).
+
+    Scale shape: model "training" is two word-count aggregations over
+    the train corpus (map-side combined); scoring joins each doc bigram
+    against the count tables on their natural keys — shuffle joins, NOT
+    broadcasts, because a web-scale bigram table exceeds executor
+    memory; AQE downgrades to broadcast when the model side is actually
+    small. V rides along as a single-row broadcast like bm25's stats.
+    No collect, no Python.
+    """
+    uni = (
+        train.select(F.explode(tokens(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = (
+        train.select(tokens(text_col).alias("_tk"))
+        .select(F.explode(_bigram_array("_tk")).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+
+    doc_bigrams = (
+        docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+        .select(id_col, F.explode(_bigram_array("_tk")).alias("bg"))
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+    )
+    joined = (
+        doc_bigrams.join(bi, "bg", "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    # Double division is IEEE-exact (identical bits in any engine given
+    # identical operands); round to 9 then sum as decimal for an
+    # order-independent aggregate.
+    p = (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(k))) / (
+        F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(float(k)) * F.col("_v")
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0)).cast("long").alias("oov_bigrams"),
+        F.sum(F.round(p, 9).cast("decimal(28,9)")).alias("_sum_p"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "oov_bigrams",
+        F.round(
+            F.col("_sum_p").cast("double") / F.col("n_bigrams").cast("double"), 6
+        ).alias("mean_bigram_p"),
+    )
+
+
+def linear_quality_scores(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-bag-of-words linear classifier scoring — the fastText-style
+    quality-model pass of a curation pipeline, reduced to its Spark
+    shape: feature-hash each token into ``len(weights)`` buckets
+    (portable md5-prefix hash, same as the dedup family), look the
+    bucket's weight up in a broadcast literal array, and average into a
+    per-document logit. Weights come from an offline-trained model; any
+    vector fits — the engine contract is only that scoring is one
+    map-side projection + one per-doc aggregation (no join, no Python,
+    whole-stage codegen end to end).
+
+    Weights are quantized to 1e-3 (decimal(10,3)) so the per-doc sum is
+    decimal-exact and order-independent; ``logit`` = mean bucket weight
+    + bias, rounded to 6.
+    """
+    nb = len(weights)
+    warr = F.array(
+        *[F.lit(round(w, 3)).cast("decimal(10,3)") for w in weights]
+    )
+    tok = F.explode(tokens(text_col)).alias("w")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 7), 16, 10).cast("long"), F.lit(nb)
+    )
+    per_tok = df.select(F.col(id_col), tok).select(
+        id_col, F.element_at(warr, (bucket + 1).cast("int")).alias("_w")
+    )
+    agg = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_w").alias("_sw"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.col("_sw").cast("double") / F.col("n_tokens").cast("double")
+            + F.lit(float(bias)),
+            6,
+        ).alias("logit"),
+    )

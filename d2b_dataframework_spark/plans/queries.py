@@ -3245,3 +3245,88 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filtering signal: even-doc_id documents act as the
+    clean reference corpus; odd-doc_id documents are scored by the mean
+    add-0.5-smoothed bigram probability under that model (plus OOV
+    bigram counts). Model = two word-count aggs; scoring = shuffle joins
+    on the bigram/unigram keys (broadcast only the 1-row vocab size)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return dt.lm_bigram_scores(train, score).orderBy("doc_id")
+
+
+SQL_LM_BIGRAM_SCORE = f"""
+WITH tk AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+train_bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tk WHERE doc_id % 2 = 0),
+uni AS (
+  SELECT w1, count(*)::BIGINT AS c1 FROM (
+    SELECT unnest(t) AS w1 FROM tk WHERE doc_id % 2 = 0) GROUP BY w1),
+bi AS (SELECT bg, count(*)::BIGINT AS c2 FROM train_bg GROUP BY bg),
+v AS (SELECT count(*)::DOUBLE AS nv FROM uni),
+doc_bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tk WHERE doc_id % 2 = 1),
+doc_bg2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM doc_bg)
+SELECT d.doc_id,
+  count(*)::BIGINT AS n_bigrams,
+  sum(CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_bigrams,
+  round(CAST(sum(CAST(round(
+      (coalesce(b.c2, 0)::DOUBLE + 0.5) / (coalesce(u.c1, 0)::DOUBLE + 0.5 * v.nv)
+    , 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_bigram_p
+FROM doc_bg2 d
+LEFT JOIN bi b USING (bg)
+LEFT JOIN uni u USING (w1)
+CROSS JOIN v
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+_QUALITY_WEIGHTS = [round((((i * 37) % 21) - 10) / 1000.0, 3) for i in range(64)]
+
+
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-BoW linear quality-classifier scoring (fastText-style
+    inference shape): md5-bucket each token into 64 features, average a
+    broadcast literal weight vector over the doc. One projection + one
+    agg; no join, no Python."""
+    return dt.linear_quality_scores(
+        _t(spark, sf_dir, "documents"), _QUALITY_WEIGHTS, bias=0.05
+    ).orderBy("doc_id")
+
+
+def _sql_linear_quality() -> str:
+    arr = ", ".join(f"{w:.3f}" for w in _QUALITY_WEIGHTS)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents),
+wt AS (SELECT [{arr}]::DECIMAL(10,3)[] AS arr)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+  round(CAST(sum(arr[(('0x' || substr(md5(w), 1, 7))::BIGINT % 64) + 1]) AS DOUBLE)
+        / count(*)::DOUBLE + 0.05, 6) AS logit
+FROM toks CROSS JOIN wt
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "lm_bigram_score": QuerySpec(
+            q_lm_bigram_score,
+            SQL_LM_BIGRAM_SCORE,
+            "add-k bigram LM scoring vs reference corpus",
+        ),
+        "linear_quality": QuerySpec(
+            q_linear_quality,
+            _sql_linear_quality(),
+            "hashed-BoW linear classifier scoring",
+        ),
+    }
+)

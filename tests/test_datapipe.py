@@ -606,3 +606,34 @@ def test_temperature_sample_flattens_distribution(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_lm_bigram_scores_smoothing_and_oov(spark):
+    """Known tiny model: train 'a b a b' → c(a b)=2, c(b a)=1, c1(a)=2,
+    c1(b)=2, V=2. Doc 'a b c' has bigrams 'a b' (p=(2+.5)/(2+1)=5/6)
+    and 'b c' (unseen, p=.5/3=1/6); mean=.5, oov=1."""
+    from d2b_dataframework_spark.datapipe.text import lm_bigram_scores
+
+    train = spark.createDataFrame([(0, "a b a b")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    row = lm_bigram_scores(train, docs).collect()[0]
+    assert row["n_bigrams"] == 2 and row["oov_bigrams"] == 1
+    assert abs(row["mean_bigram_p"] - 0.5) < 1e-6
+
+
+def test_linear_quality_scores_no_join_in_plan(spark):
+    """Scoring is a projection + one aggregation: deterministic logit,
+    and the physical plan must contain no Join (weights are a literal
+    array, not a joined table)."""
+    from d2b_dataframework_spark.datapipe.text import linear_quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha")], ["doc_id", "text"]
+    )
+    weights = [0.1] * 64
+    out = linear_quality_scores(docs, weights, bias=1.0)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # every bucket weighs 0.1 → mean 0.1 + bias regardless of hashing
+    assert abs(rows[1]["logit"] - 1.1) < 1e-6 and rows[1]["n_tokens"] == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
