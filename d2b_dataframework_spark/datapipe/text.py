@@ -480,10 +480,12 @@ def bpe_merge_candidates(
         ).alias("pair")
     )
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    # limit-then-rank: TakeOrderedAndProject keeps the top-N selection
+    # distributed; only the ≤top_n survivors cross the rank window.
+    top = counted.orderBy(F.col("n_occ").desc(), F.col("pair").asc()).limit(top_n)
     w = Window.orderBy(F.col("n_occ").desc(), F.col("pair").asc())
     return (
-        counted.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "pair", "n_occ")
     )
 

@@ -87,15 +87,19 @@ def key_skew_stats(
     means a single reducer owns the key — salt it or let AQE split it.
     """
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_n"),
     )
+    # Scale-safe top-N: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition partial top-N, merged once) — a bare row_number window
+    # here would drag EVERY distinct key through a single partition. Rank is
+    # assigned after the limit, over at most top_n rows.
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .crossJoin(F.broadcast(stats))
         .select(
             "rank",

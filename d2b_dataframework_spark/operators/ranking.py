@@ -1,0 +1,118 @@
+"""Distributed global ranking — the scale-safe replacement for a bare
+``row_number()/ntile() OVER (ORDER BY ...)``, which Spark executes by
+moving EVERY row through a single partition (WindowExec warns about it).
+
+The classic pattern instead:
+
+1. ``repartitionByRange`` on the order keys (one range shuffle — same cost
+   as a global sort, which any exact global rank needs anyway);
+2. local ``row_number`` within each range partition (no cross-partition
+   exchange: the window is partitioned by ``spark_partition_id``);
+3. one tiny driver job collects the per-partition row counts (≤ #shuffle
+   partitions integers) and broadcasts cumulative offsets back as a
+   literal CASE map — global rank = offset[pid] + local rank.
+
+The intermediate is persisted so the counts job and the downstream plan
+see the SAME range partitioning (``repartitionByRange`` samples; persist
+pins the outcome). The handle is tracked on the result via
+``datapipe.cache.track`` — call ``datapipe.cache.release(result)`` once
+consumed, like the pair-builder operators.
+
+``ntile_from_rank`` reproduces SQL NTILE(k) arithmetic from the global
+rank, so a curriculum/bucketing query keeps exact NTILE semantics without
+the single-partition window.
+
+Reference parity: the reference ranks with pandas ``rank``/``qcut`` on a
+single node (e.g. d2b_data/SerpAPI.py:88-104 top-N competitor ranking);
+this module is the 1000-executor equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..datapipe.cache import track
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number over ``order_cols`` without a
+    single-partition window.
+
+    The range-partitioned intermediate stays persisted (the offsets were
+    computed against its materialized partitioning — recomputing could
+    re-sample different range bounds); it is tracked on the result for
+    ``datapipe.cache.release``. ``order_cols`` must define a total order
+    (add a unique tiebreaker), otherwise ranks among ties are
+    partition-dependent.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(n_part, *cols).persist()
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*cols)
+    with_local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lrn", F.row_number().over(local_w)
+    )
+    # Tiny job: one row per partition. This is the only driver-side data.
+    sizes = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr: Column = F.lit(0)
+    for pid, off in offsets.items():
+        if off:
+            offset_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(offset_expr)
+    ranked = with_local.withColumn(
+        rank_col, (F.col("_lrn") + offset_expr).cast("long")
+    ).drop("_pid", "_lrn")
+    return track(ranked, ranged)
+
+
+def ntile_from_rank(rank: Column | str, total: Column | str, k: int) -> Column:
+    """SQL ``NTILE(k)`` from a precomputed 1-based global rank and total
+    row count: the first ``total % k`` buckets hold ``ceil(total/k)`` rows,
+    the rest ``floor(total/k)`` — identical tie/placement semantics to the
+    window function, evaluated map-side.
+    """
+    rn = F.col(rank) if isinstance(rank, str) else rank
+    n = (F.col(total) if isinstance(total, str) else total).cast("long")
+    base = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    big = base + 1  # size of the first `rem` buckets
+    cutoff = rem * big  # ranks ≤ cutoff fall in the big buckets
+    in_big = F.ceil(rn.cast("double") / big.cast("double")).cast("long")
+    in_small = (rem + F.ceil((rn - cutoff).cast("double") / base.cast("double"))).cast(
+        "long"
+    )
+    return F.when(base == 0, in_big).when(rn <= cutoff, in_big).otherwise(in_small)
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    k: int,
+    phase_col: str = "phase",
+) -> DataFrame:
+    """NTILE(k) over a global ordering, distributed. The persisted
+    intermediate is tracked for ``datapipe.cache.release``.
+    """
+    ranked = global_row_number(df, order_cols, rank_col="_grn")
+    total = ranked.count()  # intermediate is persisted; cheap second job
+    out = ranked.withColumn(
+        phase_col, ntile_from_rank(F.col("_grn"), F.lit(total), k).cast("long")
+    ).drop("_grn")
+    return track(out, *getattr(ranked, "_d2b_persisted", ()))

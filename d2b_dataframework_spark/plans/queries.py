@@ -44,6 +44,7 @@ from d2b_dataframework_spark.operators.asof import asof_join
 from d2b_dataframework_spark.operators.dedup import keep_latest
 from d2b_dataframework_spark.operators.joins import broadcast_dim_join, left_join_fill_zero
 from d2b_dataframework_spark.operators.pivots import pivot_wide
+from d2b_dataframework_spark.operators.ranking import global_ntile
 from d2b_dataframework_spark.operators.sessions import session_summary
 from d2b_dataframework_spark.operators.unions import concat
 
@@ -2477,14 +2478,19 @@ FROM daily ORDER BY event_type, day
 
 
 def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum bucketing: ntile(4) over (quality desc, doc_id) —
+    """Curriculum bucketing: NTILE(4) over (quality desc, doc_id) —
     documents ranked into 4 training phases, summarized per bucket.
-    The ntile window is the only shuffle; summary agg is tiny."""
+    Uses the distributed ``global_ntile`` (range repartition + local
+    row_number + broadcast offsets), NOT a bare ntile window — the
+    single-partition WindowExec that ntile-over-everything compiles to
+    is the one plan shape that cannot survive a 100TB corpus."""
     docs = _t(spark, sf_dir, "documents")
     scored = dt.quality_score(docs).select("doc_id", "quality")
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    phased = global_ntile(
+        scored, [F.col("quality").desc(), F.col("doc_id")], 4, phase_col="phase"
+    )
     return (
-        scored.withColumn("phase", F.ntile(4).over(w).cast("long"))
+        phased
         .groupBy("phase")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

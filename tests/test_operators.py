@@ -358,3 +358,63 @@ def test_theta_partials_support_overlap(spark):
         theta_overlap(F.col("a"), F.col("b")).alias("overlap")
     ).collect()[0]["overlap"]
     assert got == 100  # ids 100..199 in both; exact in sub-saturation mode
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.operators.ranking import global_row_number
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.hash(F.col("id")) % 100).alias("v"),
+    )
+    ranked = global_row_number(df, [F.col("v").asc(), F.col("id").asc()], rank_col="rn")
+    got = {r["id"]: r["rn"] for r in ranked.collect()}
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+        ).collect()
+    }
+    assert got == want
+    release(ranked)
+
+
+def test_global_row_number_desc_and_plan_has_no_global_window(spark):
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.operators.ranking import global_row_number
+
+    df = spark.range(0, 200).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    ranked = global_row_number(df, [F.col("v").desc(), F.col("id").desc()], rank_col="rn")
+    rows = sorted((r["rn"], r["v"], r["id"]) for r in ranked.collect())
+    # rank 1 = largest (v, id)
+    assert rows[0][1:] == (6, 195)
+    assert rows[-1][0] == 200 and rows[-1][1:] == (0, 0)
+    # the plan's only Window is partitioned by spark_partition_id — never
+    # a single-partition global sort
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "SPARK_PARTITION_ID" in plan
+    release(ranked)
+
+
+@pytest.mark.parametrize("n,k", [(10, 4), (12, 4), (3, 4), (997, 5), (100, 1)])
+def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
+    from pyspark.sql import Window
+
+    from d2b_dataframework_spark.operators.ranking import ntile_from_rank
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+    got = {
+        r["rn"]: r["ph"]
+        for r in df.select("rn", ntile_from_rank("rn", F.lit(n), k).alias("ph")).collect()
+    }
+    want = {
+        r["rn"]: r["ph"]
+        for r in spark.range(0, n)
+        .withColumn("rn", F.col("id") + 1)
+        .select("rn", F.ntile(k).over(Window.orderBy("rn")).alias("ph"))
+        .collect()
+    }
+    assert got == want
