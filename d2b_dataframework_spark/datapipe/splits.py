@@ -220,3 +220,37 @@ def temperature_sample(
         .filter(F.col("_bucket") < F.col("_thr"))
         .drop("_bucket", "_thr")
     )
+
+
+def priority_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``k`` rows, with
+    inclusion probability proportional to ``weight_col`` — the A-Res /
+    exponential-clocks scheme (Efraimidis & Spirakis): each row draws a
+    priority ``ln(u) / w`` with ``u ~ U(0,1]`` and the k largest
+    priorities win.
+
+    ``u`` comes from the engine's portable md5-prefix hash of
+    (salt, id), not an RNG — the sample is a pure function of the salt,
+    reproducible across engines, runs, and cluster layouts. The top-k is
+    ``orderBy().limit()`` → TakeOrderedAndProject: per-partition partial
+    top-k, one merge, no global sort, no single-partition window — the
+    whole operator is a projection plus a top-k at any scale. Priorities
+    are rounded to 6dp and tie-broken on id so the selected set is
+    total-order deterministic.
+
+    Returns the k sampled rows with their ``priority``.
+    """
+    h = hash_bucket(id_col, salt, 1 << 28)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 28))
+    prio = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.withColumn("priority", prio)
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

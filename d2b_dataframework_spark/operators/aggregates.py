@@ -153,3 +153,43 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+    pre_salt: int = 0,
+    salt_on: Column | str | None = None,
+) -> DataFrame:
+    """Exact per-group top-k via a window partitioned on the group keys.
+
+    With many groups the window is fully parallel. With FEW groups (a
+    handful of segments over billions of rows) every row funnels into
+    |groups| reduce partitions — pass ``pre_salt=n`` to run a two-stage
+    exact top-k instead: stage 1 ranks within (key, salt) cells — n×
+    the parallelism — and keeps each cell's top-k (a superset of the
+    final top-k by a pigeonhole argument: the true i-th best of a group
+    is at worst i-th in its own cell); stage 2 re-ranks only the ≤ n·k
+    survivors per group. The salt is a deterministic hash of ``salt_on``
+    (a unique row id), so results never depend on partition layout.
+    """
+    final_w = Window.partitionBy(*keys).orderBy(*order_cols)
+    pruned = df
+    if pre_salt > 1:
+        if salt_on is None:
+            raise ValueError("pre_salt requires salt_on (a unique row-id column)")
+        tb = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+        salt = F.pmod(F.hash(tb), F.lit(int(pre_salt)))
+        cell_w = Window.partitionBy(*keys, salt).orderBy(*order_cols)
+        pruned = (
+            df.withColumn("_cr", F.row_number().over(cell_w))
+            .filter(F.col("_cr") <= k)
+            .drop("_cr")
+        )
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(final_w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )

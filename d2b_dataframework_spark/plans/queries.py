@@ -3336,3 +3336,227 @@ REGISTRY.update(
         ),
     }
 )
+
+
+# --- marketing attribution / cohorts / layout / sampling (round 2) ---
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase's value credited to the
+    user's most recent preceding click/view. The carry-forward is a
+    window partitioned by user_id (fully parallel); the final agg is
+    |touch types| rows."""
+    from d2b_dataframework_spark.operators.attribution import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, touch_types=["click", "view"], conversion_type="purchase"
+    ).orderBy("touch_type")
+
+
+SQL_ATTRIBUTION = """
+WITH touched AS (
+  SELECT event_type, value,
+    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+  FROM events)
+SELECT COALESCE(touch, 'none') AS touch_type,
+  count(*)::BIGINT AS n_conversions,
+  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS attributed_value
+FROM touched WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle: users bucketed by first-active day,
+    distinct-active counts per (cohort, day offset)."""
+    from d2b_dataframework_spark.operators.attribution import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev).orderBy("cohort_day", "day_offset")
+
+
+SQL_COHORT = """
+WITH first AS (
+  SELECT user_id, min(ts::DATE) AS cohort FROM events GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+  date_diff('day', f.cohort, a.day)::BIGINT AS day_offset,
+  count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY f.cohort, date_diff('day', f.cohort, a.day)
+ORDER BY cohort_day, day_offset
+"""
+
+
+def q_grouped_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price per market segment. Five segments ×
+    billions of rows is the few-groups skew case, so the query runs the
+    two-stage salted top-k (pre_salt=8): cell ranks in 40 partitions,
+    final rank over ≤24 survivors per segment."""
+    from d2b_dataframework_spark.operators.aggregates import grouped_topk
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return (
+        grouped_topk(
+            joined,
+            keys=["c_mktsegment"],
+            order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            k=3,
+            pre_salt=8,
+            salt_on="o_orderkey",
+        )
+        .select(
+            "c_mktsegment",
+            "rank",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+        .orderBy("c_mktsegment", "rank")
+    )
+
+
+SQL_GROUPED_TOPK = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT c_mktsegment, rank::BIGINT AS rank, o_orderkey::BIGINT AS o_orderkey,
+  round(o_totalprice, 2) AS o_totalprice
+FROM ranked WHERE rank <= 3 ORDER BY c_mktsegment, rank
+"""
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted k=50 sample of documents ∝ n_chars via deterministic
+    A-Res priorities (md5-hash uniform, no RNG) — pure projection +
+    TakeOrdered top-k, zero shuffle."""
+    from d2b_dataframework_spark.datapipe.splits import priority_sample_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample_topk(docs, "n_chars", k=50).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "priority",
+    ).orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+
+
+SQL_PRIORITY_SAMPLE = """
+WITH prio AS (
+  SELECT doc_id, n_chars,
+    round(ln((('0x' || substr(md5('prio:' || doc_id::VARCHAR), 1, 7))::BIGINT % 268435456 + 1)
+             / 268435456.0) / n_chars::DOUBLE, 6) AS priority
+  FROM documents)
+SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars, priority
+FROM prio ORDER BY priority DESC, doc_id ASC LIMIT 50
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (customer bucket, order
+    day) per order, bucket by Z-range into target files, report the
+    per-file min/max stats a planner would prune with. Pure integer bit
+    arithmetic — codegen'd map-side; one agg on file_id."""
+    from d2b_dataframework_spark.operators.layout import zorder_file_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(1023))
+    y = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast(
+        "long"
+    ).bitwiseAND(F.lit(1023))
+    return zorder_file_stats(orders, x, y, bits=10, file_shift=14).orderBy("file_id")
+
+
+def _sql_zorder_layout() -> str:
+    from d2b_dataframework_spark.operators.layout import zorder_sql
+
+    z = zorder_sql("x", "y", bits=10)
+    return f"""
+WITH dims AS (
+  SELECT (o_custkey & 1023) AS x,
+    (date_diff('day', DATE '1992-01-01', o_orderdate::DATE) & 1023) AS y
+  FROM orders),
+zed AS (SELECT x, y, {z} AS z FROM dims)
+SELECT (z >> 14)::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
+  min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max,
+  min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max
+FROM zed GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(day, event_type) with grouping_id: leaf rows plus BOTH
+    one-dimension subtotal planes and the grand total in a single
+    grouping-sets expansion (map-side Expand, one shuffle)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        ev.cube("day", "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("gid", "day", "event_type")
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+  COALESCE(event_type, 'ALL') AS event_type,
+  (GROUPING(strftime(ts, '%Y-%m-%d')) * 2 + GROUPING(event_type))::BIGINT AS gid,
+  count(*)::BIGINT AS n_events,
+  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (strftime(ts, '%Y-%m-%d'), event_type)
+ORDER BY gid, day, event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "attribution_last_touch": QuerySpec(
+            q_attribution_last_touch,
+            SQL_ATTRIBUTION,
+            "last-touch conversion attribution (marketing core)",
+        ),
+        "cohort_retention": QuerySpec(
+            q_cohort_retention, SQL_COHORT, "cohort retention triangle"
+        ),
+        "grouped_topk_orders": QuerySpec(
+            q_grouped_topk_orders,
+            SQL_GROUPED_TOPK,
+            "per-group top-k with two-stage salted ranking",
+        ),
+        "priority_sample": QuerySpec(
+            q_priority_sample,
+            SQL_PRIORITY_SAMPLE,
+            "deterministic weighted k-sample (A-Res priorities)",
+        ),
+        "zorder_layout": QuerySpec(
+            q_zorder_layout,
+            _sql_zorder_layout(),
+            "Z-order multi-dim clustering file-stats audit",
+        ),
+        "events_cube": QuerySpec(
+            q_events_cube, SQL_EVENTS_CUBE, "CUBE grouping-sets with grouping_id"
+        ),
+    }
+)

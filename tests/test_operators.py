@@ -418,3 +418,102 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
         .collect()
     }
     assert got == want
+
+
+def test_grouped_topk_salted_equals_unsalted(spark):
+    from d2b_dataframework_spark.operators.aggregates import grouped_topk
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").alias("rid"),
+        (F.hash("id") % 1000).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("rid").asc()]
+    plain = grouped_topk(df, ["g"], order, 7)
+    salted = grouped_topk(df, ["g"], order, 7, pre_salt=16, salt_on="rid")
+    key = lambda rows: sorted((r["g"], r["rank"], r["rid"]) for r in rows)
+    assert key(plain.collect()) == key(salted.collect())
+    with pytest.raises(ValueError):
+        grouped_topk(df, ["g"], order, 7, pre_salt=4)
+
+
+def test_last_touch_attribution_credits_most_recent_touch(spark):
+    from d2b_dataframework_spark.operators.attribution import last_touch_attribution
+
+    rows = [
+        # user 1: view, click, purchase → click credited
+        (1, 1, "2024-01-01 00:00:00", "view", 0.0),
+        (2, 1, "2024-01-02 00:00:00", "click", 0.0),
+        (3, 1, "2024-01-03 00:00:00", "purchase", 10.0),
+        # user 2: purchase with no prior touch → none
+        (4, 2, "2024-01-01 00:00:00", "purchase", 5.0),
+        # user 2: later view then purchase → view
+        (5, 2, "2024-01-02 00:00:00", "view", 0.0),
+        (6, 2, "2024-01-03 00:00:00", "purchase", 7.0),
+        # touch AFTER the purchase must not be credited
+        (7, 2, "2024-01-04 00:00:00", "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = {
+        r["touch_type"]: (r["n_conversions"], r["attributed_value"])
+        for r in last_touch_attribution(ev, ["click", "view"], "purchase").collect()
+    }
+    assert out == {"click": (1, 10.0), "none": (1, 5.0), "view": (1, 7.0)}
+
+
+def test_cohort_retention_offsets(spark):
+    from d2b_dataframework_spark.operators.attribution import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-03 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        (3, "2024-01-02 09:00:00"),
+        (3, "2024-01-02 23:00:00"),  # same day twice → one active day
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_priority_sample_is_deterministic_and_weight_biased(spark):
+    from d2b_dataframework_spark.datapipe.splits import priority_sample_topk
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, 1).otherwise(1000).cast("long").alias("w"),
+    )
+    s1 = priority_sample_topk(df, "w", 50).collect()
+    s2 = priority_sample_topk(df, "w", 50).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    heavy = sum(1 for r in s1 if r["doc_id"] >= 200)
+    assert heavy >= 45  # 1000x weight dominates the sample
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from d2b_dataframework_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_value("x", "y", bits=4).alias("z")).collect()
+    }
+    def morton(x, y):
+        z = 0
+        for i in range(4):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+    assert got == {(x, y): morton(x, y) for (x, y) in got}
