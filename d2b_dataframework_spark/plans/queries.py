@@ -3560,3 +3560,60 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the bipartite user↔prop-key interaction
+    graph (undirected: both edge directions). Each iteration is one
+    src-join + one dst-agg; contributions decimal-summed for
+    order-independent exactness."""
+    from d2b_dataframework_spark.datapipe.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("k"), F.get_json_object("props", "$.k")).alias("dst"),
+    ).distinct()
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, damping=0.85, iterations=3)
+    return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+
+
+def _sql_pagerank(iterations: int = 3) -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node,
+    CAST(round((0.85 * r.rank) / (o.outdeg::DOUBLE), 12) AS DECIMAL(28,12)) AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src JOIN {prev} r ON e.src = r.node),
+s{i} AS (SELECT node, SUM(c) AS s FROM c{i} GROUP BY node),
+r{i} AS (
+  SELECT nodes.node,
+    round((1.0 - 0.85) / stats.n + COALESCE(CAST(s AS DOUBLE), 0.0), 12) AS rank
+  FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node CROSS JOIN stats)""")
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'u' || user_id::VARCHAR AS src,
+    'k' || json_extract_string(props, '$.k') AS dst
+  FROM events),
+edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM (SELECT src FROM edges UNION SELECT dst FROM edges) t(src)),
+stats AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, round(1.0 / n, 12) AS rank FROM nodes CROSS JOIN stats),{",".join(iters)}
+SELECT node, round(rank, 9) AS rank FROM {prev} ORDER BY node
+"""
+
+
+REGISTRY.update(
+    {
+        "pagerank": QuerySpec(
+            q_pagerank,
+            _sql_pagerank(3),
+            "fixed-iteration PageRank on the user-propkey interaction graph",
+        ),
+    }
+)

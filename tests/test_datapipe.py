@@ -637,3 +637,20 @@ def test_linear_quality_scores_no_join_in_plan(spark):
     assert abs(rows[1]["logit"] - 1.1) < 1e-6 and rows[1]["n_tokens"] == 3
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_pagerank_hub_ranks_highest_and_mass_conserved(spark):
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.graph import pagerank
+
+    # star: hub h connected to 5 spokes (undirected)
+    spokes = [f"s{i}" for i in range(5)]
+    pairs = [("h", s) for s in spokes] + [(s, "h") for s in spokes]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    out = pagerank(edges, damping=0.85, iterations=5)
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    assert max(ranks, key=ranks.get) == "h"
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # no dangling nodes -> mass conserved
+    spoke_ranks = {v for k, v in ranks.items() if k != "h"}
+    assert len(spoke_ranks) == 1  # symmetry: all spokes equal
+    release(out)
