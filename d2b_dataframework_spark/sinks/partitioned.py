@@ -85,3 +85,74 @@ def upsert_cache(
     merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(cache_path)
     return spark.read.parquet(cache_path)
+
+
+def list_partition_files(
+    spark: SparkSession, path: str, date_col: str = "date"
+) -> dict[str, tuple[int, int]]:
+    """Per-partition (file_count, total_bytes) via the Hadoop FileSystem
+    API — scheme-agnostic (file://, hdfs://, s3a://), metadata-only
+    (O(#files) driver-side listing, no data read)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    out: dict[str, tuple[int, int]] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{date_col}="):
+            files = [
+                f
+                for f in fs.listStatus(st.getPath())
+                if f.isFile() and not f.getPath().getName().startswith(("_", "."))
+            ]
+            out[name.split("=", 1)[1]] = (
+                len(files),
+                sum(f.getLen() for f in files),
+            )
+    return out
+
+
+def compact_date_partitions(
+    spark: SparkSession,
+    path: str,
+    date_col: str = "date",
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction for a date-partitioned table.
+
+    Streaming appends and per-day incremental loads fragment partitions
+    into many tiny files; at 100TB the scan cost becomes footer-reads
+    and task-scheduling overhead instead of I/O (the classic small-file
+    problem). This rewrites ONLY over-fragmented partitions — those with
+    more files than ``ceil(bytes / target_bytes)`` — down to that file
+    count, via dynamic partition overwrite (untouched days keep their
+    files; re-runs are idempotent).
+
+    The date loop is driver-side but METADATA-scale: it iterates over
+    fragmented *partitions* (bounded by the retention window, e.g. 1096
+    days for K2), never rows. Each rewrite is one distributed job
+    reading exactly one partition (partition-pruned scan).
+
+    Returns {date: (files_before, files_target)} for the rewritten
+    partitions.
+    """
+    parts = list_partition_files(spark, path, date_col)
+    plan: dict[str, tuple[int, int]] = {}
+    for date, (n_files, n_bytes) in parts.items():
+        want = max(1, -(-n_bytes // target_bytes))  # ceil div
+        if n_files > want:
+            plan[date] = (n_files, want)
+    for date, (_, want) in plan.items():
+        (
+            spark.read.format(fmt)
+            .load(path)
+            .filter(F.col(date_col) == date)  # partition-pruned scan
+            .repartition(want)
+            .write.partitionBy(date_col)
+            .mode("overwrite")  # dynamic: replaces only this date
+            .format(fmt)
+            .save(path)
+        )
+    return plan

@@ -109,3 +109,32 @@ def test_date_sharded_read_prunes_partitions(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(date" in plan
     assert scan.count() == 1
+
+
+def test_compact_date_partitions_merges_small_files(spark, tmp_path):
+    from d2b_dataframework_spark.sinks.partitioned import (
+        compact_date_partitions,
+        list_partition_files,
+        write_date_sharded,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 2 == 0, "2024-01-01").otherwise("2024-01-02").alias("date"),
+        F.col("id").alias("v"),
+    )
+    # fragment: 8 files per partition
+    df.repartition(8).write.partitionBy("date").mode("overwrite").parquet(path)
+    before = list_partition_files(spark, path)
+    assert all(n >= 8 for n, _ in before.values())
+
+    plan = compact_date_partitions(spark, path, target_bytes=1 << 30)
+    assert set(plan) == {"2024-01-01", "2024-01-02"}
+    after = list_partition_files(spark, path)
+    assert all(n == 1 for n, _ in after.values())
+    # data intact
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(range(1000))
+    # idempotent: nothing left to compact
+    assert compact_date_partitions(spark, path, target_bytes=1 << 30) == {}
