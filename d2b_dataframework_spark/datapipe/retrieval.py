@@ -1,0 +1,104 @@
+"""Inverted-index batch retrieval: TF-IDF top-k documents per query.
+
+Complements the corpus-scoring ops in ``text.py`` (``bm25_scores``
+scores EVERY doc against ONE term set — a curation filter) with the
+retrieval shape a RAG/search pipeline needs: a posting-list index and a
+BATCH of queries, each answered with its own top-k.
+
+Scale shape — the parts that matter at 100TB:
+
+* the index is (term, doc_id, tf): one explode + one combine-heavy
+  groupBy; build it once, write it bucketed by term, and every query
+  batch after that is a broadcast-filtered scan of just the matching
+  terms' postings (predicate pushdown on the term column);
+* the query table is tiny by construction → broadcast both the
+  term-filter semi-join and the per-term df/idf join — postings never
+  shuffle to meet the queries;
+* per-query top-k runs the two-stage salted ``grouped_topk``: a query
+  batch has FEW groups (one per query) over potentially millions of
+  scored docs — the exact situation the salted pre-rank exists for.
+
+Determinism: idf is rounded to 6dp and fixed as DECIMAL(18,6); per-doc
+scores are SUM(tf × idf) in exact decimal (order-independent), cast to
+double only for output — the DuckDB oracle reproduces scores
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import grouped_topk
+from .text import tokens
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting list (term, doc_id, tf). One explode (per-row flatMap, no
+    shuffle) + one groupBy(term, doc) with map-side combine."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def retrieve_topk(
+    postings: DataFrame,
+    queries: dict[str, list[str]],
+    n_docs_df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF top-k per query over a posting-list index.
+
+    ``queries`` maps query_id → term list; ``n_docs_df`` is a 1-row
+    frame with column ``_n`` (corpus document count, double). Returns
+    (query_id, rank, doc_id, score).
+    """
+    spark = postings.sparkSession
+    qrows = [(qid, t) for qid, terms in queries.items() for t in terms]
+    qterms = spark.createDataFrame(qrows, "query_id string, term string")
+
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    df_per_term = matched.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.round(
+        F.log((F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))), 6
+    ).cast("decimal(18,6)")
+    term_weights = (
+        qterms.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select("query_id", "term", idf.alias("_idf"))
+    )
+    scored = (
+        matched.join(F.broadcast(term_weights), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("tf") * F.col("_idf")).alias("_score_dec"))
+        .select(
+            "query_id",
+            id_col,
+            F.col("_score_dec").cast("double").alias("score"),
+        )
+    )
+    return (
+        grouped_topk(
+            scored,
+            keys=["query_id"],
+            order_cols=[F.col("score").desc(), F.col(id_col).asc()],
+            k=k,
+            pre_salt=8,
+            salt_on=id_col,
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.col(id_col).cast("long").alias(id_col),
+            F.round("score", 6).alias("score"),
+        )
+    )

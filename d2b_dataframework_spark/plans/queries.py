@@ -3617,3 +3617,61 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch TF-IDF retrieval: build the (term, doc, tf) inverted index,
+    answer 3 queries with their top-5 docs each. Broadcast-filtered
+    postings + salted per-query top-k."""
+    from d2b_dataframework_spark.datapipe.retrieval import inverted_index, retrieve_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = inverted_index(docs)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    qs = {
+        "q1": ["spark", "join"],
+        "q2": ["window", "sort"],
+        "q3": ["vector", "stream", "batch"],
+    }
+    return retrieve_topk(postings, qs, n_docs, k=5).orderBy("query_id", "rank")
+
+
+SQL_RETRIEVAL_TOPK = f"""
+WITH docs_tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM docs_tok GROUP BY 1, 2),
+queries(query_id, term) AS (VALUES
+  ('q1','spark'), ('q1','join'),
+  ('q2','window'), ('q2','sort'),
+  ('q3','vector'), ('q3','stream'), ('q3','batch')),
+stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfreq AS (
+  SELECT p.term, count(*)::DOUBLE AS dfv
+  FROM postings p JOIN (SELECT DISTINCT term FROM queries) q USING (term)
+  GROUP BY 1),
+tw AS (
+  SELECT query_id, q.term,
+    CAST(round(ln((n + 1.0) / (dfv + 1.0)), 6) AS DECIMAL(18,6)) AS idf
+  FROM queries q JOIN dfreq ON q.term = dfreq.term CROSS JOIN stats),
+scored AS (
+  SELECT query_id, doc_id, CAST(SUM(tf * idf) AS DOUBLE) AS score
+  FROM postings JOIN tw ON postings.term = tw.term GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank::BIGINT AS rank, doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+REGISTRY.update(
+    {
+        "retrieval_topk": QuerySpec(
+            q_retrieval_topk,
+            SQL_RETRIEVAL_TOPK,
+            "inverted-index batch TF-IDF retrieval, top-5 per query",
+        ),
+    }
+)

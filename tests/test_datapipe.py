@@ -654,3 +654,31 @@ def test_pagerank_hub_ranks_highest_and_mass_conserved(spark):
     spoke_ranks = {v for k, v in ranks.items() if k != "h"}
     assert len(spoke_ranks) == 1  # symmetry: all spokes equal
     release(out)
+
+
+def test_retrieval_topk_ranks_matching_docs(spark):
+    from pyspark.sql import functions as F
+    from d2b_dataframework_spark.datapipe.retrieval import inverted_index, retrieve_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple apple apple cherry"),
+            (4, "durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    postings = inverted_index(docs)
+    assert {(r["term"], r["doc_id"], r["tf"]) for r in postings.collect()} >= {
+        ("apple", 1, 2),
+        ("apple", 3, 3),
+        ("banana", 2, 1),
+    }
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    out = retrieve_topk(postings, {"qa": ["apple"], "qb": ["cherry", "durian"]}, n, k=2)
+    rows = {(r["query_id"], r["rank"]): r["doc_id"] for r in out.collect()}
+    # qa: doc 3 has tf=3 > doc 1 tf=2
+    assert rows[("qa", 1)] == 3 and rows[("qa", 2)] == 1
+    # qb: doc 4 matches the rarer term twice (higher idf*tf)
+    assert rows[("qb", 1)] == 4
