@@ -1,0 +1,92 @@
+"""Declarative data-quality expectations (Deequ-style, engine-native).
+
+A 100TB nightly load needs its invariants checked IN the engine, in as
+few passes as the checks allow:
+
+* :func:`expect_columns` — every row-level predicate folds into ONE
+  aggregation pass over the table (a conditional-sum per rule inside a
+  single agg — no per-rule scans);
+* :func:`expect_unique` — one distinct-count pass per key set;
+* :func:`expect_ref_integrity` — one anti-join per FK relation (the
+  child side streams; broadcast the parent key set when it fits);
+* :func:`quality_report` — unions the per-rule rows into one tidy
+  (check, n_violations, n_rows, passed) frame.
+
+The reference validates per-batch payloads row-by-row in Python
+(d2b_data/shopify_api.py:135-142 defaulting, Alodesk_API.py malformed-
+row skips); this is the distributed, declarative equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expect_columns(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
+    """One-pass row-level checks: ``preds`` maps check name → a boolean
+    Column that should hold for every row (nulls count as violations).
+    Returns (check, n_violations, n_rows)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("_total")] + [
+        F.sum(F.when(p, 0).otherwise(1)).cast("long").alias(f"_v_{i}")
+        for i, p in enumerate(preds.values())
+    ]
+    row = df.agg(*aggs)
+    stack_args = []
+    for i, name in enumerate(preds):
+        stack_args += [F.lit(name), F.col(f"_v_{i}")]
+    return row.select(
+        F.stack(F.lit(len(preds)), *stack_args).alias("check", "n_violations"),
+        F.col("_total").alias("n_rows"),
+    )
+
+
+def expect_unique(df: DataFrame, keys: list[str], name: str | None = None) -> DataFrame:
+    """Key-uniqueness check: violations = rows beyond the first per key
+    (count - distinct count). Null-containing keys group together, which
+    flags them — the strict reading of a primary-key constraint."""
+    check = name or f"unique({','.join(keys)})"
+    return df.agg(
+        F.lit(check).alias("check"),
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def expect_ref_integrity(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    name: str | None = None,
+) -> DataFrame:
+    """FK check: violations = child rows whose key has no parent (one
+    left-anti join; Spark broadcasts the parent key side when small, AQE
+    otherwise)."""
+    check = name or f"fk({child_key}->{parent_key})"
+    orphans = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    totals = child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return (
+        orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .crossJoin(F.broadcast(totals))
+        .select(F.lit(check).alias("check"), "n_violations", "n_rows")
+    )
+
+
+def quality_report(*checks: DataFrame) -> DataFrame:
+    """Union per-rule frames into (check, n_violations, n_rows, passed)."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "check",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -3675,3 +3675,81 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-load expectation suite: row-level predicates in ONE agg
+    pass over each table, a key-uniqueness check, and an FK orphan
+    audit — the declarative Deequ-style contract for the warehouse."""
+    from d2b_dataframework_spark.operators.quality import (
+        expect_columns,
+        expect_ref_integrity,
+        expect_unique,
+        quality_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    row_checks = expect_columns(
+        orders,
+        {
+            "o_totalprice_positive": F.col("o_totalprice") > 0,
+            "o_orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "o_status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    li_checks = expect_columns(
+        lineitem,
+        {
+            "l_discount_in_range": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 1),
+            "l_quantity_positive": F.col("l_quantity") > 0,
+        },
+    )
+    return quality_report(
+        row_checks,
+        li_checks,
+        expect_unique(orders, ["o_orderkey"]),
+        expect_ref_integrity(lineitem, "l_orderkey", orders, "o_orderkey"),
+    ).orderBy("check")
+
+
+SQL_DATA_QUALITY = """
+WITH o AS (
+  SELECT count(*)::BIGINT AS total,
+    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::BIGINT AS v_price,
+    SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v_date,
+    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)::BIGINT AS v_status,
+    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v_unique
+  FROM orders),
+l AS (
+  SELECT count(*)::BIGINT AS total,
+    SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1 THEN 0 ELSE 1 END)::BIGINT AS v_disc,
+    SUM(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END)::BIGINT AS v_qty
+  FROM lineitem),
+fk AS (
+  SELECT count(*)::BIGINT AS orphans,
+    (SELECT count(*) FROM lineitem)::BIGINT AS total
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+long AS (
+  SELECT 'o_totalprice_positive' AS check, v_price AS n_violations, total AS n_rows FROM o
+  UNION ALL SELECT 'o_orderdate_not_null', v_date, total FROM o
+  UNION ALL SELECT 'o_status_in_domain', v_status, total FROM o
+  UNION ALL SELECT 'l_discount_in_range', v_disc, total FROM l
+  UNION ALL SELECT 'l_quantity_positive', v_qty, total FROM l
+  UNION ALL SELECT 'unique(o_orderkey)', v_unique, total FROM o
+  UNION ALL SELECT 'fk(l_orderkey->o_orderkey)', orphans, total FROM fk)
+SELECT "check", n_violations, n_rows, n_violations = 0 AS passed
+FROM long ORDER BY "check"
+"""
+
+
+REGISTRY.update(
+    {
+        "data_quality": QuerySpec(
+            q_data_quality,
+            SQL_DATA_QUALITY,
+            "declarative expectation suite: one-pass rules + uniqueness + FK audit",
+        ),
+    }
+)

@@ -517,3 +517,26 @@ def test_zorder_value_interleaves_bits(spark):
             z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
         return z
     assert got == {(x, y): morton(x, y) for (x, y) in got}
+
+
+def test_quality_report_counts_violations(spark):
+    from d2b_dataframework_spark.operators.quality import (
+        expect_columns,
+        expect_ref_integrity,
+        expect_unique,
+        quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (2, None), (4, 5.0)], "k long, v double"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    rep = quality_report(
+        expect_columns(df, {"v_pos": F.col("v") > 0}),  # -1 and NULL violate
+        expect_unique(df, ["k"]),                        # k=2 twice
+        expect_ref_integrity(df, "k", parent, "k"),      # k=4 orphan
+    )
+    rows = {r["check"]: (r["n_violations"], r["n_rows"], r["passed"]) for r in rep.collect()}
+    assert rows["v_pos"] == (2, 4, False)
+    assert rows["unique(k)"] == (1, 4, False)
+    assert rows["fk(k->k)"] == (1, 4, False)
