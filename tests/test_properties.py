@@ -106,3 +106,64 @@ def test_quantize_int8_roundtrip_error_bound(spark, vals):
     assert all(-127 <= c <= 127 for c in codes)
     bound = len(vals) * (r["scale"] / 2.0) ** 2 if r["scale"] else 0.0
     assert r["recon_err"] <= bound * 1.001 + 1e-9
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(**SETTINGS)
+def test_ntile_from_rank_matches_reference_arithmetic(spark, n, k):
+    from pyspark.sql import functions as F
+
+    from d2b_dataframework_spark.operators.ranking import ntile_from_rank
+
+    got = {
+        r["rn"]: r["ph"]
+        for r in spark.range(1, n + 1)
+        .select(F.col("id").alias("rn"))
+        .select("rn", ntile_from_rank("rn", F.lit(n), k).alias("ph"))
+        .collect()
+    }
+
+    def ref(rn: int) -> int:  # SQL NTILE definition
+        base, rem = divmod(n, k)
+        if base == 0:
+            return rn
+        cutoff = rem * (base + 1)
+        if rn <= cutoff:
+            return -(-rn // (base + 1))
+        return rem + (-(-(rn - cutoff) // base))
+
+    assert got == {rn: ref(rn) for rn in range(1, n + 1)}
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_zorder_value_is_invertible(spark, pts):
+    from pyspark.sql import functions as F
+
+    from d2b_dataframework_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", zorder_value("x", "y", bits=10).alias("z")).collect()
+
+    def decode(z: int) -> tuple[int, int]:
+        x = y = 0
+        for i in range(10):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in rows:
+        assert decode(r["z"]) == (r["x"], r["y"])
