@@ -1,0 +1,86 @@
+"""Distributed descriptive statistics with cross-engine-exact results.
+
+``DataFrame.stat.corr`` (and any naive double-sum implementation) is
+order-dependent — per-partition float accumulation makes the last few
+ulps a function of the partitioning, so results differ run-to-run and
+engine-to-engine. Here every moment (Σx, Σx², Σxy) is accumulated in
+DECIMAL — exact and order-independent — and the Pearson formula is
+evaluated ONCE on the final sums in fixed-parenthesization double math,
+making the output bit-reproducible on any cluster layout AND matchable
+by the DuckDB oracle.
+
+One aggregation pass computes all moments for all requested column
+pairs (conditional projections inside a single agg — never one scan per
+pair); the result is a single row stacked into tidy (metric_x,
+metric_y, corr) rows. Scale cost: one map-side-combining agg over the
+table, output O(|cols|²) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+def pairwise_pearson(
+    df: DataFrame, cols: list[str], decimals: int = 6
+) -> DataFrame:
+    """Pearson correlation for every unordered pair of ``cols`` in one
+    pass. Returns (metric_x, metric_y, corr, n_rows)."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(_dec(c)).cast("double").alias(f"_s_{c}"))
+        aggs.append(F.sum(_dec(c) * _dec(c)).cast("double").alias(f"_ss_{c}"))
+    for a, b in pairs:
+        aggs.append(F.sum(_dec(a) * _dec(b)).cast("double").alias(f"_sp_{a}_{b}"))
+    row = df.agg(*aggs)
+
+    stack_args: list[Column] = []
+    for a, b in pairs:
+        n, sp = F.col("_n"), F.col(f"_sp_{a}_{b}")
+        sa, sb = F.col(f"_s_{a}"), F.col(f"_s_{b}")
+        ssa, ssb = F.col(f"_ss_{a}"), F.col(f"_ss_{b}")
+        corr = (n * sp - sa * sb) / F.sqrt(
+            (n * ssa - sa * sa) * (n * ssb - sb * sb)
+        )
+        stack_args += [F.lit(a), F.lit(b), F.round(corr, decimals)]
+    return row.select(
+        F.stack(F.lit(len(pairs)), *stack_args).alias("metric_x", "metric_y", "corr"),
+        F.col("_n").cast("long").alias("n_rows"),
+    )
+
+
+def pearson_sql(table: str, cols: list[str], decimals: int = 6) -> str:
+    """The DuckDB twin of :func:`pairwise_pearson` — generated from the
+    same pair list so formula and parenthesization stay in lock-step.
+
+    Operands widen to DECIMAL(19,4): DuckDB stores DECIMAL(≤18) in
+    int64, so an 18×18 product overflows the physical type; width 19
+    forces int128 and the product is an exact DECIMAL(38,8) — the same
+    values Spark's DECIMAL(18,4) × DECIMAL(18,4) → DECIMAL(37,8) holds."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    d = lambda c: f"CAST({c} AS DECIMAL(19,4))"  # noqa: E731
+    sums = ["count(*)::DOUBLE AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM({d(c)}) AS DOUBLE) AS s_{c}")
+        sums.append(f"CAST(SUM({d(c)} * {d(c)}) AS DOUBLE) AS ss_{c}")
+    for a, b in pairs:
+        sums.append(f"CAST(SUM({d(a)} * {d(b)}) AS DOUBLE) AS sp_{a}_{b}")
+    rows = []
+    for a, b in pairs:
+        corr = (
+            f"round((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})), {decimals})"
+        )
+        rows.append(
+            f"SELECT '{a}' AS metric_x, '{b}' AS metric_y, {corr} AS corr, n::BIGINT AS n_rows FROM m"
+        )
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)} FROM {table})\n"
+        + "\nUNION ALL ".join(rows)
+    )

@@ -3753,3 +3753,35 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem metrics in ONE
+    aggregation pass, decimal-exact moments (order-independent — unlike
+    df.stat.corr's partition-dependent float sums)."""
+    from d2b_dataframework_spark.operators.stats import pairwise_pearson
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pairwise_pearson(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    ).orderBy("metric_x", "metric_y")
+
+
+def _sql_metric_correlations() -> str:
+    from d2b_dataframework_spark.operators.stats import pearson_sql
+
+    return (
+        pearson_sql("lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+        + "\nORDER BY metric_x, metric_y"
+    )
+
+
+REGISTRY.update(
+    {
+        "metric_correlations": QuerySpec(
+            q_metric_correlations,
+            _sql_metric_correlations(),
+            "one-pass decimal-exact Pearson correlation matrix",
+        ),
+    }
+)

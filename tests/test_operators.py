@@ -540,3 +540,26 @@ def test_quality_report_counts_violations(spark):
     assert rows["v_pos"] == (2, 4, False)
     assert rows["unique(k)"] == (1, 4, False)
     assert rows["fk(k->k)"] == (1, 4, False)
+
+
+def test_pairwise_pearson_matches_numpy(spark):
+    import numpy as np
+
+    from d2b_dataframework_spark.operators.stats import pairwise_pearson
+
+    rng = [(float(i), float(i) * 2.0 + 1.0, float((i * 37) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rng, "a double, b double, c double")
+    out = {
+        (r["metric_x"], r["metric_y"]): r["corr"]
+        for r in pairwise_pearson(df, ["a", "b", "c"]).collect()
+    }
+    arr = np.array(rng)
+    assert abs(out[("a", "b")] - 1.0) < 1e-9  # perfectly linear
+    want_ac = np.corrcoef(arr[:, 0], arr[:, 2])[0, 1]
+    assert abs(out[("a", "c")] - want_ac) < 1e-6
+    # order-independence: repartitioned input gives bit-identical output
+    out2 = {
+        (r["metric_x"], r["metric_y"]): r["corr"]
+        for r in pairwise_pearson(df.repartition(17), ["a", "b", "c"]).collect()
+    }
+    assert out == out2

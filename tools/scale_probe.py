@@ -76,6 +76,55 @@ def synth_vecs(emb, mult: int):
     return out
 
 
+def _retrieval(docs):
+    from d2b_dataframework_spark.datapipe.retrieval import inverted_index, retrieve_topk
+
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return retrieve_topk(
+        inverted_index(docs),
+        {"q1": ["spark", "join"], "q2": ["window", "sort"]},
+        n,
+        k=5,
+    )
+
+
+def _pagerank(docs):
+    # bipartite doc <-> source graph; source nodes are intentionally hot
+    # (outdeg ~ corpus/|sources|) — probes the agg under hub skew
+    from d2b_dataframework_spark.datapipe.graph import pagerank
+
+    pairs = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.coalesce(F.col("source"), F.lit("none")).alias("dst"),
+    ).distinct()
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=3)
+
+
+def _ntile(docs):
+    from d2b_dataframework_spark.operators.ranking import global_ntile
+
+    return global_ntile(
+        docs.select("doc_id", "n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        8,
+    )
+
+
+def _gtopk(docs):
+    # 5 language groups over the whole corpus = the few-groups skew case
+    from d2b_dataframework_spark.operators.aggregates import grouped_topk
+
+    return grouped_topk(
+        docs.select("lang", "doc_id", "n_chars"),
+        keys=["lang"],
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=10,
+        pre_salt=16,
+        salt_on="doc_id",
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from d2b_dataframework_spark.core.session import get_session
@@ -115,6 +164,11 @@ def main() -> None:
         "incremental_vs_corpus": lambda d, e: dd.incremental_dedup(
             base_docs_mut[0], d, threshold=0.7
         ),
+        # Round-2 additions: each should be ~linear in corpus size.
+        "retrieval_topk": lambda d, e: _retrieval(d),
+        "pagerank_3iter": lambda d, e: _pagerank(d),
+        "global_ntile": lambda d, e: _ntile(d),
+        "grouped_topk_salted": lambda d, e: _gtopk(d),
     }
 
     print(f"{'op':20s} {'1x':>8s} {'3x':>8s} {'10x':>8s} {'r3':>6s} {'r10':>6s}")
