@@ -84,3 +84,40 @@ def pearson_sql(table: str, cols: list[str], decimals: int = 6) -> str:
         f"WITH m AS (SELECT {', '.join(sums)} FROM {table})\n"
         + "\nUNION ALL ".join(rows)
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group z-score feature scaling: (x - mean) / stddev, with the
+    moments accumulated in DECIMAL (exact, partition-independent) and
+    the final math in fixed-parenthesization double.
+
+    Population stddev (÷n) — matches the formula a feature-scaling
+    pipeline fits once and applies everywhere. One agg pass over the
+    table + one broadcast-back join on the (small) group key set; zero
+    variance → null score. At 100TB: the moments frame is |groups| rows
+    — broadcast; the normalization itself is a map-side projection.
+    """
+    keys = by or []
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(_dec(c)).cast("double").alias(f"_s_{c}"))
+        aggs.append(F.sum(_dec(c) * _dec(c)).cast("double").alias(f"_ss_{c}"))
+    moments = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = (
+        df.join(F.broadcast(moments), keys) if keys else df.crossJoin(F.broadcast(moments))
+    )
+    out_cols = []
+    for c in cols:
+        n, s, ss = F.col("_n"), F.col(f"_s_{c}"), F.col(f"_ss_{c}")
+        mean = s / n
+        var = (ss / n) - (mean * mean)
+        z = (F.col(c).cast("double") - mean) / F.sqrt(var)
+        out_cols.append(
+            F.when(var > 0, F.round(z, decimals)).otherwise(F.lit(None)).alias(f"{c}_z")
+        )
+    return joined.select(*df.columns, *out_cols)

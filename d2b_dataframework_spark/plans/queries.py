@@ -3785,3 +3785,152 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_zscore_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score normalization of event values: decimal-
+    exact per-group moments broadcast back over a map-side projection.
+    Summarized per type (mean_z≈0 sanity + extremes) to keep the
+    verified output compact."""
+    from d2b_dataframework_spark.operators.stats import zscore_normalize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    normed = zscore_normalize(ev, ["value"], by=["event_type"])
+    return (
+        normed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.round(
+                    F.sum(F.col("value_z").cast("decimal(18,6)")).cast("double"), 3
+                )
+                + F.lit(0.0)  # normalize -0.0 → +0.0 (IEEE: -0.0 + 0.0 = +0.0)
+            ).alias("sum_z"),
+            F.min("value_z").alias("min_z"),
+            F.max("value_z").alias("max_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ZSCORE = """
+WITH m AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+    CAST(SUM(CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS ss
+  FROM events GROUP BY 1),
+z AS (
+  SELECT e.event_type,
+    CASE WHEN (ss / n) - ((s / n) * (s / n)) > 0
+      THEN round((value::DOUBLE - (s / n)) / sqrt((ss / n) - ((s / n) * (s / n))), 6)
+    END AS value_z
+  FROM events e JOIN m ON e.event_type = m.event_type)
+SELECT event_type, count(*)::BIGINT AS n,
+  round(CAST(SUM(value_z::DECIMAL(18,6)) AS DOUBLE), 3) + 0.0 AS sum_z,
+  min(value_z) AS min_z, max(value_z) AS max_z
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (lag window partitioned by user — fully parallel), with
+    row-normalized probabilities. The path-analysis primitive behind
+    funnel exploration."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 6).alias(
+                "p"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+    event_type AS to_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2),
+totals AS (SELECT from_type, SUM(n) AS n_from FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n, round(c.n::DOUBLE / t.n_from::DOUBLE, 6) AS p
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+"""
+
+
+def q_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open/high/low/close of event values per type via
+    min_by/max_by on (ts, event_id) — single-agg first/last-in-bucket
+    (no sort, no window), ties broken on event_id for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    # composite ordering key as array<long> — lexicographic in both
+    # engines (DuckDB arg_min/arg_max take LIST but not STRUCT)
+    # ts is TIMESTAMP_NTZ after the nanos handling; cast through the
+    # session-UTC timestamp for unix_micros (same instant either way).
+    # Composite key as a zero-padded string (lexicographic == numeric
+    # order) — DuckDB arg_min/arg_max accept neither STRUCT nor LIST.
+    ordkey = F.format_string(
+        "%020d%020d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", ordkey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", ordkey), 2).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_DAILY_OHLC = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  round(arg_min(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0')), 2) AS open,
+  round(max(value), 2) AS high,
+  round(min(value), 2) AS low,
+  round(arg_max(value, lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0')), 2) AS close,
+  count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+REGISTRY.update(
+    {
+        "zscore_features": QuerySpec(
+            q_zscore_features, SQL_ZSCORE, "per-group z-score feature scaling"
+        ),
+        "event_transitions": QuerySpec(
+            q_event_transitions,
+            SQL_EVENT_TRANSITIONS,
+            "first-order Markov transition matrix over user event paths",
+        ),
+        "daily_ohlc": QuerySpec(
+            q_daily_ohlc,
+            SQL_DAILY_OHLC,
+            "first/last-in-bucket via min_by/max_by (no window, no sort)",
+        ),
+    }
+)

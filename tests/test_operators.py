@@ -563,3 +563,16 @@ def test_pairwise_pearson_matches_numpy(spark):
         for r in pairwise_pearson(df.repartition(17), ["a", "b", "c"]).collect()
     }
     assert out == out2
+
+
+def test_zscore_normalize_grouped(spark):
+    from d2b_dataframework_spark.operators.stats import zscore_normalize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)], "g string, v double"
+    )
+    out = {(r["g"], r["v"]): r["v_z"] for r in zscore_normalize(df, ["v"], by=["g"]).collect()}
+    # group a: mean 2, pop std 1 → z = ±1
+    assert out[("a", 1.0)] == -1.0 and out[("a", 3.0)] == 1.0
+    # group b: zero variance → null
+    assert out[("b", 10.0)] is None
