@@ -3934,3 +3934,38 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on the part-name dimension: distinct names
+    blocked on their noun (second word), Levenshtein ≤ 4 inside blocks
+    — candidate-then-verify, never all-pairs."""
+    from d2b_dataframework_spark.operators.fuzzy import fuzzy_match_pairs
+
+    part = _t(spark, sf_dir, "part")
+    noun = F.split(F.col("p_name"), " ").getItem(1)
+    return fuzzy_match_pairs(part, "p_name", noun, max_distance=4).orderBy(
+        "value_a", "value_b"
+    )
+
+
+SQL_FUZZY_PART_NAMES = """
+WITH vals AS (
+  SELECT DISTINCT p_name AS v, string_split(p_name, ' ')[2] AS blk FROM part)
+SELECT a.v AS value_a, b.v AS value_b,
+  levenshtein(a.v, b.v)::BIGINT AS distance
+FROM vals a JOIN vals b ON a.blk = b.blk AND a.v < b.v
+WHERE levenshtein(a.v, b.v) <= 4
+ORDER BY value_a, value_b
+"""
+
+
+REGISTRY.update(
+    {
+        "fuzzy_part_names": QuerySpec(
+            q_fuzzy_part_names,
+            SQL_FUZZY_PART_NAMES,
+            "blocked Levenshtein entity resolution on a dirty dimension",
+        ),
+    }
+)

@@ -576,3 +576,18 @@ def test_zscore_normalize_grouped(spark):
     assert out[("a", 1.0)] == -1.0 and out[("a", 3.0)] == 1.0
     # group b: zero variance → null
     assert out[("b", 10.0)] is None
+
+
+def test_fuzzy_match_pairs_blocks_and_thresholds(spark):
+    from d2b_dataframework_spark.operators.fuzzy import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        [("red bolt",), ("red bolt",), ("rad bolt",), ("red ring",), ("blue bolt",)],
+        "name string",
+    )
+    out = fuzzy_match_pairs(
+        df, "name", F.split(F.col("name"), " ").getItem(1), max_distance=1
+    ).collect()
+    pairs = {(r["value_a"], r["value_b"]): r["distance"] for r in out}
+    # duplicates collapse; cross-block ("red ring") never compared
+    assert pairs == {("rad bolt", "red bolt"): 1}
