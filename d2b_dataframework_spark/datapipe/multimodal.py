@@ -137,3 +137,63 @@ def sample_video_frames(
         .select("asset_id", "content")
         .mapInPandas(run, schema)
     )
+
+
+def chunk_audio(
+    assets: DataFrame, chunk_seconds: float = 5.0, default_rate: int = 16_000
+) -> DataFrame:
+    """Fixed-duration window chunking for audio assets — the
+    segmentation stage before feature extraction / ASR. Bytes-per-second
+    comes from the typed meta (sample_rate, channels, bit_depth; PCM
+    assumption), so the chunk boundaries are pure arithmetic over
+    ``len(content)`` — the real contract (one row per window, byte
+    offsets + window payload) with the codec read stubbed, like
+    ``sample_video_frames``.
+
+    mapInPandas (streaming batch iterator): binary rows never
+    materialize per group, and the fan-out multiplies rows map-side with
+    no shuffle.
+    """
+    schema = StructType(
+        [
+            StructField("asset_id", StringType()),
+            StructField("chunk_index", LongType()),
+            StructField("byte_start", LongType()),
+            StructField("n_chunk_bytes", LongType()),
+            StructField("chunk", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "asset_id": [],
+                "chunk_index": [],
+                "byte_start": [],
+                "n_chunk_bytes": [],
+                "chunk": [],
+            }
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                meta = row["meta"] or {}
+                rate = int(meta.get("sample_rate", default_rate))
+                channels = int(meta.get("channels", 1))
+                depth = int(meta.get("bit_depth", 16))
+                bps = max(1, rate * channels * (depth // 8))
+                chunk_bytes = max(1, int(bps * chunk_seconds))
+                n = len(content)
+                n_chunks = max(1, -(-n // chunk_bytes))
+                for idx in range(n_chunks):
+                    start = idx * chunk_bytes
+                    rows["asset_id"].append(row["asset_id"])
+                    rows["chunk_index"].append(idx)
+                    rows["byte_start"].append(start)
+                    rows["n_chunk_bytes"].append(max(0, min(chunk_bytes, n - start)))
+                    rows["chunk"].append(content[start : start + 16])
+            yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "content", "meta")
+        .mapInPandas(run, schema)
+    )

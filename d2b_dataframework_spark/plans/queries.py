@@ -3969,3 +3969,59 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window-chunking fan-out: PCM byte-rate from typed meta,
+    one row per 0.005s window over stub audio payloads — verifies the
+    mapInPandas segmentation contract (chunk count, offsets, tail
+    truncation) against pure-arithmetic oracle SQL."""
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("audio")).otherwise(F.lit("image")).alias(
+            "modality"
+        ),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(
+            F.lit("sample_rate"), F.lit("16000"),
+            F.lit("channels"), F.lit("1"),
+            F.lit("bit_depth"), F.lit("16"),
+        ).alias("meta"),
+    )
+    chunks = mm.chunk_audio(assets, chunk_seconds=0.005)  # 160-byte windows
+    return chunks.select(
+        "asset_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("byte_start").cast("long").alias("byte_start"),
+        F.col("n_chunk_bytes").cast("long").alias("n_chunk_bytes"),
+    ).orderBy("asset_id", "chunk_index")
+
+
+SQL_AUDIO_CHUNKS = """
+WITH auds AS (
+  SELECT 'asset-' || doc_id::VARCHAR AS asset_id,
+    octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents WHERE doc_id % 3 = 1),
+chunks AS (
+  SELECT asset_id, n_bytes,
+    unnest(range(0, greatest((n_bytes + 159) // 160, 1)))::BIGINT AS chunk_index
+  FROM auds)
+SELECT asset_id, chunk_index,
+  (chunk_index * 160)::BIGINT AS byte_start,
+  greatest(0, least(160, n_bytes - chunk_index * 160))::BIGINT AS n_chunk_bytes
+FROM chunks ORDER BY asset_id, chunk_index
+"""
+
+
+REGISTRY.update(
+    {
+        "audio_chunks": QuerySpec(
+            q_audio_chunks,
+            SQL_AUDIO_CHUNKS,
+            "audio window segmentation fan-out (stub PCM; typed-meta byte rate)",
+        ),
+    }
+)

@@ -682,3 +682,25 @@ def test_retrieval_topk_ranks_matching_docs(spark):
     assert rows[("qa", 1)] == 3 and rows[("qa", 2)] == 1
     # qb: doc 4 matches the rarer term twice (higher idf*tf)
     assert rows[("qb", 1)] == 4
+
+
+def test_chunk_audio_offsets_and_tail(spark):
+    from pyspark.sql import functions as F
+    from d2b_dataframework_spark.datapipe.multimodal import chunk_audio
+
+    assets = spark.createDataFrame(
+        [
+            ("a1", "audio", bytearray(b"x" * 350), {"sample_rate": "16000", "channels": "1", "bit_depth": "16"}),
+            ("a2", "audio", bytearray(b""), {"sample_rate": "16000"}),
+            ("i1", "image", bytearray(b"y" * 999), {}),
+        ],
+        "asset_id string, modality string, content binary, meta map<string,string>",
+    )
+    # 0.005s @ 16kHz mono 16-bit = 160 bytes/chunk
+    out = chunk_audio(assets, chunk_seconds=0.005).collect()
+    rows = {(r["asset_id"], r["chunk_index"]): (r["byte_start"], r["n_chunk_bytes"]) for r in out}
+    assert rows[("a1", 0)] == (0, 160)
+    assert rows[("a1", 1)] == (160, 160)
+    assert rows[("a1", 2)] == (320, 30)  # tail truncation
+    assert rows[("a2", 0)] == (0, 0)     # empty payload -> one empty chunk
+    assert not any(a == "i1" for a, _ in rows)  # non-audio filtered out
