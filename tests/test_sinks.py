@@ -138,3 +138,24 @@ def test_compact_date_partitions_merges_small_files(spark, tmp_path):
     assert got.agg(F.sum("v")).collect()[0][0] == sum(range(1000))
     # idempotent: nothing left to compact
     assert compact_date_partitions(spark, path, target_bytes=1 << 30) == {}
+
+
+def test_write_with_audit_computes_metrics_in_one_job(spark, tmp_path):
+    from d2b_dataframework_spark.operators.observe import write_with_audit
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("k"),
+    )
+    path = str(tmp_path / "audited")
+    audit = write_with_audit(
+        df,
+        path,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_keys": F.sum(F.col("k").isNull().cast("long")),
+            "max_id": F.max("id"),
+        },
+    )
+    assert audit == {"n_rows": 500, "null_keys": 100, "max_id": 499}
+    assert spark.read.parquet(path).count() == 500
