@@ -624,3 +624,20 @@ def linear_quality_scores(
             6,
         ).alias("logit"),
     )
+
+
+def pseudonymize(col: Column | str, secret: str, length: int = 16) -> Column:
+    """Keyed deterministic pseudonym for an identifier column: the first
+    ``length`` hex chars of sha256(secret || ':' || value).
+
+    The GDPR-pipeline primitive redaction can't give you: the SAME input
+    under the SAME secret always maps to the SAME token, so joins,
+    groupBys, and dedup still work across pseudonymized tables, while
+    the raw identifier never leaves the engine. Rotating the secret
+    severs all linkage (crypto-shredding by key destruction). Pure
+    projection — zero shuffle, codegen'd sha256.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(
+        F.sha2(F.concat(F.lit(f"{secret}:"), c.cast("string")), 256), 1, length
+    )

@@ -4025,3 +4025,41 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-safe activity rollup: user ids replaced by keyed sha256
+    pseudonyms (stable across tables under one secret — joins/groupBys
+    survive, raw ids don't), aggregated per pseudonym."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            dt.pseudonymize("user_id", secret="rotate-me").alias("user_token"),
+            "value",
+        )
+        .groupBy("user_token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_token")
+    )
+
+
+SQL_PSEUDONYMIZED = """
+SELECT substr(sha256('rotate-me:' || user_id::VARCHAR), 1, 16) AS user_token,
+  count(*)::BIGINT AS n_events,
+  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "pseudonymized_activity": QuerySpec(
+            q_pseudonymized_activity,
+            SQL_PSEUDONYMIZED,
+            "keyed sha256 pseudonymization preserving join/groupBy linkage",
+        ),
+    }
+)

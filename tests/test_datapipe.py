@@ -704,3 +704,18 @@ def test_chunk_audio_offsets_and_tail(spark):
     assert rows[("a1", 2)] == (320, 30)  # tail truncation
     assert rows[("a2", 0)] == (0, 0)     # empty payload -> one empty chunk
     assert not any(a == "i1" for a, _ in rows)  # non-audio filtered out
+
+
+def test_pseudonymize_is_stable_and_secret_dependent(spark):
+    from pyspark.sql import functions as F
+    from d2b_dataframework_spark.datapipe.text import pseudonymize
+
+    df = spark.createDataFrame([(42,), (42,), (7,)], "uid long")
+    out = df.select(
+        pseudonymize("uid", "k1").alias("t1"),
+        pseudonymize("uid", "k2").alias("t2"),
+    ).collect()
+    # same input + secret -> same token; different secret -> different token
+    assert out[0]["t1"] == out[1]["t1"] and len(out[0]["t1"]) == 16
+    assert out[0]["t1"] != out[0]["t2"]
+    assert out[2]["t1"] != out[0]["t1"]
