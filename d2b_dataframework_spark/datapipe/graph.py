@@ -48,20 +48,29 @@ def pagerank(
     (not pre-computed in Python) so an oracle writing ``(1.0 - 0.85)``
     lands on the bit-identical IEEE double.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .persist()
-    )
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg")).persist()
+    # Persist the edge list FIRST and derive nodes/outdeg from the
+    # persisted frame — deriving them from the raw argument would replay
+    # its (possibly expensive: distinct over a fact scan) lineage once
+    # per derivation.
     e = edges.select(src, dst).persist()
-    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    teleport = (F.lit(1.0) - F.lit(float(damping))) / F.col("_n")
-
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", F.round(F.lit(1.0) / F.col("_n"), 12).alias("rank")
+    # explode, not union-of-two-selects: one scan of e (a union's two
+    # legs each replay the input within the same job before the cache
+    # has materialized)
+    nodes = (
+        e.select(F.explode(F.array(src, dst)).alias("node")).distinct().persist()
     )
+    outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg")).persist()
+    # One tiny driver action: |nodes| (also materializes the nodes cache
+    # before any broadcast stage can race it). Inlining n as a literal
+    # keeps the per-iteration plans free of repeated count-agg +
+    # broadcast-exchange stages — a broadcast executes before the main
+    # job and would otherwise recompute the node derivation every
+    # iteration. n is an exact integer; its double form is identical to
+    # the oracle's count(*)::DOUBLE.
+    n = F.lit(float(nodes.count()))
+    teleport = (F.lit(1.0) - F.lit(float(damping))) / n
+
+    ranks = nodes.select("node", F.round(F.lit(1.0) / n, 12).alias("rank"))
     for _ in range(int(iterations)):
         contrib = (
             e.join(outdeg, src)
@@ -78,15 +87,11 @@ def pagerank(
             )
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "node",
-                F.round(
-                    teleport + F.coalesce(F.col("_s").cast("double"), F.lit(0.0)),
-                    12,
-                ).alias("rank"),
-            )
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            F.round(
+                teleport + F.coalesce(F.col("_s").cast("double"), F.lit(0.0)),
+                12,
+            ).alias("rank"),
         )
     return track(ranks, nodes, outdeg, e)

@@ -4063,3 +4063,55 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas asfreq('D')+ffill, distributed: sparse per-type daily sums
+    (high-value events only → real gaps) completed to a full calendar
+    via sequence-explode and forward-filled per key."""
+    from d2b_dataframework_spark.operators.timeseries import resample_daily_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    actual = (
+        ev.filter(F.col("value") > 200)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    filled = resample_daily_ffill(actual, "event_type", "day", "v")
+    return filled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").cast("double").alias("sum_value"),
+        "was_filled",
+    ).orderBy("event_type", "day")
+
+
+SQL_GAP_FILL = """
+WITH actual AS (
+  SELECT event_type, ts::DATE AS day, SUM(value::DECIMAL(18,2)) AS v
+  FROM events WHERE value > 200 GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM actual GROUP BY 1),
+cal AS (
+  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds),
+joined AS (
+  SELECT c.event_type, c.day, a.v FROM cal c
+  LEFT JOIN actual a ON c.event_type = a.event_type AND c.day = a.day)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  CAST(last_value(v IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_value,
+  (v IS NULL) AS was_filled
+FROM joined ORDER BY event_type, day
+"""
+
+
+REGISTRY.update(
+    {
+        "gap_fill_daily": QuerySpec(
+            q_gap_fill_daily,
+            SQL_GAP_FILL,
+            "calendar resample + forward fill (pandas asfreq/ffill parity)",
+        ),
+    }
+)

@@ -591,3 +591,22 @@ def test_fuzzy_match_pairs_blocks_and_thresholds(spark):
     pairs = {(r["value_a"], r["value_b"]): r["distance"] for r in out}
     # duplicates collapse; cross-block ("red ring") never compared
     assert pairs == {("rad bolt", "red bolt"): 1}
+
+
+def test_resample_daily_ffill_fills_gaps(spark):
+    from d2b_dataframework_spark.operators.timeseries import resample_daily_ffill
+
+    actual = spark.createDataFrame(
+        [("a", "2024-01-01", 1.0), ("a", "2024-01-04", 4.0), ("b", "2024-01-02", 2.0)],
+        "k string, d_s string, v double",
+    ).select("k", F.to_date("d_s").alias("d"), "v")
+    out = {
+        (r["k"], str(r["d"])): (r["v"], r["was_filled"])
+        for r in resample_daily_ffill(actual, "k", "d", "v").collect()
+    }
+    assert out[("a", "2024-01-01")] == (1.0, False)
+    assert out[("a", "2024-01-02")] == (1.0, True)   # filled forward
+    assert out[("a", "2024-01-03")] == (1.0, True)
+    assert out[("a", "2024-01-04")] == (4.0, False)
+    assert out[("b", "2024-01-02")] == (2.0, False)
+    assert len(out) == 5  # b has a single-day span
