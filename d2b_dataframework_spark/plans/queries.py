@@ -4115,3 +4115,134 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE parity: region←nation←customer parent edges
+    flattened to (node, root, depth, path) by pointer-jumping —
+    Spark SQL has no recursive CTE, so the engine supplies the
+    fixpoint loop (driver-scalar convergence test, checkpointed
+    rounds)."""
+    from d2b_dataframework_spark.operators.hierarchy import flatten_hierarchy
+
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    edges = nation.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent"),
+    ).unionByName(
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("child"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("parent"),
+        )
+    )
+    return flatten_hierarchy(edges).orderBy("node")
+
+
+SQL_HIERARCHY_PATHS = """
+WITH RECURSIVE edges AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS child, 'r' || n_regionkey::VARCHAR AS parent FROM nation
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'n' || c_nationkey::VARCHAR FROM customer),
+up AS (
+  SELECT child AS node, parent AS anc, 1::BIGINT AS depth, parent || '/' || child AS path
+  FROM edges
+  UNION ALL
+  SELECT up.node, e.parent, up.depth + 1, e.parent || '/' || up.path
+  FROM up JOIN edges e ON up.anc = e.child),
+full_paths AS (
+  SELECT node, anc AS root, depth, path,
+    row_number() OVER (PARTITION BY node ORDER BY depth DESC) AS rn
+  FROM up),
+combined AS (
+  SELECT node, root, depth, path FROM full_paths WHERE rn = 1
+  UNION ALL
+  SELECT DISTINCT parent AS node, parent AS root, 0::BIGINT AS depth, parent AS path
+  FROM edges WHERE parent NOT IN (SELECT child FROM edges))
+SELECT node, root, depth, path FROM combined ORDER BY node
+"""
+
+
+REGISTRY.update(
+    {
+        "hierarchy_paths": QuerySpec(
+            q_hierarchy_paths,
+            SQL_HIERARCHY_PATHS,
+            "recursive-CTE parity: hierarchy flatten via pointer jumping",
+        ),
+    }
+)
+
+
+def q_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked haversine neighbor join: customers placed at
+    deterministic pseudo-coordinates (md5-derived, INTEGER cell ids —
+    float floors can flip at cell edges), 3x3-cell candidate join,
+    exact distance verify ≤ 5 km."""
+    from d2b_dataframework_spark.operators.spatial import grid_neighbor_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    h = lambda salt: F.conv(  # noqa: E731 — 28-bit md5 prefix, engine-portable
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("c_custkey").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    hlat = F.pmod(h("lat"), F.lit(2000000))
+    hlon = F.pmod(h("lon"), F.lit(2000000))
+    # integer cell ids: (hv - hv%cell)/cell is exact (a multiple of cell
+    # divided by cell) — equivalent to DuckDB's `//` with no float floor
+    cell = F.lit(50000)
+    pts = cust.select(
+        F.col("c_custkey").alias("cid"),
+        (hlat.cast("double") / 1000000.0 - 1.0).alias("lat"),
+        (hlon.cast("double") / 1000000.0 - 1.0).alias("lon"),
+        ((hlat - F.pmod(hlat, cell)) / cell).cast("long").alias("cx"),
+        ((hlon - F.pmod(hlon, cell)) / cell).cast("long").alias("cy"),
+    )
+    return grid_neighbor_pairs(
+        pts, "cid", "lat", "lon", F.col("cx"), F.col("cy"), radius_km=5.0
+    ).orderBy("id_a", "id_b")
+
+
+SQL_SPATIAL_NEIGHBORS = """
+WITH pts AS (
+  SELECT c_custkey AS cid,
+    (('0x' || substr(md5('lat:' || c_custkey::VARCHAR), 1, 7))::BIGINT % 2000000) AS hlat,
+    (('0x' || substr(md5('lon:' || c_custkey::VARCHAR), 1, 7))::BIGINT % 2000000) AS hlon
+  FROM customer),
+coords AS (
+  SELECT cid,
+    hlat::DOUBLE / 1000000.0 - 1.0 AS lat,
+    hlon::DOUBLE / 1000000.0 - 1.0 AS lon,
+    hlat // 50000 AS cx, hlon // 50000 AS cy
+  FROM pts),
+b AS (
+  SELECT cid AS id_b, lat AS lat_b, lon AS lon_b, cx + dx.d AS cx, cy + dy.d AS cy
+  FROM coords, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
+cand AS (
+  SELECT a.cid AS id_a, b.id_b, a.lat AS lat_a, a.lon AS lon_a, b.lat_b, b.lon_b
+  FROM coords a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.cid < b.id_b),
+dist AS (
+  SELECT id_a, id_b,
+    round(2.0 * 6371.0 * asin(sqrt(
+      sin(radians(lat_b - lat_a) / 2) * sin(radians(lat_b - lat_a) / 2)
+      + cos(radians(lat_a)) * cos(radians(lat_b))
+        * (sin(radians(lon_b - lon_a) / 2) * sin(radians(lon_b - lon_a) / 2))
+    )), 6) AS distance_km
+  FROM cand)
+SELECT id_a, id_b, distance_km FROM dist
+WHERE distance_km <= 5.0 ORDER BY id_a, id_b
+"""
+
+
+REGISTRY.update(
+    {
+        "spatial_neighbors": QuerySpec(
+            q_spatial_neighbors,
+            SQL_SPATIAL_NEIGHBORS,
+            "grid-blocked haversine neighbor join (spatial LSH-banding analog)",
+        ),
+    }
+)

@@ -610,3 +610,34 @@ def test_resample_daily_ffill_fills_gaps(spark):
     assert out[("a", "2024-01-04")] == (4.0, False)
     assert out[("b", "2024-01-02")] == (2.0, False)
     assert len(out) == 5  # b has a single-day span
+
+
+def test_flatten_hierarchy_paths_and_roots(spark):
+    from d2b_dataframework_spark.operators.hierarchy import flatten_hierarchy
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("x", "a")], "child string, parent string"
+    )
+    out = {r["node"]: (r["root"], r["depth"], r["path"]) for r in flatten_hierarchy(edges).collect()}
+    assert out["d"] == ("a", 3, "a/b/c/d")
+    assert out["c"] == ("a", 2, "a/b/c")
+    assert out["x"] == ("a", 1, "a/x")
+    assert out["a"] == ("a", 0, "a")  # root included
+
+
+def test_grid_neighbor_pairs_finds_close_points_once(spark):
+    from d2b_dataframework_spark.operators.spatial import grid_neighbor_pairs
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 0, 0),
+            (2, 0.01, 0.01, 0, 0),     # ~1.6 km from 1
+            (3, 0.05, -0.02, 1, 0),    # adjacent cell, ~6 km from 1
+            (4, 1.0, 1.0, 20, 20),     # far away
+        ],
+        "cid long, lat double, lon double, cx long, cy long",
+    )
+    out = grid_neighbor_pairs(pts, "cid", "lat", "lon", F.col("cx"), F.col("cy"), 5.0).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs and (1, 4) not in pairs
+    assert len(out) == len(pairs)  # each pair exactly once
