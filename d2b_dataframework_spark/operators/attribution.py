@@ -87,3 +87,87 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col(user_col)).cast("long").alias("n_users"))
     )
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    halflife_days: float = 7.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    tiebreaker: str = "event_id",
+) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: every touch
+    credits the FIRST conversion at-or-after it (same user), weighted
+    ``0.5 ^ (days_before_conversion / halflife)`` and normalized so each
+    conversion's credits sum to its value.
+
+    Distributed shape: one backward-looking window per user assigns
+    touches to conversions (min of a zero-padded composite key over the
+    following rows — strings because engines disagree on struct/list
+    aggregation support), one groupBy(conversion) computes the weight
+    normalizer, one join spreads the conversion value back. No
+    self-joins over the raw stream.
+
+    Weights are rounded to 9dp and normalizer sums run in DECIMAL, so
+    results are order-independent and cross-engine exact. Returns
+    (touch_type, n_touches, attributed_value).
+    """
+    key = F.format_string(
+        "%020d%020d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(tiebreaker),
+    )
+    is_conv = F.col(type_col) == conversion_type
+    fwd = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreaker).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    staged = events.withColumn("_key", key).withColumn(
+        "_conv_key", F.min(F.when(is_conv, key)).over(fwd)
+    )
+    touches = staged.filter(
+        F.col(type_col).isin(*touch_types) & F.col("_conv_key").isNotNull()
+    ).select(
+        user_col,
+        F.col(type_col).alias("_touch"),
+        "_conv_key",
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                (
+                    F.substring("_conv_key", 1, 20).cast("double")
+                    - F.substring("_key", 1, 20).cast("double")
+                )
+                / F.lit(86400.0 * 1e6)
+                / F.lit(float(halflife_days)),
+            ),
+            9,
+        ).alias("_w"),
+    )
+    norms = touches.groupBy(user_col, "_conv_key").agg(
+        F.sum(F.col("_w").cast("decimal(28,9)")).cast("double").alias("_wsum")
+    )
+    convs = staged.filter(is_conv).select(
+        user_col,
+        F.col("_key").alias("_conv_key"),
+        F.col(value_col).cast("double").alias("_val"),
+    )
+    credited = (
+        touches.join(norms, [user_col, "_conv_key"])
+        .join(convs, [user_col, "_conv_key"])
+        .select(
+            F.col("_touch").alias("touch_type"),
+            F.round((F.col("_val") * F.col("_w")) / F.col("_wsum"), 6).alias("_credit"),
+        )
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(F.col("_credit").cast("decimal(28,6)")).cast("double").alias(
+            "attributed_value"
+        ),
+    )

@@ -4246,3 +4246,57 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch time-decay attribution (7-day halflife): every
+    click/view credits its next purchase, exponentially discounted and
+    normalized per conversion."""
+    from d2b_dataframework_spark.operators.attribution import time_decay_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return time_decay_attribution(
+        ev, touch_types=["click", "view"], conversion_type="purchase", halflife_days=7.0
+    ).orderBy("touch_type")
+
+
+SQL_ATTRIBUTION_DECAY = """
+WITH staged AS (
+  SELECT user_id, event_type, value,
+    lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0') AS key,
+    min(CASE WHEN event_type = 'purchase'
+          THEN lpad(epoch_us(ts)::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 20, '0') END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_key
+  FROM events),
+touches AS (
+  SELECT user_id, event_type AS touch, conv_key,
+    round(pow(0.5, (substr(conv_key, 1, 20)::DOUBLE - substr(key, 1, 20)::DOUBLE)
+                   / 86400000000.0 / 7.0), 9) AS w
+  FROM staged WHERE event_type IN ('click','view') AND conv_key IS NOT NULL),
+norms AS (
+  SELECT user_id, conv_key, CAST(SUM(w::DECIMAL(28,9)) AS DOUBLE) AS wsum
+  FROM touches GROUP BY 1, 2),
+convs AS (
+  SELECT user_id, key AS conv_key, value::DOUBLE AS val
+  FROM staged WHERE event_type = 'purchase'),
+credited AS (
+  SELECT t.touch AS touch_type, round((c.val * t.w) / n.wsum, 6) AS credit
+  FROM touches t
+  JOIN norms n ON t.user_id = n.user_id AND t.conv_key = n.conv_key
+  JOIN convs c ON t.user_id = c.user_id AND t.conv_key = c.conv_key)
+SELECT touch_type, count(*)::BIGINT AS n_touches,
+  CAST(SUM(credit::DECIMAL(28,6)) AS DOUBLE) AS attributed_value
+FROM credited GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "attribution_time_decay": QuerySpec(
+            q_attribution_time_decay,
+            SQL_ATTRIBUTION_DECAY,
+            "multi-touch exponential time-decay attribution",
+        ),
+    }
+)

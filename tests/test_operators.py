@@ -641,3 +641,26 @@ def test_grid_neighbor_pairs_finds_close_points_once(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (1, 2) in pairs and (1, 4) not in pairs
     assert len(out) == len(pairs)  # each pair exactly once
+
+
+def test_time_decay_attribution_normalizes_per_conversion(spark):
+    from d2b_dataframework_spark.operators.attribution import time_decay_attribution
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view", 0.0),
+        (2, 1, "2024-01-08 00:00:00", "click", 0.0),   # 1 halflife closer
+        (3, 1, "2024-01-08 00:00:00", "purchase", 30.0),
+        (4, 2, "2024-01-01 00:00:00", "view", 0.0),    # touch with no conversion
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = {
+        r["touch_type"]: r["attributed_value"]
+        for r in time_decay_attribution(ev, ["click", "view"], "purchase", 7.0).collect()
+    }
+    # weights: click at dt=0 -> 1.0; view at dt=7d -> 0.5; credits 20 / 10
+    assert abs(out["click"] - 20.0) < 1e-6
+    assert abs(out["view"] - 10.0) < 1e-6
+    # total credit equals total conversion value
+    assert abs(sum(out.values()) - 30.0) < 1e-6
