@@ -4300,3 +4300,60 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a
+    part's average quantity — the correlated scalar subquery
+    DECORRELATED into a per-part aggregate joined back (what Catalyst
+    does to the subquery form; written explicitly here so the plan is
+    one agg + one join at any scale). Per-brand breakdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_q = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(part.select("p_partkey", "p_brand"), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_SMALL_QTY = """
+WITH avg_q AS (
+  SELECT l_partkey,
+    CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) / count(*)::DOUBLE AS avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT p_brand, count(*)::BIGINT AS n_lines,
+  round(CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN avg_q USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.2 * avg_qty
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+REGISTRY.update(
+    {
+        "small_quantity_revenue": QuerySpec(
+            q_small_quantity_revenue,
+            SQL_SMALL_QTY,
+            "decorrelated scalar subquery (TPC-H Q17 shape), per-brand",
+        ),
+    }
+)
