@@ -4357,3 +4357,179 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type: dow mean over the
+    daily rollup as a ratio to the type's overall daily mean — the
+    seasonality diagnostic a forecaster (reference Prophet surface)
+    feeds on. Dow computed arithmetically ((epoch_days + 4) % 7,
+    0=Sunday) — engines disagree on dayofweek() numbering."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    dow = F.pmod(
+        F.datediff("day", F.lit("1970-01-01").cast("date")) + F.lit(4), F.lit(7)
+    ).cast("long")
+    per_dow = daily.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")).alias("_dow_mean"),
+    )
+    overall = daily.groupBy("event_type").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")).alias("_all_mean")
+    )
+    return (
+        per_dow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            F.round(F.col("_dow_mean") / F.col("_all_mean"), 6).alias("ratio"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+SQL_WEEKLY_SEASONALITY = """
+WITH daily AS (
+  SELECT ts::DATE AS day, event_type, SUM(value::DECIMAL(18,2)) AS v
+  FROM events GROUP BY 1, 2),
+per_dow AS (
+  SELECT event_type,
+    ((date_diff('day', DATE '1970-01-01', day) + 4) % 7)::BIGINT AS dow,
+    count(*)::BIGINT AS n_days,
+    CAST(SUM(v) AS DOUBLE) / count(*)::DOUBLE AS dow_mean
+  FROM daily GROUP BY 1, 2),
+overall AS (
+  SELECT event_type, CAST(SUM(v) AS DOUBLE) / count(*)::DOUBLE AS all_mean
+  FROM daily GROUP BY 1)
+SELECT p.event_type, p.dow, p.n_days, round(p.dow_mean / o.all_mean, 6) AS ratio
+FROM per_dow p JOIN overall o ON p.event_type = o.event_type
+ORDER BY p.event_type, p.dow
+"""
+
+
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch anomaly scan: days whose per-type daily total deviates
+    more than 2 population-sigma from the type's mean (decimal-exact
+    moments, fixed-parenthesization z — the batch twin of the
+    streaming EWMA alert operator)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("vd")
+    )
+    daily = daily.select(
+        "day", "event_type", F.col("vd").cast("double").alias("v"),
+        F.col("vd").alias("v_dec"),
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("v_dec")).cast("double").alias("_s"),
+        F.sum(F.col("v_dec") * F.col("v_dec")).cast("double").alias("_ss"),
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = (F.col("_ss") / F.col("_n")) - (mean * mean)
+    z = (F.col("v") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("v", 2).alias("sum_value"),
+            F.round(z, 6).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.0)
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_DAILY_ANOMALIES = """
+WITH daily AS (
+  SELECT ts::DATE AS day, event_type, SUM(value::DECIMAL(18,2)) AS vd
+  FROM events GROUP BY 1, 2),
+d2 AS (
+  SELECT day, event_type, CAST(vd AS DOUBLE) AS v, vd FROM daily),
+m AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+    CAST(SUM(vd) AS DOUBLE) AS s,
+    CAST(SUM(vd * vd) AS DOUBLE) AS ss
+  FROM d2 GROUP BY 1),
+scored AS (
+  SELECT d2.event_type, strftime(day, '%Y-%m-%d') AS day,
+    round(v, 2) AS sum_value,
+    round((v - (s / n)) / sqrt((ss / n) - ((s / n) * (s / n))), 6) AS z
+  FROM d2 JOIN m ON d2.event_type = m.event_type)
+SELECT event_type, day, sum_value, z FROM scored
+WHERE abs(z) > 2.0 ORDER BY event_type, day
+"""
+
+
+def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier treatment: per-type p05/p95 (exact PERCENTILE_CONT,
+    rounded) clip the value column; summary counts how much mass moved.
+    Percentile frame is |types| rows — broadcast back, clip map-side."""
+    from d2b_dataframework_spark.operators.aggregates import exact_percentiles
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    pcts = exact_percentiles(ev, "event_type", "value", [0.05, 0.95])
+    clipped = ev.join(F.broadcast(pcts), "event_type").select(
+        "event_type",
+        "value",
+        F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p5")).alias("w"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("value") < F.col("w")).cast("long")).cast("long").alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("w")).cast("long")).cast("long").alias(
+                "n_clipped_high"
+            ),
+            F.round(
+                F.sum(F.col("w").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WINSORIZED = """
+WITH pcts AS (
+  SELECT event_type,
+    round(quantile_cont(value, 0.05), 6) AS p5,
+    round(quantile_cont(value, 0.95), 6) AS p95
+  FROM events GROUP BY 1),
+clipped AS (
+  SELECT e.event_type, e.value,
+    greatest(least(e.value, p.p95), p.p5) AS w
+  FROM events e JOIN pcts p ON e.event_type = p.event_type)
+SELECT event_type, count(*)::BIGINT AS n,
+  SUM(CASE WHEN value < w THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
+  SUM(CASE WHEN value > w THEN 1 ELSE 0 END)::BIGINT AS n_clipped_high,
+  round(CAST(SUM(w::DECIMAL(18,6)) AS DOUBLE), 2) AS winsorized_sum
+FROM clipped GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "weekly_seasonality": QuerySpec(
+            q_weekly_seasonality,
+            SQL_WEEKLY_SEASONALITY,
+            "day-of-week seasonal profile (forecaster diagnostic)",
+        ),
+        "daily_anomalies": QuerySpec(
+            q_daily_anomalies,
+            SQL_DAILY_ANOMALIES,
+            "batch 2-sigma daily anomaly scan (EWMA stream twin)",
+        ),
+        "winsorized_values": QuerySpec(
+            q_winsorized_values,
+            SQL_WINSORIZED,
+            "percentile winsorization with clip-mass summary",
+        ),
+    }
+)
