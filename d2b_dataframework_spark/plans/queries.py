@@ -4533,3 +4533,82 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users deterministically hash-assigned to two
+    arms (md5 bucket — the same assignment any engine recomputes), per-
+    user purchase totals compared with a Welch t statistic built from
+    decimal-exact moments. One shuffle on user, one tiny two-row agg."""
+    from d2b_dataframework_spark.datapipe.splits import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+        .select(
+            F.when(hash_bucket("user_id", "exp1", 2) == 0, "A").otherwise("B").alias(
+                "arm"
+            ),
+            "v",
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("v").cast("double").alias("_s"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("_ss"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("_n").alias("na"), F.col("_s").alias("sa"), F.col("_ss").alias("ssa")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("_n").alias("nb"), F.col("_s").alias("sb"), F.col("_ss").alias("ssb")
+    )
+    j = a.crossJoin(b)
+    mean_a, mean_b = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    var_a = (F.col("ssa") / F.col("na")) - (mean_a * mean_a)
+    var_b = (F.col("ssb") / F.col("nb")) - (mean_b * mean_b)
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("na") + var_b / F.col("nb"))
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_welch"),
+    )
+
+
+SQL_AB_TEST = """
+WITH per_user AS (
+  SELECT CASE WHEN ('0x' || substr(md5('exp1:' || user_id::VARCHAR), 1, 7))::BIGINT % 2 = 0
+    THEN 'A' ELSE 'B' END AS arm,
+    SUM(value::DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+arms AS (
+  SELECT arm, count(*)::DOUBLE AS n,
+    CAST(SUM(v) AS DOUBLE) AS s,
+    -- DECIMAL(19): DuckDB's DECIMAL(18) is int64-backed and the square overflows it
+    CAST(SUM(CAST(v AS DECIMAL(19,2)) * CAST(v AS DECIMAL(19,2))) AS DOUBLE) AS ss
+  FROM per_user GROUP BY 1),
+a AS (SELECT n AS na, s AS sa, ss AS ssa FROM arms WHERE arm = 'A'),
+b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM arms WHERE arm = 'B')
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+  round(sa / na, 6) AS mean_a,
+  round(sb / nb, 6) AS mean_b,
+  round(((sa / na) - (sb / nb)) /
+    sqrt((((ssa / na) - ((sa / na) * (sa / na))) / na)
+       + (((ssb / nb) - ((sb / nb) * (sb / nb))) / nb)), 6) AS t_welch
+FROM a CROSS JOIN b
+"""
+
+
+REGISTRY.update(
+    {
+        "ab_test_summary": QuerySpec(
+            q_ab_test_summary,
+            SQL_AB_TEST,
+            "deterministic A/B assignment + Welch t from decimal moments",
+        ),
+    }
+)

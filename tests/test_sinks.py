@@ -159,3 +159,18 @@ def test_write_with_audit_computes_metrics_in_one_job(spark, tmp_path):
     )
     assert audit == {"n_rows": 500, "null_keys": 100, "max_id": 499}
     assert spark.read.parquet(path).count() == 500
+
+
+def test_merge_schema_read_across_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    spark.range(0, 10).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        f"{path}/batch=1"
+    )
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.parquet(f"{path}/batch=2")
+    got = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(got.columns) == {"id", "v1", "v2", "batch"}
+    rows = got.filter(F.col("batch") == 1).select("v2").distinct().collect()
+    assert rows == [__import__("pyspark").sql.Row(v2=None)]  # old files read nulls
+    assert got.count() == 20
