@@ -59,7 +59,10 @@ def pagerank(
     nodes = (
         e.select(F.explode(F.array(src, dst)).alias("node")).distinct().persist()
     )
-    outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg")).persist()
+    outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg"))
+    # pre-join the out-degree onto the edges once — saves one join per
+    # iteration (the iteration loop then touches a single cached frame)
+    ew = e.join(outdeg, src).persist()
     # One tiny driver action: |nodes| (also materializes the nodes cache
     # before any broadcast stage can race it). Inlining n as a literal
     # keeps the per-iteration plans free of repeated count-agg +
@@ -73,8 +76,7 @@ def pagerank(
     ranks = nodes.select("node", F.round(F.lit(1.0) / n, 12).alias("rank"))
     for _ in range(int(iterations)):
         contrib = (
-            e.join(outdeg, src)
-            .join(ranks.withColumnRenamed("node", src), src)
+            ew.join(ranks.withColumnRenamed("node", src), src)
             .select(
                 F.col(dst).alias("node"),
                 F.round(
@@ -94,4 +96,4 @@ def pagerank(
                 12,
             ).alias("rank"),
         )
-    return track(ranks, nodes, outdeg, e)
+    return track(ranks, nodes, ew, e)
