@@ -4612,3 +4612,84 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing diagnostic: add-0.5-smoothed KL divergence (both
+    directions) between the en and de token distributions — the drift
+    check a mixture pipeline runs before reweighting. One word-count
+    per side, one full-outer vocab join, decimal-summed terms."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def counts(lang: str, name: str):
+        return (
+            docs.filter(F.col("lang") == lang)
+            .select(F.explode(dt.tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    joined = counts("en", "cp").join(counts("de", "cq"), "token", "full_outer").select(
+        "token",
+        F.coalesce("cp", F.lit(0)).alias("cp"),
+        F.coalesce("cq", F.lit(0)).alias("cq"),
+    )
+    totals = joined.agg(
+        F.sum("cp").cast("double").alias("np"),
+        F.sum("cq").cast("double").alias("nq"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    p = (F.col("cp").cast("double") + 0.5) / (F.col("np") + 0.5 * F.col("v"))
+    q = (F.col("cq").cast("double") + 0.5) / (F.col("nq") + 0.5 * F.col("v"))
+    term_pq = F.round(p * F.log(p / q), 12).cast("decimal(28,12)")
+    term_qp = F.round(q * F.log(q / p), 12).cast("decimal(28,12)")
+    return j.agg(
+        F.max(F.col("v")).cast("long").alias("vocab"),
+        F.max(F.col("np")).cast("long").alias("n_en_tokens"),
+        F.max(F.col("nq")).cast("long").alias("n_de_tokens"),
+        F.round(F.sum(term_pq).cast("double"), 6).alias("kl_en_de"),
+        F.round(F.sum(term_qp).cast("double"), 6).alias("kl_de_en"),
+    )
+
+
+SQL_SOURCE_KL = f"""
+WITH en AS (
+  SELECT t AS token, count(*)::BIGINT AS cp
+  FROM (SELECT unnest(string_split({_NORM}, ' ')) AS t FROM documents WHERE lang = 'en')
+  GROUP BY 1),
+de AS (
+  SELECT t AS token, count(*)::BIGINT AS cq
+  FROM (SELECT unnest(string_split({_NORM}, ' ')) AS t FROM documents WHERE lang = 'de')
+  GROUP BY 1),
+vocab AS (
+  SELECT COALESCE(en.token, de.token) AS token,
+    COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+  FROM en FULL OUTER JOIN de ON en.token = de.token),
+tot AS (
+  SELECT SUM(cp)::DOUBLE AS np, SUM(cq)::DOUBLE AS nq, count(*)::DOUBLE AS v FROM vocab),
+terms AS (
+  SELECT v, np, nq,
+    CAST(round(((cp::DOUBLE + 0.5) / (np + 0.5 * v))
+      * ln(((cp::DOUBLE + 0.5) / (np + 0.5 * v)) / ((cq::DOUBLE + 0.5) / (nq + 0.5 * v))), 12)
+      AS DECIMAL(28,12)) AS term_pq,
+    CAST(round(((cq::DOUBLE + 0.5) / (nq + 0.5 * v))
+      * ln(((cq::DOUBLE + 0.5) / (nq + 0.5 * v)) / ((cp::DOUBLE + 0.5) / (np + 0.5 * v))), 12)
+      AS DECIMAL(28,12)) AS term_qp
+  FROM vocab CROSS JOIN tot)
+SELECT max(v)::BIGINT AS vocab, max(np)::BIGINT AS n_en_tokens, max(nq)::BIGINT AS n_de_tokens,
+  round(CAST(SUM(term_pq) AS DOUBLE), 6) AS kl_en_de,
+  round(CAST(SUM(term_qp) AS DOUBLE), 6) AS kl_de_en
+FROM terms
+"""
+
+
+REGISTRY.update(
+    {
+        "source_kl_divergence": QuerySpec(
+            q_source_kl_divergence,
+            SQL_SOURCE_KL,
+            "smoothed KL divergence between domain token distributions",
+        ),
+    }
+)
