@@ -4693,3 +4693,108 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, support-counted, top-20. The self-join is blocked on the
+    order key (baskets are small — pairs per order ~ items², never
+    corpus²); top-k via limit-then-rank."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    top = pairs.orderBy(
+        F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+    w = Window.orderBy(
+        F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "part_a", "part_b", "support"
+    )
+
+
+SQL_COPURCHASE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT part_a, part_b, support,
+    row_number() OVER (ORDER BY support DESC, part_a ASC, part_b ASC) AS rank
+  FROM pairs)
+SELECT rank::BIGINT AS rank, part_a, part_b, support
+FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+
+def q_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval stats: per-user gaps between consecutive
+    purchases (lag window per user — fully parallel), rolled up to the
+    repeat-purchase profile a retention model feeds on."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.select("user_id", us.alias("_us"), F.lag(us).over(w).alias("_prev"))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "user_id",
+            F.round(
+                (F.col("_us") - F.col("_prev")).cast("double") / F.lit(86400.0 * 1e6), 6
+            ).alias("gap_days"),
+        )
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.count_distinct("user_id").cast("long").alias("n_repeat_users"),
+        F.round(
+            F.sum(F.col("gap_days").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_gap_days"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+SQL_PURCHASE_INTERVALS = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS us,
+    lag(epoch_us(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type = 'purchase'),
+gaps AS (
+  SELECT user_id, round((us - prev)::DOUBLE / 86400000000.0, 6) AS gap_days
+  FROM p WHERE prev IS NOT NULL)
+SELECT count(*)::BIGINT AS n_gaps,
+  count(DISTINCT user_id)::BIGINT AS n_repeat_users,
+  round(CAST(SUM(gap_days::DECIMAL(28,6)) AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_gap_days,
+  min(gap_days) AS min_gap_days,
+  max(gap_days) AS max_gap_days
+FROM gaps
+"""
+
+
+REGISTRY.update(
+    {
+        "copurchase_pairs": QuerySpec(
+            q_copurchase_pairs,
+            SQL_COPURCHASE,
+            "market-basket co-occurrence, basket-blocked self-join",
+        ),
+        "purchase_intervals": QuerySpec(
+            q_purchase_intervals,
+            SQL_PURCHASE_INTERVALS,
+            "inter-purchase interval profile (per-user lag window)",
+        ),
+    }
+)
