@@ -19,3 +19,88 @@ Spark-first:
 """
 
 __version__ = "0.1.0"
+
+# Curated flat API: the operators a reference user reaches for, importable
+# as ``from d2b_dataframework_spark import keep_latest, pagerank, ...``.
+# Lazy (PEP 562) so ``import d2b_dataframework_spark`` stays cheap.
+_API = {
+    # relational operators
+    "keep_latest": "operators.dedup",
+    "left_join_fill_zero": "operators.joins",
+    "broadcast_dim_join": "operators.joins",
+    "pivot_wide": "operators.pivots",
+    "unpivot_long": "operators.pivots",
+    "concat": "operators.unions",
+    "asof_join": "operators.asof",
+    "session_summary": "operators.sessions",
+    "scd2_apply": "operators.scd",
+    "salted_sum": "operators.aggregates",
+    "exact_percentiles": "operators.aggregates",
+    "key_skew_stats": "operators.aggregates",
+    "snapshot_diff": "operators.aggregates",
+    "grouped_topk": "operators.aggregates",
+    "global_row_number": "operators.ranking",
+    "global_ntile": "operators.ranking",
+    "last_touch_attribution": "operators.attribution",
+    "time_decay_attribution": "operators.attribution",
+    "cohort_retention": "operators.attribution",
+    "pairwise_pearson": "operators.stats",
+    "zscore_normalize": "operators.stats",
+    "flatten_hierarchy": "operators.hierarchy",
+    "fuzzy_match_pairs": "operators.fuzzy",
+    "grid_neighbor_pairs": "operators.spatial",
+    "haversine_km": "operators.spatial",
+    "zorder_value": "operators.layout",
+    "resample_daily_ffill": "operators.timeseries",
+    "expect_columns": "operators.quality",
+    "expect_unique": "operators.quality",
+    "expect_ref_integrity": "operators.quality",
+    "quality_report": "operators.quality",
+    "observed": "operators.observe",
+    "write_with_audit": "operators.observe",
+    # training-data pipeline
+    "exact_duplicates": "datapipe.dedup",
+    "minhash_duplicate_pairs": "datapipe.dedup",
+    "simhash_near_dup_pairs": "datapipe.dedup",
+    "connected_components": "datapipe.dedup",
+    "connected_components_star": "datapipe.dedup",
+    "incremental_dedup": "datapipe.dedup",
+    "brute_force_topk": "datapipe.similarity",
+    "ivf_topk": "datapipe.similarity",
+    "cosine_near_dup_pairs": "datapipe.similarity",
+    "kmeans_assignments": "datapipe.clustering",
+    "pagerank": "datapipe.graph",
+    "inverted_index": "datapipe.retrieval",
+    "retrieve_topk": "datapipe.retrieval",
+    "assign_split": "datapipe.splits",
+    "weighted_sample": "datapipe.splits",
+    "priority_sample_topk": "datapipe.splits",
+    "temperature_sample": "datapipe.splits",
+    "quality_score": "datapipe.text",
+    "language_scores": "datapipe.text",
+    "bm25_scores": "datapipe.text",
+    "pseudonymize": "datapipe.text",
+    "chunk_documents": "datapipe.text",
+    "chunk_audio": "datapipe.multimodal",
+    "sample_video_frames": "datapipe.multimodal",
+    "release": "datapipe.cache",
+    # sinks
+    "write_date_sharded": "sinks.partitioned",
+    "upsert_cache": "sinks.partitioned",
+    "compact_date_partitions": "sinks.partitioned",
+    # session
+    "get_session": "core.session",
+}
+
+
+def __getattr__(name: str):
+    mod = _API.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'd2b_dataframework_spark' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(f"{__name__}.{mod}"), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API))
