@@ -469,3 +469,107 @@ def attribution_join(
             - F.unix_timestamp(F.col(f"c.{ts_col}"))
         ).cast("long").alias("lag_sec"),
     )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    item_col: str = "user_id",
+    value_col: str = "value",
+    capacity: int = 64,
+    k: int = 10,
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming heavy hitters via ``applyInPandasWithState``: per group
+    a bounded space-saving sketch (Metwally et al.) of the top
+    contributors by cumulative value. The sketch guarantees any item
+    with true weight > W/capacity is present (overestimation bounded by
+    the evicted minimum), in O(capacity) state per group no matter how
+    many distinct items stream past — the property a per-key exact agg
+    cannot offer on an unbounded item domain.
+
+    After each micro-batch the group emits its current top-``k`` with a
+    monotonically increasing ``batch_seq`` (append-mode snapshots —
+    downstream consumers take the latest seq per group). State: two
+    parallel arrays (items, weights) + seq, evicted after
+    ``state_ttl_ms`` of group silence.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("batch_seq", LongType()),
+            StructField("rank", LongType()),
+            StructField("item", LongType()),
+            StructField("est_weight", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(LongType())),
+            StructField("weights", ArrayType(DoubleType())),
+            StructField("seq", LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        items, weights, seq = (
+            state.get if state.exists else ([], [], 0)
+        )
+        sketch = dict(zip(items, weights))
+        for pdf in pdfs:
+            # vectorized pre-aggregation: one weight per item per batch
+            agg = pdf.groupby("item")["w"].sum()
+            for item, w in agg.items():
+                item, w = int(item), float(w)
+                if item in sketch:
+                    sketch[item] += w
+                elif len(sketch) < capacity:
+                    sketch[item] = w
+                else:  # space-saving eviction: inherit the min count
+                    min_item = min(sketch, key=sketch.get)
+                    m = sketch.pop(min_item)
+                    sketch[item] = m + w
+        seq += 1
+        top = sorted(sketch.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        state.update((list(sketch.keys()), list(sketch.values()), seq))
+        state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "group": [key[0]] * len(top),
+                "batch_seq": [seq] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "item": [t[0] for t in top],
+                "est_weight": [t[1] for t in top],
+            }
+        )
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import kept local
+
+    return (
+        events.select(
+            F.col(group_col).cast("string").alias("group"),
+            F.col(item_col).cast("long").alias("item"),
+            F.col(value_col).cast("double").alias("w"),
+        )
+        .groupBy("group")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -398,3 +398,48 @@ def test_attribution_join_stream_stream_interval(spark, tmp_path):
         spark.read.parquet(clicks_dir), spark.read.parquet(buys_dir), horizon="1 hour"
     ).collect()
     assert [(r["user_id"], r["lag_sec"]) for r in static] == [(10, 1800)]
+
+
+def test_heavy_hitters_stream_tracks_top_items_in_bounded_state(spark, tmp_path):
+    from d2b_dataframework_spark.streaming.microbatch import (
+        heavy_hitters_stream,
+        stream_files,
+    )
+
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        pytest.skip("ANSI-independent pandas-state path; run on the off leg only")
+
+    src = str(tmp_path / "hh_landing")
+    schema = "event_type string, user_id long, value double"
+    # batch 1: user 7 dominates type 'a'; 40 distinct light users exceed capacity
+    rows = [("a", 7, 50.0)] * 2 + [("a", u, 1.0) for u in range(100, 140)]
+    rows += [("b", 1, 5.0)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: user 8 overtakes in 'a'
+    spark.createDataFrame([("a", 8, 500.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    hh = heavy_hitters_stream(stream, capacity=16, k=3)
+    qname = f"hh_{abs(hash(str(tmp_path))) % 10**9}"
+    q = (
+        hh.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql(f"SELECT * FROM {qname}").collect()
+    latest_seq = max(r["batch_seq"] for r in out if r["group"] == "a")
+    top_a = sorted(
+        [r for r in out if r["group"] == "a" and r["batch_seq"] == latest_seq],
+        key=lambda r: r["rank"],
+    )
+    assert top_a[0]["item"] == 8 and top_a[0]["est_weight"] >= 500.0
+    assert top_a[1]["item"] == 7 and top_a[1]["est_weight"] >= 100.0
+    # capacity bound: the sketch never tracked more than 16 items, yet the
+    # dominant item survived the churn of 40 light items
+    assert len({r["item"] for r in out if r["group"] == "a"}) <= 16 + 3
