@@ -4798,3 +4798,59 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: an additive daily MV
+    (count + decimal sum per type) built from the first 20 days is
+    updated with the remaining days by re-aggregating PARTIALS — the
+    delta pass never touches historical raw rows. The oracle is the
+    full recompute, so the gate proves incremental == full."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    cutoff = F.lit("2024-01-20").cast("date")
+
+    def agg(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").alias("sv"),
+        )
+
+    mv = agg(ev.filter(F.col("day") <= cutoff))  # the stored view
+    delta = agg(ev.filter(F.col("day") > cutoff))  # today's load
+    updated = (
+        mv.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )
+    return updated.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("day", "event_type")
+
+
+SQL_MV_INCREMENTAL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  count(*)::BIGINT AS n_events,
+  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+REGISTRY.update(
+    {
+        "mv_incremental": QuerySpec(
+            q_mv_incremental,
+            SQL_MV_INCREMENTAL,
+            "additive MV partial re-aggregation == full recompute",
+        ),
+    }
+)

@@ -156,3 +156,57 @@ def compact_date_partitions(
             .save(path)
         )
     return plan
+
+
+def delete_keys_from_partitions(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    date_col: str = "date",
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Right-to-erasure delete: remove every row whose ``key_col`` is in
+    ``keys`` from a date-partitioned table, rewriting ONLY partitions
+    that actually contain those keys.
+
+    Two passes: (1) a pruned scan finds the affected dates (semi-join
+    against the broadcast key set; output is metadata-sized); (2) each
+    affected date is re-read partition-pruned, anti-joined, and replaced
+    via dynamic overwrite — untouched days keep their files byte-for-
+    byte, so the erasure run is proportional to the keys' footprint,
+    not the table size. Returns {date: rows_removed}.
+    """
+    table = spark.read.format(fmt).load(path)
+    kdf = keys.select(F.col(key_col)).distinct()
+    affected = {
+        str(r["d"]): r["n"]
+        for r in table.join(F.broadcast(kdf), key_col, "left_semi")
+        .groupBy(F.col(date_col).cast("string").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for date in affected:
+        kept = (
+            spark.read.format(fmt)
+            .load(path)
+            .filter(F.col(date_col) == date)  # partition-pruned scan
+            .join(F.broadcast(kdf), key_col, "left_anti")
+            .localCheckpoint(eager=True)  # sever self-overwrite lineage
+        )
+        if kept.isEmpty():
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # written data — a fully-erased day must be dropped at the
+            # filesystem level
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            part = jvm.org.apache.hadoop.fs.Path(f"{path}/{date_col}={date}")
+            part.getFileSystem(conf).delete(part, True)
+        else:
+            (
+                kept.write.partitionBy(date_col)
+                .mode("overwrite")  # dynamic: replaces only this date
+                .format(fmt)
+                .save(path)
+            )
+    return affected

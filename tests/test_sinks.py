@@ -174,3 +174,31 @@ def test_merge_schema_read_across_schema_evolution(spark, tmp_path):
     rows = got.filter(F.col("batch") == 1).select("v2").distinct().collect()
     assert rows == [__import__("pyspark").sql.Row(v2=None)]  # old files read nulls
     assert got.count() == 20
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    from d2b_dataframework_spark.sinks.partitioned import (
+        delete_keys_from_partitions,
+        list_partition_files,
+    )
+
+    path = str(tmp_path / "erasure")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"),
+         ("2024-01-02", 1, "c"), ("2024-01-03", 3, "d")],
+        "date string, user_id long, payload string",
+    )
+    df.repartition(1).write.partitionBy("date").parquet(path)
+    before = list_partition_files(spark, path)
+
+    keys = spark.createDataFrame([(1,)], "user_id long")
+    removed = delete_keys_from_partitions(spark, path, keys, "user_id")
+    assert removed == {"2024-01-01": 1, "2024-01-02": 1}
+
+    got = spark.read.parquet(path)
+    assert {r["user_id"] for r in got.collect()} == {2, 3}
+    # the untouched partition kept its original file set
+    after = list_partition_files(spark, path)
+    assert after["2024-01-03"] == before["2024-01-03"]
+    # idempotent: nothing left to remove
+    assert delete_keys_from_partitions(spark, path, keys, "user_id") == {}
