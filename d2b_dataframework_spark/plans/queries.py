@@ -4854,3 +4854,87 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the CBO: one pass over
+    lineitem computing per-column null count, exact NDV, min/max — the
+    numbers a cost-based optimizer (or a data-quality baseline) stores.
+    All columns in a single agg; output long format."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    doubles = {"l_quantity", "l_extendedprice"}
+
+    def as_str(expr, c):
+        # engines print doubles differently ("50.0" vs "50"): collapse
+        # integral doubles to their integer string on both sides
+        if c in doubles:
+            return F.when(
+                expr == F.round(expr), expr.cast("bigint").cast("string")
+            ).otherwise(expr.cast("string"))
+        return expr.cast("string")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nulls_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"_ndv_{c}"),
+            as_str(F.min(F.col(c)), c).alias(f"_min_{c}"),
+            as_str(F.max(F.col(c)), c).alias(f"_max_{c}"),
+        ]
+    row = li.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"_nulls_{c}"),
+            F.col(f"_ndv_{c}"),
+            F.col(f"_min_{c}"),
+            F.col(f"_max_{c}"),
+        ]
+    return row.select(
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "column", "n_nulls", "ndv", "min_str", "max_str"
+        ),
+        F.col("_total").alias("n_rows"),
+    ).orderBy("column")
+
+
+SQL_TABLE_STATS = """
+WITH s AS (SELECT count(*)::BIGINT AS total,
+  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_ok,
+  count(DISTINCT l_orderkey)::BIGINT AS ndv_ok,
+  min(l_orderkey)::VARCHAR AS min_ok, max(l_orderkey)::VARCHAR AS max_ok,
+  SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_pk,
+  count(DISTINCT l_partkey)::BIGINT AS ndv_pk,
+  min(l_partkey)::VARCHAR AS min_pk, max(l_partkey)::VARCHAR AS max_pk,
+  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_q,
+  count(DISTINCT l_quantity)::BIGINT AS ndv_q,
+  CASE WHEN min(l_quantity) = round(min(l_quantity)) THEN round(min(l_quantity))::BIGINT::VARCHAR ELSE min(l_quantity)::VARCHAR END AS min_q,
+  CASE WHEN max(l_quantity) = round(max(l_quantity)) THEN round(max(l_quantity))::BIGINT::VARCHAR ELSE max(l_quantity)::VARCHAR END AS max_q,
+  SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_p,
+  count(DISTINCT l_extendedprice)::BIGINT AS ndv_p,
+  CASE WHEN min(l_extendedprice) = round(min(l_extendedprice)) THEN round(min(l_extendedprice))::BIGINT::VARCHAR ELSE min(l_extendedprice)::VARCHAR END AS min_p,
+  CASE WHEN max(l_extendedprice) = round(max(l_extendedprice)) THEN round(max(l_extendedprice))::BIGINT::VARCHAR ELSE max(l_extendedprice)::VARCHAR END AS max_p,
+  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_r,
+  count(DISTINCT l_returnflag)::BIGINT AS ndv_r,
+  min(l_returnflag) AS min_r, max(l_returnflag) AS max_r
+FROM lineitem)
+SELECT 'l_extendedprice' AS "column", nulls_p AS n_nulls, ndv_p AS ndv, min_p AS min_str, max_p AS max_str, total AS n_rows FROM s
+UNION ALL SELECT 'l_orderkey', nulls_ok, ndv_ok, min_ok, max_ok, total FROM s
+UNION ALL SELECT 'l_partkey', nulls_pk, ndv_pk, min_pk, max_pk, total FROM s
+UNION ALL SELECT 'l_quantity', nulls_q, ndv_q, min_q, max_q, total FROM s
+UNION ALL SELECT 'l_returnflag', nulls_r, ndv_r, min_r, max_r, total FROM s
+ORDER BY "column"
+"""
+
+
+REGISTRY.update(
+    {
+        "table_stats": QuerySpec(
+            q_table_stats,
+            SQL_TABLE_STATS,
+            "ANALYZE-style one-pass column stats (nulls/NDV/min/max)",
+        ),
+    }
+)
