@@ -51,8 +51,8 @@ def main() -> None:
     if md_path:
         lines = ["# Table lineage (tools/lineage.py)", ""]
         lines.append(
-            "Source tables per registered query, extracted from the analyzed "
-            "logical plan — a table appears only if the plan scans it.\n"
+            "Source tables per registered query, extracted from the executed "
+            "physical plan — a table appears only if the plan scans it (checkpoint-truncated iterative plans may show none).\n"
         )
         lines.append("## By table")
         for t in TABLES:
