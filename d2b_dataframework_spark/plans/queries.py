@@ -4938,3 +4938,67 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest harness shape: seasonal-naive baseline (value from 7
+    days prior) evaluated on the last 10 days per event type — the MAE/
+    bias readout every forecasting deployment tracks. Two scans of the
+    tiny daily rollup, one self-join on the lagged date."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    test = daily.filter(F.col("day") > F.lit("2024-01-20").cast("date"))
+    base = daily.select(
+        F.date_add("day", 7).alias("day"),
+        "event_type",
+        F.col("v").alias("v_pred"),
+    )
+    joined = test.join(base, ["day", "event_type"])
+    err = F.col("v").cast("double") - F.col("v_pred").cast("double")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.sum(F.round(F.abs(err), 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.round(err, 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT ts::DATE AS day, event_type, SUM(value::DECIMAL(18,2)) AS v
+  FROM events GROUP BY 1, 2),
+test AS (SELECT * FROM daily WHERE day > DATE '2024-01-20'),
+base AS (SELECT day + INTERVAL 7 DAY AS day, event_type, v AS v_pred FROM daily),
+joined AS (
+  SELECT t.event_type,
+    CAST(t.v AS DOUBLE) - CAST(b.v_pred AS DOUBLE) AS err
+  FROM test t JOIN base b ON t.day = b.day AND t.event_type = b.event_type)
+SELECT event_type, count(*)::BIGINT AS n_days,
+  round(CAST(SUM(round(abs(err), 6)::DECIMAL(28,6)) AS DOUBLE) / count(*)::DOUBLE, 6) AS mae,
+  round(CAST(SUM(round(err, 6)::DECIMAL(28,6)) AS DOUBLE) / count(*)::DOUBLE, 6) AS bias
+FROM joined GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "forecast_backtest": QuerySpec(
+            q_forecast_backtest,
+            SQL_FORECAST_BACKTEST,
+            "seasonal-naive backtest readout (MAE/bias per series)",
+        ),
+    }
+)
