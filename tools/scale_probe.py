@@ -125,6 +125,40 @@ def _gtopk(docs):
     )
 
 
+def _spatial(docs, mult=1):
+    # pseudo-coordinates from doc_id (same md5 kernel as the registry
+    # query); point density per cell stays constant as the corpus grows,
+    # so pair output grows ~linearly — the grid-blocking contract
+    from d2b_dataframework_spark.operators.spatial import grid_neighbor_pairs
+
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    box = 2000000 * mult  # area grows with the corpus: constant density per cell
+    hlat, hlon = F.pmod(h("lat"), F.lit(box)), F.pmod(h("lon"), F.lit(box))
+    cell = F.lit(50000)
+    pts = docs.select(
+        F.col("doc_id").alias("cid"),
+        (hlat.cast("double") / 1000000.0 - 1.0).alias("lat"),
+        (hlon.cast("double") / 1000000.0 - 1.0).alias("lon"),
+        ((hlat - F.pmod(hlat, cell)) / cell).cast("long").alias("cx"),
+        ((hlon - F.pmod(hlon, cell)) / cell).cast("long").alias("cy"),
+    )
+    return grid_neighbor_pairs(pts, "cid", "lat", "lon", F.col("cx"), F.col("cy"), 5.0)
+
+
+
+
+def _call(build, docs, emb, mult):
+    try:
+        return build(docs, emb, mult)
+    except TypeError:
+        return build(docs, emb)
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from d2b_dataframework_spark.core.session import get_session
@@ -169,6 +203,7 @@ def main() -> None:
         "pagerank_3iter": lambda d, e: _pagerank(d),
         "global_ntile": lambda d, e: _ntile(d),
         "grouped_topk_salted": lambda d, e: _gtopk(d),
+        "spatial_neighbors": lambda d, e, m=1: _spatial(d, m),
     }
 
     print(f"{'op':20s} {'1x':>8s} {'3x':>8s} {'10x':>8s} {'r3':>6s} {'r10':>6s}")
@@ -179,12 +214,12 @@ def main() -> None:
             emb = base_emb if mult == 1 else synth_vecs(base_emb, mult)
             # warm once at 1x so JVM costs don't land on the 1x timing
             if mult == 1:
-                out = build(docs, emb)
+                out = _call(build, docs, emb, mult)
                 out.write.format("noop").mode("overwrite").save()
                 cache.release(out)
                 spark.catalog.clearCache()
             t0 = time.perf_counter()
-            out = build(docs, emb)
+            out = _call(build, docs, emb, mult)
             out.write.format("noop").mode("overwrite").save()
             times[mult] = time.perf_counter() - t0
             cache.release(out)
