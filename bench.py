@@ -94,6 +94,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_detail": detail,
+                # registry size grows round over round — the per-query
+                # mean is the comparable throughput number
+                "n_queries": len(timings),
+                "per_query_mean_sec": round(total / max(1, len(timings)), 4),
                 "sf": sf,
             }
         )
