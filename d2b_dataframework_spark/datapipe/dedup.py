@@ -917,3 +917,47 @@ def incremental_dedup(
         )
     )
     return cache.track(out, sigs_new, sigs_corp)
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 1,
+    threshold: float = 0.8,
+    block_col: str | None = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment ``|A∩B| / min(|A|,|B|)``
+    catches what Jaccard misses — a short document quoted wholesale
+    inside a long one scores near 1.0 on containment while its Jaccard
+    stays tiny (the RefinedWeb/CCNet-style subset filter). Same hashed
+    int64 element sets and blocked-join discipline as
+    :func:`ngram_jaccard_pairs`; O(block²), so block or feed LSH
+    candidates. Returns (id_a, id_b, containment) above ``threshold``.
+    """
+    hashed = shingle_hashes(text_col, n) if n > 1 else token_hashes(text_col)
+    base = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        hashed.alias("shingles"),
+    ).persist()
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))).cast(
+        "double"
+    )
+    smaller = F.least(
+        F.size(F.col("a.shingles")), F.size(F.col("b.shingles"))
+    ).cast("double")
+    out = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(inter / smaller, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return cache.track(out, base)

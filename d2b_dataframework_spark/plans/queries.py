@@ -5002,3 +5002,56 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: every 5th document gets a
+    15-word PREFIX excerpt injected into the corpus — its 3-gram
+    shingles are a strict subset of the source's, so containment ≈ 1.0
+    while Jaccard stays low (the quote/subset case Jaccard dedup
+    misses). Blocked on lang; hashed int64 shingle sets."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_whitespace(F.lower("text")).alias("text"), "lang"
+    )
+    shorts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 15), " ").alias("text"),
+        "lang",
+    )
+    corpus = docs.unionByName(shorts)
+    return dd.containment_pairs(
+        corpus, n=3, threshold=0.9, block_col="lang"
+    ).orderBy("id_a", "id_b")
+
+
+SQL_CONTAINMENT = f"""
+WITH corpus AS (
+  SELECT doc_id, {_NORM} AS text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+    array_to_string(string_split({_NORM}, ' ')[1:15], ' '), lang
+  FROM documents WHERE doc_id % 5 = 0),
+toks AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM corpus),
+sh AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform({_SHINGLES}, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)) AS hs
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(len(list_intersect(a.hs, b.hs))::DOUBLE
+          / least(len(a.hs), len(b.hs))::DOUBLE, 6) AS containment
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, containment FROM pairs
+WHERE containment >= 0.9 ORDER BY id_a, id_b
+"""
+
+
+REGISTRY.update(
+    {
+        "containment_dedup": QuerySpec(
+            q_containment_dedup,
+            SQL_CONTAINMENT,
+            "asymmetric containment (quote/subset) near-dup detection",
+        ),
+    }
+)

@@ -719,3 +719,24 @@ def test_pseudonymize_is_stable_and_secret_dependent(spark):
     assert out[0]["t1"] == out[1]["t1"] and len(out[0]["t1"]) == 16
     assert out[0]["t1"] != out[0]["t2"]
     assert out[2]["t1"] != out[0]["t1"]
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    from pyspark.sql import functions as F
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.dedup import containment_pairs, ngram_jaccard_pairs
+
+    long_text = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    short_text = " ".join(long_text.split()[:12])  # strict prefix
+    df = spark.createDataFrame(
+        [(1, long_text, "en"), (2, short_text, "en"), (3, "zz qq rr ss tt uu", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cont = containment_pairs(df, n=3, threshold=0.9)
+    pairs = {(r["id_a"], r["id_b"]): r["containment"] for r in cont.collect()}
+    assert pairs.get((1, 2)) == 1.0  # prefix fully contained
+    assert (1, 3) not in pairs
+    release(cont)
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5, block_col="lang")
+    assert not [r for r in jac.collect() if (r["id_a"], r["id_b"]) == (1, 2)]
+    release(jac)
