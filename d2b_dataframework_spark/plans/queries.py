@@ -5055,3 +5055,67 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: first view → first subsequent
+    purchase per user, exact p25/p50/p90 of the latency in hours. The
+    funnel min-ts chain shuffles on user_id only; the percentile input
+    is one row per converting user."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.min("t_view").alias("t_view"))
+    )
+    lat = purchases.select(
+        F.round(
+            (
+                F.unix_micros(F.col("t_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("t_view").cast("timestamp"))
+            ).cast("double")
+            / F.lit(3600.0 * 1e6),
+            6,
+        ).alias("hours")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        F.round(F.percentile(F.col("hours"), F.lit(0.25)), 6).alias("p25_hours"),
+        F.round(F.percentile(F.col("hours"), F.lit(0.5)), 6).alias("p50_hours"),
+        F.round(F.percentile(F.col("hours"), F.lit(0.9)), 6).alias("p90_hours"),
+    )
+
+
+SQL_TIME_TO_CONVERT = """
+WITH views AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+purchases AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase, min(v.t_view) AS t_view
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+  GROUP BY 1),
+lat AS (
+  SELECT round((epoch_us(t_purchase) - epoch_us(t_view))::DOUBLE / 3600000000.0, 6) AS hours
+  FROM purchases)
+SELECT count(*)::BIGINT AS n_converters,
+  round(quantile_cont(hours, 0.25), 6) AS p25_hours,
+  round(quantile_cont(hours, 0.5), 6) AS p50_hours,
+  round(quantile_cont(hours, 0.9), 6) AS p90_hours
+FROM lat
+"""
+
+
+REGISTRY.update(
+    {
+        "time_to_convert": QuerySpec(
+            q_time_to_convert,
+            SQL_TIME_TO_CONVERT,
+            "view→purchase latency percentiles per converting user",
+        ),
+    }
+)
