@@ -5119,3 +5119,63 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness: the sliding DISTINCT count
+    that a window function cannot fold — each (day, user) activity row
+    fans out map-side to the 7 target days it supports (explode of a
+    6-element sequence, no shuffle), then one count_distinct per day.
+    Shuffle volume = 7x the distinct (day,user) pairs — linear."""
+    ev = _t(spark, sf_dir, "events")
+    daily_users = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    support = daily_users.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_off"), "day", "user_id"
+    ).select(F.date_add("day", F.col("_off")).alias("day"), "user_id")
+    wau = support.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    dau = daily_users.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    # inner join: only days with actual activity report (the support
+    # fan-out also lands on 6 days past the horizon — dau join drops them)
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_DAU_WAU = """
+WITH daily_users AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+support AS (
+  SELECT (day + off.o::INTEGER)::DATE AS day, user_id
+  FROM daily_users, (SELECT unnest(range(0, 7)) AS o) off),
+wau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS wau FROM support GROUP BY 1),
+dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM daily_users GROUP BY 1)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+  round(dau::DOUBLE / wau::DOUBLE, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY day
+"""
+
+
+REGISTRY.update(
+    {
+        "dau_wau_stickiness": QuerySpec(
+            q_dau_wau_stickiness,
+            SQL_DAU_WAU,
+            "sliding-window distinct users via support fan-out",
+        ),
+    }
+)

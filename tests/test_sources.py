@@ -209,3 +209,29 @@ def test_fake_transport_scripted_failures():
         t.get("e")
     assert t.get("e") == {"ok": 1}
     assert len(t.calls) == 3
+
+
+def test_read_jsonl_splits_good_and_quarantine(spark, tmp_path):
+    from d2b_dataframework_spark.sources.files import read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "not json at all\n"
+        '{"id": "notanint", "name": "typed-miss"}\n'
+        '{"id": 3, "name": "fine"}\n'
+    )
+    good, bad = read_jsonl(spark, str(p), "id long, name string")
+    assert {(r["id"], r["name"]) for r in good.collect()} == {(1, "ok"), (3, "fine")}
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 2 and any("notanint" in r for r in raws)
+
+
+def test_read_csv_quarantine(spark, tmp_path):
+    from d2b_dataframework_spark.sources.files import read_csv_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,ok\nbroken_line_with_no_comma\n2,fine\n")
+    good, bad = read_csv_quarantine(spark, str(p), "id long, name string")
+    assert {(r["id"], r["name"]) for r in good.collect()} == {(1, "ok"), (2, "fine")}
+    assert bad.count() == 1
