@@ -101,3 +101,18 @@ def scd2_apply(
         )
     )
     return carried.unionByName(closed).unionByName(opened_changed).unionByName(inserts)
+
+
+def as_of(history: DataFrame, date: str) -> DataFrame:
+    """Point-in-time reconstruction over an SCD2 history: the row
+    version valid AT ``date`` — ``valid_from <= date`` and the version
+    not yet closed by then (``valid_to`` null or ``> date``). A pure
+    filter (pushes into the history scan; with the history partitioned
+    on valid_from ranges it partition-prunes), the lakehouse
+    time-travel query expressed on plain SCD2 columns.
+    """
+    d = F.lit(date)
+    return history.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    )

@@ -5179,3 +5179,122 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over SCD2 history: rebuild the merged customer
+    history (same construction as scd2_merge), then reconstruct the
+    state AS OF 2024-01-15 — before the 2024-02-01 update batch, so the
+    snapshot must equal the ORIGINAL seed for every key (new keys
+    absent, changed balances at their old values). Verified per-segment
+    to keep the output compact."""
+    from d2b_dataframework_spark.operators.scd import as_of, scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    history = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+        "c_mktsegment",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.select(
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_custkey") + 1_000_000)
+        .otherwise(F.col("c_custkey"))
+        .alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            (F.col("c_acctbal").cast("decimal(12,2)") + F.lit(100).cast("decimal(12,2)")),
+        )
+        .otherwise(F.col("c_acctbal").cast("decimal(12,2)"))
+        .cast("decimal(12,2)")
+        .alias("acctbal"),
+        "c_mktsegment",
+        F.lit("2024-02-01").alias("effective_date"),
+    )
+    merged = scd2_apply(history, updates, "c_custkey", ["acctbal", "c_mktsegment"])
+    snap = as_of(merged, "2024-01-15")
+    return (
+        snap.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.col("acctbal").cast("decimal(18,2)")).cast("double").alias(
+                "sum_acctbal"
+            ),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SCD2_ASOF = """
+-- as-of 2024-01-15 precedes the update batch: the snapshot IS the seed
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+  CAST(SUM(c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS sum_acctbal,
+  min(c_custkey)::BIGINT AS min_key, max(c_custkey)::BIGINT AS max_key
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "scd2_asof": QuerySpec(
+            q_scd2_asof,
+            SQL_SCD2_ASOF,
+            "SCD2 point-in-time reconstruction == pre-update seed",
+        ),
+    }
+)
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-CDF feature transform: each document's quality mapped
+    to rank/(n+1) — uniformized scores for threshold-free comparison
+    across corpora. Reuses the distributed global_row_number (range
+    partition + offsets), never a single-partition rank window."""
+    from d2b_dataframework_spark.operators.ranking import global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = dt.quality_score(docs).select("doc_id", "quality")
+    n = scored.count()
+    ranked = global_row_number(
+        scored, [F.col("quality").asc(), F.col("doc_id").asc()], rank_col="rn"
+    )
+    return ranked.select(
+        "doc_id",
+        "quality",
+        F.round(F.col("rn").cast("double") / F.lit(float(n + 1)), 6).alias("cdf"),
+    ).orderBy("doc_id")
+
+
+def _sql_quantile_normalize() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents),
+scored AS (
+  SELECT doc_id,
+    round(least(len(words)::DOUBLE / 100.0, 1.0) * 0.5
+      + least(len(list_filter(words, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+              / len(words)::DOUBLE * 4.0, 1.0) * 0.5, 6) AS quality
+  FROM toks),
+ranked AS (
+  SELECT doc_id, quality,
+    row_number() OVER (ORDER BY quality ASC, doc_id ASC) AS rn,
+    count(*) OVER () AS n
+  FROM scored)
+SELECT doc_id, quality, round(rn::DOUBLE / (n + 1)::DOUBLE, 6) AS cdf
+FROM ranked ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "quantile_normalize": QuerySpec(
+            q_quantile_normalize,
+            _sql_quantile_normalize(),
+            "empirical-CDF transform via distributed global rank",
+        ),
+    }
+)
