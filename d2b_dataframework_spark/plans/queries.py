@@ -5298,3 +5298,61 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: market segment × order priority
+    contingency table, expected counts from the margins, X² summed from
+    12dp-rounded decimal terms (order-independent). One join + two tiny
+    aggs; the readout a campaign-targeting analysis starts from."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    row_m = obs.groupBy("c_mktsegment").agg(F.sum("o").alias("_rm"))
+    col_m = obs.groupBy("o_orderpriority").agg(F.sum("o").alias("_cm"))
+    tot = obs.agg(F.sum("o").alias("_n"))
+    cells = (
+        obs.join(F.broadcast(row_m), "c_mktsegment")
+        .join(F.broadcast(col_m), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("_rm") * F.col("_cm")) / F.col("_n")
+    term = F.round(((F.col("o") - e) * (F.col("o") - e)) / e, 12).cast("decimal(28,12)")
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("_n").cast("long").alias("n_orders"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+    )
+
+
+SQL_CHI_SQUARE = """
+WITH obs AS (
+  SELECT c_mktsegment, o_orderpriority, count(*)::DOUBLE AS o
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+rm AS (SELECT c_mktsegment, SUM(o) AS rm FROM obs GROUP BY 1),
+cm AS (SELECT o_orderpriority, SUM(o) AS cm FROM obs GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT o, ((rm * cm) / n) AS e
+  FROM obs JOIN rm USING (c_mktsegment) JOIN cm USING (o_orderpriority) CROSS JOIN tot)
+SELECT count(*)::BIGINT AS n_cells,
+  (SELECT n FROM tot)::BIGINT AS n_orders,
+  round(CAST(SUM(CAST(round(((o - e) * (o - e)) / e, 12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2
+FROM cells
+"""
+
+
+REGISTRY.update(
+    {
+        "chi_square_independence": QuerySpec(
+            q_chi_square_independence,
+            SQL_CHI_SQUARE,
+            "contingency-table chi-square with margin-derived expecteds",
+        ),
+    }
+)
