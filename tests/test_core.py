@@ -106,3 +106,15 @@ def test_serpapi_health_and_topn(spark):
     top = serpapi.top_competitor_domains(results, "client.com", top_n=2)
     rows = [(r["domain"], r["count"]) for r in top.collect()]
     assert rows == [("rival.com", 2), ("blog.other.io", 1)]
+
+
+def test_top_level_api_facade_resolves_every_name():
+    import d2b_dataframework_spark as pkg
+
+    for name in pkg._API:
+        assert callable(getattr(pkg, name)), name
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        pkg.not_a_real_operator
+    assert "pagerank" in dir(pkg)
