@@ -70,3 +70,32 @@ def delta_fetch_keys(all_keys: DataFrame, cached: DataFrame, on: list[str] | str
     ``[u for u in all_urns if u not in cache]`` (K5,
     d2b_data/linkedin_organic.py:643-644) is exactly a LEFT ANTI join."""
     return all_keys.join(cached, on, "left_anti")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for the few-hot-keys case: the fact side
+    salts each row into one of ``buckets`` sub-keys (deterministic hash
+    of the whole row), the dim side is REPLICATED once per salt — so a
+    key that previously funneled into one reducer spreads over
+    ``buckets`` of them. The explicit form of what AQE's skew-join does
+    for sort-merge plans; use it when the dim is too big to broadcast
+    but small enough to replicate (|dim| × buckets rows), or when AQE
+    can't see the skew (e.g. skew introduced by an upstream operator in
+    the same stage).
+
+    Result is row-identical to ``fact.join(dim, key, how)``; the salt
+    never leaks into the output.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(int(buckets)))
+    fact_s = fact.withColumn("_salt", salt)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(buckets) - 1)))
+    )
+    out = fact_s.join(dim_s, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -5356,3 +5356,60 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: events (5 hot event_type keys — the
+    few-keys case where every plain-join reducer owns one key) joined
+    to a per-type dimension via fact-salt + dim-replicate, aggregated
+    after. Oracle = the plain join, proving salt never changes rows."""
+    from d2b_dataframework_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("type_avg")
+        )
+    )
+    joined = salted_join(ev, dim, "event_type", buckets=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.round(F.col("value") - F.col("type_avg"), 6).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("sum_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SALTED_JOIN = """
+WITH dim AS (
+  SELECT event_type,
+    round(CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) / count(*)::DOUBLE, 6) AS type_avg
+  FROM events GROUP BY 1)
+SELECT e.event_type, count(*)::BIGINT AS n,
+  CAST(SUM(round(e.value - d.type_avg, 6)::DECIMAL(28,6)) AS DOUBLE) AS sum_dev
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "salted_join_revenue": QuerySpec(
+            q_salted_join_revenue,
+            SQL_SALTED_JOIN,
+            "fact-salt + dim-replicate skew-safe join (row parity vs plain)",
+        ),
+    }
+)

@@ -664,3 +664,18 @@ def test_time_decay_attribution_normalizes_per_conversion(spark):
     assert abs(out["view"] - 10.0) < 1e-6
     # total credit equals total conversion value
     assert abs(sum(out.values()) - 30.0) < 1e-6
+
+
+def test_salted_join_matches_plain_join(spark):
+    from d2b_dataframework_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [("0", "a"), ("1", "b"), ("2", "c")], "k string, label string"
+    )
+    plain = fact.join(dim, "k").select("k", "v", "label")
+    salted = salted_join(fact, dim, "k", buckets=8).select("k", "v", "label")
+    key = lambda rows: sorted((r["k"], r["v"], r["label"]) for r in rows)
+    assert key(plain.collect()) == key(salted.collect())
