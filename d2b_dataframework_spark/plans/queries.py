@@ -5413,3 +5413,146 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: each user's first three events (by time) form a
+    path signature; top-10 paths by frequency. One per-user window +
+    collect-ordered via min_by trick — the path column is built from
+    rank-pivoted steps, no collect_list ordering ambiguity."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("_step"))
+        .filter(F.col("_step") <= 3)
+        .groupBy("user_id")
+        .pivot("_step", [1, 2, 3])
+        .agg(F.first("event_type"))
+    )
+    paths = steps.select(
+        F.concat_ws(">", F.col("1"), F.col("2"), F.col("3")).alias("path")
+    )
+    top = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(10)
+    )
+    rank_w = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("long")).select(
+        "rank", "path", "n_users"
+    )
+
+
+SQL_TOP_PATHS = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step
+  FROM events),
+paths AS (
+  SELECT user_id,
+    string_agg(event_type, '>' ORDER BY step) AS path
+  FROM ranked WHERE step <= 3 GROUP BY user_id),
+counted AS (
+  SELECT path, count(*)::BIGINT AS n_users FROM paths GROUP BY 1),
+top AS (
+  SELECT path, n_users,
+    row_number() OVER (ORDER BY n_users DESC, path ASC) AS rank
+  FROM counted)
+SELECT rank::BIGINT AS rank, path, n_users FROM top WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: event values from the
+    first 15 days (reference) vs the rest (current), bucketed by the
+    REFERENCE deciles (exact percentiles, rounded — the frozen bin
+    edges a deployed monitor stores), PSI summed from decimal terms.
+    The standard score: <0.1 stable, >0.25 drifted."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("value").cast("double").alias("v")
+    )
+    cutoff = F.lit("2024-01-15").cast("date")
+    ref = ev.filter(F.col("day") <= cutoff)
+    cur = ev.filter(F.col("day") > cutoff)
+    edges_row = ref.agg(
+        *[
+            F.round(F.percentile(F.col("v"), F.lit(q / 10.0)), 6).alias(f"_e{q}")
+            for q in range(1, 10)
+        ]
+    )
+
+    def bucketize(df):
+        b = F.lit(0)
+        for q in range(1, 10):
+            b = b + (F.col("v") > F.col(f"_e{q}")).cast("int")
+        return (
+            df.crossJoin(F.broadcast(edges_row))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        )
+
+    rb = bucketize(ref).select("bucket", F.col("n").alias("n_ref"))
+    cb = bucketize(cur).select("bucket", F.col("n").alias("n_cur"))
+    tot = rb.agg(F.sum("n_ref").alias("_tr")).crossJoin(
+        cb.agg(F.sum("n_cur").alias("_tc"))
+    )
+    cells = rb.join(cb, "bucket", "full_outer").crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.coalesce("n_ref", F.lit(0.5)) / F.col("_tr")).alias("p"),
+        (F.coalesce("n_cur", F.lit(0.5)) / F.col("_tc")).alias("q"),
+    )
+    term = F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 12).cast(
+        "decimal(28,12)"
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.sum(term).cast("double"), 6).alias("psi"),
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH ev AS (SELECT ts::DATE AS day, value::DOUBLE AS v FROM events),
+ref AS (SELECT v FROM ev WHERE day <= DATE '2024-01-15'),
+cur AS (SELECT v FROM ev WHERE day > DATE '2024-01-15'),
+edges AS (
+  SELECT round(quantile_cont(v, 0.1), 6) AS e1, round(quantile_cont(v, 0.2), 6) AS e2,
+    round(quantile_cont(v, 0.3), 6) AS e3, round(quantile_cont(v, 0.4), 6) AS e4,
+    round(quantile_cont(v, 0.5), 6) AS e5, round(quantile_cont(v, 0.6), 6) AS e6,
+    round(quantile_cont(v, 0.7), 6) AS e7, round(quantile_cont(v, 0.8), 6) AS e8,
+    round(quantile_cont(v, 0.9), 6) AS e9
+  FROM ref),
+rb AS (
+  SELECT ((v > e1)::INT + (v > e2)::INT + (v > e3)::INT + (v > e4)::INT + (v > e5)::INT
+        + (v > e6)::INT + (v > e7)::INT + (v > e8)::INT + (v > e9)::INT) AS bucket,
+    count(*)::DOUBLE AS n_ref
+  FROM ref CROSS JOIN edges GROUP BY 1),
+cb AS (
+  SELECT ((v > e1)::INT + (v > e2)::INT + (v > e3)::INT + (v > e4)::INT + (v > e5)::INT
+        + (v > e6)::INT + (v > e7)::INT + (v > e8)::INT + (v > e9)::INT) AS bucket,
+    count(*)::DOUBLE AS n_cur
+  FROM cur CROSS JOIN edges GROUP BY 1),
+tot AS (SELECT (SELECT SUM(n_ref) FROM rb) AS tr, (SELECT SUM(n_cur) FROM cb) AS tc),
+cells AS (
+  SELECT COALESCE(rb.bucket, cb.bucket) AS bucket,
+    COALESCE(n_ref, 0.5) / tr AS p, COALESCE(n_cur, 0.5) / tc AS q
+  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket CROSS JOIN tot)
+SELECT count(*)::BIGINT AS n_buckets,
+  round(CAST(SUM(CAST(round((p - q) * ln(p / q), 12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+FROM cells
+"""
+
+
+REGISTRY.update(
+    {
+        "top_paths": QuerySpec(
+            q_top_paths, SQL_TOP_PATHS, "top first-3-event path signatures"
+        ),
+        "psi_drift": QuerySpec(
+            q_psi_drift,
+            SQL_PSI_DRIFT,
+            "population stability index vs frozen reference deciles",
+        ),
+    }
+)
