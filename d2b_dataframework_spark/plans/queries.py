@@ -5556,3 +5556,59 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient across customers:
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ ascending — the rank i comes
+    from the distributed global_row_number (range partition + offsets),
+    the moment sums from exact decimals. One number a marketing org
+    tracks for whale-dependence."""
+    from d2b_dataframework_spark.operators.ranking import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    ranked = global_row_number(
+        per_cust, [F.col("x").asc(), F.col("o_custkey").asc()], rank_col="i"
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("x").cast("double").alias("_sx"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("x")).cast("double").alias("_six"),
+    )
+    n, sx, six = F.col("_n"), F.col("_sx"), F.col("_six")
+    gini = (F.lit(2.0) * six) / (n * sx) - (n + F.lit(1.0)) / n
+    return stats.select(
+        n.cast("long").alias("n_customers"),
+        F.round(sx, 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+SQL_REVENUE_GINI = """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(o_totalprice::DECIMAL(18,2)) AS x
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS i FROM per_cust),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+    CAST(SUM(i::DECIMAL(18,0) * x) AS DOUBLE) AS six
+  FROM ranked)
+SELECT n::BIGINT AS n_customers, round(sx, 2) AS total_revenue,
+  round((2.0 * six) / (n * sx) - (n + 1.0) / n, 6) AS gini
+FROM stats
+"""
+
+
+REGISTRY.update(
+    {
+        "revenue_gini": QuerySpec(
+            q_revenue_gini,
+            SQL_REVENUE_GINI,
+            "Gini concentration via distributed global rank",
+        ),
+    }
+)
