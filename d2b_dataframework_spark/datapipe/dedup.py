@@ -921,41 +921,54 @@ def incremental_dedup(
 
 def containment_pairs(
     df: DataFrame,
-    n: int = 1,
+    n: int = 3,
     threshold: float = 0.8,
-    block_col: str | None = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: containment ``|A∩B| / min(|A|,|B|)``
     catches what Jaccard misses — a short document quoted wholesale
     inside a long one scores near 1.0 on containment while its Jaccard
-    stays tiny (the RefinedWeb/CCNet-style subset filter). Same hashed
-    int64 element sets and blocked-join discipline as
-    :func:`ngram_jaccard_pairs`; O(block²), so block or feed LSH
-    candidates. Returns (id_a, id_b, containment) above ``threshold``.
+    stays tiny (the RefinedWeb/CCNet-style subset filter).
+
+    Candidate generation is ANCHOR-PROBE, not a blocked self-join: every
+    document probes with its MINIMUM shingle hash; an inverted index
+    keyed by ALL shingle hashes answers the probe. A true subset shares
+    every shingle with its container, so its min shingle is guaranteed
+    to hit — 100%% recall for full containment; partial (≥threshold)
+    pairs are found unless the probe's min shingle falls in the missing
+    fraction (miss probability ≤ 1 − threshold, documented recall
+    bound). Cost: index = total shingle volume (linear scan-explode),
+    probe = one row per doc, one equi-join on the hash — never a block²
+    pair join. Returns (id_a, id_b, containment) above ``threshold``.
     """
     hashed = shingle_hashes(text_col, n) if n > 1 else token_hashes(text_col)
-    base = df.select(
-        F.col(id_col),
-        *([F.col(block_col)] if block_col else []),
-        hashed.alias("shingles"),
-    ).persist()
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))).cast(
-        "double"
+    base = df.select(F.col(id_col), hashed.alias("shingles")).persist()
+    probe = base.select(
+        F.col(id_col).alias("_pid"), F.array_min("shingles").alias("_h")
     )
-    smaller = F.least(
-        F.size(F.col("a.shingles")), F.size(F.col("b.shingles"))
-    ).cast("double")
-    out = (
-        a.join(b, cond)
+    index = base.select(
+        F.col(id_col).alias("_iid"), F.explode("shingles").alias("_h")
+    )
+    cand = (
+        probe.join(index, "_h")
+        .filter(F.col("_pid") != F.col("_iid"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.least("_pid", "_iid").alias("id_a"),
+            F.greatest("_pid", "_iid").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
+    smaller = F.least(F.size("_sa"), F.size("_sb")).cast("double")
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
             F.round(inter / smaller, 6).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)

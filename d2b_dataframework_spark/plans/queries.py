@@ -4874,15 +4874,38 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(expr.cast("string"))
         return expr.cast("string")
 
+    # NDVs via ONE exploded (column, value) distinct-count: N exact
+    # count_distinct aggs in a single agg would compile to an Expand of
+    # N+1 copies of every row (measured ~10s at sf0.1); the explode is
+    # the same row volume but one pass, and min/max/null counts stay in
+    # a plain single-pass agg.
+    ndv_rows = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("c"), F.col(c).cast("string").alias("v"))
+                        for c in cols
+                    ]
+                )
+            ).alias("cv")
+        )
+        .select("cv.c", "cv.v")
+        .distinct()
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndv"))
+    )
+    ndvs = {r["c"]: r["ndv"] for r in ndv_rows.collect()}  # 5 rows
     aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nulls_{c}"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"_ndv_{c}"),
             as_str(F.min(F.col(c)), c).alias(f"_min_{c}"),
             as_str(F.max(F.col(c)), c).alias(f"_max_{c}"),
         ]
-    row = li.agg(*aggs)
+    row = li.agg(*aggs).withColumns(
+        {f"_ndv_{c}": F.lit(int(ndvs.get(c, 0))) for c in cols}
+    )
     stack_args = []
     for c in cols:
         stack_args += [
@@ -5009,7 +5032,8 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     15-word PREFIX excerpt injected into the corpus — its 3-gram
     shingles are a strict subset of the source's, so containment ≈ 1.0
     while Jaccard stays low (the quote/subset case Jaccard dedup
-    misses). Blocked on lang; hashed int64 shingle sets."""
+    misses). Anchor-probe candidates (min-shingle probe vs full
+    inverted index) — never a block-squared pair join."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", normalize_whitespace(F.lower("text")).alias("text"), "lang"
     )
@@ -5018,29 +5042,32 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 1, 15), " ").alias("text"),
         "lang",
     )
-    corpus = docs.unionByName(shorts)
-    return dd.containment_pairs(
-        corpus, n=3, threshold=0.9, block_col="lang"
-    ).orderBy("id_a", "id_b")
+    corpus = docs.unionByName(shorts).select("doc_id", "text")
+    return dd.containment_pairs(corpus, n=3, threshold=0.9).orderBy("id_a", "id_b")
 
 
 SQL_CONTAINMENT = f"""
 WITH corpus AS (
-  SELECT doc_id, {_NORM} AS text, lang FROM documents
+  SELECT doc_id, {_NORM} AS text FROM documents
   UNION ALL
   SELECT doc_id + 1000000,
-    array_to_string(string_split({_NORM}, ' ')[1:15], ' '), lang
+    array_to_string(string_split({_NORM}, ' ')[1:15], ' ')
   FROM documents WHERE doc_id % 5 = 0),
-toks AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM corpus),
+toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
 sh AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
     list_distinct(list_transform({_SHINGLES}, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)) AS hs
   FROM toks),
+probe AS (SELECT doc_id AS pid, list_min(hs) AS h FROM sh),
+idx AS (SELECT doc_id AS iid, unnest(hs) AS h FROM sh),
+cand AS (
+  SELECT DISTINCT least(pid, iid) AS id_a, greatest(pid, iid) AS id_b
+  FROM probe JOIN idx USING (h) WHERE pid <> iid),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT c.id_a, c.id_b,
     round(len(list_intersect(a.hs, b.hs))::DOUBLE
           / least(len(a.hs), len(b.hs))::DOUBLE, 6) AS containment
-  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id)
 SELECT id_a, id_b, containment FROM pairs
 WHERE containment >= 0.9 ORDER BY id_a, id_b
 """

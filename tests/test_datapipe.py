@@ -729,14 +729,14 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
     long_text = " ".join(f"w{i} x{i} y{i}" for i in range(40))
     short_text = " ".join(long_text.split()[:12])  # strict prefix
     df = spark.createDataFrame(
-        [(1, long_text, "en"), (2, short_text, "en"), (3, "zz qq rr ss tt uu", "en")],
-        "doc_id long, text string, lang string",
+        [(1, long_text), (2, short_text), (3, "zz qq rr ss tt uu")],
+        "doc_id long, text string",
     )
     cont = containment_pairs(df, n=3, threshold=0.9)
     pairs = {(r["id_a"], r["id_b"]): r["containment"] for r in cont.collect()}
     assert pairs.get((1, 2)) == 1.0  # prefix fully contained
     assert (1, 3) not in pairs
     release(cont)
-    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5, block_col="lang")
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5, block_col=None)
     assert not [r for r in jac.collect() if (r["id_a"], r["id_b"]) == (1, 2)]
     release(jac)
