@@ -5639,3 +5639,86 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the first 8 embedding dimensions — the
+    feature-correlation audit before whitening/PCA. Pure map-side
+    expansion (two index explodes, 64 cells per vector), decimal-summed
+    moments: the shuffle carries O(dim²) keys regardless of corpus
+    size. Full-width matrices ride the same path (or an Arrow matmul
+    twin, like the minhash signatures)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 8
+    staged = emb.select("vec_id", F.slice("embedding", 1, k).alias("_e"))
+    idx = F.array(*[F.lit(i) for i in range(1, k + 1)])
+    cells = (
+        staged.select("_e", F.explode(idx).alias("i"))
+        .select("_e", "i", F.explode(idx).alias("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.element_at("_e", F.col("i")).cast("double")
+                * F.element_at("_e", F.col("j")).cast("double"),
+                9,
+            ).alias("p"),
+            F.round(F.element_at("_e", F.col("i")).cast("double"), 9).alias("xi"),
+        )
+    )
+    sums = cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("p").cast("decimal(28,9)")).cast("double").alias("_sp"),
+        F.sum(F.col("xi").cast("decimal(28,9)")).cast("double").alias("_si"),
+    )
+    means = cells.filter(F.col("i") == F.col("j")).groupBy(F.col("j").alias("_j")).agg(
+        (F.sum(F.col("xi").cast("decimal(28,9)")).cast("double") / F.count(F.lit(1)).cast("double")).alias("_mj")
+    )
+    return (
+        sums.join(F.broadcast(means), sums["j"] == means["_j"])
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.round(
+                (F.col("_sp") / F.col("_n")) - ((F.col("_si") / F.col("_n")) * F.col("_mj")),
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH staged AS (SELECT vec_id, embedding[1:8] AS e FROM embeddings),
+cells AS (
+  SELECT i.i, j.j,
+    round(e[i.i]::DOUBLE * e[j.j]::DOUBLE, 9) AS p,
+    round(e[i.i]::DOUBLE, 9) AS xi
+  FROM staged,
+    (SELECT unnest(range(1, 9)) AS i) i,
+    (SELECT unnest(range(1, 9)) AS j) j),
+sums AS (
+  SELECT i, j, count(*)::DOUBLE AS n,
+    CAST(SUM(p::DECIMAL(28,9)) AS DOUBLE) AS sp,
+    CAST(SUM(xi::DECIMAL(28,9)) AS DOUBLE) AS si
+  FROM cells GROUP BY 1, 2),
+means AS (
+  SELECT j AS mj_key,
+    CAST(SUM(xi::DECIMAL(28,9)) AS DOUBLE) / count(*)::DOUBLE AS mj
+  FROM cells WHERE i = j GROUP BY 1)
+SELECT i::BIGINT AS i, j::BIGINT AS j,
+  round((sp / n) - ((si / n) * mj), 6) AS cov
+FROM sums JOIN means ON j = mj_key
+ORDER BY i, j
+"""
+
+
+REGISTRY.update(
+    {
+        "embedding_covariance": QuerySpec(
+            q_embedding_covariance,
+            SQL_EMBEDDING_COVARIANCE,
+            "map-side covariance matrix (O(dim^2) shuffle keys)",
+        ),
+    }
+)
