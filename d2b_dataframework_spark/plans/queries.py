@@ -5722,3 +5722,52 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    via the (day − row_number) island key — per-user windows, fully
+    parallel; summarized to a streak-length histogram so the verified
+    output stays compact."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        F.date_sub("day", F.row_number().over(w)).alias("_island"),
+    )
+    streaks = islands.groupBy("user_id", "_island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("longest"))
+    return (
+        longest.groupBy("longest")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("longest").cast("long").alias("streak_days"), "n_users")
+        .orderBy("streak_days")
+    )
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+islands AS (
+  SELECT user_id,
+    day - (row_number() OVER (PARTITION BY user_id ORDER BY day))::INTEGER AS island
+  FROM days),
+streaks AS (
+  SELECT user_id, island, count(*)::BIGINT AS len FROM islands GROUP BY 1, 2),
+longest AS (SELECT user_id, max(len) AS longest FROM streaks GROUP BY 1)
+SELECT longest::BIGINT AS streak_days, count(*)::BIGINT AS n_users
+FROM longest GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "activity_streaks": QuerySpec(
+            q_activity_streaks,
+            SQL_ACTIVITY_STREAKS,
+            "gaps-and-islands longest consecutive-day streaks",
+        ),
+    }
+)
