@@ -1,0 +1,60 @@
+"""Non-linear per-key recurrences — the class a window function cannot
+express.
+
+A running sum is a window fold; a running sum CLAMPED at a floor
+(account balances, inventory levels, token buckets) is not: each step's
+output feeds a non-linear function into the next step, so no
+prefix-aggregation decomposes it. The engine's contract for this class:
+``groupBy(key).applyInPandas`` — keys distribute across executors, the
+recurrence runs vectorized-per-key in Arrow batches, state never leaves
+the task. (Same pattern as the forecaster and the streaming EWMA; this
+is the batch primitive.)
+
+Determinism: rows are sorted by the caller-given order inside each
+group and the float recurrence is evaluated in that exact order — an
+oracle replaying the same order (e.g. a recursive CTE) lands on
+bit-identical IEEE doubles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    delta_col: str,
+    floor: float = 0.0,
+) -> DataFrame:
+    """Per-key ``bal = max(floor, bal + delta)`` over the ordered rows.
+    Returns one row per key: final ``balance`` and ``n_clamped`` (steps
+    where the floor bit). ``key_col`` must be integral (schema below).
+    """
+    schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("balance", DoubleType()),
+            StructField("n_clamped", LongType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        bal, clamps = float(floor), 0
+        for d in pdf[delta_col]:
+            nxt = bal + float(d)
+            if nxt < floor:
+                clamps += 1
+                bal = floor
+            else:
+                bal = nxt
+        return pd.DataFrame(
+            {"key": [int(pdf[key_col].iloc[0])], "balance": [bal], "n_clamped": [clamps]}
+        )
+
+    return df.groupBy(key_col).applyInPandas(run, schema)

@@ -5771,3 +5771,65 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance per user (signups credit,
+    purchases debit, balance never below zero) — a NON-LINEAR
+    recurrence no window fold expresses, run per-key via
+    applyInPandas; the oracle replays the identical ordered recurrence
+    with a recursive CTE, so even the step-by-step IEEE arithmetic
+    hash-matches."""
+    from d2b_dataframework_spark.operators.recurrence import clamped_running_balance
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.col("value"))
+        .when(F.col("event_type") == "purchase", -F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("delta"),
+    )
+    out = clamped_running_balance(ev, "user_id", ["ts", "event_id"], "delta")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.round("balance", 6).alias("balance"),
+        "n_clamped",
+    ).orderBy("user_id")
+
+
+SQL_CLAMPED_BALANCE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    CASE WHEN event_type = 'signup' THEN value
+         WHEN event_type = 'purchase' THEN -value
+         ELSE 0.0 END AS delta
+  FROM events),
+counts AS (SELECT user_id, max(rn) AS mx FROM seq GROUP BY 1),
+walk AS (
+  SELECT s.user_id, s.rn,
+    CASE WHEN 0.0 + s.delta < 0.0 THEN 0.0 ELSE 0.0 + s.delta END AS bal,
+    CASE WHEN 0.0 + s.delta < 0.0 THEN 1 ELSE 0 END AS clamps
+  FROM seq s WHERE s.rn = 1
+  UNION ALL
+  SELECT w.user_id, w.rn + 1,
+    CASE WHEN w.bal + s.delta < 0.0 THEN 0.0 ELSE w.bal + s.delta END,
+    w.clamps + CASE WHEN w.bal + s.delta < 0.0 THEN 1 ELSE 0 END
+  FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+SELECT w.user_id, round(w.bal, 6) AS balance, w.clamps::BIGINT AS n_clamped
+FROM walk w JOIN counts c ON w.user_id = c.user_id AND w.rn = c.mx
+ORDER BY w.user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "clamped_balance": QuerySpec(
+            q_clamped_balance,
+            SQL_CLAMPED_BALANCE,
+            "non-linear clamped recurrence: applyInPandas vs recursive CTE",
+        ),
+    }
+)

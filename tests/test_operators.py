@@ -679,3 +679,18 @@ def test_salted_join_matches_plain_join(spark):
     salted = salted_join(fact, dim, "k", buckets=8).select("k", "v", "label")
     key = lambda rows: sorted((r["k"], r["v"], r["label"]) for r in rows)
     assert key(plain.collect()) == key(salted.collect())
+
+
+def test_clamped_running_balance_floors_and_counts(spark):
+    from d2b_dataframework_spark.operators.recurrence import clamped_running_balance
+
+    rows = [
+        (1, 1, 10.0), (1, 2, -25.0), (1, 3, 5.0),   # clamps once, ends at 5
+        (2, 1, -3.0), (2, 2, 4.0),                   # clamps immediately, ends 4
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, delta double")
+    out = {
+        r["key"]: (r["balance"], r["n_clamped"])
+        for r in clamped_running_balance(df, "user_id", ["seq"], "delta").collect()
+    }
+    assert out == {1: (5.0, 1), 2: (4.0, 1)}
