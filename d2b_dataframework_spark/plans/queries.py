@@ -5833,3 +5833,71 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy pairs over part
+    names → connected components → survivorship (each cluster keeps its
+    canonical min member; every name maps to a canonical name).
+    Composition of three engine operators; summarized per cluster
+    size."""
+    from d2b_dataframework_spark.operators.fuzzy import fuzzy_match_pairs
+
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().select(
+        F.col("p_name"),
+        F.row_number()
+        .over(Window.orderBy("p_name"))
+        .cast("long")
+        .alias("name_id"),  # tiny distinct dimension: ~|vocab| rows, window is fine
+    )
+    pairs = (
+        fuzzy_match_pairs(part, "p_name", F.split(F.col("p_name"), " ").getItem(1), 4)
+        .join(names.select(F.col("p_name").alias("value_a"), F.col("name_id").alias("id_a")), "value_a")
+        .join(names.select(F.col("p_name").alias("value_b"), F.col("name_id").alias("id_b")), "value_b")
+        .select("id_a", "id_b")
+    )
+    clusters = dd.connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+SQL_ENTITY_RESOLUTION = """
+WITH RECURSIVE names AS (
+  SELECT p_name, row_number() OVER (ORDER BY p_name) AS name_id
+  FROM (SELECT DISTINCT p_name FROM part)),
+vals AS (SELECT p_name AS v, string_split(p_name, ' ')[2] AS blk, name_id FROM names),
+pairs AS (
+  SELECT a.name_id AS id_a, b.name_id AS id_b
+  FROM vals a JOIN vals b ON a.blk = b.blk AND a.v < b.v
+  WHERE levenshtein(a.v, b.v) <= 4),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+labels AS (
+  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM labels GROUP BY 1)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "entity_resolution": QuerySpec(
+            q_entity_resolution,
+            SQL_ENTITY_RESOLUTION,
+            "fuzzy pairs -> connected components -> cluster survivorship",
+        ),
+    }
+)

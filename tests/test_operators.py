@@ -694,3 +694,19 @@ def test_clamped_running_balance_floors_and_counts(spark):
         for r in clamped_running_balance(df, "user_id", ["seq"], "delta").collect()
     }
     assert out == {1: (5.0, 1), 2: (4.0, 1)}
+
+
+def test_bloom_prefilter_no_false_negatives_and_reduces_rows(spark):
+    from d2b_dataframework_spark.operators.joins import bloom_prefilter
+
+    big = spark.range(0, 20000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    small = spark.range(0, 20000, 97).select(F.col("id").alias("k"))  # ~206 keys
+    filtered = bloom_prefilter(big, small, "k", fpp=0.01)
+    true_keys = {r["k"] for r in small.collect()}
+    kept = {r["k"] for r in filtered.collect()}
+    assert true_keys <= kept                      # no false negatives
+    assert len(kept) < 20000 * 0.05               # massive reduction at ~1% fpp
+    # end-to-end: join after prefilter == join without it
+    j1 = big.join(small, "k").count()
+    j2 = filtered.join(small, "k").count()
+    assert j1 == j2
