@@ -5901,3 +5901,67 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust spread: per-type median and MAD (median absolute
+    deviation) — outlier-resistant where stddev is not; two exact
+    percentile passes (medians broadcast back between them) plus a
+    3-MAD outlier count, the robust-z rule."""
+    ev = _t(spark, sf_dir, "events").select("event_type", F.col("value").cast("double").alias("v"))
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("v", F.lit(0.5)), 6).alias("median")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "median", F.round(F.abs(F.col("v") - F.col("median")), 6).alias("_d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("median").alias("median"),
+        F.round(F.percentile("_d", F.lit(0.5)), 6).alias("mad"),
+    )
+    flagged = (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("_d") > 3.0 * F.col("mad")).cast("long")).cast("long").alias(
+                "n_outliers_3mad"
+            ),
+        )
+    )
+    return (
+        mad.join(flagged, "event_type")
+        .select("event_type", "n", "median", "mad", "n_outliers_3mad")
+        .orderBy("event_type")
+    )
+
+
+SQL_MAD = """
+WITH ev AS (SELECT event_type, value::DOUBLE AS v FROM events),
+med AS (
+  SELECT event_type, round(quantile_cont(v, 0.5), 6) AS median FROM ev GROUP BY 1),
+dev AS (
+  SELECT ev.event_type, med.median, round(abs(v - median), 6) AS d
+  FROM ev JOIN med ON ev.event_type = med.event_type),
+mad AS (
+  SELECT event_type, min(median) AS median, round(quantile_cont(d, 0.5), 6) AS mad
+  FROM dev GROUP BY 1),
+flagged AS (
+  SELECT dev.event_type, count(*)::BIGINT AS n,
+    SUM(CASE WHEN d > 3.0 * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers_3mad
+  FROM dev JOIN mad ON dev.event_type = mad.event_type GROUP BY 1)
+SELECT mad.event_type, n, mad.median, mad.mad, n_outliers_3mad
+FROM mad JOIN flagged ON mad.event_type = flagged.event_type
+ORDER BY mad.event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "mad_robust_spread": QuerySpec(
+            q_mad_robust_spread,
+            SQL_MAD,
+            "median + MAD robust spread with 3-MAD outlier counts",
+        ),
+    }
+)
