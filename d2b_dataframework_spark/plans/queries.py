@@ -5965,3 +5965,90 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_daily_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: top-2 users by spend per day — the
+    MANY-groups ranking case (one window partition per day, fully
+    parallel; contrast with grouped_topk_orders' few-groups salted
+    path)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("spend"))
+    w = Window.partitionBy("day").orderBy(
+        F.col("spend").desc(), F.col("user_id").asc()
+    )
+    return (
+        daily.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select("day", "rank", "user_id", F.col("spend").cast("double").alias("spend"))
+        .orderBy("day", "rank")
+    )
+
+
+SQL_DAILY_TRENDING = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+    SUM(value::DECIMAL(18,2)) AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+ranked AS (
+  SELECT day, user_id, spend,
+    row_number() OVER (PARTITION BY day ORDER BY spend DESC, user_id ASC) AS rank
+  FROM daily)
+SELECT day, rank::BIGINT AS rank, user_id, CAST(spend AS DOUBLE) AS spend
+FROM ranked WHERE rank <= 2 ORDER BY day, rank
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (IS NOT DISTINCT FROM): odd prop values
+    are nulled on both sides, and the null GROUP must still match —
+    the semantic a plain equi-join silently drops. eqNullSafe compiles
+    to a normal hash join (null keys co-locate), no special plan."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(
+            F.get_json_object("props", "$.k").cast("long") % 2 == 0,
+            F.get_json_object("props", "$.k").cast("long"),
+        ).alias("k"),
+        "value",
+    )
+    dim = keyed.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k")).select(
+        F.col("k").alias("dk"), "n_k"
+    )
+    return (
+        keyed.join(dim, F.col("k").eqNullSafe(F.col("dk")))
+        .groupBy(F.col("dk").alias("k_join"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("n_k").alias("n_k"),
+        )
+        .orderBy(F.col("k_join").asc_nulls_first())
+    )
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH keyed AS (
+  SELECT CASE WHEN json_extract_string(props, '$.k')::BIGINT % 2 = 0
+    THEN json_extract_string(props, '$.k')::BIGINT END AS k, value
+  FROM events),
+dim AS (SELECT k, count(*)::BIGINT AS n_k FROM keyed GROUP BY 1)
+SELECT d.k AS k_join, count(*)::BIGINT AS n_rows, min(d.n_k) AS n_k
+FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+GROUP BY 1 ORDER BY 1 NULLS FIRST
+"""
+
+
+REGISTRY.update(
+    {
+        "daily_trending": QuerySpec(
+            q_daily_trending, SQL_DAILY_TRENDING, "per-day top-2 (many-groups rank)"
+        ),
+        "null_safe_join": QuerySpec(
+            q_null_safe_join,
+            SQL_NULL_SAFE_JOIN,
+            "IS NOT DISTINCT FROM join: the null group matches",
+        ),
+    }
+)
