@@ -6052,3 +6052,78 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same (user, day) basket: association strength normalized for
+    marginal frequency — what raw co-occurrence counts (copurchase)
+    can't tell apart. Basket-blocked pair join, tiny marginals
+    broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    n_baskets = baskets.select("user_id", "day").distinct().count()
+    marg = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_cx")
+    )
+    a = baskets.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pair_counts = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cxy"))
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_a"), F.col("_cx").alias("_ca"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_b"), F.col("_cx").alias("_cb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("_cxy").cast("long").alias("n_cooccur"),
+            F.round(
+                F.log((F.col("_cxy") * F.lit(float(n_baskets))) / (F.col("_ca") * F.col("_cb"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_EVENT_PMI = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, ts::DATE AS day, event_type FROM events),
+nb AS (SELECT count(*)::DOUBLE AS n FROM (SELECT DISTINCT user_id, day FROM baskets)),
+marg AS (SELECT event_type, count(*)::DOUBLE AS cx FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::DOUBLE AS cxy
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, cxy::BIGINT AS n_cooccur,
+  round(ln((cxy * n) / (ma.cx * mb.cx)), 6) AS pmi
+FROM pairs
+JOIN marg ma ON type_a = ma.event_type
+JOIN marg mb ON type_b = mb.event_type
+CROSS JOIN nb
+ORDER BY type_a, type_b
+"""
+
+
+REGISTRY.update(
+    {
+        "event_pmi": QuerySpec(
+            q_event_pmi,
+            SQL_EVENT_PMI,
+            "PMI association matrix over user-day baskets",
+        ),
+    }
+)
