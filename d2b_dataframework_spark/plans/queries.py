@@ -6127,3 +6127,149 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety filtering shape: per-source rate of documents containing
+    blocklist terms (token-exact matching — the word-boundary-safe
+    form; substring matching would false-positive). One scan, hits
+    computed in a higher-order filter, per-source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["error", "slow"]
+    toks = dt.tokens("text")
+    hits = F.size(F.filter(toks, lambda t: t.isin(terms)))
+    return (
+        docs.select("source", hits.alias("_h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("_h") > 0).cast("long")).cast("long").alias("n_flagged"),
+            F.round(
+                F.sum((F.col("_h") > 0).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_BLOCKLIST = f"""
+WITH toks AS (
+  SELECT source,
+    len(list_filter(string_split({_NORM}, ' '), t -> t IN ('error','slow'))) AS h
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+  SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+  round(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS flag_rate
+FROM toks GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: agreement between the stored lang label and
+    the stopword-marker prediction, per label — the check run before
+    trusting metadata for mixture decisions."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = dt.language_scores(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(scored, "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("lang_pred") == F.col("lang")).cast("long")).cast("long").alias(
+                "n_agree"
+            ),
+            F.round(
+                F.sum((F.col("lang_pred") == F.col("lang")).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("agreement"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_lang_agreement() -> str:
+    # replicate language_scores' marker sets + deterministic argmax
+    from d2b_dataframework_spark.datapipe.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_exprs.append(
+            f"round(len(list_filter(words, t -> t IN ({words})))::DOUBLE"
+            f" / len(words)::DOUBLE, 6) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split({_NORM}, ' ') AS words FROM documents),
+scored AS (
+  SELECT doc_id, lang, {", ".join(score_exprs)} FROM toks),
+pred AS (SELECT doc_id, lang, {pred} AS lang_pred FROM scored)
+SELECT lang, count(*)::BIGINT AS n_docs,
+  SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+  round(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS agreement
+FROM pred GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: which sources contribute duplicate mass —
+    exact-fingerprint groups sized >1 attributed back to sources. The
+    number a curation team uses to deprioritize a crawl."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(normalize_whitespace(F.lower(F.col("text")))).alias("fp"),
+    )
+    sizes = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    flagged = fp.join(sizes, "fp").select(
+        "source", (F.col("_n") > 1).cast("long").alias("_dup")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_dup").cast("long").alias("n_dup_docs"),
+            F.round(F.sum("_dup").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DUP_RATE = f"""
+WITH fp AS (
+  SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
+sizes AS (SELECT fp, count(*) AS n FROM fp GROUP BY 1),
+flagged AS (
+  SELECT source, CASE WHEN n > 1 THEN 1 ELSE 0 END AS dup
+  FROM fp JOIN sizes USING (fp))
+SELECT source, count(*)::BIGINT AS n_docs,
+  SUM(dup)::BIGINT AS n_dup_docs,
+  round(SUM(dup)::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "blocklist_hits": QuerySpec(
+            q_blocklist_hits, SQL_BLOCKLIST, "token-exact blocklist flag rates per source"
+        ),
+        "lang_agreement": QuerySpec(
+            q_lang_agreement, _sql_lang_agreement(), "label vs predicted-lang agreement audit"
+        ),
+        "dup_rate_by_source": QuerySpec(
+            q_dup_rate_by_source, SQL_DUP_RATE, "duplicate mass attributed per source"
+        ),
+    }
+)
