@@ -6273,3 +6273,54 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: how many orders are 'open' (within 7
+    days of placement) on each day — +1/−1 boundary deltas aggregated
+    per day, then a cumulative sum over the DAILY frame (bounded by the
+    calendar, a few thousand rows at any corpus scale; the raw orders
+    never enter a window). The interval-stabbing pattern without an
+    interval join."""
+    orders = _t(spark, sf_dir, "orders")
+    opens = orders.select(F.to_date("o_orderdate").alias("day"), F.lit(1).alias("d"))
+    closes = orders.select(
+        F.date_add(F.to_date("o_orderdate"), 7).alias("day"), F.lit(-1).alias("d")
+    )
+    deltas = opens.unionByName(closes).groupBy("day").agg(
+        F.sum("d").cast("long").alias("delta")
+    )
+    w = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # calendar-bounded frame: documented single-partition window over ~|days| rows
+    return (
+        deltas.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.sum("delta").over(w).cast("long").alias("open_orders"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_CONCURRENT_ORDERS = """
+WITH deltas AS (
+  SELECT day, SUM(d)::BIGINT AS delta FROM (
+    SELECT o_orderdate::DATE AS day, 1 AS d FROM orders
+    UNION ALL
+    SELECT (o_orderdate::DATE + 7)::DATE AS day, -1 AS d FROM orders
+  ) GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  SUM(delta) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS open_orders
+FROM deltas ORDER BY day
+"""
+
+
+REGISTRY.update(
+    {
+        "concurrent_orders": QuerySpec(
+            q_concurrent_orders,
+            SQL_CONCURRENT_ORDERS,
+            "sweep-line open-interval counting over boundary deltas",
+        ),
+    }
+)
