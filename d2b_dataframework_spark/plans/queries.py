@@ -6324,3 +6324,153 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN assignment to a fixed POI set: each pseudo-located customer
+    maps to its nearest of 4 centers via a map-side argmin over a
+    LITERAL center array (zero shuffle for the assignment — the same
+    centroids-as-literals pattern as the k-means assignment). Haversine
+    in fixed parenthesization; summary per POI."""
+    from d2b_dataframework_spark.operators.spatial import haversine_km
+
+    cust = _t(spark, sf_dir, "customer")
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("c_custkey").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    pts = cust.select(
+        F.col("c_custkey").alias("cid"),
+        (F.pmod(h("lat"), F.lit(2000000)).cast("double") / 1000000.0 - 1.0).alias("lat"),
+        (F.pmod(h("lon"), F.lit(2000000)).cast("double") / 1000000.0 - 1.0).alias("lon"),
+    )
+    pois = [("p0", -0.5, -0.5), ("p1", -0.5, 0.5), ("p2", 0.5, -0.5), ("p3", 0.5, 0.5)]
+    dists = [
+        F.struct(
+            F.round(
+                haversine_km(F.col("lat"), F.col("lon"), F.lit(la), F.lit(lo)), 6
+            ).alias("d"),
+            F.lit(name).alias("poi"),
+        )
+        for name, la, lo in pois
+    ]
+    best = F.array_min(F.array(*dists))
+    assigned = pts.select("cid", best["poi"].alias("poi"), best["d"].alias("d"))
+    return (
+        assigned.groupBy("poi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum(F.col("d").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_km"),
+        )
+        .orderBy("poi")
+    )
+
+
+def _sql_nearest_poi() -> str:
+    pois = [("p0", -0.5, -0.5), ("p1", -0.5, 0.5), ("p2", 0.5, -0.5), ("p3", 0.5, 0.5)]
+
+    def hav(la, lo):
+        return (
+            f"round(2.0 * 6371.0 * asin(sqrt("
+            f"sin(radians({la} - lat) / 2) * sin(radians({la} - lat) / 2)"
+            f" + cos(radians(lat)) * cos(radians({la}))"
+            f" * (sin(radians({lo} - lon) / 2) * sin(radians({lo} - lon) / 2)))), 6)"
+        )
+
+    structs = ", ".join(
+        f"row({hav(la, lo)}, '{name}')" for name, la, lo in pois
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS cid,
+    (('0x' || substr(md5('lat:' || c_custkey::VARCHAR), 1, 7))::BIGINT % 2000000)::DOUBLE / 1000000.0 - 1.0 AS lat,
+    (('0x' || substr(md5('lon:' || c_custkey::VARCHAR), 1, 7))::BIGINT % 2000000)::DOUBLE / 1000000.0 - 1.0 AS lon
+  FROM customer),
+assigned AS (
+  SELECT cid, list_min([{structs}]) AS best FROM pts)
+SELECT best[2] AS poi, count(*)::BIGINT AS n_customers,
+  round(CAST(SUM(CAST(best[1] AS DECIMAL(18,6))) AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_km
+FROM assigned GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "nearest_poi": QuerySpec(
+            q_nearest_poi,
+            _sql_nearest_poi(),
+            "map-side 1-NN to literal POI centers (argmin via array_min)",
+        ),
+    }
+)
+
+
+def q_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume/rate decomposition of the revenue delta between the first
+    and second half of the month, per event type:
+    ΔR = Δn·r₁ + n₁·Δr + Δn·Δr (volume, rate, mix terms — the FP&A
+    bridge every revenue review runs). Decimal-exact aggregates, fixed
+    double arithmetic on the five summary numbers."""
+    ev = _t(spark, sf_dir, "events")
+    half = F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), 1).otherwise(2)
+
+    agg = (
+        ev.groupBy("event_type", half.alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("rev"),
+        )
+    )
+    p1 = agg.filter(F.col("h") == 1).select(
+        "event_type", F.col("n").alias("n1"), F.col("rev").alias("r1")
+    )
+    p2 = agg.filter(F.col("h") == 2).select(
+        "event_type", F.col("n").alias("n2"), F.col("rev").alias("r2")
+    )
+    j = p1.join(p2, "event_type")
+    rate1, rate2 = F.col("r1") / F.col("n1"), F.col("r2") / F.col("n2")
+    dn, dr = F.col("n2") - F.col("n1"), rate2 - rate1
+    return j.select(
+        "event_type",
+        F.round(F.col("r2") - F.col("r1"), 2).alias("delta_rev"),
+        F.round(dn * rate1, 2).alias("volume_effect"),
+        F.round(F.col("n1") * dr, 2).alias("rate_effect"),
+        F.round(dn * dr, 2).alias("mix_effect"),
+    ).orderBy("event_type")
+
+
+SQL_REVENUE_DECOMPOSITION = """
+WITH halves AS (
+  SELECT event_type,
+    CASE WHEN ts::DATE <= DATE '2024-01-15' THEN 1 ELSE 2 END AS h,
+    count(*)::DOUBLE AS n,
+    CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS rev
+  FROM events GROUP BY 1, 2),
+p1 AS (SELECT event_type, n AS n1, rev AS r1 FROM halves WHERE h = 1),
+p2 AS (SELECT event_type, n AS n2, rev AS r2 FROM halves WHERE h = 2)
+SELECT p1.event_type,
+  round(r2 - r1, 2) AS delta_rev,
+  round((n2 - n1) * (r1 / n1), 2) AS volume_effect,
+  round(n1 * ((r2 / n2) - (r1 / n1)), 2) AS rate_effect,
+  round((n2 - n1) * ((r2 / n2) - (r1 / n1)), 2) AS mix_effect
+FROM p1 JOIN p2 ON p1.event_type = p2.event_type
+ORDER BY p1.event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "revenue_decomposition": QuerySpec(
+            q_revenue_decomposition,
+            SQL_REVENUE_DECOMPOSITION,
+            "volume/rate/mix bridge of the period revenue delta",
+        ),
+    }
+)
