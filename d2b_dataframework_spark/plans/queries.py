@@ -6474,3 +6474,51 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_resurrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resurrection analysis: users returning after ≥3 silent days —
+    lag over each user's distinct active days (per-user window),
+    rolled up to resurrected-user counts per return day. The churn
+    companion to cohort_retention."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = days.select(
+        "user_id",
+        "day",
+        F.datediff("day", F.lag("day").over(w)).alias("_gap"),
+    ).filter(F.col("_gap") >= 3)
+    return (
+        gaps.groupBy(F.date_format("day", "yyyy-MM-dd").alias("return_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_resurrected"),
+            F.max("_gap").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("return_day")
+    )
+
+
+SQL_RESURRECTIONS = """
+WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+gaps AS (
+  SELECT user_id, day,
+    date_diff('day', lag(day) OVER (PARTITION BY user_id ORDER BY day), day) AS gap
+  FROM days)
+SELECT strftime(day, '%Y-%m-%d') AS return_day,
+  count(*)::BIGINT AS n_resurrected,
+  max(gap)::BIGINT AS max_gap_days
+FROM gaps WHERE gap >= 3
+GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "resurrections": QuerySpec(
+            q_resurrections,
+            SQL_RESURRECTIONS,
+            "users returning after >=3 silent days, per return day",
+        ),
+    }
+)
