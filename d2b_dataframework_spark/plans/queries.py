@@ -6522,3 +6522,89 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over each type's daily series
+    (level/trend recurrence — sequential state, applyInPandas per key
+    like the clamped balance), reporting the final level, trend, and
+    one-step forecast. The oracle replays the identical recurrence via
+    a recursive CTE — state math hash-matches step-exact."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    alpha, beta = 0.5, 0.3
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast_next", DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        vs = list(pdf["v"])
+        level, trend = vs[0], 0.0
+        for v in vs[1:]:
+            prev = level
+            level = alpha * v + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1.0 - beta) * trend
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level": [level],
+                "trend": [trend],
+                "forecast_next": [level + trend],
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(run, schema)
+    return out.select(
+        "event_type",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_next", 6).alias("forecast_next"),
+    ).orderBy("event_type")
+
+
+SQL_HOLT = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, ts::DATE AS day,
+    CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT event_type, v,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily),
+counts AS (SELECT event_type, max(rn) AS mx FROM seq GROUP BY 1),
+walk AS (
+  SELECT event_type, 1 AS rn, v::DOUBLE AS level, 0.0::DOUBLE AS trend FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT w.event_type, w.rn + 1,
+    0.5 * s.v + (1.0 - 0.5) * (w.level + w.trend),
+    0.3 * ((0.5 * s.v + (1.0 - 0.5) * (w.level + w.trend)) - w.level)
+      + (1.0 - 0.3) * w.trend
+  FROM walk w JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn + 1)
+SELECT w.event_type, round(w.level, 6) AS level, round(w.trend, 6) AS trend,
+  round(w.level + w.trend, 6) AS forecast_next
+FROM walk w JOIN counts c ON w.event_type = c.event_type AND w.rn = c.mx
+ORDER BY w.event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "holt_smoothing": QuerySpec(
+            q_holt_smoothing,
+            SQL_HOLT,
+            "Holt level/trend recurrence: applyInPandas vs recursive CTE",
+        ),
+    }
+)
