@@ -6608,3 +6608,70 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-dataset construction: per-user features from the
+    observation window (days 1-21) joined to the churn label from the
+    holdout window (no activity in days 22-30) — the leakage-safe
+    time-split labeling every churn model starts from. Two filtered
+    aggregates on one user key, left join, null-safe label."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    cutoff = F.lit("2024-01-21").cast("date")
+    feats = (
+        ev.filter(day <= cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct(day).cast("long").alias("n_active_days"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("long")
+            ).cast("long").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+    future = (
+        ev.filter(day > cutoff).select("user_id").distinct().withColumn("_alive", F.lit(1))
+    )
+    return (
+        feats.join(future, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_days",
+            "n_purchases",
+            "total_value",
+            F.coalesce(F.lit(1) - F.col("_alive"), F.lit(1)).cast("long").alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_CHURN_LABELS = """
+WITH feats AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+    count(DISTINCT ts::DATE)::BIGINT AS n_active_days,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+    round(CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE), 2) AS total_value
+  FROM events WHERE ts::DATE <= DATE '2024-01-21' GROUP BY 1),
+future AS (
+  SELECT DISTINCT user_id FROM events WHERE ts::DATE > DATE '2024-01-21')
+SELECT f.user_id, n_events, n_active_days, n_purchases, total_value,
+  (CASE WHEN fu.user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS churned
+FROM feats f LEFT JOIN future fu ON f.user_id = fu.user_id
+ORDER BY f.user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "churn_labels": QuerySpec(
+            q_churn_labels,
+            SQL_CHURN_LABELS,
+            "leakage-safe time-split churn features + labels",
+        ),
+    }
+)
