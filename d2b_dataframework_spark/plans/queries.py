@@ -6675,3 +6675,46 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: a ±3-token window around the
+    FIRST occurrence of 'spark' in each matching document — the
+    concordance/snippet primitive of a corpus explorer. Pure array
+    arithmetic on the token list (position + bounded slice), zero
+    shuffle until the final order."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = dt.tokens("text")
+    staged = docs.select("doc_id", toks.alias("_t")).select(
+        "doc_id", "_t", F.array_position("_t", "spark").cast("int").alias("_p")
+    ).filter(F.col("_p") > 0)
+    start = F.greatest(F.col("_p") - 3, F.lit(1))
+    length = F.least(F.col("_p") + 3, F.size("_t")) - start + 1
+    return staged.select(
+        "doc_id",
+        F.col("_p").cast("long").alias("position"),
+        F.array_join(F.slice("_t", start, length), " ").alias("snippet"),
+    ).orderBy("doc_id")
+
+
+SQL_KWIC = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, list_position(t, 'spark') AS p FROM toks
+  WHERE list_position(t, 'spark') IS NOT NULL AND list_position(t, 'spark') > 0)
+SELECT doc_id, p::BIGINT AS position,
+  array_to_string(t[greatest(p - 3, 1):least(p + 3, len(t))], ' ') AS snippet
+FROM pos ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "kwic_snippets": QuerySpec(
+            q_kwic_snippets,
+            SQL_KWIC,
+            "keyword-in-context ±3-token snippets (array arithmetic)",
+        ),
+    }
+)
