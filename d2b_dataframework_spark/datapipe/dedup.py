@@ -925,6 +925,7 @@ def containment_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_index_bucket_size: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: containment ``|A∩B| / min(|A|,|B|)``
     catches what Jaccard misses — a short document quoted wholesale
@@ -941,6 +942,18 @@ def containment_pairs(
     bound). Cost: index = total shingle volume (linear scan-explode),
     probe = one row per doc, one equi-join on the hash — never a block²
     pair join. Returns (id_a, id_b, containment) above ``threshold``.
+
+    ``max_index_bucket_size``: optional hot-bucket guard, same mitigation
+    as ``cosine_near_dup_pairs(max_bucket_size=…)``. The probe⋈index join
+    fans out |probes whose min shingle is h| × |docs containing h|; a
+    ubiquitous shingle (boilerplate trigram) that is also some documents'
+    MINIMUM hash makes that product quadratic in the boilerplate family
+    size (tools/scale_probe.py reproduces the blowup). Capping drops
+    index hashes held by more than this many documents before the join.
+    Recall tradeoff: a containment pair is missed only when the contained
+    doc's min shingle is over-cap — such shingles are corpus boilerplate,
+    and families that big should be routed through exact dedup first.
+    Default None preserves exact anchor-probe semantics (the SQL oracle).
     """
     hashed = shingle_hashes(text_col, n) if n > 1 else token_hashes(text_col)
     base = df.select(F.col(id_col), hashed.alias("shingles")).persist()
@@ -950,6 +963,15 @@ def containment_pairs(
     index = base.select(
         F.col(id_col).alias("_iid"), F.explode("shingles").alias("_h")
     )
+    if max_index_bucket_size is not None:
+        # One count-agg on the SAME key the candidate join shuffles on
+        # (_h), then drop over-cap hashes before the join fans them out.
+        sizes = index.groupBy("_h").agg(F.count(F.lit(1)).alias("_bn"))
+        index = (
+            index.join(sizes, "_h")
+            .filter(F.col("_bn") <= max_index_bucket_size)
+            .drop("_bn")
+        )
     cand = (
         probe.join(index, "_h")
         .filter(F.col("_pid") != F.col("_iid"))

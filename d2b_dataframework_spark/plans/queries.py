@@ -4990,12 +4990,105 @@ ORDER BY "column"
 """
 
 
+def q_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column stats with SKETCHED NDV — the at-scale
+    default. ``table_stats``'s exact NDV explodes (column, value) pairs
+    (5x row volume) into a global distinct: at 100 TB that shuffle is
+    the scale-killer. Here NDV comes from the cross-engine-deterministic
+    HLL (operators/ndv_sketch.py): the sketch shuffle is bounded at
+    n_cols * 1024 rows PER PARTITION regardless of table size, and the
+    estimate is still exact-value oracle-matched because DuckDB computes
+    the identical registers. min/max/null counts stay one-pass exact."""
+    from d2b_dataframework_spark.operators.ndv_sketch import hll_ndv
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    doubles = {"l_quantity", "l_extendedprice"}
+
+    def as_str(expr, c):
+        if c in doubles:
+            return F.when(
+                expr == F.round(expr), expr.cast("bigint").cast("string")
+            ).otherwise(expr.cast("string"))
+        return expr.cast("string")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_total")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nulls_{c}"),
+            as_str(F.min(F.col(c)), c).alias(f"_min_{c}"),
+            as_str(F.max(F.col(c)), c).alias(f"_max_{c}"),
+        ]
+    row = li.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"_nulls_{c}"),
+            F.col(f"_min_{c}"),
+            F.col(f"_max_{c}"),
+        ]
+    stats = row.select(
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "column", "n_nulls", "min_str", "max_str"
+        ),
+        F.col("_total").alias("n_rows"),
+    )
+    ndv = hll_ndv(li, cols, frozenset(doubles))
+    return (
+        stats.join(F.broadcast(ndv), "column")
+        .select("column", "n_nulls", "ndv_approx", "min_str", "max_str", "n_rows")
+        .orderBy("column")
+    )
+
+
+def _sql_table_stats_approx() -> str:
+    from d2b_dataframework_spark.operators.ndv_sketch import hll_ndv_sql
+
+    hll = hll_ndv_sql(
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+        {"l_quantity", "l_extendedprice"},
+    )
+    return f"""
+WITH s AS (SELECT count(*)::BIGINT AS total,
+  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_ok,
+  min(l_orderkey)::VARCHAR AS min_ok, max(l_orderkey)::VARCHAR AS max_ok,
+  SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_pk,
+  min(l_partkey)::VARCHAR AS min_pk, max(l_partkey)::VARCHAR AS max_pk,
+  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_q,
+  CASE WHEN min(l_quantity) = round(min(l_quantity)) THEN round(min(l_quantity))::BIGINT::VARCHAR ELSE min(l_quantity)::VARCHAR END AS min_q,
+  CASE WHEN max(l_quantity) = round(max(l_quantity)) THEN round(max(l_quantity))::BIGINT::VARCHAR ELSE max(l_quantity)::VARCHAR END AS max_q,
+  SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_p,
+  CASE WHEN min(l_extendedprice) = round(min(l_extendedprice)) THEN round(min(l_extendedprice))::BIGINT::VARCHAR ELSE min(l_extendedprice)::VARCHAR END AS min_p,
+  CASE WHEN max(l_extendedprice) = round(max(l_extendedprice)) THEN round(max(l_extendedprice))::BIGINT::VARCHAR ELSE max(l_extendedprice)::VARCHAR END AS max_p,
+  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_r,
+  min(l_returnflag) AS min_r, max(l_returnflag) AS max_r
+FROM lineitem),
+stats AS (
+  SELECT 'l_extendedprice' AS "column", nulls_p AS n_nulls, min_p AS min_str, max_p AS max_str, total AS n_rows FROM s
+  UNION ALL SELECT 'l_orderkey', nulls_ok, min_ok, max_ok, total FROM s
+  UNION ALL SELECT 'l_partkey', nulls_pk, min_pk, max_pk, total FROM s
+  UNION ALL SELECT 'l_quantity', nulls_q, min_q, max_q, total FROM s
+  UNION ALL SELECT 'l_returnflag', nulls_r, min_r, max_r, total FROM s),
+hll AS ({hll})
+SELECT stats."column", n_nulls, ndv_approx, min_str, max_str, n_rows
+FROM stats JOIN hll ON stats."column" = hll."column"
+ORDER BY stats."column"
+"""
+
+
 REGISTRY.update(
     {
         "table_stats": QuerySpec(
             q_table_stats,
             SQL_TABLE_STATS,
             "ANALYZE-style one-pass column stats (nulls/NDV/min/max)",
+        ),
+        "table_stats_approx": QuerySpec(
+            q_table_stats_approx,
+            _sql_table_stats_approx(),
+            "column stats with deterministic-HLL sketched NDV (at-scale default)",
         ),
     }
 )

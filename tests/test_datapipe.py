@@ -740,3 +740,44 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
     jac = ngram_jaccard_pairs(df, n=3, threshold=0.5, block_col=None)
     assert not [r for r in jac.collect() if (r["id_a"], r["id_b"]) == (1, 2)]
     release(jac)
+
+
+def test_containment_index_bucket_cap(spark):
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.dedup import containment_pairs
+
+    # Clean corpus (every shingle rare): cap far above bucket sizes must
+    # be a no-op — identical pairs to the uncapped run.
+    long_text = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    short_text = " ".join(long_text.split()[:12])
+    clean = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "zz qq rr ss tt uu")],
+        "doc_id long, text string",
+    )
+    exact = containment_pairs(clean, n=3, threshold=0.9)
+    capped = containment_pairs(clean, n=3, threshold=0.9, max_index_bucket_size=100)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, capped.collect()))
+    release(exact)
+    release(capped)
+
+    # Boilerplate corpus: docs 0..11 end with the same footer, so the
+    # footer's shingle hashes are held by all of them; at a permissive
+    # threshold the uncapped run emits footer-driven pairs between
+    # unrelated docs. With the cap the footer hashes are dropped from
+    # the index before the join, those pairs disappear, and the genuine
+    # (footer-free) containment pair (20, 21) still comes through.
+    footer = " common legal footer all rights reserved contact support team"
+    body = [" ".join(f"u{d}t{i}" for i in range(6)) for d in range(12)]
+    rows = [(d, body[d] + footer) for d in range(12)]
+    rows.append((20, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((21, "alpha beta gamma delta epsilon"))
+    boiler = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = containment_pairs(boiler, n=3, threshold=0.4)
+    upairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert any(a < 12 and b < 12 for a, b in upairs)  # footer pollution
+    release(uncapped)
+    got = containment_pairs(boiler, n=3, threshold=0.4, max_index_bucket_size=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert not any(a < 12 and b < 12 for a, b in pairs)
+    assert (20, 21) in pairs
+    release(got)

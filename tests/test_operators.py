@@ -710,3 +710,38 @@ def test_bloom_prefilter_no_false_negatives_and_reduces_rows(spark):
     j1 = big.join(small, "k").count()
     j2 = filtered.join(small, "k").count()
     assert j1 == j2
+
+
+def test_hll_ndv_tolerance_and_bounded_shuffle(spark):
+    """Deterministic-HLL NDV: within sketch tolerance of exact, and the
+    register aggregation never carries raw values through the shuffle."""
+    from d2b_dataframework_spark.operators.ndv_sketch import hll_ndv
+
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("high_card"),           # ndv 30000
+        (F.col("id") % 500).alias("mid_card"),    # ndv 500
+        (F.col("id") % 7).alias("low_card"),      # ndv 7
+    )
+    got = {r["column"]: r["ndv_approx"] for r in hll_ndv(df, ["high_card", "mid_card", "low_card"]).collect()}
+    # m=1024 -> rse ~3.3%; assert a generous 4-sigma band for stability
+    assert abs(got["high_card"] - 30000) / 30000 < 0.13
+    assert abs(got["mid_card"] - 500) / 500 < 0.13
+    assert got["low_card"] == 7  # linear-counting regime is near-exact
+    # plan: two partial-aggregated stages, no global distinct of values
+    plan = hll_ndv(df, ["high_card"])._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per stage
+
+
+def test_hll_ndv_layout_invariant(spark):
+    """Estimate is identical regardless of partitioning/order (the
+    fixed-point register sum is order-independent)."""
+    from d2b_dataframework_spark.operators.ndv_sketch import hll_ndv
+
+    df = spark.range(0, 5000).select((F.col("id") % 1234).alias("k"))
+    a = {r["column"]: r["ndv_approx"] for r in hll_ndv(df, ["k"]).collect()}
+    b = {
+        r["column"]: r["ndv_approx"]
+        for r in hll_ndv(df.repartition(17).sortWithinPartitions(F.col("k").desc()), ["k"]).collect()
+    }
+    assert a == b

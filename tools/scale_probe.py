@@ -153,6 +153,31 @@ def _spatial(docs, mult=1):
 
 
 
+def _containment_boiler(docs):
+    # Pathological-corpus probe: the SAME footer appended to EVERY doc
+    # (applied after replication, so the footer's shingles are held by
+    # the whole grown corpus — the inverted-index hot bucket grows
+    # linearly and the uncapped probe⋈index product quadratically).
+    # With the cap the footer hashes are dropped before the join, so
+    # growth must stay ~linear. This is the regression probe for
+    # containment_pairs(max_index_bucket_size=…).
+    from d2b_dataframework_spark.datapipe import dedup as dd
+
+    boiler = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " standard legal footer all rights reserved unsubscribe"
+                " at any time terms of service apply contact support"
+            ),
+        ).alias("text"),
+    )
+    return dd.containment_pairs(
+        boiler, n=3, threshold=0.8, max_index_bucket_size=64
+    )
+
+
 def _call(build, docs, emb, mult):
     try:
         return build(docs, emb, mult)
@@ -204,6 +229,9 @@ def main() -> None:
         "global_ntile": lambda d, e: _ntile(d),
         "grouped_topk_salted": lambda d, e: _gtopk(d),
         "spatial_neighbors": lambda d, e, m=1: _spatial(d, m),
+        # Round-3: hot-shingle corpus (same footer on every doc) with the
+        # index-bucket cap — must stay ~linear; uncapped it is quadratic.
+        "containment_capped": lambda d, e: _containment_boiler(d),
     }
 
     print(f"{'op':20s} {'1x':>8s} {'3x':>8s} {'10x':>8s} {'r3':>6s} {'r10':>6s}")
