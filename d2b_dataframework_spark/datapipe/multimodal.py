@@ -189,7 +189,7 @@ def chunk_audio(
                     rows["chunk_index"].append(idx)
                     rows["byte_start"].append(start)
                     rows["n_chunk_bytes"].append(max(0, min(chunk_bytes, n - start)))
-                    rows["chunk"].append(content[start : start + 16])
+                    rows["chunk"].append(content[start : start + chunk_bytes])
             yield pd.DataFrame(rows)
 
     return (

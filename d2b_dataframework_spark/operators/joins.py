@@ -89,9 +89,23 @@ def salted_join(
     can't see the skew (e.g. skew introduced by an upstream operator in
     the same stage).
 
-    Result is row-identical to ``fact.join(dim, key, how)``; the salt
-    never leaks into the output.
+    Result is row-identical to ``fact.join(dim, key, how)`` for the
+    FACT-PRESERVING join types (inner / left / left_semi / left_anti).
+    Dim-preserving types are rejected: the dim side is replicated once
+    per salt bucket, so right/full/outer would emit each unmatched dim
+    row ``buckets`` times (and null-extended extras for matched keys on
+    salt values no fact row landed on). The salt never leaks into the
+    output.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving join types only "
+            f"(inner/left/left_semi/left_anti), got how={how!r}: the "
+            f"replicated dim side would duplicate unmatched dim rows "
+            f"{buckets}x under dim-preserving types"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(int(buckets)))
     fact_s = fact.withColumn("_salt", salt)
     dim_s = dim.withColumn(
@@ -148,15 +162,24 @@ def bloom_prefilter(
         h ^= h >> np.uint64(33)
         return (h % np.uint64(m)).astype(np.int64)
 
+    def _wrap(vals: list[int]) -> "np.ndarray":
+        # int64 -> uint64 two's-complement wrap, matching the probe's
+        # .astype(np.uint64); np.asarray(..., dtype=np.uint64) would
+        # instead raise OverflowError on negative keys (build/probe
+        # asymmetry).
+        return np.asarray(vals, dtype=np.int64).astype(np.uint64)
+
     bits = np.zeros(m, dtype=bool)
     batch: list[int] = []
     for row in small.select(key).distinct().toLocalIterator():
+        if row[0] is None:
+            continue
         batch.append(row[0])
         if len(batch) >= 100_000:
-            bits[_positions(np.asarray(batch, dtype=np.uint64)).ravel()] = True
+            bits[_positions(_wrap(batch)).ravel()] = True
             batch = []
     if batch:
-        bits[_positions(np.asarray(batch, dtype=np.uint64)).ravel()] = True
+        bits[_positions(_wrap(batch)).ravel()] = True
     packed = np.packbits(bits)
     b_packed = big.sparkSession.sparkContext.broadcast(packed)
 

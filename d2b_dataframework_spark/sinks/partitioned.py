@@ -32,9 +32,11 @@ def write_date_sharded(
     - The date partition value is normalized to a YYYY-MM-DD string (the
       reference casts the date column to str before sharding,
       Google_Bigquery.py:87).
-    - Requires spark.sql.sources.partitionOverwriteMode=dynamic (set by
-      core.session.get_session) so mode("overwrite") replaces only the
-      partitions present in ``df``.
+    - Dynamic partition overwrite is forced PER WRITE via the writer
+      option, so mode("overwrite") replaces only the partitions present
+      in ``df`` on ANY session — not just ones built by
+      core.session.get_session. (Under the Spark default *static* mode
+      this write would silently delete every other partition.)
     """
     if clean:
         df = normalize_columns(df, "bq")
@@ -42,6 +44,7 @@ def write_date_sharded(
     (
         df.repartition(F.col(date_col))  # one shuffle → one file set per day
         .write.partitionBy(date_col)
+        .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .format(fmt)
         .save(path)
@@ -151,6 +154,10 @@ def compact_date_partitions(
             .filter(F.col(date_col) == date)  # partition-pruned scan
             .repartition(want)
             .write.partitionBy(date_col)
+            # per-write dynamic overwrite: on a session with the Spark
+            # default (static) mode this rewrite would otherwise DELETE
+            # every other date partition of the table
+            .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")  # dynamic: replaces only this date
             .format(fmt)
             .save(path)
@@ -205,6 +212,9 @@ def delete_keys_from_partitions(
         else:
             (
                 kept.write.partitionBy(date_col)
+                # per-write dynamic overwrite — a static-mode session
+                # would otherwise wipe all non-affected dates
+                .option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")  # dynamic: replaces only this date
                 .format(fmt)
                 .save(path)

@@ -704,6 +704,10 @@ def test_chunk_audio_offsets_and_tail(spark):
     assert rows[("a1", 2)] == (320, 30)  # tail truncation
     assert rows[("a2", 0)] == (0, 0)     # empty payload -> one empty chunk
     assert not any(a == "i1" for a, _ in rows)  # non-audio filtered out
+    # chunk payload carries the FULL window (not a preview): length
+    # matches n_chunk_bytes for every emitted row
+    for r in out:
+        assert len(bytes(r["chunk"] or b"")) == r["n_chunk_bytes"]
 
 
 def test_pseudonymize_is_stable_and_secret_dependent(spark):
