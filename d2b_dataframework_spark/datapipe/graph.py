@@ -11,8 +11,8 @@ Pregel-on-DataFrames shape: one iteration = join(edges, ranks) on src
 * pre-partition ``edges`` by src once and persist — every iteration
   reuses the exchange;
 * ranks stay (node, double) — narrow rows, the only growing cost is
-  plan lineage, so ``checkpoint()`` every ~5 iterations on a real
-  cluster (at 3 fixed iterations lineage is fine);
+  plan lineage, which ``pagerank`` severs with an eager
+  ``localCheckpoint`` every ``checkpoint_every`` iterations;
 * contributions are summed as DECIMAL after rounding — exact,
   order-independent, so results are reproducible across partitionings
   AND engines (the DuckDB oracle runs the identical arithmetic).
@@ -37,6 +37,7 @@ def pagerank(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (pass both
     directions for an undirected graph). Returns (node, rank) for every
@@ -47,6 +48,14 @@ def pagerank(
     The damping complement is computed in-engine as ``1.0 - damping``
     (not pre-computed in Python) so an oracle writing ``(1.0 - 0.85)``
     lands on the bit-identical IEEE double.
+
+    ``checkpoint_every``: every k-th iteration the rank frame is
+    ``localCheckpoint``-ed (eager), severing the accumulated lineage.
+    Without it each iteration's plan embeds every previous iteration —
+    at 10+ iterations analysis/codegen time grows superlinearly and a
+    lost executor would recompute the whole chain. Checkpointing keeps
+    per-iteration cost flat (tools/scale_probe.py probes 10 iterations).
+    Set 0/None to disable (e.g. for plan-inspection tests).
     """
     # Persist the edge list FIRST and derive nodes/outdeg from the
     # persisted frame — deriving them from the raw argument would replay
@@ -74,7 +83,12 @@ def pagerank(
     teleport = (F.lit(1.0) - F.lit(float(damping))) / n
 
     ranks = nodes.select("node", F.round(F.lit(1.0) / n, 12).alias("rank"))
-    for _ in range(int(iterations)):
+    for it in range(int(iterations)):
+        if checkpoint_every and it > 0 and it % int(checkpoint_every) == 0:
+            # sever lineage: ranks is a narrow (node, double) frame, so
+            # the checkpoint materialization is cheap relative to the
+            # quadratic plan growth it prevents
+            ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             ew.join(ranks.withColumnRenamed("node", src), src)
             .select(

@@ -139,6 +139,109 @@ def hll_ndv(
     )
 
 
+def hll_ndv_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Per-group approximate NDV — ``SELECT day, approx_distinct(user)``
+    shaped, but with the deterministic registers so any engine verifies
+    the exact output values. Returns group_cols + ``ndv_approx``.
+
+    Scale shape: the register aggregation keys on (group, bucket) — the
+    shuffle carries at most ``|groups| * m`` rows after map-side partial
+    max, independent of the fact-table row count. The per-group sketch
+    state is also the mergeable unit: persist the (group, j, mj) frame
+    daily and re-aggregate for arbitrary date ranges (same pattern as
+    operators/sketches.py HLL partials, minus the engine lock-in)."""
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
+    rho_max = scale
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .select(
+            *group_cols,
+            F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("j"),
+            F.expr(f"_h DIV {m}").alias("w"),
+        )
+    )
+    rho = F.when(F.col("w") == 0, F.lit(rho_max)).otherwise(
+        F.lit(scale) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        staged.select(*group_cols, "j", rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("mj"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - mj)")
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(term).alias("s_present"),
+    )
+    empty = F.lit(m).cast("long") - F.col("present")
+    s_int = F.col("s_present") + empty * F.lit(1 << scale).cast("long")
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    e_raw = (
+        F.lit(alpha * float(m) * float(m))
+        * (F.lit(float(1 << scale)) / s_int.cast("double"))
+    )
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(
+        *group_cols, F.round(e, 0).cast("long").alias("ndv_approx")
+    )
+
+
+def hll_ndv_grouped_sql(
+    table_expr: str,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> str:
+    """DuckDB twin of :func:`hll_ndv_grouped`. ``table_expr`` is a table
+    name or a parenthesized subquery exposing group_cols + value_col."""
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
+    rho_max = scale
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / float(m)) * float(m) * float(m)
+    g = ", ".join(group_cols)
+    return f"""
+WITH hashed AS (
+  SELECT {g}, ('0x' || substr(md5({value_col}::VARCHAR), 1, 15))::BIGINT AS h
+  FROM {table_expr} WHERE {value_col} IS NOT NULL),
+staged AS (
+  SELECT {g}, h % {m} AS j, h // {m} AS w FROM hashed),
+regs AS (
+  SELECT {g}, j,
+    max(CASE WHEN w = 0 THEN {rho_max}
+             ELSE {scale} - length(bin(w)) END) AS mj
+  FROM staged GROUP BY {g}, j),
+per_group AS (
+  SELECT {g}, count(*) AS present,
+    SUM((1::BIGINT << ({scale} - mj)))::BIGINT AS s_present
+  FROM regs GROUP BY {g}),
+est AS (
+  SELECT {g}, ({m}::BIGINT - present) AS empty,
+    {alpha_m2!r} * ({float(1 << scale)!r} /
+      (s_present + ({m}::BIGINT - present) * {1 << scale}::BIGINT)::DOUBLE)
+      AS e_raw
+  FROM per_group)
+SELECT {g},
+  CAST(round(CASE WHEN e_raw <= {2.5 * m!r} AND empty > 0
+    THEN {float(m)!r} * ln({float(m)!r} / empty::DOUBLE)
+    ELSE e_raw END, 0) AS BIGINT) AS ndv_approx
+FROM est
+"""
+
+
 def hll_ndv_sql(
     table: str,
     cols: list[str],

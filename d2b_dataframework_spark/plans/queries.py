@@ -6849,3 +6849,42 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_daily_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct active users via the deterministic-HLL sketch —
+    the canonical 100TB cardinality rollup. Exact count(distinct) per
+    day shuffles every (day, user) pair; the sketch register agg
+    shuffles at most |days| x 1024 rows after map-side combine, and the
+    per-day register frames are mergeable into arbitrary date ranges
+    without rescanning facts (operators/ndv_sketch.py:hll_ndv_grouped).
+    Oracle: DuckDB computes the identical registers — exact value
+    match, not a tolerance check."""
+    from d2b_dataframework_spark.operators.ndv_sketch import hll_ndv_grouped
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    return hll_ndv_grouped(ev, ["day"], "user_id").orderBy("day")
+
+
+def _sql_daily_active_hll() -> str:
+    from d2b_dataframework_spark.operators.ndv_sketch import hll_ndv_grouped_sql
+
+    inner = hll_ndv_grouped_sql(
+        "(SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events)",
+        ["day"],
+        "user_id",
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY day"
+
+
+REGISTRY.update(
+    {
+        "daily_active_hll": QuerySpec(
+            q_daily_active_hll,
+            _sql_daily_active_hll(),
+            "per-day distinct users via mergeable deterministic-HLL registers",
+        ),
+    }
+)

@@ -1,0 +1,61 @@
+"""Contract-test double for the DSv2 REST sources.
+
+The Python Data Source API pickles the reader to executor workers, so a
+test transport cannot be a closure over driver-side state — it must be
+importable by dotted path worker-side. ``EchoTransport`` solves the
+observability problem the same way: instead of recording requests into
+driver memory (invisible from a worker), it ECHOES the request body into
+the returned rows, so a test asserts what reached the HTTP layer from
+the query result itself — the same fixture-payload testing shape the
+reference suite uses for its connectors (SURVEY §5), adapted to a
+distributed scan.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+class EchoTransport:
+    """Pretends the API holds ``echo_total_rows`` rows per day (option,
+    default 1) and serves them honoring ``rowLimit``/``startRow`` — so
+    the startRow pagination loop is exercised for real. Dimension keys
+    encode the request body: ``query`` carries the JSON body,
+    ``country``/``page``/``device`` carry the literal ``"echo"``,
+    ``date`` carries ``startDate``; ``clicks`` carries the row's global
+    1-based position."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("echo_total_rows", 1))
+
+    def get(self, site: str, body: dict) -> dict:
+        dims = body["dimensions"]
+        key_for = {
+            "query": json.dumps(body, sort_keys=True),
+            "date": body["startDate"],
+        }
+        keys = [key_for.get(d, "echo") for d in dims]
+        start = body["startRow"]
+        n = max(0, min(body["rowLimit"], self.total - start))
+        return {
+            "rows": [
+                {
+                    "keys": keys,
+                    "clicks": start + i + 1,
+                    "impressions": 10,
+                    "ctr": 0.1,
+                    "position": 1.5,
+                }
+                for i in range(n)
+            ]
+        }
+
+
+class EmptyTransport:
+    """Always returns an empty result set."""
+
+    def __init__(self, options: dict):
+        self.options = options
+
+    def get(self, site: str, body: dict) -> dict:
+        return {"rows": []}

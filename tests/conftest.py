@@ -10,6 +10,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from d2b_dataframework_spark.core.session import get_session  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "single_leg: ANSI-independent test — runs only on the ansi_off "
+        "spark leg (connector/auth/sink/streaming logic whose behavior "
+        "cannot depend on spark.sql.ansi.enabled); expression-level "
+        "tests must NOT use this marker",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Deselect the ansi_on duplicate of tests marked single_leg: the
+    dual-leg spark fixture doubles every test, but ANSI only changes
+    SQL expression semantics — fake-transport connector logic, auth
+    state machines, file-sink behavior and microbatch bookkeeping are
+    identical on both legs, and re-running them costs ~half the suite
+    wall-time for zero coverage."""
+    deselected, remaining = [], []
+    for item in items:
+        cs = getattr(item, "callspec", None)
+        if (
+            item.get_closest_marker("single_leg")
+            and cs is not None
+            and cs.params.get("spark") == "ansi_on"
+        ):
+            deselected.append(item)
+        else:
+            remaining.append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = remaining
+
+
 @pytest.fixture(scope="session", params=["ansi_off", "ansi_on"])
 def spark(request):
     """One JVM, two legs: the engine must be correct under either ANSI

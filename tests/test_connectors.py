@@ -28,6 +28,9 @@ from d2b_dataframework_spark.sources.connectors import (
 from d2b_dataframework_spark.sources.rest import FakeTransport
 from d2b_dataframework_spark.sources.retry import AsyncJobPoller, RetryPolicy
 
+# fake-transport payload flattening uses ANSI-safe try_* exprs; expression-level ANSI coverage lives in test_functions
+pytestmark = pytest.mark.single_leg
+
 NO_SLEEP = lambda _: None  # noqa: E731
 
 

@@ -17,6 +17,9 @@ from d2b_dataframework_spark.sources.connectors import serpapi
 from d2b_dataframework_spark.sources.rest import FakeTransport
 
 
+# config/alert plumbing — no ANSI-sensitive expressions
+pytestmark = pytest.mark.single_leg
+
 def test_schema_csv_spanish_headers_and_malformed_rows(tmp_path):
     p = tmp_path / "schema.csv"
     p.write_text(

@@ -785,3 +785,28 @@ def test_containment_index_bucket_cap(spark):
     assert not any(a < 12 and b < 12 for a, b in pairs)
     assert (20, 21) in pairs
     release(got)
+
+
+def test_pagerank_checkpoint_invariant_and_severs_lineage(spark):
+    """localCheckpoint every k iterations must not change a single rank
+    (decimal-exact arithmetic), and must keep the final plan from
+    embedding every prior iteration."""
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in ((a + 1) % 8, (a + 3) % 8)],
+        "src int, dst int",
+    )
+    plain = pagerank(edges, iterations=9, checkpoint_every=0)
+    ckpt = pagerank(edges, iterations=9, checkpoint_every=3)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, ckpt.collect()))
+    assert a == b
+    # lineage: the checkpointed plan is dramatically shorter — its last
+    # segment covers at most checkpoint_every iterations
+    p_plain = plain._jdf.queryExecution().executedPlan().toString()
+    p_ckpt = ckpt._jdf.queryExecution().executedPlan().toString()
+    assert len(p_ckpt) < len(p_plain) / 2
+    release(plain)
+    release(ckpt)

@@ -1,0 +1,128 @@
+"""DSv2 GSC source: planner-visible filter pushdown into the HTTP
+request body (SURVEY §7.4; reference request builder
+d2b_data/search_console.py:219-260)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+# planner/pushdown mechanics, not ANSI expression semantics
+pytestmark = pytest.mark.single_leg
+
+ECHO = "d2b_dataframework_spark.sources.dsv2.testing:EchoTransport"
+
+
+@pytest.fixture(scope="module")
+def gsc(spark):
+    from d2b_dataframework_spark.sources.dsv2 import register
+
+    register(spark)
+    return (
+        spark.read.format("gsc_rest")
+        .option("site", "https://example.com/")
+        .option("dimensions", "query,country")
+        .option("transport", ECHO)
+    )
+
+
+def test_date_range_pushdown_reaches_http_request(gsc):
+    df = gsc.load().filter(
+        (F.col("date") >= "2025-03-01") & (F.col("date") <= "2025-03-03")
+    )
+    rows = df.collect()
+    # one partition per day in the PUSHED range — 3 days, not the
+    # default multi-year window
+    days = sorted(r["date"] for r in rows)
+    assert days == ["2025-03-01", "2025-03-02", "2025-03-03"]
+    for r in rows:
+        body = json.loads(r["query"])
+        # each day-partition's HTTP request is narrowed to its own day
+        assert body["startDate"] == body["endDate"] == r["date"]
+        assert body["rowLimit"] == 25000 and body["searchType"] == "web"
+    # absorbed predicates are NOT re-applied post-scan: no Filter node
+    # at all (the scan's "RuntimeFilters: []" label is not a node)
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bFilter\b", plan)
+
+
+def test_dimension_equality_pushdown_builds_filter_groups(gsc):
+    df = gsc.load().filter(
+        (F.col("date") == "2025-04-01") & (F.col("country") == "usa")
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    body = json.loads(rows[0]["query"])
+    assert body["dimensionFilterGroups"] == [
+        {
+            "groupType": "and",
+            "filters": [
+                {"dimension": "country", "operator": "equals", "expression": "usa"}
+            ],
+        }
+    ]
+    # the echo row's country is "echo", not "usa": it survived because
+    # Catalyst removed the absorbed predicate — proof the filter was
+    # handled in the request, not post-scan
+    assert rows[0]["country"] == "echo"
+
+
+def test_unsupported_predicates_stay_post_scan(gsc):
+    # clicks > 0 is not API-expressible: it must be returned to Spark
+    # and evaluated post-scan (correctness never trusts the API beyond
+    # what pushFilters absorbed)
+    df = gsc.load().filter(
+        (F.col("date") == "2025-04-02") & (F.col("clicks") > 100)
+    )
+    assert df.collect() == []  # echo emits clicks=1 -> filtered post-scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "clicks" in plan.split("Scan")[0]  # Filter(clicks) above the scan
+
+
+def test_contradictory_date_pushdown_yields_empty(gsc):
+    df = gsc.load().filter(
+        (F.col("date") >= "2025-05-02") & (F.col("date") <= "2025-05-01")
+    )
+    assert df.collect() == []
+
+
+def test_startrow_pagination_loops_until_short_page(spark):
+    from d2b_dataframework_spark.sources.dsv2 import register
+
+    register(spark)
+    df = (
+        spark.read.format("gsc_rest")
+        .option("site", "https://example.com/")
+        .option("dimensions", "query")
+        .option("transport", ECHO)
+        .option("rowLimit", 3)
+        .option("echo_total_rows", 8)  # pages of 3,3,2 -> loop 3 times
+        .load()
+        .filter(F.col("date") == "2025-06-01")
+    )
+    rows = df.collect()
+    assert sorted(r["clicks"] for r in rows) == list(range(1, 9))
+    start_rows = sorted({json.loads(r["query"])["startRow"] for r in rows})
+    assert start_rows == [0, 3, 6]
+
+
+def test_empty_result_yields_typed_empty_frame(spark):
+    from d2b_dataframework_spark.sources.dsv2 import register
+
+    register(spark)
+    df = (
+        spark.read.format("gsc_rest")
+        .option("site", "https://example.com/")
+        .option("transport", "d2b_dataframework_spark.sources.dsv2.testing:EmptyTransport")
+        .load()
+        .filter(F.col("date") == "2025-06-01")
+    )
+    assert df.collect() == []
+    assert [f.name for f in df.schema.fields] == [
+        "query", "date", "clicks", "impressions", "ctr", "position",
+    ]

@@ -15,6 +15,9 @@ from d2b_dataframework_spark.sources.google_auth import (
 )
 
 
+# offline auth state machine — no SQL expressions
+pytestmark = pytest.mark.single_leg
+
 class FakeExchange:
     """Records grants; returns canned token responses per grant_type."""
 

@@ -745,3 +745,22 @@ def test_hll_ndv_layout_invariant(spark):
         for r in hll_ndv(df.repartition(17).sortWithinPartitions(F.col("k").desc()), ["k"]).collect()
     }
     assert a == b
+
+
+def test_hll_ndv_grouped_matches_ungrouped_per_group(spark):
+    """Grouped registers == running the ungrouped sketch per group —
+    the mergeability/partition-independence contract."""
+    from d2b_dataframework_spark.operators.ndv_sketch import hll_ndv, hll_ndv_grouped
+
+    df = spark.range(0, 12000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 2000).alias("v")
+    )
+    grouped = {
+        r["g"]: r["ndv_approx"]
+        for r in hll_ndv_grouped(df, ["g"], "v").collect()
+    }
+    for g in (0, 1, 2):
+        solo = hll_ndv(
+            df.filter(F.col("g") == g).select("v"), ["v"]
+        ).collect()[0]["ndv_approx"]
+        assert grouped[g] == solo

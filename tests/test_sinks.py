@@ -15,6 +15,11 @@ from d2b_dataframework_spark.sinks.partitioned import (
 from d2b_dataframework_spark.sources.connectors.warehouse import vacuum_expired
 
 
+import pytest
+
+# file-layout/overwrite semantics — ANSI-independent
+pytestmark = pytest.mark.single_leg
+
 def _days_df(spark, rows):
     return spark.createDataFrame(rows, "date string, v long").withColumn(
         "date", F.to_date("date")

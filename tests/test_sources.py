@@ -28,6 +28,9 @@ from d2b_dataframework_spark.sources.retry import AsyncJobPoller, RetryPolicy
 # ---------------------------------------------------------------------------
 
 
+# pure-Python paginators/retry — no Spark expressions
+pytestmark = pytest.mark.single_leg
+
 def test_offset_pages_stops_on_short_page():
     data = list(range(7))
     calls = []

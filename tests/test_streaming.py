@@ -18,6 +18,9 @@ from d2b_dataframework_spark.streaming.microbatch import (
 )
 
 
+# microbatch bookkeeping — ANSI-independent
+pytestmark = pytest.mark.single_leg
+
 @pytest.fixture()
 def landing(spark, tmp_path):
     src = str(tmp_path / "landing")

@@ -88,7 +88,7 @@ def _retrieval(docs):
     )
 
 
-def _pagerank(docs):
+def _pagerank(docs, iterations=3):
     # bipartite doc <-> source graph; source nodes are intentionally hot
     # (outdeg ~ corpus/|sources|) — probes the agg under hub skew
     from d2b_dataframework_spark.datapipe.graph import pagerank
@@ -98,7 +98,7 @@ def _pagerank(docs):
         F.coalesce(F.col("source"), F.lit("none")).alias("dst"),
     ).distinct()
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(edges, iterations=3)
+    return pagerank(edges, iterations=iterations)
 
 
 def _ntile(docs):
@@ -226,6 +226,9 @@ def main() -> None:
         # Round-2 additions: each should be ~linear in corpus size.
         "retrieval_topk": lambda d, e: _retrieval(d),
         "pagerank_3iter": lambda d, e: _pagerank(d),
+        # 10 iterations exercises the localCheckpoint lineage-severing
+        # path — per-iteration cost must stay flat (≈ 10/3 of 3iter)
+        "pagerank_10iter": lambda d, e: _pagerank(d, iterations=10),
         "global_ntile": lambda d, e: _ntile(d),
         "grouped_topk_salted": lambda d, e: _gtopk(d),
         "spatial_neighbors": lambda d, e, m=1: _spatial(d, m),
