@@ -996,3 +996,55 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
     )
     return cache.track(out, base)
+
+
+def keep_best(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup decision: near-dup ``pairs`` → connected
+    components → each cluster keeps its HIGHEST-``quality_col`` member
+    (ties broken by min id — deterministic), singletons keep themselves.
+    This is the selection policy production dedup ships: "drop
+    near-duplicates, but keep the best copy, not the arbitrary
+    min-id one" (e.g. keep the longest/cleanest variant of a document).
+
+    Returns ``(id_col, cluster_id, keeper_id, kept)`` for EVERY corpus
+    row.
+
+    Scale shape: components over id-only pairs (connected_components —
+    2 shuffles/round of (id,label)); the keeper election is a window
+    over ``cluster_id`` — partition sizes are CLUSTER sizes (bounded by
+    the near-dup family size, not the corpus), so no single-partition
+    window exists. Docs outside any pair never enter the window: they
+    short-circuit to keeper=self via the left join.
+    """
+    comp = connected_components(pairs)
+    labeled = corpus.select(F.col(id_col), F.col(quality_col)).join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    clustered = labeled.filter(F.col("cluster_id").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    elected = clustered.withColumn("_rn", F.row_number().over(w))
+    keepers = elected.filter(F.col("_rn") == 1).select(
+        F.col("cluster_id").alias("_kc"), F.col(id_col).alias("_keeper")
+    )
+    decided = elected.join(keepers, elected.cluster_id == F.col("_kc")).select(
+        id_col,
+        "cluster_id",
+        F.col("_keeper").alias("keeper_id"),
+        (F.col(id_col) == F.col("_keeper")).alias("kept"),
+    )
+    singles = labeled.filter(F.col("cluster_id").isNull()).select(
+        id_col,
+        F.col(id_col).alias("cluster_id"),
+        F.col(id_col).alias("keeper_id"),
+        F.lit(True).alias("kept"),
+    )
+    return cache.track(decided.unionByName(singles), comp)

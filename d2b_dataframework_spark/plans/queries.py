@@ -6888,3 +6888,51 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decision (datapipe/dedup.py:keep_best): the
+    near-dup clusters from the simhash pair graph each elect their
+    longest member (tie -> min id) as keeper; every other member is
+    marked dropped; singletons keep themselves. The policy layer that
+    turns pair/cluster output into the actual keep/drop decision a
+    training-data pipeline ships."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True).withColumn(
+        "q", F.length("text").cast("long")
+    )
+    pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=3)
+    return dd.keep_best(corpus, pairs, "q").orderBy("doc_id")
+
+
+def _sql_dedup_keep_best() -> str:
+    comp_sql = _sql_dedup_clusters().replace("ORDER BY doc_id", "")
+    return f"""
+WITH comp AS ({comp_sql}),
+corpus AS (SELECT doc_id, length(text)::BIGINT AS q FROM ({_SQL_DUP_CORPUS_NEAR})),
+labeled AS (
+  SELECT c.doc_id, c.q, comp.cluster_id
+  FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id),
+elected AS (
+  SELECT doc_id, cluster_id, q,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+  FROM labeled WHERE cluster_id IS NOT NULL),
+keepers AS (SELECT cluster_id, doc_id AS keeper_id FROM elected WHERE rn = 1),
+decided AS (
+  SELECT e.doc_id, e.cluster_id, k.keeper_id, e.doc_id = k.keeper_id AS kept
+  FROM elected e JOIN keepers k ON e.cluster_id = k.cluster_id),
+singles AS (
+  SELECT doc_id, doc_id AS cluster_id, doc_id AS keeper_id, TRUE AS kept
+  FROM labeled WHERE cluster_id IS NULL)
+SELECT * FROM decided UNION ALL SELECT * FROM singles ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "dedup_keep_best": QuerySpec(
+            q_dedup_keep_best,
+            _sql_dedup_keep_best(),
+            "near-dup clusters elect highest-quality keeper (drop decision)",
+        ),
+    }
+)

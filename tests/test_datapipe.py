@@ -810,3 +810,34 @@ def test_pagerank_checkpoint_invariant_and_severs_lineage(spark):
     assert len(p_ckpt) < len(p_plain) / 2
     release(plain)
     release(ckpt)
+
+
+def test_keep_best_elects_quality_keeper_and_keeps_singletons(spark):
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.dedup import keep_best
+
+    corpus = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (9, 99)], "doc_id long, q long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = keep_best(corpus, pairs, "q")
+    rows = {r["doc_id"]: (r["cluster_id"], r["keeper_id"], r["kept"]) for r in out.collect()}
+    # cluster {1,2,3}: keeper is 2 (q=30), NOT the min id
+    assert rows[1] == (1, 2, False)
+    assert rows[2] == (1, 2, True)
+    assert rows[3] == (1, 2, False)
+    # singleton 9 keeps itself
+    assert rows[9] == (9, 9, True)
+    release(out)
+
+
+def test_keep_best_tie_breaks_on_min_id(spark):
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.dedup import keep_best
+
+    corpus = spark.createDataFrame([(5, 7), (6, 7)], "doc_id long, q long")
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    out = keep_best(corpus, pairs, "q")
+    rows = {r["doc_id"]: r["keeper_id"] for r in out.collect()}
+    assert rows == {5: 5, 6: 5}
+    release(out)
