@@ -5204,12 +5204,50 @@ WHERE containment >= 0.9 ORDER BY id_a, id_b
 """
 
 
+def q_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale containment path: same corpus as
+    ``containment_dedup`` but with the hot-bucket guard ON
+    (``max_index_bucket_size=64`` — shingle hashes held by more than 64
+    docs are dropped from the inverted index before the probe join).
+    The oracle SQL models the cap EXACTLY (same count-and-exclude on the
+    index CTE), so this is a hash-matched contract for the guarded
+    semantics, not a tolerance check. On a boilerplate-free corpus the
+    two variants coincide; on one with hot shingles this one stays
+    linear (SCALING.md hot-shingle probe)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_whitespace(F.lower("text")).alias("text"), "lang"
+    )
+    shorts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 15), " ").alias("text"),
+        "lang",
+    )
+    corpus = docs.unionByName(shorts).select("doc_id", "text")
+    return dd.containment_pairs(
+        corpus, n=3, threshold=0.9, max_index_bucket_size=64
+    ).orderBy("id_a", "id_b")
+
+
+SQL_CONTAINMENT_CAPPED = SQL_CONTAINMENT.replace(
+    "idx AS (SELECT doc_id AS iid, unnest(hs) AS h FROM sh),",
+    """idx_all AS (SELECT doc_id AS iid, unnest(hs) AS h FROM sh),
+idx AS (
+  SELECT iid, h FROM idx_all
+  WHERE h IN (SELECT h FROM idx_all GROUP BY h HAVING count(*) <= 64)),""",
+)
+
+
 REGISTRY.update(
     {
         "containment_dedup": QuerySpec(
             q_containment_dedup,
             SQL_CONTAINMENT,
             "asymmetric containment (quote/subset) near-dup detection",
+        ),
+        "containment_capped": QuerySpec(
+            q_containment_capped,
+            SQL_CONTAINMENT_CAPPED,
+            "containment dedup with the hot-bucket index cap (at-scale default)",
         ),
     }
 )

@@ -207,3 +207,26 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
     assert after["2024-01-03"] == before["2024-01-03"]
     # idempotent: nothing left to remove
     assert delete_keys_from_partitions(spark, path, keys, "user_id") == {}
+
+
+def test_date_sharded_overwrite_safe_on_static_mode_session(spark, tmp_path):
+    """ADVICE r2: on a session with the Spark DEFAULT (static)
+    partitionOverwriteMode, a per-day rewrite used to delete every
+    other partition. The writer now forces dynamic mode per write, so
+    untouched days must survive regardless of session conf."""
+    path = str(tmp_path / "shard_static")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "date string, v long"
+    )
+    write_date_sharded(df, path, clean=False)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        day2 = spark.createDataFrame([("2024-01-02", 99)], "date string, v long")
+        write_date_sharded(day2, path, clean=False)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {
+        (str(r["date"]), r["v"]) for r in read_date_sharded(spark, path).collect()
+    }
+    assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
