@@ -54,11 +54,16 @@ def spark(request):
     leg = os.environ.get("SPARK_GRAFT_ANSI_LEG")
     if leg and request.param != f"ansi_{leg}":
         pytest.skip(f"SPARK_GRAFT_ANSI_LEG={leg}")
+    # per-process warehouse dir so several pytest processes can run
+    # concurrently (tools/fast_suite.sh) without metastore collisions
     session = get_session(
         "tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "2g", "spark.sql.warehouse.dir": "/tmp/spark-tests-wh"},
+        extra_conf={
+            "spark.driver.memory": "2g",
+            "spark.sql.warehouse.dir": f"/tmp/spark-tests-wh-{os.getpid()}",
+        },
     )
     session.conf.set("spark.sql.ansi.enabled", str(request.param == "ansi_on").lower())
     session.sparkContext.setLogLevel("ERROR")
