@@ -6974,3 +6974,127 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day MEDIAN of the daily per-type value sum — the
+    robust-baseline twin of ``rolling_kpis``'s mean (median windows are
+    what anomaly baselines use when a single spike day must not drag
+    the baseline). Exact distributed median inside a RANGE frame over
+    the numeric day index, partitioned by event_type — window input is
+    the pre-aggregated daily table (|days| x |types| rows at any corpus
+    scale); the daily sums are DECIMAL so their values (and hence the
+    median) are bit-identical across engines.
+
+    Spark's ``median`` aggregate does not accept a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is
+    expressed as a bounded RANGE self-join over the daily table —
+    <= 7x |daily| intermediate rows, then a plain grouped median."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv")
+    )
+    a = daily.select(
+        F.col("day").alias("day"), "event_type", F.col("sv").alias("sv_a")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"),
+        F.col("event_type").alias("et_b"),
+        F.col("sv").alias("sv_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & (F.col("day_b") >= F.date_sub("day", 6))
+        & (F.col("day_b") <= F.col("day")),
+    )
+    return (
+        joined.groupBy("day", "event_type", "sv_a")
+        .agg(F.round(F.median(F.col("sv_b").cast("double")), 6).alias("median7_value"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.round(F.col("sv_a").cast("double"), 2).alias("day_value"),
+            "median7_value",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT ts::DATE AS day, event_type, SUM(value::DECIMAL(18,2)) AS sv
+  FROM events GROUP BY 1, 2)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+  round(sv::DOUBLE, 2) AS day_value,
+  round(median(sv::DOUBLE) OVER (
+    PARTITION BY event_type ORDER BY day
+    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 6)
+    AS median7_value
+FROM daily ORDER BY day, event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "rolling_median": QuerySpec(
+            q_rolling_median,
+            SQL_ROLLING_MEDIAN,
+            "trailing-7-day exact median baseline per event type",
+        ),
+    }
+)
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, weekday): all four grouping sets — leaf,
+    per-type, per-weekday, grand total — in ONE shuffle pass (Catalyst
+    Expand multiplies rows map-side by the grouping-set count; no
+    N-pass union of aggregations). grouping_id() disambiguates the
+    subtotal levels the way BI rollup consumers expect. Complements
+    ``events_rollup`` (hierarchical sets) with the full cross-product
+    sets."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "EEEE").alias("weekday"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        ev.cube("event_type", "weekday")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("weekday", F.lit("ALL")).alias("weekday"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("gid", "event_type", "weekday")
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(strftime(ts, '%A'), 'ALL') AS weekday,
+  (GROUPING(event_type) * 2 + GROUPING(strftime(ts, '%A')))::BIGINT AS gid,
+  COUNT(*)::BIGINT AS n_events,
+  SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM events
+GROUP BY CUBE(event_type, strftime(ts, '%A'))
+ORDER BY gid, event_type, weekday
+"""
+
+
+REGISTRY.update(
+    {
+        "events_cube": QuerySpec(
+            q_events_cube,
+            SQL_EVENTS_CUBE,
+            "CUBE grouping sets with grouping_id in one Expand pass",
+        ),
+    }
+)
