@@ -76,6 +76,17 @@ def hll_ndv(
     m = 1 << p
     rho_max = _HASH_BITS - p + 1  # w == 0 -> all (60-p) suffix bits zero
 
+    # Small-input parallelization guard: the md5 register stage is
+    # CPU-bound, and a table small enough to scan in fewer splits than
+    # there are cores would hash on a fraction of the machine (a 300MB
+    # table is 3 parquet splits -> 3 of 32 threads). Repartitioning the
+    # raw rows BEFORE the 5x explode spreads the hash work; at real
+    # scale input splits >> cores, the guard never fires, and no
+    # shuffle is added.
+    sc = df.sparkSession.sparkContext
+    df = df.select(*cols)  # prune before any repartition: narrow rows only
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     triples = df.select(
         F.explode(
             F.array(
@@ -159,6 +170,11 @@ def hll_ndv_grouped(
     scale = _HASH_BITS - p + 1
     rho_max = scale
 
+    # same small-input parallelization guard as hll_ndv (no-op at scale)
+    sc = df.sparkSession.sparkContext
+    df = df.select(*group_cols, value_col)  # prune before repartition
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")

@@ -7098,3 +7098,73 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep metric: build the top-1000 corpus vocabulary
+    (count desc, token asc — deterministic tie-break) and score every
+    document's out-of-vocabulary rate against it. The go/no-go signal
+    before freezing a tokenizer: corpora whose OOV tail is fat need a
+    bigger vocab or better normalization.
+
+    Scale shape: one explode+groupBy shuffle builds the counts; the
+    top-1000 cut sorts ONLY the distinct-token table (vocabulary-sized,
+    not corpus-sized); the vocab joins back BROADCAST (1000 rows) so
+    per-doc scoring adds no shuffle beyond the doc_id re-agg."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(dt.tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(1000)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_ORDERED}) AS tok FROM documents),
+toks_nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+vocab AS (
+  SELECT tok FROM toks_nz GROUP BY tok
+  ORDER BY count(*) DESC, tok ASC LIMIT 1000)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+  SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+  round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+    AS oov_rate
+FROM toks_nz t LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "vocab_coverage": QuerySpec(
+            q_vocab_coverage,
+            SQL_VOCAB_COVERAGE,
+            "top-1000 vocabulary build + per-doc OOV scoring (broadcast join)",
+        ),
+    }
+)
