@@ -7046,7 +7046,7 @@ REGISTRY.update(
 )
 
 
-def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_cube_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(event_type, weekday): all four grouping sets — leaf,
     per-type, per-weekday, grand total — in ONE shuffle pass (Catalyst
     Expand multiplies rows map-side by the grouping-set count; no
@@ -7077,7 +7077,7 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EVENTS_CUBE = """
+SQL_EVENTS_CUBE_WEEKDAY = """
 SELECT COALESCE(event_type, 'ALL') AS event_type,
   COALESCE(strftime(ts, '%A'), 'ALL') AS weekday,
   (GROUPING(event_type) * 2 + GROUPING(strftime(ts, '%A')))::BIGINT AS gid,
@@ -7091,10 +7091,10 @@ ORDER BY gid, event_type, weekday
 
 REGISTRY.update(
     {
-        "events_cube": QuerySpec(
-            q_events_cube,
-            SQL_EVENTS_CUBE,
-            "CUBE grouping sets with grouping_id in one Expand pass",
+        "events_cube_weekday": QuerySpec(
+            q_events_cube_weekday,
+            SQL_EVENTS_CUBE_WEEKDAY,
+            "CUBE(event_type, weekday) grouping sets in one Expand pass",
         ),
     }
 )
