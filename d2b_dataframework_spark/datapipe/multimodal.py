@@ -197,3 +197,90 @@ def chunk_audio(
         .select("asset_id", "content", "meta")
         .mapInPandas(run, schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Real container-header parsing (no codec libraries needed)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_DIMS_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def parse_image_dimensions(content: bytes) -> tuple[str, int, int] | None:
+    """REAL (non-stub) dimension extraction from raw bytes: PNG IHDR and
+    JPEG SOFn headers are plain struct layouts, parseable with zero
+    codec dependencies. Pixel DECODE stays stubbed; container metadata
+    is fully real — the split production pipelines use for fast
+    filtering (drop tiny images) before paying any decode cost.
+
+    PNG: 8-byte magic, then the IHDR chunk — width/height are the two
+    big-endian uint32s at offsets 16 and 20.
+    JPEG: walk the marker stream; any SOF0–SOF15 frame header (except
+    DHT/JPG/DAC 0xC4/0xC8/0xCC) carries height then width as big-endian
+    uint16s at offsets +5/+7 from the marker.
+
+    Returns (format, width, height) or None when the bytes are neither.
+    """
+    if content is None:
+        return None
+    b = bytes(content)
+    if len(b) >= 24 and b.startswith(_PNG_MAGIC) and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("png", w, h)
+    if len(b) >= 4 and b[0:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None  # broken marker stream
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+    return None
+
+
+def image_dimensions(assets: DataFrame) -> DataFrame:
+    """Container-header scan over image assets: one row per asset with
+    (format, width, height) parsed from the leading bytes, nulls for
+    unrecognized payloads. Arrow-batched mapInPandas; binaries stream
+    through worker memory batch-by-batch and never shuffle (the output
+    is metadata-sized)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "format": [], "width": [], "height": []}
+            for _, row in pdf.iterrows():
+                parsed = parse_image_dimensions(row["content"])
+                out["asset_id"].append(row["asset_id"])
+                if parsed is None:
+                    out["format"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                else:
+                    out["format"].append(parsed[0])
+                    out["width"].append(parsed[1])
+                    out["height"].append(parsed[2])
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "content")
+        .mapInPandas(run, _DIMS_SCHEMA)
+    )

@@ -7168,3 +7168,61 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary container parsing round-trip: the query synthesizes a
+    valid PNG header per document IN-ENGINE (constant magic/IHDR bytes +
+    big-endian width/height derived from doc_id, assembled with
+    format_string + unhex — pure codegen, no Python), then
+    datapipe/multimodal.py:image_dimensions parses the raw bytes back in
+    an Arrow-batched mapInPandas stage. The oracle computes the expected
+    dimensions arithmetically — a hash-match proves the byte-level
+    parser, not a stub. (JPEG SOFn-walk parity is pytest-covered with
+    synthesized marker streams.)"""
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1000 + 16).cast("long")
+    h = (F.col("doc_id") % 700 + 16).cast("long")
+    png_hex = F.concat(
+        # magic + IHDR length(13) + "IHDR"
+        F.lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
+        F.format_string("%08x", w),
+        F.format_string("%08x", h),
+        F.lit("0802000000" + "00000000"),  # bit depth/color/crc placeholder
+    )
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(png_hex).alias("content"),
+    )
+    return (
+        mm.image_dimensions(assets)
+        .select(
+            F.col("asset_id").cast("long").alias("doc_id"),
+            "format",
+            "width",
+            "height",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_IMAGE_DIMENSIONS = """
+SELECT doc_id, 'png' AS format,
+  (doc_id % 1000 + 16)::BIGINT AS width,
+  (doc_id % 700 + 16)::BIGINT AS height
+FROM documents ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "image_dimensions": QuerySpec(
+            q_image_dimensions,
+            SQL_IMAGE_DIMENSIONS,
+            "PNG header synthesis + byte-level dimension parse round-trip",
+        ),
+    }
+)

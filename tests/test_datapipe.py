@@ -841,3 +841,46 @@ def test_keep_best_tie_breaks_on_min_id(spark):
     rows = {r["doc_id"]: r["keeper_id"] for r in out.collect()}
     assert rows == {5: 5, 6: 5}
     release(out)
+
+
+def test_image_dimensions_parses_png_and_jpeg_headers(spark):
+    """Byte-level container parsing: valid PNG IHDR, a JPEG whose SOF0
+    sits behind APP0+DQT segments (marker-walk required), and garbage."""
+    import struct
+
+    from d2b_dataframework_spark.datapipe.multimodal import image_dimensions
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 800, 600)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00" * 4
+    )
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    sof2 = (
+        b"\xff\xc2"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", 1080, 1920)
+        + b"\x03"
+        + b"\x00" * 9
+    )
+    jpg = b"\xff\xd8" + app0 + dqt + sof2
+    assets = spark.createDataFrame(
+        [
+            ("p1", "image", bytearray(png)),
+            ("j1", "image", bytearray(jpg)),
+            ("g1", "image", bytearray(b"not an image at all")),
+            ("a1", "audio", bytearray(png)),  # wrong modality -> filtered
+        ],
+        "asset_id string, modality string, content binary",
+    )
+    rows = {r["asset_id"]: (r["format"], r["width"], r["height"])
+            for r in image_dimensions(assets).collect()}
+    assert rows["p1"] == ("png", 800, 600)
+    assert rows["j1"] == ("jpeg", 1920, 1080)  # SOF stores height first
+    assert rows["g1"] == (None, None, None)
+    assert "a1" not in rows
