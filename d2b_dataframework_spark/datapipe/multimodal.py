@@ -284,3 +284,77 @@ def image_dimensions(assets: DataFrame) -> DataFrame:
         .select("asset_id", "content")
         .mapInPandas(run, _DIMS_SCHEMA)
     )
+
+
+_WAV_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("n_data_bytes", LongType()),
+    ]
+)
+
+
+def parse_wav_header(content: bytes) -> tuple[int, int, int, int] | None:
+    """REAL RIFF/WAVE header parse (no codec libs): walks the chunk list
+    for ``fmt `` (sample_rate/channels/bit_depth, little-endian) and
+    ``data`` (payload size). Returns (sample_rate, channels, bit_depth,
+    n_data_bytes) or None for non-WAV bytes."""
+    if content is None:
+        return None
+    b = bytes(content)
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = ch = bits = None
+    data_len = 0
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            ch = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None:
+        return None
+    return (rate, ch or 0, bits or 0, data_len)
+
+
+def wav_meta(assets: DataFrame) -> DataFrame:
+    """RIFF header scan over audio assets (Arrow-batched mapInPandas):
+    the parsed sample_rate/channels/bit_depth feed ``chunk_audio``'s
+    byte-rate arithmetic instead of caller-supplied meta — container
+    metadata is real even while sample DECODE stays stubbed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "sample_rate": [],
+                "channels": [],
+                "bit_depth": [],
+                "n_data_bytes": [],
+            }
+            for _, row in pdf.iterrows():
+                parsed = parse_wav_header(row["content"])
+                out["asset_id"].append(row["asset_id"])
+                if parsed is None:
+                    for k in ("sample_rate", "channels", "bit_depth", "n_data_bytes"):
+                        out[k].append(None)
+                else:
+                    out["sample_rate"].append(parsed[0])
+                    out["channels"].append(parsed[1])
+                    out["bit_depth"].append(parsed[2])
+                    out["n_data_bytes"].append(parsed[3])
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "content")
+        .mapInPandas(run, _WAV_META_SCHEMA)
+    )

@@ -884,3 +884,32 @@ def test_image_dimensions_parses_png_and_jpeg_headers(spark):
     assert rows["j1"] == ("jpeg", 1920, 1080)  # SOF stores height first
     assert rows["g1"] == (None, None, None)
     assert "a1" not in rows
+
+
+def test_wav_meta_parses_riff_chunks(spark):
+    import struct
+
+    from d2b_dataframework_spark.datapipe.multimodal import wav_meta
+
+    def wav(rate, ch, bits, n_data):
+        fmt = (
+            b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+        )
+        data = b"data" + struct.pack("<I", n_data) + b"\x00" * n_data
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assets = spark.createDataFrame(
+        [
+            ("w1", "audio", bytearray(wav(44100, 2, 16, 64))),
+            ("w2", "audio", bytearray(wav(16000, 1, 8, 7))),  # odd data len (padding)
+            ("g1", "audio", bytearray(b"RIFFxxxxNOPE")),
+        ],
+        "asset_id string, modality string, content binary",
+    )
+    rows = {r["asset_id"]: (r["sample_rate"], r["channels"], r["bit_depth"], r["n_data_bytes"])
+            for r in wav_meta(assets).collect()}
+    assert rows["w1"] == (44100, 2, 16, 64)
+    assert rows["w2"] == (16000, 1, 8, 7)
+    assert rows["g1"] == (None, None, None, None)
