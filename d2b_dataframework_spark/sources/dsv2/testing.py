@@ -59,3 +59,49 @@ class EmptyTransport:
 
     def get(self, site: str, body: dict) -> dict:
         return {"rows": []}
+
+
+class RecordingSheetsTransport:
+    """Test double for the sheets_rest WRITER: every transport call is
+    appended as a JSON line to a uniquely-named file under the ``spool``
+    option's directory. Executor tasks run in separate worker processes,
+    so driver-side recording is impossible — the filesystem is the
+    observable channel, and tests reassemble the request log from the
+    spool files."""
+
+    def __init__(self, options: dict):
+        self.spool = options["spool"]
+
+    def _log(self, record: dict) -> None:
+        import json
+        import os
+        import uuid
+
+        path = os.path.join(self.spool, f"{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as fh:
+            fh.write(json.dumps(record) + "\n")
+
+    def append(self, spreadsheet: str, range_: str, values: list) -> None:
+        self._log(
+            {"op": "append", "spreadsheet": spreadsheet, "range": range_,
+             "n": len(values), "values": values}
+        )
+
+    def clear(self, spreadsheet: str, range_: str) -> None:
+        self._log({"op": "clear", "spreadsheet": spreadsheet, "range": range_})
+
+    def mark_complete(self, spreadsheet, range_, n_rows, n_requests) -> None:
+        self._log(
+            {"op": "complete", "spreadsheet": spreadsheet, "range": range_,
+             "n_rows": n_rows, "n_requests": n_requests}
+        )
+
+    def mark_failed(self, spreadsheet, range_) -> None:
+        self._log({"op": "failed", "spreadsheet": spreadsheet, "range": range_})
+
+
+class FailingSheetsTransport(RecordingSheetsTransport):
+    """Raises on append — drives the abort path."""
+
+    def append(self, spreadsheet: str, range_: str, values: list) -> None:
+        raise RuntimeError("simulated API failure")

@@ -126,3 +126,101 @@ def test_empty_result_yields_typed_empty_frame(spark):
     assert [f.name for f in df.schema.fields] == [
         "query", "date", "clicks", "impressions", "ctr", "position",
     ]
+
+
+REC = "d2b_dataframework_spark.sources.dsv2.testing:RecordingSheetsTransport"
+
+
+def _read_spool(spool):
+    import glob
+
+    out = []
+    for p in glob.glob(f"{spool}/*.jsonl"):
+        with open(p) as fh:
+            out.extend(json.loads(line) for line in fh)
+    return out
+
+
+def test_sheets_writer_batches_appends_and_commits(spark, tmp_path):
+    from d2b_dataframework_spark.sources.dsv2 import sheets
+
+    sheets.register(spark)
+    spool = str(tmp_path / "spool")
+    import os
+
+    os.makedirs(spool)
+    df = spark.range(0, 25).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartition(2)
+    (
+        df.write.format("sheets_rest")
+        .option("spreadsheet", "sheet-1")
+        .option("range", "Data!A1")
+        .option("transport", REC)
+        .option("spool", spool)
+        .option("batchRows", 10)
+        .mode("append")
+        .save()
+    )
+    log = _read_spool(spool)
+    appends = [r for r in log if r["op"] == "append"]
+    completes = [r for r in log if r["op"] == "complete"]
+    assert sum(r["n"] for r in appends) == 25
+    assert all(r["n"] <= 10 for r in appends)  # batch cap honored
+    assert len(completes) == 1
+    assert completes[0]["n_rows"] == 25
+    assert completes[0]["n_requests"] == len(appends)
+    # row payloads round-trip in schema column order
+    all_rows = sorted(tuple(v) for r in appends for v in r["values"])
+    assert all_rows == sorted((i, i * 10) for i in range(25))
+    assert not [r for r in log if r["op"] == "clear"]  # append mode
+
+
+def test_sheets_writer_overwrite_clears_once_before_tasks(spark, tmp_path):
+    from d2b_dataframework_spark.sources.dsv2 import sheets
+
+    sheets.register(spark)
+    spool = str(tmp_path / "spool2")
+    import os
+
+    os.makedirs(spool)
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    (
+        df.write.format("sheets_rest")
+        .option("spreadsheet", "sheet-1")
+        .option("range", "Data!A1")
+        .option("transport", REC)
+        .option("spool", spool)
+        .mode("overwrite")
+        .save()
+    )
+    log = _read_spool(spool)
+    assert len([r for r in log if r["op"] == "clear"]) == 1
+    assert sum(r["n"] for r in log if r["op"] == "append") == 5
+
+
+def test_sheets_writer_abort_marks_failure(spark, tmp_path):
+    from d2b_dataframework_spark.sources.dsv2 import sheets
+
+    sheets.register(spark)
+    spool = str(tmp_path / "spool3")
+    import os
+
+    os.makedirs(spool)
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    with pytest.raises(Exception, match="simulated API failure"):
+        (
+            df.write.format("sheets_rest")
+            .option("spreadsheet", "sheet-1")
+            .option("range", "Data!A1")
+            .option(
+                "transport",
+                "d2b_dataframework_spark.sources.dsv2.testing:FailingSheetsTransport",
+            )
+            .option("spool", spool)
+            .mode("append")
+            .save()
+        )
+    log = _read_spool(spool)
+    assert [r for r in log if r["op"] == "failed"]
+    assert not [r for r in log if r["op"] == "complete"]

@@ -12,17 +12,19 @@
 set -u
 cd "$(dirname "$0")/.."
 
-# Groups balanced by measured module cost (datapipe and operators
-# dominate; the connector/auth/streaming modules are single-leg and
-# cheap).
+# Groups balanced by measured cost (r3 measurements: datapipe+properties
+# 4:22; operators+forecast 1:48; the old combined tail group 9:07 —
+# split so streaming's waits and the dual-leg functions module no
+# longer serialize behind each other).
 G1="tests/test_datapipe.py tests/test_properties.py"
 G2="tests/test_operators.py tests/test_forecast.py tests/test_dsv2.py tests/test_prophet_optional.py"
-G3="tests/test_functions.py tests/test_streaming.py tests/test_connectors.py tests/test_sources.py tests/test_sinks.py tests/test_core.py tests/test_google_auth.py"
+G3="tests/test_streaming.py tests/test_connectors.py tests/test_google_auth.py"
+G4="tests/test_functions.py tests/test_sources.py tests/test_sinks.py tests/test_core.py"
 
 pids=()
 rc=0
 i=0
-for g in "$G1" "$G2" "$G3"; do
+for g in "$G1" "$G2" "$G3" "$G4"; do
   i=$((i + 1))
   # shellcheck disable=SC2086
   python -m pytest $g -q "$@" > "/tmp/fast_suite_$i.log" 2>&1 &
@@ -35,7 +37,7 @@ for idx in "${!pids[@]}"; do
     tail -20 "/tmp/fast_suite_$((idx + 1)).log"
   fi
 done
-for i in 1 2 3; do
+for i in 1 2 3 4; do
   tail -1 "/tmp/fast_suite_$i.log"
 done
 exit $rc
