@@ -2083,12 +2083,32 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 )
 
 
+# Queries added THIS round — the riskiest, so they go first within the
+# never-driver-checked block (the driver's sampled gate checks ~50
+# entries from the front; without this the newest queries would sit
+# behind ~88 round-2 entries and stay unsampled).
+_NEWEST_FIRST: tuple[str, ...] = (
+    "table_stats_approx",
+    "daily_active_hll",
+    "dedup_keep_best",
+    "containment_capped",
+    "rolling_median",
+    "events_cube_weekday",
+    "vocab_coverage",
+    "image_dimensions",
+)
+
+
 def _gate_order() -> list[str]:
-    """Registry names, never-driver-checked first (stable within groups)."""
+    """Registry names: this round's additions, then the rest of the
+    never-driver-checked queries, then the already-verified ones."""
     names = list(REGISTRY)
-    return [n for n in names if n not in _DRIVER_VERIFIED] + [
-        n for n in names if n in _DRIVER_VERIFIED
+    newest = [n for n in _NEWEST_FIRST if n in REGISTRY]
+    rest_unverified = [
+        n for n in names if n not in _DRIVER_VERIFIED and n not in _NEWEST_FIRST
     ]
+    verified = [n for n in names if n in _DRIVER_VERIFIED]
+    return newest + rest_unverified + verified
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
