@@ -75,41 +75,3 @@ def zorder_file_stats(
         )
     )
 
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_cols: list[str] | str,
-    n_buckets: int = 32,
-    sort_cols: list[str] | str | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Persist ``df`` as a BUCKETED (hash-clustered) managed table:
-    rows are hash-partitioned into ``n_buckets`` files by
-    ``bucket_cols`` and optionally sorted inside each bucket.
-
-    This is the co-located-join layout for repeated big x big joins: two
-    tables bucketed by the same key into the same bucket count join with
-    ZERO Exchange — the planner proves both sides already share the
-    hash partitioning and goes straight to (sorted) merge join. At
-    100 TB the shuffle this removes is the dominant cost of every
-    fact-to-fact join; bucketing pays it ONCE at write time and
-    amortizes it over every subsequent join/aggregation on the key
-    (aggregations on the bucket key also skip their Exchange).
-
-    Spark bucketing requires the table-catalog write path
-    (``saveAsTable``) — plain ``.parquet(path)`` ignores bucket specs.
-    """
-    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
-    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
-    if sort_cols:
-        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
-        writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table)
-
-
-def bucketed_join(spark, left_table: str, right_table: str, on: list[str] | str, how: str = "inner") -> DataFrame:
-    """Join two same-bucketed catalog tables; with matching bucket spec
-    the physical plan contains no shuffle Exchange on either side."""
-    on = [on] if isinstance(on, str) else on
-    return spark.table(left_table).join(spark.table(right_table), on, how)

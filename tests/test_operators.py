@@ -765,31 +765,3 @@ def test_hll_ndv_grouped_matches_ungrouped_per_group(spark):
         ).collect()[0]["ndv_approx"]
         assert grouped[g] == solo
 
-
-def test_bucketed_join_has_no_exchange(spark, tmp_path):
-    """Co-located join contract: two tables bucketed on the join key
-    with the same bucket count sort-merge-join with ZERO shuffle
-    Exchange — the write-once layout that removes the dominant cost of
-    repeated fact-to-fact joins at scale."""
-    from d2b_dataframework_spark.operators.layout import bucketed_join, write_bucketed
-
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        facts = spark.range(0, 5000).select(
-            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
-        )
-        dims = spark.range(0, 5000).select(
-            F.col("id").alias("k"), (F.col("id") % 7).alias("b")
-        )
-        write_bucketed(facts, "bt_facts", "k", n_buckets=8, sort_cols="k")
-        write_bucketed(dims, "bt_dims", "k", n_buckets=8, sort_cols="k")
-        out = bucketed_join(spark, "bt_facts", "bt_dims", "k")
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan  # both sides pre-clustered by bucket
-        assert out.count() == 5000
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bt_facts")
-        spark.sql("DROP TABLE IF EXISTS bt_dims")
