@@ -230,3 +230,50 @@ def test_date_sharded_overwrite_safe_on_static_mode_session(spark, tmp_path):
         (str(r["date"]), r["v"]) for r in read_date_sharded(spark, path).collect()
     }
     assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
+
+
+def test_export_jsonl_shards_roundtrip_and_manifest(spark, tmp_path):
+    from d2b_dataframework_spark.sinks.export import export_jsonl_shards, read_jsonl_shards
+
+    path = str(tmp_path / "corpus")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("text-"), F.col("id")).alias("text")
+    )
+    manifest = export_jsonl_shards(df, path, n_shards=4)
+    assert manifest["n_rows"] == 200
+    assert sum(s["rows"] for s in manifest["shards"].values()) == 200
+    assert all(s["bytes"] > 0 for s in manifest["shards"].values() if s["rows"])
+    back = read_jsonl_shards(spark, path)
+    assert back.count() == 200
+    assert {r["doc_id"] for r in back.collect()} == set(range(200))
+
+
+def test_export_shard_membership_is_layout_invariant(spark, tmp_path):
+    from d2b_dataframework_spark.sinks.export import export_jsonl_shards
+
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    m1 = export_jsonl_shards(df, str(tmp_path / "a"), n_shards=4)
+    m2 = export_jsonl_shards(
+        df.repartition(13).sortWithinPartitions(F.col("doc_id").desc()),
+        str(tmp_path / "b"),
+        n_shards=4,
+    )
+    assert {k: v["rows"] for k, v in m1["shards"].items()} == {
+        k: v["rows"] for k, v in m2["shards"].items()
+    }
+
+
+def test_read_jsonl_shards_detects_truncation(spark, tmp_path):
+    import glob
+    import os
+
+    from d2b_dataframework_spark.sinks.export import export_jsonl_shards, read_jsonl_shards
+
+    path = str(tmp_path / "corpus2")
+    df = spark.range(0, 50).select(F.col("doc_id" if False else "id").alias("doc_id"))
+    export_jsonl_shards(df, path, n_shards=2)
+    # simulate a lost shard file
+    victim = glob.glob(f"{path}/shard=0/*.json")[0]
+    os.remove(victim)
+    with pytest.raises(ValueError, match="manifest says"):
+        read_jsonl_shards(spark, path)
