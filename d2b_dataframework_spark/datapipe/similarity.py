@@ -533,3 +533,205 @@ def quantize_int8(
         .alias("n_saturated"),
         F.round(dot(F.col("recon"), F.col("recon")), 6).alias("recon_err"),
     )
+
+
+def _pq_codebook_payload(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[list[dict]], int]:
+    """Seed-only PQ codebooks: the ``ksub`` lowest-id corpus vectors,
+    cut into ``m`` subvectors each, quantized to exact integers
+    (round(x*1000) — the same cross-engine-deterministic convention as
+    datapipe/clustering.py). Returns (payload[m][ksub], subdim).
+
+    Codebooks are MODEL PARAMETERS (m * ksub * subdim numbers — a few KB
+    regardless of corpus size): at scale you would train them offline
+    with kmeans_assignments per subspace; seed-only training keeps the
+    oracle exactly reproducible while the ENCODE/ADC scan — the part
+    whose cost grows with the corpus — is identical either way.
+    """
+    rows = sorted(
+        corpus.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col).alias("cid"), _quantize(F.col(vec_col)).alias("qv"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    if not rows:
+        raise ValueError("pq codebook: corpus has no seed rows (id < ksub)")
+    dim = len(rows[0]["qv"])
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    d = dim // m
+    payload = []
+    for sub in range(m):
+        entries = []
+        for r in rows:
+            s = [int(v) for v in r["qv"][sub * d : (sub + 1) * d]]
+            entries.append(
+                {
+                    "cid": int(r["cid"]),
+                    "s": [float(v) for v in s],
+                    "ss": float(sum(v * v for v in s)),
+                }
+            )
+        payload.append(entries)
+    return payload, d
+
+
+def _pq_codebook_literal(payload: list[list[dict]]) -> Column:
+    """ONE constant-folded literal for all m codebooks (see ivf_topk's
+    note on from_json vs nested F.lit trees)."""
+    return F.from_json(
+        F.lit(json.dumps(payload)),
+        "array<array<struct<cid: bigint, s: array<double>, ss: double>>>",
+    )
+
+
+def _pq_encoded(
+    corpus: DataFrame,
+    payload: list[list[dict]],
+    d: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, codes array<bigint>) — nearest codeword per subspace by
+    exact quantized squared-L2 (ties -> lowest cid). Pure map-side
+    projection against the constant-folded codebook literal: zero
+    shuffle, scan-speed at 100TB.
+
+    Subvector dots are staged through a separate select so each is
+    evaluated once, not once per codeword inside the HOF lambda (the
+    CollapseProject staging trick documented on quantize_int8).
+    """
+    m = len(payload)
+    cb = _pq_codebook_literal(payload)
+    staged = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            F.slice(_quantize(F.col(vec_col)), sub * d + 1, d).alias(f"_sv{sub}")
+            for sub in range(m)
+        ],
+    ).select(
+        "vec_id",
+        *[F.col(f"_sv{s}") for s in range(m)],
+        *[dot(F.col(f"_sv{s}"), F.col(f"_sv{s}")).alias(f"_svv{s}") for s in range(m)],
+    )
+    def _neg_dist_fn(sv: Column, svv: Column):
+        # Single-parameter lambda via closure (a default-arg lambda would
+        # read as a 3-arg HOF function to pyspark's arity inspection).
+        return lambda ce: F.struct(
+            (-(svv - F.lit(2.0) * dot(sv, ce["s"]) + ce["ss"])).alias("neg_d"),
+            (-ce["cid"]).alias("neg_cid"),
+        )
+
+    code_cols = []
+    for sub in range(m):
+        sv, svv = F.col(f"_sv{sub}"), F.col(f"_svv{sub}")
+        # argmin(dist asc, cid asc) == array_max over struct(-dist, -cid)
+        best = F.array_max(
+            F.transform(F.element_at(cb, sub + 1), _neg_dist_fn(sv, svv))
+        )
+        code_cols.append((-best["neg_cid"]).alias(f"_c{sub}"))
+    return staged.select("vec_id", *code_cols).select(
+        "vec_id", F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: each vector becomes ``m`` codeword
+    ids (one per subspace) — a ``dim*4``-byte float vector compresses to
+    ``m`` bytes (64-dim float32 -> 8 bytes here, 32x), which is what
+    makes storing + scanning an ANN index over 100TB of embeddings
+    affordable. Returns (vec_id, codes: array<bigint>).
+
+    No counterpart in the reference (its pipelines stop at API ETL);
+    this extends the build brief's similarity-search surface alongside
+    ivf_topk / quantize_int8.
+    """
+    payload, d = _pq_codebook_payload(corpus, m, ksub, id_col, vec_col)
+    return _pq_encoded(corpus, payload, d, id_col, vec_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): corpus vectors are scanned as
+    ``m``-byte codes; each (small, broadcast) query precomputes an
+    m x ksub lookup table of exact subspace distances, and a candidate's
+    approximate squared L2 is m table lookups + a sum — no per-pair
+    dot products at all.
+
+    Scale shape: the corpus side touches only (id, codes) — 32x less
+    I/O than raw vectors — in one scan with a map-side LUT lookup; the
+    only shuffle is the per-query top-k window (rank-pushdown under
+    AQE). This is the FAISS IndexPQ search loop re-expressed as a
+    DataFrame plan. All arithmetic is exact quantized integers in
+    doubles, so ranks are engine-reproducible (ties -> lowest id).
+    """
+    qid = query_id_col or id_col
+    payload, d = _pq_codebook_payload(corpus, m, ksub, id_col, vec_col)
+    encoded = _pq_encoded(corpus, payload, d, id_col, vec_col)
+    cb = _pq_codebook_literal(payload)
+    # Query-side LUT: array<array<double>> — lut[sub][j] = ||q_sub - c_j||^2,
+    # exact; j is the POSITION of cid j (payload is sorted by cid 0..ksub-1).
+    staged_q = queries.select(
+        F.col(qid).alias("query_id"),
+        *[
+            F.slice(_quantize(F.col(vec_col)), sub * d + 1, d).alias(f"_qs{sub}")
+            for sub in range(m)
+        ],
+    ).select(
+        "query_id",
+        *[F.col(f"_qs{s}") for s in range(m)],
+        *[dot(F.col(f"_qs{s}"), F.col(f"_qs{s}")).alias(f"_qvv{s}") for s in range(m)],
+    )
+    def _lut_fn(sub: int):
+        return lambda ce: (
+            F.col(f"_qvv{sub}")
+            - F.lit(2.0) * dot(F.col(f"_qs{sub}"), ce["s"])
+            + ce["ss"]
+        )
+
+    lut = F.array(
+        *[F.transform(F.element_at(cb, sub + 1), _lut_fn(sub)) for sub in range(m)]
+    )
+    q = staged_q.select("query_id", lut.alias("lut"))
+    # ADC score: m positional lookups summed — codegen-friendly explicit
+    # terms (m is small and fixed), no interpreted aggregate in the hot loop.
+    adc = None
+    for sub in range(m):
+        term = F.element_at(
+            F.element_at(F.col("lut"), sub + 1),
+            F.element_at(F.col("codes"), sub + 1).cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        encoded.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(adc, 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -7246,3 +7246,92 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (datapipe/similarity.py:pq_encode):
+    every 64-dim embedding compresses to 8 codeword ids (8 subspaces x
+    16 seed codewords) — the 32x storage cut that makes a 100TB
+    embedding store scannable. Map-side argmin against a constant-folded
+    codebook literal; exact quantized arithmetic so the codes are
+    engine-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.pq_encode(emb, m=8, ksub=16)
+    return out.select(
+        "vec_id", F.concat_ws(",", F.col("codes")).alias("codes")
+    ).orderBy("vec_id")
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 (datapipe/similarity.py:pq_topk)
+    for queries vec_id < 4: corpus scanned as 8-byte codes, per-query
+    LUT of exact subspace distances, score = 8 lookups + a sum."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = sim.pq_topk(emb, queries, k=10, m=8, ksub=16)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+# Exact-arithmetic mirror of similarity.py's PQ kernel: quantized integer
+# subvectors, seed-only codebooks (cid = vec_id < 16), squared-L2 via the
+# x.x - 2x.s + s.s decomposition — every term an exact integer in float64,
+# so codes, ADC sums, and ranks are bit-identical cross-engine.
+_SQL_PQ_COMMON = """
+x AS (SELECT vec_id, list_transform(embedding::DOUBLE[], v -> round(v * 1000)) AS qv
+      FROM embeddings),
+subs AS (
+  SELECT vec_id, t.sub, list_slice(qv, t.sub * 8 + 1, t.sub * 8 + 8) AS sv
+  FROM x, range(0, 8) t(sub)),
+subs2 AS (SELECT vec_id, sub, sv, list_dot_product(sv, sv) AS svv FROM subs),
+cb AS (SELECT vec_id AS cid, sub, sv AS s, svv AS ss FROM subs2 WHERE vec_id < 16),
+enc AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT s.vec_id, s.sub, c.cid,
+      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        (s.svv - 2.0 * list_dot_product(s.sv, c.s) + c.ss) ASC, c.cid ASC) AS rn
+    FROM subs2 s JOIN cb c ON s.sub = c.sub) WHERE rn = 1)
+"""
+
+SQL_PQ_ENCODE = f"""
+WITH {_SQL_PQ_COMMON}
+SELECT vec_id, string_agg(cid::VARCHAR, ',' ORDER BY sub) AS codes
+FROM enc GROUP BY vec_id ORDER BY vec_id
+"""
+
+SQL_PQ_TOPK = f"""
+WITH {_SQL_PQ_COMMON},
+q AS (SELECT vec_id AS query_id, sub, sv, svv FROM subs2 WHERE vec_id < 4),
+lut AS (
+  SELECT q.query_id, c.sub, c.cid,
+    (q.svv - 2.0 * list_dot_product(q.sv, c.s) + c.ss) AS dsub
+  FROM q JOIN cb c ON q.sub = c.sub),
+scores AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.dsub) AS adc
+  FROM enc e JOIN lut l ON e.sub = l.sub AND e.cid = l.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(adc, 6) ASC, neighbor_id ASC) AS rank
+  FROM scores)
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+REGISTRY.update(
+    {
+        "pq_encode": QuerySpec(
+            q_pq_encode,
+            SQL_PQ_ENCODE,
+            "product-quantization encode: 64-dim float -> 8 codeword bytes (32x)",
+        ),
+        "pq_topk": QuerySpec(
+            q_pq_topk,
+            SQL_PQ_TOPK,
+            "PQ asymmetric-distance top-k: LUT lookups over the coded corpus",
+        ),
+    }
+)

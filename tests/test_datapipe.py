@@ -913,3 +913,59 @@ def test_wav_meta_parses_riff_chunks(spark):
     assert rows["w1"] == (44100, 2, 16, 64)
     assert rows["w2"] == (16000, 1, 8, 7)
     assert rows["g1"] == (None, None, None, None)
+
+
+def test_pq_encode_seed_vectors_code_to_themselves(vectors):
+    """A codebook seed vector is at distance 0 from its own codeword in
+    every subspace, so it must encode to its own cid across the board."""
+    out = {r["vec_id"]: r["codes"] for r in sim.pq_encode(vectors, m=8, ksub=4).collect()}
+    for vid in range(4):
+        assert out[vid] == [vid] * 8
+    assert all(all(0 <= c < 4 for c in codes) for codes in out.values())
+
+
+def test_pq_encode_is_pure_projection(vectors):
+    """Encode must be map-side against the constant-folded codebook
+    literal: no Exchange, no Window, no join in the plan."""
+    plan = (
+        sim.pq_encode(vectors, m=8, ksub=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("Exchange", "Window [", "Join"):
+        assert node not in plan
+
+
+def test_pq_topk_matches_numpy_adc_reference(vectors):
+    """ADC ranks must equal an independent numpy recomputation of the
+    same seed-codebook PQ (quantize, encode, LUT, sum, sort)."""
+    import numpy as np
+
+    rows = sorted(vectors.collect(), key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    q = np.where(mat >= 0, np.floor(mat * 1000 + 0.5), np.ceil(mat * 1000 - 0.5))
+    m, d, ksub = 8, 8, 4
+    cb = q[:ksub].reshape(ksub, m, d)  # ids 0..3 are rows 0..3
+    subs = q.reshape(len(ids), m, d)
+    # encode: argmin over codewords (ties -> lowest cid; exact ints)
+    dists = ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # n,k,m
+    codes = dists.argmin(axis=1)  # n,m  (argmin takes first == lowest cid)
+    expected = {}
+    for qi in (0, 1):
+        # ADC distance of candidate n to query qi uses the QUERY's exact
+        # subspace distances to each codeword, looked up at n's codes:
+        lut = ((subs[qi][None, :, :] - cb) ** 2).sum(axis=2)  # k,m
+        adc = np.array([sum(lut[codes[n, s], s] for s in range(m)) for n in range(len(ids))])
+        order = sorted(
+            [(adc[n], ids[n]) for n in range(len(ids)) if ids[n] != ids[qi]]
+        )[:5]
+        expected[ids[qi]] = [vid for _, vid in order]
+    out = sim.pq_topk(
+        vectors, vectors.filter(F.col("vec_id") < 2), k=5, m=8, ksub=4
+    ).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == expected
