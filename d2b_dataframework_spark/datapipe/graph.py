@@ -111,3 +111,102 @@ def pagerank(
             ).alias("rank"),
         )
     return track(ranks, nodes, ew, e)
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected edge list (pass each edge once in either direction;
+    duplicates and self-loops are removed here).
+
+    Degree-ordered orientation — the classic trick that makes triangle
+    enumeration feasible on power-law graphs: every edge is directed
+    from its lower-(degree, id) endpoint to the higher one, so the
+    wedge self-join fans out from each node's ORIENTED out-degree,
+    bounding total wedge volume by O(E^1.5) regardless of hub size (a
+    10M-degree hub contributes ~0 oriented out-edges instead of 10^14
+    wedges). Wedges close into triangles via one more equi-join against
+    the oriented edge list.
+
+    Returns ONE row: (n_nodes, n_edges, n_triangles, n_wedges,
+    global_clustering) where n_wedges counts unordered open+closed
+    2-paths (sum over nodes of deg*(deg-1)/2) and global_clustering =
+    3*triangles/wedges rounded to 9dp (0.0 when wedge-free).
+
+    Scale shape: 3 shuffles total (degree agg, wedge join on the pivot
+    node, closure join on the (lo, hi) pair) — each moving id-only
+    rows; no row ever carries payload columns.
+    """
+    a, b = F.col("_a"), F.col("_b")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .filter(a != b)
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(a.alias("_n"))
+        .unionAll(und.select(b.alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .persist()
+    )
+    # Orient low (deg, id) -> high (deg, id): ties broken by node id, so
+    # the orientation is a strict total order and each edge appears once.
+    da = deg.select(F.col("_n").alias("_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_deg").alias("_db"))
+    oriented = (
+        und.join(da, "_a")
+        .join(db, "_b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (a < b)),
+                F.struct(a.alias("s"), b.alias("t")),
+            )
+            .otherwise(F.struct(b.alias("s"), a.alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("_s"), F.col("e.t").alias("_t"))
+        .persist()
+    )
+    # Wedges pivoting at _s: unordered pairs of its oriented out-edges.
+    w1 = oriented.select(F.col("_s"), F.col("_t").alias("_u"))
+    w2 = oriented.select(F.col("_s"), F.col("_t").alias("_v"))
+    wedges = w1.join(w2, "_s").filter(F.col("_u") < F.col("_v"))
+    # A wedge closes iff (u, v) is an edge — check the UNDIRECTED canon
+    # (u < v already holds) so the closing edge's own orientation is moot.
+    tri = wedges.join(
+        und.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")),
+        ["_u", "_v"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    counts = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("_deg") * (F.col("_deg") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    out = (
+        tri.crossJoin(counts)
+        .crossJoin(node_stats)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 9
+                )
+            )
+            .alias("global_clustering"),
+        )
+    )
+    return track(out, und, deg, oriented)

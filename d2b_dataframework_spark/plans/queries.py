@@ -7335,3 +7335,63 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census (datapipe/graph.py:triangle_stats) over the
+    support->=2 co-purchase graph: parts bought together in at least two
+    distinct orders form edges; degree-ordered orientation bounds the
+    wedge join at O(E^1.5) so hub parts cannot blow up candidate volume.
+    One row: nodes/edges/triangles/wedges + global clustering."""
+    from d2b_dataframework_spark.datapipe.graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_stats(edges)
+
+
+SQL_TRIANGLE_STATS = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS ea, b.l_partkey AS eb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (
+  SELECT n, count(*)::BIGINT AS d
+  FROM (SELECT ea AS n FROM e UNION ALL SELECT eb AS n FROM e) GROUP BY n),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.eb = e2.ea
+            JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb)
+SELECT
+  (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+  (SELECT count(*) FROM e)::BIGINT AS n_edges,
+  (SELECT n_triangles FROM tri) AS n_triangles,
+  (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges,
+  CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) = 0 THEN 0.0
+       ELSE round(3.0 * (SELECT n_triangles FROM tri)
+                  / (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT, 9)
+  END AS global_clustering
+"""
+
+
+REGISTRY.update(
+    {
+        "triangle_stats": QuerySpec(
+            q_triangle_stats,
+            SQL_TRIANGLE_STATS,
+            "degree-ordered triangle count + clustering on the co-purchase graph",
+        ),
+    }
+)

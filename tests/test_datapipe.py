@@ -969,3 +969,31 @@ def test_pq_topk_matches_numpy_adc_reference(vectors):
     for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
         got.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert got == expected
+
+
+def test_triangle_stats_counts_k4_plus_tail(spark):
+    """K4 (4 triangles) plus a pendant edge: nodes=5, edges=7,
+    triangles=4, wedges = sum d(d-1)/2 = 3+3+3+6+0 -> 15 with the
+    pendant attached to node 3 (deg 4)."""
+    from d2b_dataframework_spark.datapipe.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "src long, dst long")
+    row = triangle_stats(edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+    assert row["n_wedges"] == 3 + 3 + 3 + 6 + 0
+    assert row["global_clustering"] == round(12 / 15, 9)
+
+
+def test_triangle_stats_dedups_and_ignores_direction_and_loops(spark):
+    """Duplicate edges, reversed duplicates, and self-loops must not
+    change the census: the triangle (0,1,2) counts once."""
+    from d2b_dataframework_spark.datapipe.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 0), (2, 2)],
+        "src long, dst long",
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (3, 3, 1)
+    assert row["global_clustering"] == 1.0
