@@ -106,3 +106,103 @@ def theta_overlap(left_sketch: Column, right_sketch: Column) -> Column:
     return F.theta_sketch_estimate(
         F.theta_intersection(left_sketch, right_sketch)
     )
+
+
+def histogram_partials(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1000,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable fixed-width histogram sketch: ``bins`` int64 counters
+    over [lo, hi) (values at/above ``hi`` clamp into the last bin, below
+    ``lo`` into the first). Counts are EXACT integers, so partials from
+    different days/shards merge by plain addition in any order — the
+    quantile analog of the HLL partials above: store one (keys, bin,
+    n) frame per day, re-aggregate over any date range without
+    re-scanning raw data.
+
+    Returns (keys..., bin: int, n: long) — only non-empty bins, at most
+    ``bins`` rows per group shuffled regardless of input size.
+
+    Bin arithmetic is plain IEEE double with fixed parenthesization
+    (``floor((v - lo) / (hi - lo) * bins)``), reproducible on any
+    engine; nulls are dropped.
+    """
+    keys = keys or []
+    span = hi - lo
+    raw = F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo)))
+        / F.lit(float(span))
+        * F.lit(float(bins))
+    )
+    bin_c = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, bin_c.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch (linear interpolation
+    inside the winning bin — the classic mergeable-histogram readout;
+    max error = one bin width). For each q in ``qs`` the estimate is
+
+        lo + (bin + (target - cum_before) / bin_n) * width
+
+    with ``target = q * total`` (a double; comparisons against exact
+    integer cumulative counts are reproducible cross-engine).
+
+    ``hist`` is the output of :func:`histogram_partials` (possibly
+    unioned across shards and re-summed by the caller). Returns
+    (keys..., q: double, est: double). The window runs over at most
+    ``bins`` rows per group — driver-scale, never data-scale.
+    """
+    from pyspark.sql import Window
+
+    keys = keys or []
+    width = (hi - lo) / bins
+    merged = hist.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin")
+    cum = merged.select(
+        *keys,
+        "bin",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("cum_before"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    out = None
+    for q in qs:
+        target = F.lit(float(q)) * F.col("total")
+        # winning bin: the unique non-empty bin with cum_before < target
+        # <= cum_before + n (boundary ties resolve to the earlier bin on
+        # both engines via the <=; q > 0 and total > 0 imply target > 0,
+        # so exactly one bin qualifies).
+        hit = cum.filter(F.col("cum_before") < target).filter(
+            target <= F.col("cum_before") + F.col("n")
+        )
+        est = hit.groupBy(*keys).agg(
+            F.min(
+                F.lit(float(lo))
+                + (
+                    F.col("bin").cast("double")
+                    + (target - F.col("cum_before")) / F.col("n")
+                )
+                * F.lit(float(width))
+            ).alias("est")
+        )
+        labeled = est.select(*keys, F.lit(float(q)).alias("q"), F.round("est", 6).alias("est"))
+        out = labeled if out is None else out.unionByName(labeled)
+    return out

@@ -7395,3 +7395,58 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimates
+    (operators/sketches.py:histogram_partials/histogram_quantiles):
+    l_extendedprice binned into 1000 exact int64 counters over
+    [900, 105000) — partials add across days/shards in any order, so an
+    any-date-range p50/p90/p99 needs only the kilobyte-sized sketches,
+    never a raw re-scan (the quantile analog of the HLL partial store).
+    Estimates interpolate inside the winning bin; max error = one bin
+    width, asserted against exact percentiles in tests."""
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    li = _t(spark, sf_dir, "lineitem")
+    hist = sk.histogram_partials(li, "l_extendedprice", lo=900.0, hi=105000.0, bins=1000)
+    return sk.histogram_quantiles(
+        hist, lo=900.0, hi=105000.0, bins=1000, qs=[0.5, 0.9, 0.99]
+    ).orderBy("q")
+
+
+# Mirror arithmetic note: width is written as the same literal division
+# ((105000.0 - 900.0) / 1000) on both engines; bin/target/interpolation
+# expressions keep identical parenthesization so every IEEE step matches.
+SQL_QUANTILE_SKETCH = """
+WITH h AS (
+  SELECT LEAST(999, GREATEST(0,
+           floor((l_extendedprice::DOUBLE - 900.0) / (105000.0 - 900.0) * 1000)))::INT AS bin,
+         count(*)::BIGINT AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+c AS (
+  SELECT bin, n,
+         (sum(n) OVER (ORDER BY bin) - n)::BIGINT AS cum_before,
+         (sum(n) OVER ())::BIGINT AS total
+  FROM h),
+qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)),
+hit AS (
+  SELECT qs.q, c.bin, c.n, c.cum_before, c.total
+  FROM qs JOIN c ON c.cum_before < qs.q * c.total
+               AND qs.q * c.total <= c.cum_before + c.n)
+SELECT q,
+  round(min(900.0 + (bin::DOUBLE + (q * total - cum_before) / n)
+                    * ((105000.0 - 900.0) / 1000)), 6) AS est
+FROM hit GROUP BY q ORDER BY q
+"""
+
+
+REGISTRY.update(
+    {
+        "quantile_sketch": QuerySpec(
+            q_quantile_sketch,
+            SQL_QUANTILE_SKETCH,
+            "mergeable fixed-width histogram sketch -> interpolated p50/p90/p99",
+        ),
+    }
+)

@@ -765,3 +765,38 @@ def test_hll_ndv_grouped_matches_ungrouped_per_group(spark):
         ).collect()[0]["ndv_approx"]
         assert grouped[g] == solo
 
+
+
+def test_histogram_sketch_merges_and_bounds_error(spark):
+    """Sharded partials re-summed == single-pass partials, and each
+    quantile estimate is within one bin width of the exact percentile."""
+    import numpy as np
+
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    vals = [float(((i * 2654435761) % 9973) / 10.0) for i in range(5000)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    lo, hi, bins = 0.0, 1000.0, 200
+    whole = sk.histogram_partials(df, "v", lo, hi, bins)
+    shard_a = sk.histogram_partials(df.filter(F.col("id") % 2 == 0), "v", lo, hi, bins)
+    shard_b = sk.histogram_partials(df.filter(F.col("id") % 2 == 1), "v", lo, hi, bins)
+    merged = shard_a.unionByName(shard_b)
+    qs = [0.5, 0.9, 0.99]
+    est_whole = {r["q"]: r["est"] for r in sk.histogram_quantiles(whole, lo, hi, bins, qs).collect()}
+    est_merged = {r["q"]: r["est"] for r in sk.histogram_quantiles(merged, lo, hi, bins, qs).collect()}
+    assert est_whole == est_merged
+    width = (hi - lo) / bins
+    for q in qs:
+        exact = float(np.quantile(np.array(vals), q))
+        assert abs(est_whole[q] - exact) <= width, (q, est_whole[q], exact)
+
+
+def test_histogram_sketch_clamps_out_of_range(spark):
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, 0.5), (3, 99.5), (4, 250.0), (5, None)],
+        "id long, v double",
+    )
+    rows = {r["bin"]: r["n"] for r in sk.histogram_partials(df, "v", 0.0, 100.0, 10).collect()}
+    assert rows == {0: 2, 9: 2}  # -5 clamps low, 250 clamps high, null dropped
