@@ -800,3 +800,29 @@ def test_histogram_sketch_clamps_out_of_range(spark):
     )
     rows = {r["bin"]: r["n"] for r in sk.histogram_partials(df, "v", 0.0, 100.0, 10).collect()}
     assert rows == {0: 2, 9: 2}  # -5 clamps low, 250 clamps high, null dropped
+
+
+def test_column_stats_one_pass_and_tolerance(spark):
+    """approx NDV within 15% of exact on every column; exact mode is
+    exact; approx plan is a single aggregation over the scan (one
+    shuffle for the final combine, no Expand, no per-column jobs)."""
+    from d2b_dataframework_spark.operators.stats import column_stats
+
+    df = spark.createDataFrame(
+        [(i, i % 97, None if i % 10 == 0 else f"s{i % 503}") for i in range(5000)],
+        "a long, b long, c string",
+    )
+    exact = {r["column"]: r for r in column_stats(df, ndv="exact").collect()}
+    approx = {r["column"]: r for r in column_stats(df, ndv="approx").collect()}
+    assert exact["a"]["ndv"] == 5000 and exact["b"]["ndv"] == 97
+    assert exact["c"]["ndv"] == 503 and exact["c"]["n_nulls"] == 500
+    for c in ("a", "b", "c"):
+        assert abs(approx[c]["ndv"] - exact[c]["ndv"]) <= 0.15 * exact[c]["ndv"]
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert approx[c]["min_str"] == exact[c]["min_str"]
+        assert approx[c]["max_str"] == exact[c]["max_str"]
+        assert approx[c]["n_rows"] == 5000
+    plan = column_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Expand" not in plan
+    with pytest.raises(ValueError, match="ndv"):
+        column_stats(df, ndv="hll")
