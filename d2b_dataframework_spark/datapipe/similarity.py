@@ -735,3 +735,56 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed random projection to ``out_dim`` dimensions: each output
+    component is the exact integer dot of the quantized input vector
+    with a deterministic quantized hyperplane (the LCG planes of
+    :func:`quantized_planes` — stable across runs AND engines, so the
+    projection is oracle-reproducible bit-for-bit).
+
+    The workhorse dimensionality reduction in front of LSH/clustering
+    at corpus scale: a 64-dim float vector becomes ``out_dim`` int64s
+    in one map-side projection (zero shuffle, scan-speed at 100TB),
+    preserving angles in expectation (Johnson-Lindenstrauss). Returns
+    (vec_id, proj: array<long>, proj_norm: double) where proj_norm is
+    the L2 norm of the projection rounded to 6 (a cheap magnitude
+    signal for downstream normalization).
+    """
+    dim = len(df.select(F.col(vec_col)).first()[0])
+    planes = quantized_planes(dim=dim, n_planes=out_dim)
+    staged = df.select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("_q")
+    )
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"_p{i}")
+        for i, plane in enumerate(planes)
+    ]
+    projected = staged.select("vec_id", *comps)
+    proj = F.array(*[F.col(f"_p{i}") for i in range(out_dim)])
+    return projected.select(
+        "vec_id",
+        proj.alias("proj"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    proj, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
+                )
+            ),
+            6,
+        ).alias("proj_norm"),
+    )

@@ -1,35 +1,126 @@
-"""ANALYZE-style column statistics in ONE aggregation pass.
+"""Distributed descriptive statistics with cross-engine-exact results.
 
-The production profile of a 100 TB table must be a single scan:
-``column_stats`` computes row count, per-column null counts, min/max,
-and NDV in one ``agg`` — no explode, no per-column jobs, no second
-pass. NDV modes:
+``DataFrame.stat.corr`` (and any naive double-sum implementation) is
+order-dependent — per-partition float accumulation makes the last few
+ulps a function of the partitioning, so results differ run-to-run and
+engine-to-engine. Here every moment (Σx, Σx², Σxy) is accumulated in
+DECIMAL — exact and order-independent — and the Pearson formula is
+evaluated ONCE on the final sums in fixed-parenthesization double math,
+making the output bit-reproducible on any cluster layout AND matchable
+by the DuckDB oracle.
 
-* ``"approx"`` (default): native ``approx_count_distinct`` (HLL++ in
-  the JVM aggregate — map-side partials, a few KB of state per
-  column). This is the at-scale default; its estimate is
-  implementation-specific, so it is verified by tolerance tests, not
-  the cross-engine oracle.
-* ``"exact"``: ``count_distinct`` per column in the same single agg
-  (Catalyst plans multiple distinct aggregates via one Expand — still
-  one logical pass, but the expanded shuffle is ~n_cols x the table:
-  use only when exact NDV is genuinely required).
-
-For an ORACLE-matchable approximate NDV (same estimate on any engine),
-see operators/ndv_sketch.py — the deterministic HLL the registered
-``table_stats_approx`` query uses. For mergeable/persistable NDV state,
-see operators/sketches.py.
-
-Reference parity: the reference profiles frames with pandas
-``describe()``/``nunique()`` full-frame recomputation (e.g. notebook
-flows around d2b_data/README.md pipelines); this operator is the
-at-scale replacement.
+One aggregation pass computes all moments for all requested column
+pairs (conditional projections inside a single agg — never one scan per
+pair); the result is a single row stacked into tidy (metric_x,
+metric_y, corr) rows. Scale cost: one map-side-combining agg over the
+table, output O(|cols|²) rows.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+def pairwise_pearson(
+    df: DataFrame, cols: list[str], decimals: int = 6
+) -> DataFrame:
+    """Pearson correlation for every unordered pair of ``cols`` in one
+    pass. Returns (metric_x, metric_y, corr, n_rows)."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(_dec(c)).cast("double").alias(f"_s_{c}"))
+        aggs.append(F.sum(_dec(c) * _dec(c)).cast("double").alias(f"_ss_{c}"))
+    for a, b in pairs:
+        aggs.append(F.sum(_dec(a) * _dec(b)).cast("double").alias(f"_sp_{a}_{b}"))
+    row = df.agg(*aggs)
+
+    stack_args: list[Column] = []
+    for a, b in pairs:
+        n, sp = F.col("_n"), F.col(f"_sp_{a}_{b}")
+        sa, sb = F.col(f"_s_{a}"), F.col(f"_s_{b}")
+        ssa, ssb = F.col(f"_ss_{a}"), F.col(f"_ss_{b}")
+        corr = (n * sp - sa * sb) / F.sqrt(
+            (n * ssa - sa * sa) * (n * ssb - sb * sb)
+        )
+        stack_args += [F.lit(a), F.lit(b), F.round(corr, decimals)]
+    return row.select(
+        F.stack(F.lit(len(pairs)), *stack_args).alias("metric_x", "metric_y", "corr"),
+        F.col("_n").cast("long").alias("n_rows"),
+    )
+
+
+def pearson_sql(table: str, cols: list[str], decimals: int = 6) -> str:
+    """The DuckDB twin of :func:`pairwise_pearson` — generated from the
+    same pair list so formula and parenthesization stay in lock-step.
+
+    Operands widen to DECIMAL(19,4): DuckDB stores DECIMAL(≤18) in
+    int64, so an 18×18 product overflows the physical type; width 19
+    forces int128 and the product is an exact DECIMAL(38,8) — the same
+    values Spark's DECIMAL(18,4) × DECIMAL(18,4) → DECIMAL(37,8) holds."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    d = lambda c: f"CAST({c} AS DECIMAL(19,4))"  # noqa: E731
+    sums = ["count(*)::DOUBLE AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM({d(c)}) AS DOUBLE) AS s_{c}")
+        sums.append(f"CAST(SUM({d(c)} * {d(c)}) AS DOUBLE) AS ss_{c}")
+    for a, b in pairs:
+        sums.append(f"CAST(SUM({d(a)} * {d(b)}) AS DOUBLE) AS sp_{a}_{b}")
+    rows = []
+    for a, b in pairs:
+        corr = (
+            f"round((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})), {decimals})"
+        )
+        rows.append(
+            f"SELECT '{a}' AS metric_x, '{b}' AS metric_y, {corr} AS corr, n::BIGINT AS n_rows FROM m"
+        )
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)} FROM {table})\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group z-score feature scaling: (x - mean) / stddev, with the
+    moments accumulated in DECIMAL (exact, partition-independent) and
+    the final math in fixed-parenthesization double.
+
+    Population stddev (÷n) — matches the formula a feature-scaling
+    pipeline fits once and applies everywhere. One agg pass over the
+    table + one broadcast-back join on the (small) group key set; zero
+    variance → null score. At 100TB: the moments frame is |groups| rows
+    — broadcast; the normalization itself is a map-side projection.
+    """
+    keys = by or []
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(_dec(c)).cast("double").alias(f"_s_{c}"))
+        aggs.append(F.sum(_dec(c) * _dec(c)).cast("double").alias(f"_ss_{c}"))
+    moments = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = (
+        df.join(F.broadcast(moments), keys) if keys else df.crossJoin(F.broadcast(moments))
+    )
+    out_cols = []
+    for c in cols:
+        n, s, ss = F.col("_n"), F.col(f"_s_{c}"), F.col(f"_ss_{c}")
+        mean = s / n
+        var = (ss / n) - (mean * mean)
+        z = (F.col(c).cast("double") - mean) / F.sqrt(var)
+        out_cols.append(
+            F.when(var > 0, F.round(z, decimals)).otherwise(F.lit(None)).alias(f"{c}_z")
+        )
+    return joined.select(*df.columns, *out_cols)
 
 
 def column_stats(
@@ -38,10 +129,19 @@ def column_stats(
     ndv: str = "approx",
     rsd: float = 0.05,
 ) -> DataFrame:
-    """One row per column: (column, n_nulls, ndv, min_str, max_str,
-    n_rows). min/max render as strings so heterogeneous column types
-    coexist in one frame. ``rsd`` is the approx-NDV relative standard
-    deviation (approx mode only).
+    """ANALYZE-style column profile in ONE aggregation pass: one row per
+    column, (column, n_nulls, ndv, min_str, max_str, n_rows). min/max
+    render as strings so heterogeneous column types coexist in one
+    frame. ``rsd`` is the approx-NDV relative standard deviation.
+
+    NDV modes: ``"approx"`` (default, the at-scale path) uses the native
+    ``approx_count_distinct`` JVM aggregate — HLL++ map-side partials, a
+    few KB of state per column, verified by tolerance tests (its
+    estimate is implementation-specific, so no cross-engine oracle);
+    ``"exact"`` opts into ``count_distinct``'s Expand (~n_cols x the
+    table shuffled) when exact NDV is genuinely required. For an
+    ORACLE-matchable approximate NDV see operators/ndv_sketch.py; for
+    mergeable/persistable NDV state see operators/sketches.py.
 
     Plan shape: ONE Aggregate over the scan (verified in tests: a
     single Exchange for the final 1-row combine), then a constant-fold

@@ -7450,3 +7450,49 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection 64 -> 16 dims
+    (datapipe/similarity.py:random_projection): exact integer dots with
+    deterministic LCG hyperplanes — the JL-style reduction in front of
+    LSH/clustering at corpus scale. Pure map-side projection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.random_projection(emb, out_dim=16)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("proj")).alias("proj_csv"),
+        "proj_norm",
+    ).orderBy("vec_id")
+
+
+def _sql_random_projection() -> str:
+    planes = sim.quantized_planes(dim=64, n_planes=16)
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(str(w) for w in plane)}]::BIGINT[])"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH planes(plane_id, w) AS (VALUES {plane_rows}),
+qv AS (SELECT vec_id,
+  list_transform(embedding::DOUBLE[], x -> round(x * 1000)::BIGINT) AS q
+  FROM embeddings),
+comp AS (
+  SELECT vec_id, plane_id, list_dot_product(q, w)::BIGINT AS p
+  FROM qv, planes)
+SELECT vec_id,
+  string_agg(p::VARCHAR, ',' ORDER BY plane_id) AS proj_csv,
+  round(sqrt(sum(p::DOUBLE * p::DOUBLE)), 6) AS proj_norm
+FROM comp GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+REGISTRY.update(
+    {
+        "random_projection": QuerySpec(
+            q_random_projection,
+            _sql_random_projection(),
+            "deterministic signed random projection 64->16 (JL reduction)",
+        ),
+    }
+)

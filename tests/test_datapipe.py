@@ -997,3 +997,22 @@ def test_triangle_stats_dedups_and_ignores_direction_and_loops(spark):
     row = triangle_stats(edges).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (3, 3, 1)
     assert row["global_clustering"] == 1.0
+
+
+def test_random_projection_matches_numpy_and_is_projection_only(vectors):
+    """Components equal an int64 numpy matmul with the same quantized
+    planes; the plan is shuffle-free (pure projection)."""
+    import numpy as np
+
+    out = sim.random_projection(vectors, out_dim=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["vec_id"]: r for r in out.collect()}
+    planes = np.array(sim.quantized_planes(dim=64, n_planes=4), dtype=np.int64)
+    for r in vectors.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64) * 1000
+        q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+        expect = planes @ q
+        got = rows[r["vec_id"]]
+        assert list(got["proj"]) == expect.tolist()
+        assert got["proj_norm"] == round(float(np.sqrt((expect.astype(np.float64) ** 2).sum())), 6)

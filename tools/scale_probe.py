@@ -178,6 +178,35 @@ def _containment_boiler(docs):
     )
 
 
+def _triangles(docs, mult=1):
+    # Synthetic co-occurrence graph with CONSTANT average degree: edges
+    # grow with the corpus, the node space grows with mult, so a
+    # degree-ordered wedge join must grow ~linearly in edge count; an
+    # orientation bug (hub fan-out) shows up as superlinear blowup.
+    from d2b_dataframework_spark.datapipe.graph import triangle_stats
+
+    n_nodes = 20000 * mult
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    edges = docs.select(
+        F.pmod(h("ta"), F.lit(n_nodes)).alias("src"),
+        F.pmod(h("tb"), F.lit(n_nodes)).alias("dst"),
+    )
+    return triangle_stats(edges)
+
+
+def _quantiles(docs):
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    hist = sk.histogram_partials(docs, "n_chars", lo=0.0, hi=2000.0, bins=1000)
+    return sk.histogram_quantiles(hist, 0.0, 2000.0, 1000, [0.5, 0.9, 0.99])
+
+
 def _call(build, docs, emb, mult):
     try:
         return build(docs, emb, mult)
@@ -235,6 +264,13 @@ def main() -> None:
         # Round-3: hot-shingle corpus (same footer on every doc) with the
         # index-bucket cap — must stay ~linear; uncapped it is quadratic.
         "containment_capped": lambda d, e: _containment_boiler(d),
+        # Round-3 additions. pq_topk: fixed 4-query LUT scan over the
+        # growing coded corpus — pure projection + top-k, must be ~linear.
+        "pq_topk": lambda d, e: sim.pq_topk(
+            e, base_emb.filter(F.col("vec_id") < 4), k=10
+        ),
+        "triangle_stats": lambda d, e, m=1: _triangles(d, m),
+        "quantile_sketch": lambda d, e: _quantiles(d),
     }
 
     print(f"{'op':20s} {'1x':>8s} {'3x':>8s} {'10x':>8s} {'r3':>6s} {'r10':>6s}")
