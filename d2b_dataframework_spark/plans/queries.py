@@ -7496,3 +7496,58 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed variant of the mergeable histogram sketch: p50/p90 of
+    l_extendedprice PER RETURNFLAG from per-group 1000-bin counters.
+    The group-key path is what a per-day/per-domain latency or size
+    profile store runs at scale: each group ships at most `bins` int64
+    rows regardless of input size, and any subset of stored partials
+    re-aggregates without touching raw data."""
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    li = _t(spark, sf_dir, "lineitem")
+    hist = sk.histogram_partials(
+        li, "l_extendedprice", lo=900.0, hi=105000.0, bins=1000,
+        keys=["l_returnflag"],
+    )
+    return sk.histogram_quantiles(
+        hist, lo=900.0, hi=105000.0, bins=1000, qs=[0.5, 0.9],
+        keys=["l_returnflag"],
+    ).orderBy("l_returnflag", "q")
+
+
+SQL_GROUPED_QUANTILE_SKETCH = """
+WITH h AS (
+  SELECT l_returnflag,
+         LEAST(999, GREATEST(0,
+           floor((l_extendedprice::DOUBLE - 900.0) / (105000.0 - 900.0) * 1000)))::INT AS bin,
+         count(*)::BIGINT AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, bin, n,
+         (sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) - n)::BIGINT AS cum_before,
+         (sum(n) OVER (PARTITION BY l_returnflag))::BIGINT AS total
+  FROM h),
+qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE)),
+hit AS (
+  SELECT c.l_returnflag, qs.q, c.bin, c.n, c.cum_before, c.total
+  FROM qs JOIN c ON c.cum_before < qs.q * c.total
+               AND qs.q * c.total <= c.cum_before + c.n)
+SELECT l_returnflag, q,
+  round(min(900.0 + (bin::DOUBLE + (q * total - cum_before) / n)
+                    * ((105000.0 - 900.0) / 1000)), 6) AS est
+FROM hit GROUP BY l_returnflag, q ORDER BY l_returnflag, q
+"""
+
+
+REGISTRY.update(
+    {
+        "grouped_quantile_sketch": QuerySpec(
+            q_grouped_quantile_sketch,
+            SQL_GROUPED_QUANTILE_SKETCH,
+            "per-group mergeable histogram sketch -> p50/p90 by returnflag",
+        ),
+    }
+)
