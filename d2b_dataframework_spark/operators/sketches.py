@@ -206,3 +206,96 @@ def histogram_quantiles(
         labeled = est.select(*keys, F.lit(float(q)).alias("q"), F.round("est", 6).alias("est"))
         out = labeled if out is None else out.unionByName(labeled)
     return out
+
+
+def _cms_bucket(i: int, key: Column, w: int) -> Column:
+    """Row-``i`` bucket for ``key``: md5-prefix hash (the engine's
+    portable 60-bit hash convention, see operators/ndv_sketch.py) mod
+    ``w``. Deterministic on any engine with md5."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(w)).cast("int")
+
+
+def cms_partials(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable count-min sketch: ``d`` independent hash rows of ``w``
+    exact int64 counters. Answers "how often did key X occur?" over any
+    union of stored partials WITHOUT keeping per-key state: at most
+    ``d*w`` rows per (group, shard) regardless of key cardinality — the
+    frequency analog of the HLL partial store (billions of distinct
+    user-ids/URLs become a fixed few-KB table per day).
+
+    Estimates via :func:`cms_estimate` are biased UP only (collisions
+    add, never subtract): est >= true, with the min over ``d`` rows
+    taming the overcount. Hashing is the md5-prefix convention —
+    deterministic cross-engine, so estimates are oracle-matchable.
+
+    Returns (keys..., row: int, bucket: int, n: long), non-empty cells
+    only. Merge = unionByName + re-sum (plain integer addition, any
+    order).
+    """
+    keys = keys or []
+    key = F.col(key_col)
+    cells = df.filter(key.isNotNull()).select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(i, key, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("_c"),
+    )
+    return cells.groupBy(*keys, "_c.row", "_c.bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-estimate counts for every key in ``probes`` (small frame,
+    broadcast) against a count-min sketch (possibly a re-summed union of
+    shards): est = min over the ``d`` rows of the counter at that key's
+    bucket; a never-incremented bucket reads 0.
+
+    ``d``/``w`` must match the build. Returns probes + (est: long).
+    """
+    merged = cms.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+    key = F.col(key_col)
+    probe_cells = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(i, key, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("_c"),
+    ).select(key_col, "_c.row", "_c.bucket")
+    hits = merged.join(F.broadcast(probe_cells), ["row", "bucket"])
+    est = hits.groupBy(key_col).agg(F.min("n").alias("_hit_min"))
+    return probes.join(est, key_col, "left").select(
+        *probes.columns, F.coalesce(F.col("_hit_min"), F.lit(0)).cast("long").alias("est")
+    )

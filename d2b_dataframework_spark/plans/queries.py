@@ -7551,3 +7551,68 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency store (operators/sketches.py:
+    cms_partials/cms_estimate): event counts per user estimated from a
+    4x256 mergeable counter table instead of per-key state — the shape
+    that answers "how often did this URL/user/token occur" over 100TB
+    from a few KB per shard. w=256 is deliberately undersized for the
+    key cardinality so collisions are real and the min-over-rows logic
+    is actually exercised; est >= exact always (overcount column)."""
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    cms = sk.cms_partials(ev, "user_id", d=4, w=256)
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    out = sk.cms_estimate(cms, probes, "user_id", d=4, w=256)
+    return out.select(
+        "user_id",
+        "n_events",
+        "est",
+        (F.col("est") - F.col("n_events")).cast("long").alias("overcount"),
+    ).orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+
+
+_CMS_BUCKET = (
+    "(('0x' || substr(md5(r.row::VARCHAR || ':' || {key}::VARCHAR), 1, 15))"
+    "::BIGINT % 256)::INT"
+)
+
+SQL_CMS_USER_COUNTS = f"""
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+cells AS (
+  SELECT user_id, r.row, {_CMS_BUCKET.format(key="user_id")} AS bucket
+  FROM ev, range(0, 4) r(row)),
+cms AS (SELECT row, bucket, count(*)::BIGINT AS n FROM cells GROUP BY 1, 2),
+exact AS (SELECT user_id, count(*)::BIGINT AS n_events FROM ev GROUP BY 1),
+probes AS (
+  SELECT user_id, n_events FROM exact
+  ORDER BY n_events DESC, user_id LIMIT 20),
+pc AS (
+  SELECT p.user_id, r.row, {_CMS_BUCKET.format(key="p.user_id")} AS bucket
+  FROM probes p, range(0, 4) r(row)),
+est AS (
+  SELECT pc.user_id, min(cms.n)::BIGINT AS est
+  FROM pc JOIN cms USING (row, bucket) GROUP BY 1)
+SELECT p.user_id, p.n_events, e.est, (e.est - p.n_events)::BIGINT AS overcount
+FROM probes p JOIN est e USING (user_id)
+ORDER BY p.n_events DESC, p.user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "cms_user_counts": QuerySpec(
+            q_cms_user_counts,
+            SQL_CMS_USER_COUNTS,
+            "count-min sketch: mergeable 4x256 counters -> per-user estimates",
+        ),
+    }
+)

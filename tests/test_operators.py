@@ -826,3 +826,27 @@ def test_column_stats_one_pass_and_tolerance(spark):
     assert plan.count("Exchange") == 1 and "Expand" not in plan
     with pytest.raises(ValueError, match="ndv"):
         column_stats(df, ndv="hll")
+
+
+def test_cms_estimate_upper_bounds_and_merges(spark):
+    """est >= exact for every key; unseen keys read 0; sharded partials
+    re-summed give the identical estimates as a single-pass build."""
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 50}") for i in range(4000)], "id long, k string"
+    )
+    whole = sk.cms_partials(df, "k", d=4, w=64)
+    sharded = sk.cms_partials(df.filter(F.col("id") % 2 == 0), "k", d=4, w=64).unionByName(
+        sk.cms_partials(df.filter(F.col("id") % 2 == 1), "k", d=4, w=64)
+    )
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)] + [("missing",)], "k string"
+    )
+    est_w = {r["k"]: r["est"] for r in sk.cms_estimate(whole, probes, "k", d=4, w=64).collect()}
+    est_s = {r["k"]: r["est"] for r in sk.cms_estimate(sharded, probes, "k", d=4, w=64).collect()}
+    assert est_w == est_s
+    exact = {f"k{i}": 80 for i in range(50)}
+    for k, true_n in exact.items():
+        assert est_w[k] >= true_n
+    assert est_w["missing"] >= 0  # may collide, but never negative
