@@ -116,3 +116,74 @@ def global_ntile(
         phase_col, ntile_from_rank(F.col("_grn"), F.lit(total), k).cast("long")
     ).drop("_grn")
     return track(out, *getattr(ranked, "_d2b_persisted", ()))
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline): rows not dominated by any
+    other, where domination means x' <= x AND y' >= y with at least one
+    strict (x is minimized, y maximized — flip signs upstream for other
+    orientations). Equal (x, y) points never dominate each other, so
+    ties all survive.
+
+    Distributed scan shape (same pattern as :func:`global_row_number` —
+    never a single-partition window over the data):
+
+    1. reduce to the per-x maximum y (a dominated-within-column drop);
+    2. range-partition by x; local running-max of y within partitions;
+    3. one tiny driver job collects the per-partition y maxima and
+       broadcasts prefix maxima back as a literal CASE — a point
+       survives iff its y strictly exceeds every y at smaller x
+       (local running max OR earlier partitions' prefix max);
+    4. join survivors back on (x, y) to recover ALL frontier rows.
+
+    The frontier intermediate is |distinct x| rows at most; the only
+    driver-side data is one number per shuffle partition.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    x, y = F.col(x_col), F.col(y_col)
+    best = df.groupBy(x_col).agg(F.max(y).alias("_ymax"))
+    ranged = best.repartitionByRange(n_part, x.asc()).persist()
+    pid = F.spark_partition_id()
+    local_w = (
+        Window.partitionBy(pid)
+        .orderBy(x.asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = ranged.withColumn("_pid", pid).withColumn(
+        "_prev_local", F.max(F.col("_ymax")).over(local_w)
+    )
+    # Tiny job: per-partition max y (≤ n_part rows to the driver).
+    part_max = {
+        r["_pid"]: r["m"]
+        for r in ranged.groupBy(pid.alias("_pid"))
+        .agg(F.max("_ymax").alias("m"))
+        .collect()
+    }
+    prefix: Column = F.lit(None).cast("double")
+    running = None
+    for p in sorted(part_max):
+        if running is not None:
+            prefix = F.when(F.col("_pid") == p, F.lit(running)).otherwise(prefix)
+        m = part_max[p]
+        running = m if running is None or m > running else running
+    prev = F.greatest(
+        F.coalesce(F.col("_prev_local").cast("double"), F.lit(float("-inf"))),
+        F.coalesce(prefix, F.lit(float("-inf"))),
+    )
+    frontier_pts = staged.filter(F.col("_ymax").cast("double") > prev).select(
+        x_col, F.col("_ymax").alias(y_col)
+    )
+    # Plain (not forced-broadcast) semi-join: a typical frontier is tiny
+    # (O(log n) for independent dims) and AQE broadcasts it at runtime,
+    # but an adversarial input can put every point on the frontier — the
+    # shuffle join must stay available for that case.
+    out = df.join(frontier_pts, [x_col, y_col], "left_semi")
+    return track(out, ranged)

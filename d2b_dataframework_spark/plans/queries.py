@@ -7616,3 +7616,48 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (operators/ranking.py:skyline_2d): parts that
+    are undominated on (min price paid DOWN, total quantity sold UP) —
+    the 'cheap and popular' skyline. Range-partitioned running-max scan
+    with broadcast prefix maxima; never a single-partition window."""
+    from d2b_dataframework_spark.operators.ranking import skyline_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    pp = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
+    out = skyline_2d(pp, "min_price", "total_qty")
+    return out.select("part_id", "min_price", "total_qty").orderBy(
+        "min_price", "part_id"
+    )
+
+
+SQL_PARETO_FRONTIER = """
+WITH pp AS (
+  SELECT l_partkey AS part_id, min(l_extendedprice) AS min_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1)
+SELECT part_id, min_price, total_qty FROM pp p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pp o
+  WHERE o.min_price <= p.min_price AND o.total_qty >= p.total_qty
+    AND (o.min_price < p.min_price OR o.total_qty > p.total_qty))
+ORDER BY min_price, part_id
+"""
+
+
+REGISTRY.update(
+    {
+        "pareto_frontier": QuerySpec(
+            q_pareto_frontier,
+            SQL_PARETO_FRONTIER,
+            "2-D skyline: undominated (min price, max quantity) parts",
+        ),
+    }
+)

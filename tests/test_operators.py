@@ -850,3 +850,41 @@ def test_cms_estimate_upper_bounds_and_merges(spark):
     for k, true_n in exact.items():
         assert est_w[k] >= true_n
     assert est_w["missing"] >= 0  # may collide, but never negative
+
+
+def test_skyline_2d_matches_quadratic_reference(spark):
+    """Frontier equals the O(n^2) domination check on a deterministic
+    point cloud with planted ties and duplicate frontier points."""
+    from d2b_dataframework_spark.operators.ranking import skyline_2d
+
+    pts = [(i, float((i * 37) % 101), float((i * 61) % 97)) for i in range(300)]
+    pts += [(1000, 0.0, 96.0), (1001, 0.0, 96.0)]  # duplicate frontier pair
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    expect = set()
+    for i, x, y in pts:
+        dominated = any(
+            ox <= x and oy >= y and (ox < x or oy > y) for _, ox, oy in pts
+        )
+        if not dominated:
+            expect.add(i)
+    assert got == expect
+    assert {1000, 1001} <= got  # equal points never dominate each other
+
+
+def test_skyline_2d_has_no_single_partition_window(spark):
+    from d2b_dataframework_spark.operators.ranking import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(-i)) for i in range(100)], "id long, x double, y double"
+    )
+    out = skyline_2d(df, "x", "y")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the running-max window must be partitioned by SPARK_PARTITION_ID
+    # (a bare `Window [... ORDER BY x]` with no partition spec would be
+    # the single-partition global scan this operator exists to avoid)
+    assert "SPARK_PARTITION_ID" in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "SPARK_PARTITION_ID" in spec
