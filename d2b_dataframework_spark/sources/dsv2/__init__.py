@@ -9,6 +9,9 @@ the pushed filters disappear from the post-scan plan — pushdown you can
 assert from ``explain()``, not just from connector options.
 """
 
+from d2b_dataframework_spark.sources.dsv2.ga4_stream import (  # noqa: F401
+    Ga4RealtimeStreamSource,
+)
 from d2b_dataframework_spark.sources.dsv2.gsc import (  # noqa: F401
     GscRestDataSource,
     register,

@@ -105,3 +105,41 @@ class FailingSheetsTransport(RecordingSheetsTransport):
 
     def append(self, spreadsheet: str, range_: str, values: list) -> None:
         raise RuntimeError("simulated API failure")
+
+
+class DeterministicPollTransport:
+    """Streaming-source double: poll ``seq`` deterministically yields
+    ``seq % 3 + 1`` rows whose values encode the sequence number — so a
+    replay (``readBetweenOffsets``) reproduces byte-identical rows and a
+    test can assert which polls landed purely from the sink contents.
+    ``commit_log`` (option) names a file appended with each committed
+    offset — observable driver-side because Simple stream readers run
+    on the driver."""
+
+    def __init__(self, options: dict):
+        self.commit_log = options.get("commit_log", "")
+
+    def poll(self, endpoint: str, body: dict, seq: int) -> dict:
+        dims = [d["name"] for d in body["dimensions"]]
+        mets = [m["name"] for m in body["metrics"]]
+        return {
+            "dimensionHeaders": [{"name": d} for d in dims],
+            "metricHeaders": [{"name": m} for m in mets],
+            "rows": [
+                {
+                    "dimensionValues": [
+                        {"value": f"{d}-{seq}-{i}"} for d in dims
+                    ],
+                    "metricValues": [
+                        {"value": str(100 * seq + 10 * j + i)}
+                        for j, _ in enumerate(mets)
+                    ],
+                }
+                for i in range(seq % 3 + 1)
+            ],
+        }
+
+    def committed(self, offset: int) -> None:
+        if self.commit_log:
+            with open(self.commit_log, "a") as f:
+                f.write(f"{offset}\n")
