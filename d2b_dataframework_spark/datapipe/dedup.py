@@ -1048,3 +1048,50 @@ def keep_best(
         F.lit(True).alias("kept"),
     )
     return cache.track(decided.unionByName(singles), comp)
+
+
+def soft_dedup_weights(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, every
+    document keeps a TRAINING WEIGHT of 1/|its near-dup cluster| (the
+    "count each semantic unit once in expectation" policy — preserves
+    coverage while removing duplication bias; singletons weigh 1.0).
+
+    Returns (id_col, cluster_id, cluster_size, weight) for EVERY corpus
+    row. Scale shape: connected components over id-only ``pairs`` (the
+    candidate graph from any pair builder), one count per cluster
+    (groupBy on cluster ids — cluster-count-sized), one broadcast-back
+    join keyed on cluster_id; docs outside any pair never shuffle at
+    all beyond the left join.
+    """
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    labeled = corpus.select(F.col(id_col)).join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    clustered = labeled.filter(F.col("cluster_id").isNotNull()).join(
+        sizes, "cluster_id"
+    )
+    singles = labeled.filter(F.col("cluster_id").isNull()).select(
+        id_col,
+        F.col(id_col).alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    out = clustered.select(id_col, "cluster_id", "cluster_size").unionByName(
+        singles
+    )
+    return cache.track(
+        out.select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            F.round(F.lit(1.0) / F.col("cluster_size"), decimals).alias("weight"),
+        ),
+        comp,
+    )

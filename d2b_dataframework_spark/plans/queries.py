@@ -7661,3 +7661,45 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (datapipe/dedup.py:soft_dedup_weights): near-dup
+    clusters from the simhash pair graph yield per-document training
+    weights 1/|cluster| — keep coverage, kill duplication bias; the
+    weighted alternative to keep_best's hard drop."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=3)
+    return dd.soft_dedup_weights(corpus, pairs).orderBy("doc_id")
+
+
+def _sql_soft_dedup_weights() -> str:
+    comp_sql = _sql_dedup_clusters().replace("ORDER BY doc_id", "")
+    return f"""
+WITH comp AS ({comp_sql}),
+corpus AS (SELECT doc_id FROM ({_SQL_DUP_CORPUS_NEAR})),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+          FROM comp GROUP BY 1),
+labeled AS (
+  SELECT c.doc_id, comp.cluster_id
+  FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       round(1.0 / s.cluster_size, 6) AS weight
+FROM labeled l JOIN sizes s ON l.cluster_id = s.cluster_id
+WHERE l.cluster_id IS NOT NULL
+UNION ALL
+SELECT doc_id, doc_id AS cluster_id, 1::BIGINT AS cluster_size, 1.0 AS weight
+FROM labeled WHERE cluster_id IS NULL
+ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "soft_dedup_weights": QuerySpec(
+            q_soft_dedup_weights,
+            _sql_soft_dedup_weights(),
+            "soft dedup: per-doc training weight 1/|near-dup cluster|",
+        ),
+    }
+)

@@ -1016,3 +1016,21 @@ def test_random_projection_matches_numpy_and_is_projection_only(vectors):
         got = rows[r["vec_id"]]
         assert list(got["proj"]) == expect.tolist()
         assert got["proj_norm"] == round(float(np.sqrt((expect.astype(np.float64) ** 2).sum())), 6)
+
+
+def test_soft_dedup_weights_sum_to_semantic_units(spark):
+    """Weights within a cluster sum to 1.0; singletons weigh 1.0; total
+    weight == number of semantic units (clusters + singletons)."""
+    corpus = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    rows = dd.soft_dedup_weights(corpus, pairs).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 8
+    assert by_id[0]["cluster_size"] == 3 and by_id[0]["weight"] == round(1 / 3, 6)
+    assert by_id[5]["cluster_size"] == 2 and by_id[5]["weight"] == 0.5
+    assert by_id[3]["cluster_size"] == 1 and by_id[3]["weight"] == 1.0
+    clusters = {r["cluster_id"] for r in rows}
+    total = sum(r["weight"] for r in rows)
+    assert abs(total - len(clusters)) < 1e-4
