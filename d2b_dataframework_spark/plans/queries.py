@@ -7703,3 +7703,85 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-data screen a finance data-quality suite runs: observed
+    first-significant-digit shares vs the Benford expectation
+    log10(1 + 1/d), with per-digit deviation and the chi-square
+    statistic. One scan + a 9-row aggregate; the digit is extracted
+    lexically (first char of the integral part) so no float log is
+    applied to data values (cross-engine-exact)."""
+    o = _t(spark, sf_dir, "orders")
+    import math
+
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = obs.agg(F.sum("n").cast("long").alias("_t"))
+    # Benford shares as 6dp literals: identical constants on both engines
+    # (an in-engine log10 would differ in the last ulp across libm).
+    bendford_rows = [(d, round(math.log10(1 + 1 / d), 6)) for d in range(1, 10)]
+    bf = o.sparkSession.createDataFrame(bendford_rows, "digit int, expected_share double")
+    return (
+        obs.crossJoin(total)
+        .join(F.broadcast(bf), "digit")
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("observed_share"),
+            "expected_share",
+            F.round(F.col("n") / F.col("_t") - F.col("expected_share"), 6).alias(
+                "deviation"
+            ),
+            F.round(
+                (F.col("n") - F.col("expected_share") * F.col("_t"))
+                * (F.col("n") - F.col("expected_share") * F.col("_t"))
+                / (F.col("expected_share") * F.col("_t")),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _sql_benford_digits() -> str:
+    import math
+
+    rows = ", ".join(
+        f"({d}, {round(math.log10(1 + 1 / d), 6)}::DOUBLE)" for d in range(1, 10)
+    )
+    return f"""
+WITH obs AS (
+  SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS digit,
+         count(*)::BIGINT AS n
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS total FROM obs),
+bf(digit, expected_share) AS (VALUES {rows})
+SELECT obs.digit, obs.n,
+  round(obs.n / t.total, 6) AS observed_share,
+  bf.expected_share,
+  round(obs.n / t.total - bf.expected_share, 6) AS deviation,
+  round((obs.n - bf.expected_share * t.total)
+        * (obs.n - bf.expected_share * t.total)
+        / (bf.expected_share * t.total), 6) AS chi2_term
+FROM obs CROSS JOIN t JOIN bf ON obs.digit = bf.digit
+ORDER BY obs.digit
+"""
+
+
+REGISTRY.update(
+    {
+        "benford_digits": QuerySpec(
+            q_benford_digits,
+            _sql_benford_digits(),
+            "Benford first-digit audit with chi-square terms",
+        ),
+    }
+)
