@@ -102,3 +102,55 @@ def retrieve_topk(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several per-query rankings (lexical +
+    semantic is the classic pair): every (query, doc) scores
+    ``sum over sources of 1/(k + rank)`` — the standard hybrid-search
+    combiner (Cormack et al.; k=60 is the conventional damping).
+
+    Each input needs (query_col, doc_col, rank_col); docs absent from a
+    source simply contribute nothing (no imputation). Per-source terms
+    are rounded to 12dp and summed as DECIMAL(28,12) — exact and
+    order-independent, so the fused ranking is reproducible regardless
+    of source order or partitioning (the engine's cross-engine
+    determinism convention; see datapipe/graph.py). Output: (query_col,
+    doc_col, rrf_score, rank) re-ranked by (score desc, doc asc),
+    optionally truncated to ``top_k``.
+
+    Scale shape: inputs are already top-k-sized per query (bounded), so
+    the union + groupBy moves sources x k rows per query — never corpus
+    rows; the re-rank window partitions by query.
+    """
+    from pyspark.sql import Window
+
+    term = F.round(F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double")), 12)
+    tagged = [
+        r.select(
+            F.col(query_col),
+            F.col(doc_col),
+            term.cast("decimal(28,12)").alias("_term"),
+        )
+        for r in rankings
+    ]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t)
+    fused = unioned.groupBy(query_col, doc_col).agg(
+        F.round(F.sum("_term").cast("double"), 9).alias("rrf_score")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(doc_col).asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(w).cast("long"))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out.select(query_col, doc_col, "rrf_score", "rank")

@@ -7785,3 +7785,81 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (datapipe/retrieval.py:rrf_fuse): the lexical
+    TF-IDF top-5 and the embedding cosine top-5 for two queries fused
+    by reciprocal-rank fusion (k=60) — the standard RAG-stack combiner.
+    Both source rankings are top-k-bounded per query, so fusion moves
+    sources x k rows per query, never corpus rows."""
+    from d2b_dataframework_spark.datapipe.retrieval import (
+        inverted_index,
+        retrieve_topk,
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = retrieve_topk(
+        inverted_index(docs),
+        {"q1": ["spark", "join"], "q2": ["window", "sort"]},
+        docs.agg(F.count(F.lit(1)).cast("double").alias("_n")),
+        k=5,
+    )
+    sem = (
+        sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 2), k=5)
+        .select(
+            F.concat(F.lit("q"), (F.col("query_id") + 1).cast("string")).alias(
+                "query_id"
+            ),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    fused = rrf_fuse(
+        [lex.select("query_id", "doc_id", "rank"), sem], k=60, top_k=5
+    )
+    return fused.orderBy("query_id", "rank")
+
+
+def _sql_hybrid_retrieval_rrf() -> str:
+    lex = SQL_RETRIEVAL_TOPK.replace("ORDER BY query_id, rank", "")
+    sem = SQL_COSINE_TOPK.replace("ORDER BY query_id, rank", "")
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank FROM ({lex}) WHERE query_id IN ('q1', 'q2')),
+sem AS (
+  SELECT 'q' || (query_id + 1)::VARCHAR AS query_id,
+         neighbor_id AS doc_id, rank
+  FROM ({sem}) WHERE query_id < 2),
+u AS (
+  SELECT query_id, doc_id,
+    CAST(round(1.0::DOUBLE / (60.0::DOUBLE + rank::DOUBLE), 12) AS DECIMAL(28,12)) AS term
+  FROM lex
+  UNION ALL
+  SELECT query_id, doc_id,
+    CAST(round(1.0::DOUBLE / (60.0::DOUBLE + rank::DOUBLE), 12) AS DECIMAL(28,12)) AS term
+  FROM sem),
+fused AS (
+  SELECT query_id, doc_id, round(CAST(sum(term) AS DOUBLE), 9) AS rrf_score
+  FROM u GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, rrf_score,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_score DESC, doc_id ASC)::BIGINT AS rank
+  FROM fused)
+SELECT query_id, doc_id, rrf_score, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+REGISTRY.update(
+    {
+        "hybrid_retrieval_rrf": QuerySpec(
+            q_hybrid_retrieval_rrf,
+            _sql_hybrid_retrieval_rrf(),
+            "reciprocal-rank fusion of lexical + embedding rankings (k=60)",
+        ),
+    }
+)

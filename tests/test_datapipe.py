@@ -1034,3 +1034,26 @@ def test_soft_dedup_weights_sum_to_semantic_units(spark):
     clusters = {r["cluster_id"] for r in rows}
     total = sum(r["weight"] for r in rows)
     assert abs(total - len(clusters)) < 1e-4
+
+
+def test_rrf_fuse_combines_and_reranks(spark):
+    """A doc ranked by both sources outscores single-source docs at the
+    same ranks; score equals the closed-form RRF sum; truncation works."""
+    from d2b_dataframework_spark.datapipe.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [("q", 10, 2), ("q", 13, 1)], "query_id string, doc_id long, rank long"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    both = round(round(1 / 61, 12) + round(1 / 62, 12), 9)
+    assert out[10]["rrf_score"] == both and out[10]["rank"] == 1
+    assert out[13]["rrf_score"] == round(round(1 / 61, 12), 9)
+    assert out[11]["rrf_score"] == round(round(1 / 62, 12), 9)
+    # 13 (rank 1 in b -> 1/61) beats 11 (rank 2 in a -> 1/62)
+    assert out[13]["rank"] == 2 and out[11]["rank"] == 3
+    top2 = rrf_fuse([a, b], k=60, top_k=2).collect()
+    assert {r["doc_id"] for r in top2} == {10, 13}
