@@ -7863,3 +7863,75 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality meter: recall@10 of the PQ ADC ranking against the
+    exact cosine top-10 for queries vec_id < 4 — the eval loop every
+    production ANN deployment runs before trusting an index. Both
+    rankings are top-k-bounded; the overlap join moves k rows per
+    query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = sim.brute_force_topk(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_e")
+    )
+    approx = sim.pq_topk(emb, queries, k=10, m=8, ksub=16).select(
+        "query_id", F.col("neighbor_id").alias("doc_a")
+    )
+    overlap = exact.join(
+        approx, (exact.query_id == approx.query_id) & (F.col("doc_e") == F.col("doc_a"))
+    ).groupBy(exact.query_id).agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(10.0), 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_ann_recall() -> str:
+    pq = SQL_PQ_TOPK.replace("ORDER BY query_id, rank", "")
+    return f"""
+WITH exact_r AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY
+      round(list_dot_product(qv, cv)
+            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+      neighbor_id ASC) AS rank
+  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 4) q
+  CROSS JOIN (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+              FROM embeddings) c
+  WHERE neighbor_id <> query_id),
+exact_top AS (SELECT query_id, neighbor_id FROM exact_r WHERE rank <= 10),
+approx_top AS (SELECT query_id, neighbor_id FROM ({pq})),
+ov AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_overlap
+  FROM exact_top e JOIN approx_top a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1)
+SELECT q.vec_id AS query_id,
+  coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+  round(coalesce(ov.n_overlap, 0) / 10.0::DOUBLE, 6) AS recall_at_10
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 4) q
+LEFT JOIN ov ON q.vec_id = ov.query_id
+ORDER BY query_id
+"""
+
+
+REGISTRY.update(
+    {
+        "ann_recall": QuerySpec(
+            q_ann_recall,
+            _sql_ann_recall(),
+            "recall@10 of PQ ADC ranking vs exact cosine top-10",
+        ),
+    }
+)
