@@ -358,3 +358,111 @@ def wav_meta(assets: DataFrame) -> DataFrame:
         .select("asset_id", "content")
         .mapInPandas(run, _WAV_META_SCHEMA)
     )
+
+
+_MP4_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("major_brand", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("timescale", LongType()),
+        StructField("n_boxes", LongType()),
+        StructField("box_types", StringType()),
+    ]
+)
+
+
+def parse_mp4_boxes(content: bytes) -> tuple[str, int, int, int, str] | None:
+    """REAL ISO-BMFF (MP4) box walk, no codec libs: validates the
+    ``ftyp`` leader, walks the top-level box list (32-bit big-endian
+    size + fourcc; size 0 = to-EOF, size 1 = 64-bit largesize), and
+    reads ``mvhd`` (v0/v1) inside ``moov`` for timescale + duration.
+    Returns (major_brand, duration_ms, timescale, n_boxes,
+    comma-joined top-level box types) or None for non-MP4 bytes.
+    duration_ms is floor(duration * 1000 / timescale) (0 when mvhd is
+    absent or timescale is 0)."""
+    if content is None:
+        return None
+    b = bytes(content)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    major = b[8:12].decode("latin-1")
+    i = 0
+    types: list[str] = []
+    duration = timescale = 0
+    while i + 8 <= len(b):
+        size = int.from_bytes(b[i : i + 4], "big")
+        fourcc = b[i + 4 : i + 8].decode("latin-1")
+        header = 8
+        if size == 1 and i + 16 <= len(b):
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            header = 16
+        elif size == 0:
+            size = len(b) - i
+        if size < header:
+            return None  # corrupt box — refuse rather than loop forever
+        types.append(fourcc)
+        if fourcc == "moov":
+            j = i + header
+            end = min(i + size, len(b))
+            while j + 8 <= end:
+                csize = int.from_bytes(b[j : j + 4], "big")
+                cid = b[j + 4 : j + 8]
+                if cid == b"mvhd" and j + 12 <= end:
+                    ver = b[j + 8]
+                    if ver == 1 and j + 40 <= end:
+                        timescale = int.from_bytes(b[j + 28 : j + 32], "big")
+                        duration = int.from_bytes(b[j + 32 : j + 40], "big")
+                    elif ver == 0 and j + 28 <= end:
+                        timescale = int.from_bytes(b[j + 20 : j + 24], "big")
+                        duration = int.from_bytes(b[j + 24 : j + 28], "big")
+                if csize < 8:
+                    break
+                j += csize
+        i += size
+    duration_ms = (duration * 1000) // timescale if timescale else 0
+    return (major, duration_ms, timescale, len(types), ",".join(types))
+
+
+def mp4_meta(assets: DataFrame) -> DataFrame:
+    """ISO-BMFF box scan over video assets (Arrow-batched mapInPandas),
+    completing the container family next to the PNG/JPEG and RIFF/WAVE
+    parsers: brand, duration, timescale and the top-level box map from
+    raw bytes — frame DECODE stays stubbed (no codec libs in the
+    sandbox), the byte-level plumbing is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "major_brand": [],
+                "duration_ms": [],
+                "timescale": [],
+                "n_boxes": [],
+                "box_types": [],
+            }
+            for _, row in pdf.iterrows():
+                parsed = parse_mp4_boxes(row["content"])
+                out["asset_id"].append(row["asset_id"])
+                if parsed is None:
+                    for k in (
+                        "major_brand",
+                        "duration_ms",
+                        "timescale",
+                        "n_boxes",
+                        "box_types",
+                    ):
+                        out[k].append(None)
+                else:
+                    out["major_brand"].append(parsed[0])
+                    out["duration_ms"].append(parsed[1])
+                    out["timescale"].append(parsed[2])
+                    out["n_boxes"].append(parsed[3])
+                    out["box_types"].append(parsed[4])
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "content")
+        .mapInPandas(run, _MP4_META_SCHEMA)
+    )

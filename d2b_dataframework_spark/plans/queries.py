@@ -7935,3 +7935,67 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_video_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF round-trip (datapipe/multimodal.py:mp4_meta): the
+    query synthesizes a valid MP4 skeleton per document IN-ENGINE
+    (ftyp + moov/mvhd v0 with big-endian timescale 1000 and a duration
+    derived from doc_id, assembled with format_string + unhex — pure
+    codegen), then the Arrow-batched box walk parses brand, duration,
+    timescale and the box map back from the raw bytes. The oracle
+    computes the expected values arithmetically — a hash-match proves
+    the byte-level parser, not a stub (the video sibling of
+    image_dimensions)."""
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    dur = (F.col("doc_id") % 9000 + 500).cast("long") * 4
+    mp4_hex = F.concat(
+        # ftyp box: size 16, brand isom, minor version 0
+        F.lit("00000010" + "66747970" + "69736f6d" + "00000000"),
+        # moov (size 116) wrapping mvhd v0 (size 108)
+        F.lit("00000074" + "6d6f6f76" + "0000006c" + "6d766864" + "00000000"),
+        F.lit("0000000000000000"),  # creation/modification time
+        F.lit("000003e8"),  # timescale 1000
+        F.format_string("%08x", dur),
+        F.lit("00" * 80),  # rate/volume/matrix/next-track padding
+    )
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.unhex(mp4_hex).alias("content"),
+    )
+    return (
+        mm.mp4_meta(assets)
+        .select(
+            F.col("asset_id").cast("long").alias("doc_id"),
+            "major_brand",
+            "duration_ms",
+            "timescale",
+            "n_boxes",
+            "box_types",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_VIDEO_DURATION = """
+SELECT doc_id, 'isom' AS major_brand,
+  ((doc_id % 9000 + 500) * 4)::BIGINT AS duration_ms,
+  1000::BIGINT AS timescale,
+  2::BIGINT AS n_boxes,
+  'ftyp,moov' AS box_types
+FROM documents ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "video_duration": QuerySpec(
+            q_video_duration,
+            SQL_VIDEO_DURATION,
+            "MP4 skeleton synthesis + byte-level box-walk parse round-trip",
+        ),
+    }
+)

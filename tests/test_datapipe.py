@@ -1057,3 +1057,28 @@ def test_rrf_fuse_combines_and_reranks(spark):
     assert out[13]["rank"] == 2 and out[11]["rank"] == 3
     top2 = rrf_fuse([a, b], k=60, top_k=2).collect()
     assert {r["doc_id"] for r in top2} == {10, 13}
+
+
+def test_parse_mp4_boxes_edge_cases():
+    from d2b_dataframework_spark.datapipe.multimodal import parse_mp4_boxes
+
+    def box(fourcc: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + fourcc + payload
+
+    mvhd_v0 = box(
+        b"mvhd",
+        bytes([0, 0, 0, 0]) + bytes(8) + (600).to_bytes(4, "big")
+        + (1234).to_bytes(4, "big") + bytes(80),
+    )
+    base = box(b"ftyp", b"mp42" + bytes(4)) + box(b"moov", mvhd_v0)
+    got = parse_mp4_boxes(base)
+    assert got == ("mp42", 1234 * 1000 // 600, 600, 2, "ftyp,moov")
+    # 64-bit largesize mdat + size-0 (to EOF) trailer both walk cleanly
+    large = (1).to_bytes(4, "big") + b"mdat" + (24).to_bytes(8, "big") + bytes(8)
+    tail = (0).to_bytes(4, "big") + b"free" + bytes(4)
+    got2 = parse_mp4_boxes(base + large + tail)
+    assert got2[3] == 4 and got2[4] == "ftyp,moov,mdat,free"
+    # corrupt (size < header) refuses instead of looping
+    assert parse_mp4_boxes(base + (3).to_bytes(4, "big") + b"junk") is None
+    assert parse_mp4_boxes(b"\x00\x00\x00\x08niltfty") is None
+    assert parse_mp4_boxes(None) is None
