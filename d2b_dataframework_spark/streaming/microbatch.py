@@ -573,3 +573,76 @@ def heavy_hitters_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def sketch_store_stream(
+    events: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 1000,
+    ts_col: str = "ts",
+) -> DataStreamWriter:
+    """Continuously maintained quantile-sketch store: every micro-batch
+    reduces to per-day histogram partials (operators/sketches.py —
+    exact int64 bin counters, at most ``bins`` rows per day per batch)
+    which land APPEND-ONLY: because counters merge by plain addition,
+    readers just re-sum whatever rows exist — no upsert, no read-modify
+    -write race, no driver state.
+
+    Exactly-once on replay without transactions: rows carry the
+    micro-batch id and the write is ``partitionBy("batch_id")`` under
+    DYNAMIC partition overwrite, so a replayed batch REPLACES its own
+    partition instead of double-counting — idempotence from the layout,
+    the same trick as the date-sharded sink (sinks/partitioned.py).
+
+    Read side: :func:`sketch_store_quantiles` — p50/p99 over any day
+    range from kilobyte-sized sketch rows, never the raw stream.
+    """
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = sk.histogram_partials(
+            batch_df.withColumn("day", F.to_date(F.col(ts_col))),
+            value_col,
+            lo,
+            hi,
+            bins,
+            keys=["day"],
+        )
+        (
+            hist.withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(store_path)
+        )
+
+    return (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(on_batch)
+    )
+
+
+def sketch_store_quantiles(
+    spark,
+    store_path: str,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 1000,
+    qs: list[float] | None = None,
+) -> DataFrame:
+    """Quantile readout over the accumulated sketch store: re-sums the
+    per-(day, batch) partial counters (any-order exact integer merge)
+    and interpolates per-day estimates. Scans only sketch rows — cost
+    is days x bins, independent of how much raw data streamed through."""
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    spark.catalog.refreshByPath(store_path)
+    hist = spark.read.parquet(store_path).drop("batch_id")
+    return sk.histogram_quantiles(hist, lo, hi, bins, qs or [0.5, 0.99], keys=["day"])

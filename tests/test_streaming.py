@@ -446,3 +446,68 @@ def test_heavy_hitters_stream_tracks_top_items_in_bounded_state(spark, tmp_path)
     # capacity bound: the sketch never tracked more than 16 items, yet the
     # dominant item survived the churn of 40 light items
     assert len({r["item"] for r in out if r["group"] == "a"}) <= 16 + 3
+
+
+def test_sketch_store_stream_accumulates_and_replays_idempotently(spark, tmp_path):
+    """Two micro-batch runs accumulate mergeable partials; the readout
+    equals a single-pass batch sketch over all data; re-writing a batch
+    id replaces (never double-counts) its partition."""
+    from d2b_dataframework_spark.operators import sketches as sk
+    from d2b_dataframework_spark.streaming.microbatch import (
+        run_available_now,
+        sketch_store_quantiles,
+        sketch_store_stream,
+        stream_files,
+    )
+
+    lo, hi, bins = 0.0, 100.0, 50
+    rows1 = [(i, 10, f"2024-01-01 0{i % 10}:00:00", "e", float(i % 100), "{}") for i in range(200)]
+    rows2 = [(1000 + i, 11, f"2024-01-01 1{i % 10}:00:00", "e", float((i * 7) % 100), "{}") for i in range(200)]
+    store = str(tmp_path / "store")
+    schema = "event_id long, user_id long, ts string, event_type string, value double, props string"
+    for n, rows in enumerate([rows1, rows2]):
+        src = str(tmp_path / f"landing{n}")
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).write.parquet(src)
+        q = run_available_now(
+            sketch_store_stream(
+                stream_files(spark, src, EVENTS_SCHEMA_DDL),
+                store,
+                str(tmp_path / f"ckpt{n}"),
+                value_col="value",
+                lo=lo,
+                hi=hi,
+                bins=bins,
+            )
+        )
+        q.awaitTermination(60)
+    got = {
+        (str(r["day"]), r["q"]): r["est"]
+        for r in sketch_store_quantiles(spark, store, lo, hi, bins, [0.5, 0.99]).collect()
+    }
+    all_rows = spark.createDataFrame(rows1 + rows2, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).withColumn("day", F.to_date("ts"))
+    hist = sk.histogram_partials(all_rows, "value", lo, hi, bins, keys=["day"])
+    expect = {
+        (str(r["day"]), r["q"]): r["est"]
+        for r in sk.histogram_quantiles(hist, lo, hi, bins, [0.5, 0.99], keys=["day"]).collect()
+    }
+    assert got == expect
+    # Replay idempotence: rewrite batch 0's rows under the same batch_id
+    # partition — totals must be unchanged (replace, not double-count).
+    pre = spark.read.parquet(store).agg(F.sum("n")).collect()[0][0]
+    batch0 = spark.createDataFrame(rows1, schema).withColumn("ts", F.to_timestamp("ts"))
+    replayed = sk.histogram_partials(
+        batch0.withColumn("day", F.to_date("ts")), "value", lo, hi, bins, keys=["day"]
+    )
+    (
+        replayed.withColumn("batch_id", F.lit(0))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(store)
+    )
+    spark.catalog.refreshByPath(store)
+    assert spark.read.parquet(store).agg(F.sum("n")).collect()[0][0] == pre
