@@ -559,8 +559,14 @@ def _pq_codebook_payload(
         .collect(),
         key=lambda r: r["cid"],
     )
-    if not rows:
-        raise ValueError("pq codebook: corpus has no seed rows (id < ksub)")
+    if [int(r["cid"]) for r in rows] != list(range(ksub)):
+        # The ADC lookup indexes codebook arrays BY POSITION (cid j at
+        # position j+1); sparse or missing seed ids would silently read
+        # the wrong codeword's distance, so refuse instead.
+        raise ValueError(
+            f"pq codebook: seed ids must be exactly 0..{ksub - 1}; got "
+            f"{[int(r['cid']) for r in rows]}"
+        )
     dim = len(rows[0]["qv"])
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m={m}")
@@ -742,6 +748,7 @@ def random_projection(
     out_dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Signed random projection to ``out_dim`` dimensions: each output
     component is the exact integer dot of the quantized input vector
@@ -756,8 +763,17 @@ def random_projection(
     (vec_id, proj: array<long>, proj_norm: double) where proj_norm is
     the L2 norm of the projection rounded to 6 (a cheap magnitude
     signal for downstream normalization).
+
+    Pass ``dim`` when known (avoids an eager probe job); otherwise the
+    input dimension is read from the first row.
     """
-    dim = len(df.select(F.col(vec_col)).first()[0])
+    if dim is None:
+        first = df.select(F.col(vec_col)).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "random_projection: empty input and no dim given — pass dim="
+            )
+        dim = len(first[0])
     planes = quantized_planes(dim=dim, n_planes=out_dim)
     staged = df.select(
         F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("_q")

@@ -220,6 +220,31 @@ def _cms_bucket(i: int, key: Column, w: int) -> Column:
     return F.pmod(h, F.lit(w)).cast("int")
 
 
+def _cms_cells(
+    df: DataFrame, key_col: str, d: int, w: int, keys: list[str] | None = None
+) -> DataFrame:
+    """(keys..., key_col?, row, bucket) cell coordinates for every input
+    row — the ONE place the d-row hash expansion lives, shared by build
+    and probe so their cell shapes cannot drift apart ("d/w must match
+    the build" is the critical invariant)."""
+    key = F.col(key_col)
+    carried = [*(keys or [])] if keys is not None else [key_col]
+    return df.select(
+        *carried,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(i, key, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("_c"),
+    ).select(*carried, "_c.row", "_c.bucket")
+
+
 def cms_partials(
     df: DataFrame,
     key_col: str,
@@ -244,22 +269,8 @@ def cms_partials(
     order).
     """
     keys = keys or []
-    key = F.col(key_col)
-    cells = df.filter(key.isNotNull()).select(
-        *keys,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _cms_bucket(i, key, w).alias("bucket"),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("_c"),
-    )
-    return cells.groupBy(*keys, "_c.row", "_c.bucket").agg(
+    cells = _cms_cells(df.filter(F.col(key_col).isNotNull()), key_col, d, w, keys)
+    return cells.groupBy(*keys, "row", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
 
@@ -274,28 +285,22 @@ def cms_estimate(
     """Point-estimate counts for every key in ``probes`` (small frame,
     broadcast) against a count-min sketch (possibly a re-summed union of
     shards): est = min over the ``d`` rows of the counter at that key's
-    bucket; a never-incremented bucket reads 0.
+    bucket; a never-incremented bucket reads 0 (and that zero wins the
+    min — keys absent from the sketch estimate 0 unless they collide in
+    EVERY row).
 
     ``d``/``w`` must match the build. Returns probes + (est: long).
     """
     merged = cms.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
-    key = F.col(key_col)
-    probe_cells = probes.select(
-        key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _cms_bucket(i, key, w).alias("bucket"),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("_c"),
-    ).select(key_col, "_c.row", "_c.bucket")
-    hits = merged.join(F.broadcast(probe_cells), ["row", "bucket"])
-    est = hits.groupBy(key_col).agg(F.min("n").alias("_hit_min"))
+    probe_cells = _cms_cells(probes, key_col, d, w, keys=None)
+    # LEFT join from the probe cells: a probe bucket the sketch never
+    # incremented reads 0, and that 0 MUST participate in the min — an
+    # inner join would drop empty cells and report the colliding rows'
+    # counts instead (overestimating keys absent from the sketch).
+    hits = F.broadcast(probe_cells).join(merged, ["row", "bucket"], "left")
+    est = hits.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("_est")
+    )
     return probes.join(est, key_col, "left").select(
-        *probes.columns, F.coalesce(F.col("_hit_min"), F.lit(0)).cast("long").alias("est")
+        *probes.columns, F.coalesce(F.col("_est"), F.lit(0)).cast("long").alias("est")
     )

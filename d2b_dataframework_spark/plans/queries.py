@@ -7458,7 +7458,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic LCG hyperplanes — the JL-style reduction in front of
     LSH/clustering at corpus scale. Pure map-side projection."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim.random_projection(emb, out_dim=16)
+    out = sim.random_projection(emb, out_dim=16, dim=64)
     return out.select(
         "vec_id",
         F.concat_ws(",", F.col("proj")).alias("proj_csv"),
@@ -7599,8 +7599,8 @@ pc AS (
   SELECT p.user_id, r.row, {_CMS_BUCKET.format(key="p.user_id")} AS bucket
   FROM probes p, range(0, 4) r(row)),
 est AS (
-  SELECT pc.user_id, min(cms.n)::BIGINT AS est
-  FROM pc JOIN cms USING (row, bucket) GROUP BY 1)
+  SELECT pc.user_id, min(coalesce(cms.n, 0))::BIGINT AS est
+  FROM pc LEFT JOIN cms USING (row, bucket) GROUP BY 1)
 SELECT p.user_id, p.n_events, e.est, (e.est - p.n_events)::BIGINT AS overcount
 FROM probes p JOIN est e USING (user_id)
 ORDER BY p.n_events DESC, p.user_id

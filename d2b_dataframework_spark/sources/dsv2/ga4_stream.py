@@ -94,11 +94,15 @@ class Ga4RealtimeStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, seq: int) -> list[Tuple]:
         # A concrete list, not a generator: the Simple-reader wrapper
         # PICKLES the prefetched records to ship them to executors.
-        names = [f.name for f in self.schema_.fields if f.name != "poll_seq"]
-        return [
-            tuple(rec.get(n) for n in names) + (str(seq),)
-            for rec in flatten_report(self._poll(seq))
-        ]
+        # Tuples are built positionally against the schema ACTUALLY in
+        # force (a user-supplied readStream.schema(...) may reorder
+        # columns), with poll_seq resolved by NAME wherever it sits.
+        names = [f.name for f in self.schema_.fields]
+        out = []
+        for rec in flatten_report(self._poll(seq)):
+            rec = {**rec, "poll_seq": str(seq)}
+            out.append(tuple(rec.get(n) for n in names))
+        return out
 
     # -- streaming contract --------------------------------------------------
     def initialOffset(self) -> dict:

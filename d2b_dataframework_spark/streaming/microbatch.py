@@ -592,16 +592,25 @@ def sketch_store_stream(
     readers just re-sum whatever rows exist — no upsert, no read-modify
     -write race, no driver state.
 
-    Exactly-once on replay without transactions: rows carry the
-    micro-batch id and the write is ``partitionBy("batch_id")`` under
-    DYNAMIC partition overwrite, so a replayed batch REPLACES its own
-    partition instead of double-counting — idempotence from the layout,
-    the same trick as the date-sharded sink (sinks/partitioned.py).
+    Exactly-once on replay without transactions: rows carry a commit
+    key of (checkpoint-hash, batch_id) and the write is
+    ``partitionBy("commit_key")`` under DYNAMIC partition overwrite, so
+    a replayed batch REPLACES its own partition instead of
+    double-counting — idempotence from the layout, the same trick as
+    the date-sharded sink (sinks/partitioned.py). The checkpoint hash
+    matters: batch ids restart at 0 per checkpoint, so keying on the
+    bare batch_id would let a SECOND query (or a fresh-checkpoint
+    rerun) writing the same store clobber the first run's partials
+    instead of accumulating alongside them.
 
     Read side: :func:`sketch_store_quantiles` — p50/p99 over any day
     range from kilobyte-sized sketch rows, never the raw stream.
     """
+    import hashlib
+
     from d2b_dataframework_spark.operators import sketches as sk
+
+    run_key = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -615,8 +624,8 @@ def sketch_store_stream(
             keys=["day"],
         )
         (
-            hist.withColumn("batch_id", F.lit(batch_id))
-            .write.partitionBy("batch_id")
+            hist.withColumn("commit_key", F.lit(f"{run_key}-{batch_id}"))
+            .write.partitionBy("commit_key")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(store_path)
@@ -644,5 +653,5 @@ def sketch_store_quantiles(
     from d2b_dataframework_spark.operators import sketches as sk
 
     spark.catalog.refreshByPath(store_path)
-    hist = spark.read.parquet(store_path).drop("batch_id")
+    hist = spark.read.parquet(store_path).drop("commit_key")
     return sk.histogram_quantiles(hist, lo, hi, bins, qs or [0.5, 0.99], keys=["day"])

@@ -885,3 +885,18 @@ def test_skyline_2d_has_no_single_partition_window(spark):
     # the single-partition global scan this operator exists to avoid)
     assert "SPARK_PARTITION_ID" in plan
     assert plan.count("Window [") == 1
+
+
+def test_cms_absent_key_estimates_zero_via_empty_cells(spark):
+    """A key absent from the sketch must estimate 0 when ANY of its d
+    buckets is empty — the empty cell's implicit 0 wins the min (an
+    inner-join implementation would report colliding rows' counts)."""
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(i, "only") for i in range(10)], "id long, k string")
+    cms = sk.cms_partials(df, "k", d=4, w=64)
+    probes = spark.createDataFrame([("only",), ("ghost",)], "k string")
+    est = {r["k"]: r["est"] for r in sk.cms_estimate(cms, probes, "k", d=4, w=64).collect()}
+    assert est["only"] == 10
+    # 'ghost' would need to collide with 'only' in ALL 4 rows (p ~ 64^-4)
+    assert est["ghost"] == 0

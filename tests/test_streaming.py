@@ -449,9 +449,12 @@ def test_heavy_hitters_stream_tracks_top_items_in_bounded_state(spark, tmp_path)
 
 
 def test_sketch_store_stream_accumulates_and_replays_idempotently(spark, tmp_path):
-    """Two micro-batch runs accumulate mergeable partials; the readout
-    equals a single-pass batch sketch over all data; re-writing a batch
-    id replaces (never double-counts) its partition."""
+    """Two runs (separate checkpoints — distinct commit keys) ACCUMULATE:
+    the readout equals a single-pass batch sketch over all data and the
+    stored counts sum to both runs combined; replaying a batch under its
+    original commit key replaces (never double-counts) its partition."""
+    import hashlib
+
     from d2b_dataframework_spark.operators import sketches as sk
     from d2b_dataframework_spark.streaming.microbatch import (
         run_available_now,
@@ -461,8 +464,11 @@ def test_sketch_store_stream_accumulates_and_replays_idempotently(spark, tmp_pat
     )
 
     lo, hi, bins = 0.0, 100.0, 50
+    # DIFFERENT sizes and shapes: losing either run must change both the
+    # stored totals and the quantile readout (a symmetric pair would
+    # make cross-run clobbering invisible to every assertion below).
     rows1 = [(i, 10, f"2024-01-01 0{i % 10}:00:00", "e", float(i % 100), "{}") for i in range(200)]
-    rows2 = [(1000 + i, 11, f"2024-01-01 1{i % 10}:00:00", "e", float((i * 7) % 100), "{}") for i in range(200)]
+    rows2 = [(1000 + i, 11, f"2024-01-01 1{i % 10}:00:00", "e", float((i * i) % 37), "{}") for i in range(300)]
     store = str(tmp_path / "store")
     schema = "event_id long, user_id long, ts string, event_type string, value double, props string"
     for n, rows in enumerate([rows1, rows2]):
@@ -482,6 +488,8 @@ def test_sketch_store_stream_accumulates_and_replays_idempotently(spark, tmp_pat
             )
         )
         q.awaitTermination(60)
+    spark.catalog.refreshByPath(store)
+    assert spark.read.parquet(store).agg(F.sum("n")).collect()[0][0] == 500
     got = {
         (str(r["day"]), r["q"]): r["est"]
         for r in sketch_store_quantiles(spark, store, lo, hi, bins, [0.5, 0.99]).collect()
@@ -495,19 +503,19 @@ def test_sketch_store_stream_accumulates_and_replays_idempotently(spark, tmp_pat
         for r in sk.histogram_quantiles(hist, lo, hi, bins, [0.5, 0.99], keys=["day"]).collect()
     }
     assert got == expect
-    # Replay idempotence: rewrite batch 0's rows under the same batch_id
-    # partition — totals must be unchanged (replace, not double-count).
-    pre = spark.read.parquet(store).agg(F.sum("n")).collect()[0][0]
+    # Replay idempotence: rewrite run 0's batch 0 under its ORIGINAL
+    # commit key (checkpoint-hash + batch id) — totals must be unchanged.
+    run_key = hashlib.md5(str(tmp_path / "ckpt0").encode()).hexdigest()[:12]
     batch0 = spark.createDataFrame(rows1, schema).withColumn("ts", F.to_timestamp("ts"))
     replayed = sk.histogram_partials(
         batch0.withColumn("day", F.to_date("ts")), "value", lo, hi, bins, keys=["day"]
     )
     (
-        replayed.withColumn("batch_id", F.lit(0))
-        .write.partitionBy("batch_id")
+        replayed.withColumn("commit_key", F.lit(f"{run_key}-0"))
+        .write.partitionBy("commit_key")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(store)
     )
     spark.catalog.refreshByPath(store)
-    assert spark.read.parquet(store).agg(F.sum("n")).collect()[0][0] == pre
+    assert spark.read.parquet(store).agg(F.sum("n")).collect()[0][0] == 500
