@@ -541,17 +541,24 @@ def _pq_codebook_payload(
     ksub: int,
     id_col: str,
     vec_col: str,
+    train_iters: int = 0,
 ) -> tuple[list[list[dict]], int]:
-    """Seed-only PQ codebooks: the ``ksub`` lowest-id corpus vectors,
-    cut into ``m`` subvectors each, quantized to exact integers
-    (round(x*1000) — the same cross-engine-deterministic convention as
-    datapipe/clustering.py). Returns (payload[m][ksub], subdim).
+    """PQ codebooks as rational centroids {cid, s: sum vector, ss: s.s,
+    n: member count}: seeded from the ``ksub`` lowest-id corpus vectors
+    (n=1 — the seed IS the centroid), then optionally refined with
+    ``train_iters`` Lloyd passes per subspace (encode against current
+    codebooks, re-center each codeword on its members' exact integer
+    subvector sums — the same rational-decomposition arithmetic as
+    datapipe/clustering.py; codewords with no members keep their
+    previous centroid). Returns (payload[m][ksub], subdim).
 
     Codebooks are MODEL PARAMETERS (m * ksub * subdim numbers — a few KB
-    regardless of corpus size): at scale you would train them offline
-    with kmeans_assignments per subspace; seed-only training keeps the
-    oracle exactly reproducible while the ENCODE/ADC scan — the part
-    whose cost grows with the corpus — is identical either way.
+    regardless of corpus size); each training pass is one corpus scan +
+    an m x ksub x subdim cell aggregate (bounded, partial-combined
+    map-side). ``train_iters=0`` keeps seed-only codebooks, whose n=1
+    arithmetic is bit-identical to the registered oracle; trained
+    codebooks trade that oracle-exactness for recall (measured by the
+    ann_recall query's harness).
     """
     rows = sorted(
         corpus.filter(F.col(id_col) < ksub)
@@ -581,10 +588,74 @@ def _pq_codebook_payload(
                     "cid": int(r["cid"]),
                     "s": [float(v) for v in s],
                     "ss": float(sum(v * v for v in s)),
+                    "n": 1.0,
                 }
             )
         payload.append(entries)
+    for _ in range(int(train_iters)):
+        payload = _pq_train_pass(corpus, payload, d, id_col, vec_col)
     return payload, d
+
+
+def _pq_train_pass(
+    corpus: DataFrame,
+    payload: list[list[dict]],
+    d: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[dict]]:
+    """One Lloyd pass per subspace: encode against the current
+    codebooks, then re-center every codeword on its members' EXACT
+    integer subvector sums (one corpus scan; the shuffle carries
+    m x ksub x d partial cells, independent of corpus size)."""
+    m = len(payload)
+    enc = _pq_encoded(corpus, payload, d, id_col, vec_col, keep_subvectors=True)
+    cells = (
+        enc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(sub).alias("sub"),
+                            F.element_at(F.col("codes"), sub + 1).alias("code"),
+                            F.col(f"_sv{sub}").alias("sv"),
+                        )
+                        for sub in range(m)
+                    ]
+                )
+            ).alias("_c")
+        )
+        .select("_c.sub", "_c.code", F.posexplode("_c.sv").alias("dim", "val"))
+        .groupBy("sub", "code", "dim")
+        .agg(F.sum(F.col("val").cast("long")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sums: dict[tuple[int, int], dict[int, int]] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for row in cells:
+        sums.setdefault((int(row["sub"]), int(row["code"])), {})[int(row["dim"])] = int(
+            row["s"]
+        )
+        counts[(int(row["sub"]), int(row["code"]))] = int(row["n"])
+    out = []
+    for sub, entries in enumerate(payload):
+        new_entries = []
+        for e in entries:
+            key = (sub, int(e["cid"]))
+            if key in sums:
+                s = [float(sums[key][i]) for i in range(d)]
+                new_entries.append(
+                    {
+                        "cid": int(e["cid"]),
+                        "s": s,
+                        "ss": float(sum(v * v for v in s)),
+                        "n": float(counts[key]),
+                    }
+                )
+            else:  # memberless codeword: keep its previous centroid
+                new_entries.append(e)
+        out.append(new_entries)
+    return out
 
 
 def _pq_codebook_literal(payload: list[list[dict]]) -> Column:
@@ -592,7 +663,7 @@ def _pq_codebook_literal(payload: list[list[dict]]) -> Column:
     note on from_json vs nested F.lit trees)."""
     return F.from_json(
         F.lit(json.dumps(payload)),
-        "array<array<struct<cid: bigint, s: array<double>, ss: double>>>",
+        "array<array<struct<cid: bigint, s: array<double>, ss: double, n: double>>>",
     )
 
 
@@ -602,6 +673,7 @@ def _pq_encoded(
     d: int,
     id_col: str,
     vec_col: str,
+    keep_subvectors: bool = False,
 ) -> DataFrame:
     """(vec_id, codes array<bigint>) — nearest codeword per subspace by
     exact quantized squared-L2 (ties -> lowest cid). Pure map-side
@@ -628,8 +700,17 @@ def _pq_encoded(
     def _neg_dist_fn(sv: Column, svv: Column):
         # Single-parameter lambda via closure (a default-arg lambda would
         # read as a 3-arg HOF function to pyspark's arity inspection).
+        # Rational-centroid distance x.x - (2 x.s)/n + s.s/n^2; for the
+        # seed codebooks n == 1.0 and IEEE division by 1.0 is an exact
+        # identity, so this is bit-identical to the n-free oracle form.
         return lambda ce: F.struct(
-            (-(svv - F.lit(2.0) * dot(sv, ce["s"]) + ce["ss"])).alias("neg_d"),
+            (
+                -(
+                    svv
+                    - (F.lit(2.0) * dot(sv, ce["s"])) / ce["n"]
+                    + ce["ss"] / (ce["n"] * ce["n"])
+                )
+            ).alias("neg_d"),
             (-ce["cid"]).alias("neg_cid"),
         )
 
@@ -641,8 +722,15 @@ def _pq_encoded(
             F.transform(F.element_at(cb, sub + 1), _neg_dist_fn(sv, svv))
         )
         code_cols.append((-best["neg_cid"]).alias(f"_c{sub}"))
-    return staged.select("vec_id", *code_cols).select(
-        "vec_id", F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes")
+    coded = staged.select(
+        "vec_id",
+        *code_cols,
+        *([F.col(f"_sv{s}") for s in range(m)] if keep_subvectors else []),
+    )
+    return coded.select(
+        "vec_id",
+        F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"),
+        *([F.col(f"_sv{s}") for s in range(m)] if keep_subvectors else []),
     )
 
 
@@ -652,6 +740,7 @@ def pq_encode(
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """Product-quantization encode: each vector becomes ``m`` codeword
     ids (one per subspace) — a ``dim*4``-byte float vector compresses to
@@ -663,7 +752,9 @@ def pq_encode(
     this extends the build brief's similarity-search surface alongside
     ivf_topk / quantize_int8.
     """
-    payload, d = _pq_codebook_payload(corpus, m, ksub, id_col, vec_col)
+    payload, d = _pq_codebook_payload(
+        corpus, m, ksub, id_col, vec_col, train_iters=train_iters
+    )
     return _pq_encoded(corpus, payload, d, id_col, vec_col)
 
 
@@ -676,6 +767,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (ADC): corpus vectors are scanned as
     ``m``-byte codes; each (small, broadcast) query precomputes an
@@ -691,7 +783,9 @@ def pq_topk(
     doubles, so ranks are engine-reproducible (ties -> lowest id).
     """
     qid = query_id_col or id_col
-    payload, d = _pq_codebook_payload(corpus, m, ksub, id_col, vec_col)
+    payload, d = _pq_codebook_payload(
+        corpus, m, ksub, id_col, vec_col, train_iters=train_iters
+    )
     encoded = _pq_encoded(corpus, payload, d, id_col, vec_col)
     cb = _pq_codebook_literal(payload)
     # Query-side LUT: array<array<double>> — lut[sub][j] = ||q_sub - c_j||^2,
@@ -708,10 +802,12 @@ def pq_topk(
         *[dot(F.col(f"_qs{s}"), F.col(f"_qs{s}")).alias(f"_qvv{s}") for s in range(m)],
     )
     def _lut_fn(sub: int):
+        # Same rational form as _neg_dist_fn (n == 1.0 for seed
+        # codebooks -> bit-identical to the oracle's n-free expression).
         return lambda ce: (
             F.col(f"_qvv{sub}")
-            - F.lit(2.0) * dot(F.col(f"_qs{sub}"), ce["s"])
-            + ce["ss"]
+            - (F.lit(2.0) * dot(F.col(f"_qs{sub}"), ce["s"])) / ce["n"]
+            + ce["ss"] / (ce["n"] * ce["n"])
         )
 
     lut = F.array(

@@ -1082,3 +1082,32 @@ def test_parse_mp4_boxes_edge_cases():
     assert parse_mp4_boxes(base + (3).to_bytes(4, "big") + b"junk") is None
     assert parse_mp4_boxes(b"\x00\x00\x00\x08niltfty") is None
     assert parse_mp4_boxes(None) is None
+
+
+def test_pq_training_improves_recall_and_stays_valid(spark):
+    """2 Lloyd passes per subspace must not hurt (and on a clustered
+    cloud should help) recall@5 vs seed-only codebooks; codes stay in
+    range after training even when codewords lose all members."""
+    import math
+
+    rows = []
+    for i in range(48):
+        c = i % 4  # 4 tight clusters
+        base = [math.sin(0.37 * (c + 1) * (d + 1)) for d in range(64)]
+        rows.append((i, [b + 0.02 * math.sin(1.7 * i * (d + 2)) for d, b in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(df, queries, k=5).collect()
+    }
+
+    def recall(train_iters):
+        approx = sim.pq_topk(df, queries, k=5, m=8, ksub=8, train_iters=train_iters)
+        hits = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        return len(hits & exact) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0
+    codes = sim.pq_encode(df, m=8, ksub=8, train_iters=2).collect()
+    assert all(0 <= c < 8 for r in codes for c in r["codes"])
