@@ -822,7 +822,16 @@ def pq_topk(
             F.element_at(F.col("lut"), sub + 1),
             F.element_at(F.col("codes"), sub + 1).cast("int") + 1,
         )
+        if train_iters > 0:
+            # Trained centroids make the subspace distances non-integral
+            # doubles, so a plain float sum would depend on addition
+            # order (an oracle's GROUP BY sums in arbitrary order).
+            # Round each term to 6dp and sum as DECIMAL — exact and
+            # order-independent, the engine's determinism convention.
+            term = F.round(term, 6).cast("decimal(28,12)")
         adc = term if adc is None else adc + term
+    if train_iters > 0:
+        adc = adc.cast("double")
     scored = (
         encoded.withColumnRenamed("vec_id", "neighbor_id")
         .crossJoin(F.broadcast(q))

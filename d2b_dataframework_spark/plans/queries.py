@@ -7999,3 +7999,91 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-10 with ONE Lloyd training pass per subspace
+    (datapipe/similarity.py:_pq_train_pass): codebooks re-center on
+    exact integer member sums, distances take the rational
+    x.x - (2 x.s)/n + s.s/n^2 form, and per-subspace terms sum as
+    6dp-rounded DECIMAL so the ADC total is order-independent — the
+    trained path under the same exact-value oracle gate as the seed
+    path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = sim.pq_topk(emb, queries, k=10, m=8, ksub=16, train_iters=1)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+_PQ_RATIONAL_DIST = (
+    "(s.svv - (2.0 * list_dot_product(s.sv, c.s)) / c.n + c.ss / (c.n * c.n))"
+)
+
+SQL_PQ_TOPK_TRAINED = f"""
+WITH x AS (SELECT vec_id, list_transform(embedding::DOUBLE[], v -> round(v * 1000)) AS qv
+      FROM embeddings),
+subs AS (
+  SELECT vec_id, t.sub, list_slice(qv, t.sub * 8 + 1, t.sub * 8 + 8) AS sv
+  FROM x, range(0, 8) t(sub)),
+subs2 AS (SELECT vec_id, sub, sv, list_dot_product(sv, sv) AS svv FROM subs),
+cb0 AS (SELECT vec_id AS cid, sub, sv AS s, svv AS ss, 1.0 AS n
+        FROM subs2 WHERE vec_id < 16),
+enc0 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT s.vec_id, s.sub, c.cid,
+      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        {_PQ_RATIONAL_DIST} ASC, c.cid ASC) AS rn
+    FROM subs2 s JOIN cb0 c ON s.sub = c.sub) WHERE rn = 1),
+cells AS (
+  SELECT e.sub, e.cid AS code, t.i AS dim,
+    sum(s.sv[t.i])::BIGINT AS sd, count(*)::BIGINT AS cnt
+  FROM enc0 e JOIN subs2 s ON e.vec_id = s.vec_id AND e.sub = s.sub,
+       range(1, 9) t(i)
+  GROUP BY 1, 2, 3),
+upd AS (
+  SELECT sub, code AS cid, list(sd::DOUBLE ORDER BY dim) AS s,
+         max(cnt)::DOUBLE AS n
+  FROM cells GROUP BY 1, 2),
+cb1 AS (
+  SELECT c0.sub, c0.cid,
+    coalesce(u.s, c0.s) AS s,
+    list_dot_product(coalesce(u.s, c0.s), coalesce(u.s, c0.s)) AS ss,
+    coalesce(u.n, c0.n) AS n
+  FROM cb0 c0 LEFT JOIN upd u ON c0.sub = u.sub AND c0.cid = u.cid),
+enc1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT s.vec_id, s.sub, c.cid,
+      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        {_PQ_RATIONAL_DIST} ASC, c.cid ASC) AS rn
+    FROM subs2 s JOIN cb1 c ON s.sub = c.sub) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, sub, sv, svv FROM subs2 WHERE vec_id < 2),
+lut AS (
+  SELECT s.vec_id AS query_id, c.sub, c.cid, {_PQ_RATIONAL_DIST} AS dsub
+  FROM (SELECT vec_id, sub, sv, svv FROM subs2 WHERE vec_id < 2) s
+  JOIN cb1 c ON s.sub = c.sub),
+scores AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+    CAST(sum(CAST(round(l.dsub, 6) AS DECIMAL(28,12))) AS DOUBLE) AS adc
+  FROM enc1 e JOIN lut l ON e.sub = l.sub AND e.cid = l.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(adc, 6) ASC, neighbor_id ASC) AS rank
+  FROM scores)
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+REGISTRY.update(
+    {
+        "pq_topk_trained": QuerySpec(
+            q_pq_topk_trained,
+            SQL_PQ_TOPK_TRAINED,
+            "PQ ADC top-k after one Lloyd pass (rational centroids, decimal ADC)",
+        ),
+    }
+)
