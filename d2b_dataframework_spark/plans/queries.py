@@ -8058,7 +8058,6 @@ enc1 AS (
       row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
         {_PQ_RATIONAL_DIST} ASC, c.cid ASC) AS rn
     FROM subs2 s JOIN cb1 c ON s.sub = c.sub) WHERE rn = 1),
-q AS (SELECT vec_id AS query_id, sub, sv, svv FROM subs2 WHERE vec_id < 2),
 lut AS (
   SELECT s.vec_id AS query_id, c.sub, c.cid, {_PQ_RATIONAL_DIST} AS dsub
   FROM (SELECT vec_id, sub, sv, svv FROM subs2 WHERE vec_id < 2) s
