@@ -2088,6 +2088,22 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # entries from the front; without this the newest queries would sit
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
+    # round-3 second sweep (newest of all)
+    "pq_topk_trained",
+    "pq_topk",
+    "pq_encode",
+    "ann_recall",
+    "hybrid_retrieval_rrf",
+    "triangle_stats",
+    "quantile_sketch",
+    "grouped_quantile_sketch",
+    "cms_user_counts",
+    "random_projection",
+    "pareto_frontier",
+    "soft_dedup_weights",
+    "benford_digits",
+    "video_duration",
+    # round-3 first sweep
     "table_stats_approx",
     "daily_active_hll",
     "dedup_keep_best",
