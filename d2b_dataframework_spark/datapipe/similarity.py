@@ -674,6 +674,7 @@ def _pq_encoded(
     id_col: str,
     vec_col: str,
     keep_subvectors: bool = False,
+    extra: dict | None = None,
 ) -> DataFrame:
     """(vec_id, codes array<bigint>) — nearest codeword per subspace by
     exact quantized squared-L2 (ties -> lowest cid). Pure map-side
@@ -686,14 +687,17 @@ def _pq_encoded(
     """
     m = len(payload)
     cb = _pq_codebook_literal(payload)
+    extra = extra or {}
     staged = corpus.select(
         F.col(id_col).alias("vec_id"),
+        *[expr.alias(name) for name, expr in extra.items()],
         *[
             F.slice(_quantize(F.col(vec_col)), sub * d + 1, d).alias(f"_sv{sub}")
             for sub in range(m)
         ],
     ).select(
         "vec_id",
+        *extra,
         *[F.col(f"_sv{s}") for s in range(m)],
         *[dot(F.col(f"_sv{s}"), F.col(f"_sv{s}")).alias(f"_svv{s}") for s in range(m)],
     )
@@ -724,11 +728,13 @@ def _pq_encoded(
         code_cols.append((-best["neg_cid"]).alias(f"_c{sub}"))
     coded = staged.select(
         "vec_id",
+        *extra,
         *code_cols,
         *([F.col(f"_sv{s}") for s in range(m)] if keep_subvectors else []),
     )
     return coded.select(
         "vec_id",
+        *extra,
         F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes"),
         *([F.col(f"_sv{s}") for s in range(m)] if keep_subvectors else []),
     )
@@ -908,4 +914,148 @@ def random_projection(
             ),
             6,
         ).alias("proj_norm"),
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    train_iters: int = 0,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN architecture (FAISS
+    IndexIVFPQ) as a DataFrame plan — a coarse quantizer routes every vector
+    to one of ``nlist`` inverted lists (map-side cosine argmax against a
+    constant-folded centroid literal, exactly :func:`ivf_topk`'s
+    assignment), the corpus is stored as ``m``-byte PQ codes, and a
+    query ADC-scans ONLY its ``nprobe`` probed lists.
+
+    Why this shape wins at 100TB: the scan touches (id, list_id, codes)
+    — 32x less I/O than raw vectors — AND only nprobe/nlist of it when
+    the store is partitioned by list_id (partition pruning); scoring is
+    m lookups + a sum per candidate. Both reductions compose: this is
+    the operator that turns a trillion-vector store into an
+    interactive query.
+
+    Coarse + PQ assignment and codes are computed in ONE projection
+    over the corpus scan (no self-join); candidate generation is a
+    broadcast equi-join on list_id; the only shuffle is the final
+    per-query top-k window.
+    """
+    qid = query_id_col or id_col
+    # Coarse centroids: seed vectors (swap in trained KMeans centers at
+    # scale; plan shape identical — see ivf_topk).
+    cent_rows = sorted(
+        corpus.filter(F.col(id_col) < nlist)
+        .select(F.col(id_col).alias("list_id"), _as_double(F.col(vec_col)).alias("centroid"))
+        .collect(),
+        key=lambda r: r["list_id"],
+    )
+    cent_payload = [
+        {
+            "list_id": int(r["list_id"]),
+            "cvec": [float(x) for x in r["centroid"]],
+            "cnorm": float(np.sqrt(sum(x * x for x in r["centroid"]))),
+        }
+        for r in cent_rows
+    ]
+    cent_arr = F.from_json(
+        F.lit(json.dumps(cent_payload)),
+        "array<struct<list_id: bigint, cvec: array<double>, cnorm: double>>",
+    )
+
+    def _cent_sims(vec: Column) -> Column:
+        vnorm = norm(vec)
+        return F.transform(
+            cent_arr,
+            lambda ce: F.struct(
+                F.round(dot(vec, ce["cvec"]) / (vnorm * ce["cnorm"]), 6).alias("sim"),
+                ce["list_id"].alias("list_id"),
+            ),
+        )
+
+    assign_expr = -F.array_max(
+        F.transform(
+            _cent_sims(_as_double(F.col(vec_col))),
+            lambda s: F.struct(s["sim"].alias("sim"), (-s["list_id"]).alias("neg_id")),
+        )
+    )["neg_id"]
+
+    payload, d = _pq_codebook_payload(
+        corpus, m, ksub, id_col, vec_col, train_iters=train_iters
+    )
+    coded = _pq_encoded(
+        corpus, payload, d, id_col, vec_col, extra={"list_id": assign_expr}
+    )
+
+    cb = _pq_codebook_literal(payload)
+    staged_q = queries.select(
+        F.col(qid).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        *[
+            F.slice(_quantize(F.col(vec_col)), sub * d + 1, d).alias(f"_qs{sub}")
+            for sub in range(m)
+        ],
+    ).select(
+        "query_id",
+        "_qv",
+        *[F.col(f"_qs{s}") for s in range(m)],
+        *[dot(F.col(f"_qs{s}"), F.col(f"_qs{s}")).alias(f"_qvv{s}") for s in range(m)],
+    )
+
+    def _lut_fn(sub: int):
+        return lambda ce: (
+            F.col(f"_qvv{sub}")
+            - (F.lit(2.0) * dot(F.col(f"_qs{sub}"), ce["s"])) / ce["n"]
+            + ce["ss"] / (ce["n"] * ce["n"])
+        )
+
+    lut = F.array(
+        *[F.transform(F.element_at(cb, sub + 1), _lut_fn(sub)) for sub in range(m)]
+    )
+    top_probes = F.slice(
+        F.sort_array(
+            F.transform(
+                _cent_sims(F.col("_qv")),
+                lambda s: F.struct((-s["sim"]).alias("neg_sim"), s["list_id"].alias("list_id")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = staged_q.select(
+        "query_id", lut.alias("lut"), F.explode(top_probes).alias("p")
+    ).select("query_id", "lut", F.col("p.list_id").alias("list_id"))
+
+    adc = None
+    for sub in range(m):
+        term = F.element_at(
+            F.element_at(F.col("lut"), sub + 1),
+            F.element_at(F.col("codes"), sub + 1).cast("int") + 1,
+        )
+        if train_iters > 0:
+            term = F.round(term, 6).cast("decimal(28,12)")
+        adc = term if adc is None else adc + term
+    if train_iters > 0:
+        adc = adc.cast("double")
+    scored = (
+        coded.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(adc, 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

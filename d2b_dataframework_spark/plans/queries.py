@@ -8102,3 +8102,77 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (datapipe/similarity.py:ivfpq_topk): coarse cosine
+    routing into 16 inverted lists + 8-byte PQ codes, queries vec_id < 4
+    ADC-scan only their 4 probed lists — the FAISS IndexIVFPQ
+    architecture as one DataFrame plan (codes + routing computed in a
+    single corpus projection; candidates via broadcast list join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = sim.ivfpq_topk(
+        emb, queries, k=10, nlist=16, nprobe=4, m=8, ksub=16
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+SQL_IVFPQ_TOPK = f"""
+WITH {_SQL_PQ_COMMON},
+cent AS (SELECT vec_id AS list_id, embedding::DOUBLE[] AS centroid
+         FROM embeddings WHERE vec_id < 16),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+assigned AS (
+  SELECT neighbor_id, list_id FROM (
+    SELECT c.neighbor_id, cent.list_id,
+      row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+        round(list_dot_product(cv, centroid)
+              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))), 6) DESC,
+        cent.list_id ASC) AS arn
+    FROM c CROSS JOIN cent)
+  WHERE arn = 1),
+qraw AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         FROM embeddings WHERE vec_id < 4),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, cent.list_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round(list_dot_product(qv, centroid)
+              / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))), 6) DESC,
+        cent.list_id ASC) AS prn
+    FROM qraw q CROSS JOIN cent)
+  WHERE prn <= 4),
+lut AS (
+  SELECT s.vec_id AS query_id, cb.sub, cb.cid,
+    (s.svv - 2.0 * list_dot_product(s.sv, cb.s) + cb.ss) AS dsub
+  FROM subs2 s JOIN cb ON s.sub = cb.sub
+  WHERE s.vec_id < 4),
+scores AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.dsub) AS adc
+  FROM enc e
+  JOIN assigned a ON a.neighbor_id = e.vec_id
+  JOIN probes p ON p.list_id = a.list_id
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.cid = e.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(adc, 6) ASC, neighbor_id ASC) AS rank
+  FROM scores)
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+REGISTRY.update(
+    {
+        "ivfpq_topk": QuerySpec(
+            q_ivfpq_topk,
+            SQL_IVFPQ_TOPK,
+            "IVF-PQ: coarse list routing + PQ ADC scan of probed lists only",
+        ),
+    }
+)

@@ -1111,3 +1111,25 @@ def test_pq_training_improves_recall_and_stays_valid(spark):
     assert r2 >= r0
     codes = sim.pq_encode(df, m=8, ksub=8, train_iters=2).collect()
     assert all(0 <= c < 8 for r in codes for c in r["codes"])
+
+
+def test_ivfpq_full_probe_matches_pq(vectors):
+    """With every list probed, IVF-PQ candidates == the whole corpus, so
+    the ranking must equal plain pq_topk (same codebooks, same ADC)."""
+    queries = vectors.filter(F.col("vec_id") < 2)
+    full = sim.pq_topk(vectors, queries, k=5, m=8, ksub=4)
+    ivf = sim.ivfpq_topk(vectors, queries, k=5, nlist=4, nprobe=4, m=8, ksub=4)
+    f = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"]) for r in full.collect()}
+    i = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"]) for r in ivf.collect()}
+    assert f == i
+
+
+def test_ivfpq_single_projection_corpus_side(vectors):
+    """Codes + list routing must come from ONE corpus projection: no
+    join between two corpus-scaled frames, only the broadcast probe
+    join; the single Window is the final top-k."""
+    queries = vectors.filter(F.col("vec_id") < 2)
+    out = sim.ivfpq_topk(vectors, queries, k=3, nlist=4, nprobe=2, m=8, ksub=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
