@@ -217,3 +217,75 @@ def cluster_profile(assignments: DataFrame) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("mean_dist"),
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid + inertia over an embedding column — the
+    class-prototype / pooled-embedding stage (nearest-class-mean
+    classifiers, per-domain semantic profiles, drift baselines).
+
+    Exact quantized arithmetic end to end (the module's convention):
+    centroids are rational (integer cell sums / count) and the inertia
+    sum_i ||x_i - c||^2 uses the decomposition sum(x.x) - (s.s)/n —
+    computed from EXACT integer totals in one pass, so the result is
+    bit-identical on any engine and partitioning.
+
+    One k x dim cell aggregation (posexplode + partial-combined sum):
+    the shuffle carries |labels| x dim rows, independent of corpus
+    size. Returns (label, n_members, centroid_micro_csv: per-dim mean
+    in MICRO-units (1e-6 of the raw embedding scale, half-up integer),
+    inertia_quant: integer inertia in quantized units — divide by 1e6
+    for the raw scale)."""
+    q = df.select(
+        F.col(label_col).alias("label"), _quantized(F.col(vec_col)).alias("qv")
+    )
+    cells = (
+        q.select("label", F.posexplode(F.col("qv")).alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.sum(F.col("val").cast("long")).alias("s"))
+    )
+    per_label = q.select(
+        "label",
+        _dot(F.col("qv"), F.col("qv")).alias("_xx"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("_xx").cast("double").alias("_sxx"),
+    )
+    ss = cells.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("double").alias("_ss")
+    )
+    sorted_cells = cells.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("_cells")
+    )
+    joined = per_label.join(ss, "label").join(sorted_cells, "label")
+    n_dbl = F.col("n_members").cast("double")
+    # Micro-unit INTEGER components with explicit floor(x+0.5) half-up
+    # (the quantize_int8 convention): rational means s/(n*1000) land on
+    # exact decimal/dyadic ties routinely, where round()/printf rounding
+    # conventions diverge across engines (Java half-up vs C half-even);
+    # floor on a double is exact everywhere.
+    centroid = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("_cells"),
+            lambda e: F.floor(
+                e["s"].cast("double") * F.lit(1000.0) / n_dbl + F.lit(0.5)
+            ).cast("long").cast("string"),
+        ),
+    )
+    inertia = (
+        F.floor(
+            (F.col("_sxx") - F.col("_ss") / n_dbl) + F.lit(0.5)
+        ).cast("long")
+    )
+    return joined.select(
+        "label",
+        "n_members",
+        centroid.alias("centroid_micro_csv"),
+        inertia.alias("inertia_quant"),
+    )

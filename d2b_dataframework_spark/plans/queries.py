@@ -8177,3 +8177,48 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + inertia
+    (datapipe/clustering.py:label_centroids): class prototypes from one
+    k x dim cell aggregation — exact quantized rational means, so the
+    pooled vectors are engine-reproducible digit for digit."""
+    from d2b_dataframework_spark.datapipe.clustering import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb).orderBy("label")
+
+
+SQL_LABEL_CENTROIDS = """
+WITH q AS (SELECT label, list_transform(embedding::DOUBLE[], v -> round(v * 1000)) AS qv
+           FROM embeddings),
+per AS (
+  SELECT label, count(*)::BIGINT AS n_members,
+         CAST(sum(list_dot_product(qv, qv)) AS DOUBLE) AS sxx
+  FROM q GROUP BY 1),
+cells AS (
+  SELECT label, t.i AS dim, sum(qv[t.i]::BIGINT)::BIGINT AS s
+  FROM q, range(1, 65) t(i) GROUP BY 1, 2),
+ss AS (SELECT label, CAST(sum(s * s) AS DOUBLE) AS ssv FROM cells GROUP BY 1),
+cent AS (
+  SELECT c.label,
+    string_agg(floor(c.s::DOUBLE * 1000.0 / p.n_members::DOUBLE + 0.5)::BIGINT::VARCHAR,
+               ',' ORDER BY c.dim) AS centroid_micro_csv
+  FROM cells c JOIN per p ON c.label = p.label GROUP BY 1)
+SELECT p.label, p.n_members, cent.centroid_micro_csv,
+  floor((p.sxx - ss.ssv / p.n_members::DOUBLE) + 0.5)::BIGINT AS inertia_quant
+FROM per p JOIN ss ON p.label = ss.label JOIN cent ON p.label = cent.label
+ORDER BY p.label
+"""
+
+
+REGISTRY.update(
+    {
+        "label_centroids": QuerySpec(
+            q_label_centroids,
+            SQL_LABEL_CENTROIDS,
+            "per-label pooled embedding (rational centroid) + inertia",
+        ),
+    }
+)

@@ -1133,3 +1133,27 @@ def test_ivfpq_single_projection_corpus_side(vectors):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window [") == 1
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_label_centroids_matches_numpy(spark):
+    """Micro-unit centroids and integer inertia equal a numpy
+    recomputation with the same quantize + half-up conventions."""
+    import numpy as np
+
+    from d2b_dataframework_spark.datapipe.clustering import label_centroids
+
+    rows = [(i, i % 3, [0.1 * ((i + d) % 7) - 0.3 for d in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {r["label"]: r for r in label_centroids(df).collect()}
+    mat = np.array([r[2] for r in rows])
+    q = np.where(mat * 1000 >= 0, np.floor(mat * 1000 + 0.5), np.ceil(mat * 1000 - 0.5))
+    labels = np.array([r[1] for r in rows])
+    for lab in (0, 1, 2):
+        sub = q[labels == lab]
+        n = len(sub)
+        s = sub.sum(axis=0)
+        micro = np.floor(s * 1000.0 / n + 0.5).astype(int)
+        assert got[lab]["n_members"] == n
+        assert got[lab]["centroid_micro_csv"] == ",".join(str(v) for v in micro)
+        inertia = np.floor((sub * sub).sum() - (s * s).sum() / n + 0.5)
+        assert got[lab]["inertia_quant"] == int(inertia)

@@ -269,6 +269,12 @@ def main() -> None:
         "pq_topk": lambda d, e: sim.pq_topk(
             e, base_emb.filter(F.col("vec_id") < 4), k=10
         ),
+        # IVF-PQ: probed-list ADC — should grow with corpus scan cost
+        # (assignment+encode) while the scored candidate set is ~nprobe/
+        # nlist of it.
+        "ivfpq_topk": lambda d, e: sim.ivfpq_topk(
+            e, base_emb.filter(F.col("vec_id") < 4), k=10
+        ),
         "triangle_stats": lambda d, e, m=1: _triangles(d, m),
         "quantile_sketch": lambda d, e: _quantiles(d),
     }
