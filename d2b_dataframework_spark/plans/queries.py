@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "label_centroids",
     "ivfpq_topk",
     "pq_topk_trained",
     "pq_topk",
