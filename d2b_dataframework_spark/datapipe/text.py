@@ -641,3 +641,49 @@ def pseudonymize(col: Column | str, secret: str, length: int = 16) -> Column:
     return F.substring(
         F.sha2(F.concat(F.lit(f"{secret}:"), c.cast("string")), 256), 1, length
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed text embedding: every token lands in one of
+    ``dim`` buckets (md5-prefix hash — the engine's portable 60-bit
+    convention) with a deterministic ±1 sign, and the document vector
+    is the signed token-count per bucket. The model-free bridge from
+    the documents table into the similarity/ANN stack (hashing trick,
+    Weinberger et al.): exact integer components, so downstream
+    cosine/PQ arithmetic — and the oracle — reproduce bit-for-bit on
+    any engine.
+
+    Returns (id_col, embedding: array<double> of exact integers).
+    Shape: one explode + one (doc, bucket) count + one map-assembled
+    projection; the shuffle carries at most ``dim`` rows per document.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    ).filter(F.col("_t") != "")
+    h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
+    # the sign draws on the hash bits ABOVE the bucket, so bucket and
+    # sign are independent
+    signed = toks.select(
+        F.col(id_col),
+        h.alias("_hv"),
+    ).select(
+        id_col,
+        F.pmod(F.col("_hv"), F.lit(dim)).cast("int").alias("_b"),
+        F.when(F.pmod(F.expr(f"_hv DIV {dim}"), 2) == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("_s"),
+    )
+    cells = signed.groupBy(id_col, "_b").agg(F.sum("_s").alias("_v"))
+    assembled = cells.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)),
+    )
+    return assembled.select(id_col, vec.alias("embedding"))

@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "hash_embeddings",
     "label_centroids",
     "ivfpq_topk",
     "pq_topk_trained",
@@ -8220,6 +8221,57 @@ REGISTRY.update(
             q_label_centroids,
             SQL_LABEL_CENTROIDS,
             "per-label pooled embedding (rational centroid) + inertia",
+        ),
+    }
+)
+
+
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed 32-dim text embeddings
+    (datapipe/text.py:hashed_embedding): the model-free hashing-trick
+    bridge from the documents table into the ANN stack — exact signed
+    integer token counts per md5 bucket, emitted as CSV for the value
+    gate."""
+    from d2b_dataframework_spark.datapipe.text import hashed_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_embedding(docs, dim=32)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("embedding"), lambda v: v.cast("long").cast("string"))
+        ).alias("embedding_csv"),
+    ).orderBy("doc_id")
+
+
+SQL_HASH_EMBEDDINGS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_RAW_TOKS}) AS t FROM documents),
+hashed AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+  FROM toks WHERE t <> ''),
+signed AS (
+  SELECT doc_id, (hv % 32)::INT AS b,
+    CASE WHEN (hv // 32) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM hashed),
+cells AS (SELECT doc_id, b, sum(s) AS v FROM signed GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, t.i AS b FROM (SELECT DISTINCT doc_id FROM cells) d,
+       range(0, 32) t(i))
+SELECT g.doc_id,
+  string_agg(coalesce(c.v, 0.0)::BIGINT::VARCHAR, ',' ORDER BY g.b) AS embedding_csv
+FROM grid g LEFT JOIN cells c ON g.doc_id = c.doc_id AND g.b = c.b
+GROUP BY 1 ORDER BY g.doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "hash_embeddings": QuerySpec(
+            q_hash_embeddings,
+            SQL_HASH_EMBEDDINGS,
+            "feature-hashing trick: text -> exact signed 32-dim count vectors",
         ),
     }
 )

@@ -1157,3 +1157,21 @@ def test_label_centroids_matches_numpy(spark):
         assert got[lab]["centroid_micro_csv"] == ",".join(str(v) for v in micro)
         inertia = np.floor((sub * sub).sum() - (s * s).sum() / n + 0.5)
         assert got[lab]["inertia_quant"] == int(inertia)
+
+
+def test_hashed_embedding_deterministic_and_feeds_ann(spark):
+    """Same text -> identical vector; vectors are exact integers of the
+    right dimension; output plugs straight into brute_force_topk."""
+    docs = spark.createDataFrame(
+        [(1, "spark join window sort"), (2, "spark join window sort"),
+         (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in dt.hashed_embedding(docs, dim=16).collect()}
+    assert out[1] == out[2] and out[1] != out[3]
+    assert len(out[1]) == 16 and all(v == int(v) for v in out[1])
+    assert sum(abs(v) for v in out[1]) == 4  # 4 tokens, each ±1 somewhere
+    emb = dt.hashed_embedding(docs, dim=16)
+    top = sim.brute_force_topk(emb, emb.filter(F.col("doc_id") == 1), k=1,
+                               id_col="doc_id")
+    assert top.collect()[0]["neighbor_id"] == 2  # the exact duplicate
