@@ -68,10 +68,26 @@ _API = {
     "brute_force_topk": "datapipe.similarity",
     "ivf_topk": "datapipe.similarity",
     "cosine_near_dup_pairs": "datapipe.similarity",
+    "pq_encode": "datapipe.similarity",
+    "pq_topk": "datapipe.similarity",
+    "ivfpq_topk": "datapipe.similarity",
+    "random_projection": "datapipe.similarity",
+    "soft_dedup_weights": "datapipe.dedup",
+    "keep_best": "datapipe.dedup",
+    "hashed_embedding": "datapipe.text",
     "kmeans_assignments": "datapipe.clustering",
+    "label_centroids": "datapipe.clustering",
     "pagerank": "datapipe.graph",
+    "triangle_stats": "datapipe.graph",
     "inverted_index": "datapipe.retrieval",
     "retrieve_topk": "datapipe.retrieval",
+    "rrf_fuse": "datapipe.retrieval",
+    "skyline_2d": "operators.ranking",
+    "column_stats": "operators.stats",
+    "histogram_partials": "operators.sketches",
+    "histogram_quantiles": "operators.sketches",
+    "cms_partials": "operators.sketches",
+    "cms_estimate": "operators.sketches",
     "assign_split": "datapipe.splits",
     "weighted_sample": "datapipe.splits",
     "priority_sample_topk": "datapipe.splits",
