@@ -667,6 +667,38 @@ def _pq_codebook_literal(payload: list[list[dict]]) -> Column:
     )
 
 
+def _pq_codes_pandas_udf(payload: list[list[dict]], d: int):
+    """Arrow-batched PQ encode twin: per subspace one int64 matmul per
+    batch instead of ksub interpreted HOF aggregates per row (~20x —
+    same rationale as clustering._assign_pandas_udf). BIT-IDENTICAL to
+    the declarative path by exact arithmetic: quantization is the same
+    round-half-away-from-zero, x.s / x.x are exact int64, the rational
+    distance (xx - T2/n) + ss/n^2 applies the identical IEEE ops per
+    element, and np.argmin's first-minimum tie matches (dist asc, cid
+    asc) because codebook entries are cid-sorted."""
+    m = len(payload)
+    S = [np.array([e["s"] for e in payload[sub]], dtype=np.int64) for sub in range(m)]
+    SS = [np.array([e["ss"] for e in payload[sub]], dtype=np.float64) for sub in range(m)]
+    N = [np.array([e["n"] for e in payload[sub]], dtype=np.float64) for sub in range(m)]
+    CIDS = [np.array([e["cid"] for e in payload[sub]], dtype=np.int64) for sub in range(m)]
+
+    @F.pandas_udf("array<bigint>")
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64) * QUANT
+        q = np.where(mat >= 0, np.floor(mat + 0.5), np.ceil(mat - 0.5)).astype(np.int64)
+        cols = []
+        for sub in range(m):
+            qs = q[:, sub * d : (sub + 1) * d]
+            xx = (qs * qs).sum(axis=1).astype(np.float64)
+            t2 = (2 * (qs @ S[sub].T)).astype(np.float64)
+            dist = (xx[:, None] - t2 / N[sub][None, :]) + (SS[sub] / (N[sub] * N[sub]))[None, :]
+            cols.append(CIDS[sub][np.argmin(dist, axis=1)])
+        codes = np.stack(cols, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
 def _pq_encoded(
     corpus: DataFrame,
     payload: list[list[dict]],
@@ -675,6 +707,7 @@ def _pq_encoded(
     vec_col: str,
     keep_subvectors: bool = False,
     extra: dict | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(vec_id, codes array<bigint>) — nearest codeword per subspace by
     exact quantized squared-L2 (ties -> lowest cid). Pure map-side
@@ -686,8 +719,24 @@ def _pq_encoded(
     CollapseProject staging trick documented on quantize_int8).
     """
     m = len(payload)
-    cb = _pq_codebook_literal(payload)
     extra = extra or {}
+    if vectorized:
+        # Arrow twin: the argmin-over-codewords HOF is interpreted
+        # (outside codegen) and dominates the scan ~20x; the batched
+        # matmul is bit-identical (see _pq_codes_pandas_udf).
+        codes_udf = _pq_codes_pandas_udf(payload, d)
+        cols = [
+            F.col(id_col).alias("vec_id"),
+            *[expr.alias(name) for name, expr in extra.items()],
+            codes_udf(F.col(vec_col)).alias("codes"),
+        ]
+        if keep_subvectors:
+            cols += [
+                F.slice(_quantize(F.col(vec_col)), sub * d + 1, d).alias(f"_sv{sub}")
+                for sub in range(m)
+            ]
+        return corpus.select(*cols)
+    cb = _pq_codebook_literal(payload)
     staged = corpus.select(
         F.col(id_col).alias("vec_id"),
         *[expr.alias(name) for name, expr in extra.items()],
@@ -747,6 +796,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Product-quantization encode: each vector becomes ``m`` codeword
     ids (one per subspace) — a ``dim*4``-byte float vector compresses to
@@ -761,7 +811,7 @@ def pq_encode(
     payload, d = _pq_codebook_payload(
         corpus, m, ksub, id_col, vec_col, train_iters=train_iters
     )
-    return _pq_encoded(corpus, payload, d, id_col, vec_col)
+    return _pq_encoded(corpus, payload, d, id_col, vec_col, vectorized=vectorized)
 
 
 def pq_topk(
@@ -774,6 +824,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     train_iters: int = 0,
+    vectorized: bool = True,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (ADC): corpus vectors are scanned as
     ``m``-byte codes; each (small, broadcast) query precomputes an
@@ -792,7 +843,7 @@ def pq_topk(
     payload, d = _pq_codebook_payload(
         corpus, m, ksub, id_col, vec_col, train_iters=train_iters
     )
-    encoded = _pq_encoded(corpus, payload, d, id_col, vec_col)
+    encoded = _pq_encoded(corpus, payload, d, id_col, vec_col, vectorized=vectorized)
     cb = _pq_codebook_literal(payload)
     # Query-side LUT: array<array<double>> — lut[sub][j] = ||q_sub - c_j||^2,
     # exact; j is the POSITION of cid j (payload is sorted by cid 0..ksub-1).
@@ -929,6 +980,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     train_iters: int = 0,
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN architecture (FAISS
     IndexIVFPQ) as a DataFrame plan — a coarse quantizer routes every vector
@@ -992,7 +1044,8 @@ def ivfpq_topk(
         corpus, m, ksub, id_col, vec_col, train_iters=train_iters
     )
     coded = _pq_encoded(
-        corpus, payload, d, id_col, vec_col, extra={"list_id": assign_expr}
+        corpus, payload, d, id_col, vec_col,
+        extra={"list_id": assign_expr}, vectorized=vectorized,
     )
 
     cb = _pq_codebook_literal(payload)

@@ -1175,3 +1175,23 @@ def test_hashed_embedding_deterministic_and_feeds_ann(spark):
     top = sim.brute_force_topk(emb, emb.filter(F.col("doc_id") == 1), k=1,
                                id_col="doc_id")
     assert top.collect()[0]["neighbor_id"] == 2  # the exact duplicate
+
+
+def test_pq_vectorized_matches_declarative(vectors):
+    """Arrow-batched PQ encode == the pure-Catalyst HOF path, seed-only
+    AND trained (exact integer arithmetic guarantees it; this test
+    enforces it), and the full top-k rankings agree."""
+    for ti in (0, 2):
+        fast = {r["vec_id"]: list(r["codes"])
+                for r in sim.pq_encode(vectors, m=8, ksub=4, train_iters=ti,
+                                       vectorized=True).collect()}
+        slow = {r["vec_id"]: list(r["codes"])
+                for r in sim.pq_encode(vectors, m=8, ksub=4, train_iters=ti,
+                                       vectorized=False).collect()}
+        assert fast == slow, f"train_iters={ti}"
+    queries = vectors.filter(F.col("vec_id") < 2)
+    f = [tuple(r) for r in sim.pq_topk(vectors, queries, k=5, m=8, ksub=4,
+                                       vectorized=True).collect()]
+    s = [tuple(r) for r in sim.pq_topk(vectors, queries, k=5, m=8, ksub=4,
+                                       vectorized=False).collect()]
+    assert sorted(f) == sorted(s)
