@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "quantile_bins",
     "hash_embeddings",
     "label_centroids",
     "ivfpq_topk",
@@ -8272,6 +8273,63 @@ REGISTRY.update(
             q_hash_embeddings,
             SQL_HASH_EMBEDDINGS,
             "feature-hashing trick: text -> exact signed 32-dim count vectors",
+        ),
+    }
+)
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature discretization WITHOUT a global window:
+    quartile boundaries of o_totalprice come from one aggregate
+    (PERCENTILE_CONT), are broadcast back as a 1-row frame, and every
+    order is bucketed by a map-side CASE over them — the scale-safe
+    replacement for `NTILE(4) OVER (ORDER BY ...)`, whose single
+    partition would serialize a 100TB sort on one executor. Output is
+    the per-bucket count + boundary audit (4 rows)."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6).alias("q2"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.75)), 6).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), F.lit(1))
+        .when(F.col("o_totalprice") <= F.col("q2"), F.lit(2))
+        .when(F.col("o_totalprice") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "q1", "q2", "q3")
+        .groupBy("bucket", "q1", "q2", "q3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select("bucket", "n_orders", "q1", "q2", "q3")
+        .orderBy("bucket")
+    )
+
+
+SQL_QUANTILE_BINS = """
+WITH b AS (
+  SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+         round(quantile_cont(o_totalprice, 0.5), 6) AS q2,
+         round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+  FROM orders)
+SELECT bucket, count(*)::BIGINT AS n_orders, q1, q2, q3 FROM (
+  SELECT CASE WHEN o_totalprice <= b.q1 THEN 1
+              WHEN o_totalprice <= b.q2 THEN 2
+              WHEN o_totalprice <= b.q3 THEN 3
+              ELSE 4 END AS bucket, b.q1, b.q2, b.q3
+  FROM orders CROSS JOIN b)
+GROUP BY bucket, q1, q2, q3 ORDER BY bucket
+"""
+
+
+REGISTRY.update(
+    {
+        "quantile_bins": QuerySpec(
+            q_quantile_bins,
+            SQL_QUANTILE_BINS,
+            "equal-frequency bucketing via broadcast quantile boundaries (no global window)",
         ),
     }
 )
