@@ -687,3 +687,67 @@ def hashed_embedding(
         lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)),
     )
     return assembled.select(id_col, vec.alias("embedding"))
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """Dataset-card summary: ONE tidy (metric, value) frame with the
+    numbers a corpus release ships — volume (docs, tokens, mean
+    length), provenance (distinct sources), language mix (one row per
+    stored lang), and exact-duplicate mass (share of docs whose text
+    fingerprint appears more than once).
+
+    Shape: one full-scan aggregate for the volume block, one |langs|
+    group-by, one fingerprint group-by whose shuffle carries
+    (fingerprint, count) only — three bounded passes, no windows, no
+    driver-side data beyond the tiny result. Values are exact integer
+    counts or 6dp-rounded rationals of exact integers (deterministic
+    cross-engine).
+    """
+    toks = tokens(text_col)
+    vol = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.size(toks).cast("long")).cast("long").alias("_tok"),
+        F.count_distinct(F.col(source_col)).cast("long").alias("_src"),
+    )
+    volume = vol.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_docs").alias("metric"), F.col("_n").cast("double").alias("value")),
+                F.struct(F.lit("n_tokens_total").alias("metric"), F.col("_tok").cast("double").alias("value")),
+                F.struct(F.lit("mean_doc_tokens").alias("metric"),
+                         F.round(F.col("_tok") / F.col("_n"), 6).alias("value")),
+                F.struct(F.lit("n_sources").alias("metric"), F.col("_src").cast("double").alias("value")),
+            )
+        ).alias("kv")
+    ).select("kv.metric", "kv.value")
+    langs = (
+        df.groupBy(F.col(lang_col).alias("_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .crossJoin(F.broadcast(vol.select("_n")))
+        .select(
+            F.concat(F.lit("lang_share:"), F.col("_lang")).alias("metric"),
+            F.round(F.col("_c") / F.col("_n"), 6).alias("value"),
+        )
+    )
+    fp = F.md5(normalize_whitespace(F.lower(F.col(text_col))))
+    dup_docs = (
+        df.select(fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .agg(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("_dup")
+        )
+    )
+    dup = dup_docs.crossJoin(F.broadcast(vol.select("_n"))).select(
+        F.lit("dup_doc_share").alias("metric"),
+        F.round(F.col("_dup") / F.col("_n"), 6).alias("value"),
+    )
+    return volume.unionByName(langs).unionByName(dup)

@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "corpus_report",
     "quantile_bins",
     "hash_embeddings",
     "label_centroids",
@@ -8330,6 +8331,49 @@ REGISTRY.update(
             q_quantile_bins,
             SQL_QUANTILE_BINS,
             "equal-frequency bucketing via broadcast quantile boundaries (no global window)",
+        ),
+    }
+)
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary (datapipe/text.py:corpus_report): the tidy
+    (metric, value) release report — volume, provenance, language mix,
+    exact-duplicate mass — in three bounded passes."""
+    from d2b_dataframework_spark.datapipe.text import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report(docs).orderBy("metric")
+
+
+SQL_CORPUS_REPORT = f"""
+WITH vol AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(len(string_split({_NORM}, ' ')))::BIGINT AS tok,
+         count(DISTINCT source)::BIGINT AS src
+  FROM documents),
+langs AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+fp AS (SELECT md5({_NORM}) AS f FROM documents),
+dup AS (
+  SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS d
+  FROM (SELECT f, count(*)::BIGINT AS c FROM fp GROUP BY 1))
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, n::DOUBLE AS value FROM vol
+  UNION ALL SELECT 'n_tokens_total', tok::DOUBLE FROM vol
+  UNION ALL SELECT 'mean_doc_tokens', round(tok / n, 6) FROM vol
+  UNION ALL SELECT 'n_sources', src::DOUBLE FROM vol
+  UNION ALL SELECT 'lang_share:' || lang, round(c / (SELECT n FROM vol), 6) FROM langs
+  UNION ALL SELECT 'dup_doc_share', coalesce(round(d / (SELECT n FROM vol), 6), 0.0) FROM dup)
+ORDER BY metric
+"""
+
+
+REGISTRY.update(
+    {
+        "corpus_report": QuerySpec(
+            q_corpus_report,
+            SQL_CORPUS_REPORT,
+            "dataset-card summary: volume, provenance, language mix, dup mass",
         ),
     }
 )
