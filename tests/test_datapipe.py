@@ -1195,3 +1195,17 @@ def test_pq_vectorized_matches_declarative(vectors):
     s = [tuple(r) for r in sim.pq_topk(vectors, queries, k=5, m=8, ksub=4,
                                        vectorized=False).collect()]
     assert sorted(f) == sorted(s)
+
+
+def test_corpus_report_metrics(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, "a b c", "en", "s2"),
+         (3, "x y", "es", "s1"), (4, "unique text here", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["metric"]: r["value"] for r in dt.corpus_report(docs).collect()}
+    assert got["n_docs"] == 4.0 and got["n_sources"] == 2.0
+    assert got["n_tokens_total"] == 3 + 3 + 2 + 3
+    assert got["mean_doc_tokens"] == round(11 / 4, 6)
+    assert got["lang_share:en"] == 0.75 and got["lang_share:es"] == 0.25
+    assert got["dup_doc_share"] == 0.5  # docs 1+2 share a fingerprint
