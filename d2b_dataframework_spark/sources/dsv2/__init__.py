@@ -21,3 +21,17 @@ from d2b_dataframework_spark.sources.dsv2.gsc import (  # noqa: F401
     GscRestDataSource,
     register,
 )
+from d2b_dataframework_spark.sources.dsv2.sheets import (  # noqa: F401
+    SheetsRestDataSource,
+)
+
+
+def register_all(spark) -> None:
+    """Register every DSv2 format on the session: ``gsc_rest`` (batch
+    reader w/ pushdown), ``sheets_rest`` (batch writer), and
+    ``ga4_realtime`` (streaming reader)."""
+    from d2b_dataframework_spark.sources.dsv2 import ga4_stream, gsc, sheets
+
+    gsc.register(spark)
+    sheets.register(spark)
+    ga4_stream.register(spark)

@@ -303,3 +303,12 @@ def test_ga4_stream_end_to_end_with_checkpoint_restart(spark, tmp_path):
     # two runs have therefore acked exactly batch 0's end offset.
     acked = [int(x) for x in commit_log.read_text().split()]
     assert acked == [1]
+
+
+def test_register_all_registers_every_format(spark):
+    from d2b_dataframework_spark.sources.dsv2 import register_all
+
+    register_all(spark)
+    # reading/writing through each format elsewhere in this module
+    # proves behavior; here just assert registration is idempotent.
+    register_all(spark)
