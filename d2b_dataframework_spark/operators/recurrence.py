@@ -58,3 +58,59 @@ def clamped_running_balance(
         )
 
     return df.groupBy(key_col).applyInPandas(run, schema)
+
+
+def cusum_alerts(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """Per-key one-sided CUSUM change detection: ``s = max(0, s + x -
+    target - slack)`` over the ordered rows; an alert fires whenever
+    ``s`` crosses ``threshold`` (and the statistic resets to 0 — the
+    standard restart-after-signal convention). The sequential-monitoring
+    primitive behind drift/regression alerting on metric streams.
+
+    Like :func:`clamped_running_balance`, the max(0, .) clamp makes this
+    a NON-LINEAR recurrence no window/prefix-sum can express — same
+    ``applyInPandas`` contract: keys distribute, the loop runs per key,
+    each step's IEEE ops replay in the caller-given order so a recursive
+    -CTE oracle lands on bit-identical doubles.
+
+    Returns one row per key: (key, n_alerts, final_stat, peak_stat).
+    """
+    schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n_alerts", LongType()),
+            StructField("final_stat", DoubleType()),
+            StructField("peak_stat", DoubleType()),
+        ]
+    )
+    drift = float(target) + float(slack)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        s, peak, alerts = 0.0, 0.0, 0
+        for x in pdf[value_col]:
+            nxt = s + (float(x) - drift)
+            s = nxt if nxt > 0.0 else 0.0
+            if s > peak:
+                peak = s
+            if s > threshold:
+                alerts += 1
+                s = 0.0
+        return pd.DataFrame(
+            {
+                "key": [int(pdf[key_col].iloc[0])],
+                "n_alerts": [alerts],
+                "final_stat": [s],
+                "peak_stat": [peak],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(run, schema)

@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "cusum_alerts",
     "corpus_report",
     "quantile_bins",
     "hash_embeddings",
@@ -8374,6 +8375,75 @@ REGISTRY.update(
             q_corpus_report,
             SQL_CORPUS_REPORT,
             "dataset-card summary: volume, provenance, language mix, dup mass",
+        ),
+    }
+)
+
+
+def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM drift monitoring
+    (operators/recurrence.py:cusum_alerts): s = max(0, s + value - 5.5),
+    alert + reset when s crosses 20 — sequential change detection that
+    no window/prefix-sum expresses; the oracle replays the identical
+    ordered recurrence as a recursive CTE (step-exact IEEE)."""
+    from d2b_dataframework_spark.operators.recurrence import cusum_alerts
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = cusum_alerts(
+        ev, "user_id", ["ts", "event_id"], "value",
+        target=5.0, slack=0.5, threshold=20.0,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n_alerts",
+        F.round("final_stat", 6).alias("final_stat"),
+        F.round("peak_stat", 6).alias("peak_stat"),
+    ).orderBy("user_id")
+
+
+SQL_CUSUM_ALERTS = """
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    value
+  FROM events),
+counts AS (SELECT user_id, max(rn) AS mx FROM seq GROUP BY 1),
+walk AS (
+  SELECT s.user_id, s.rn,
+    CASE WHEN 0.0 + (s.value - 5.5) > 0.0 AND NOT (0.0 + (s.value - 5.5)) > 20.0
+         THEN 0.0 + (s.value - 5.5) ELSE 0.0 END AS st,
+    CASE WHEN 0.0 + (s.value - 5.5) > 0.0 THEN 0.0 + (s.value - 5.5) ELSE 0.0 END AS peak,
+    CASE WHEN (CASE WHEN 0.0 + (s.value - 5.5) > 0.0 THEN 0.0 + (s.value - 5.5) ELSE 0.0 END) > 20.0
+         THEN 1 ELSE 0 END AS alerts
+  FROM seq s WHERE s.rn = 1
+  UNION ALL
+  SELECT w.user_id, w.rn + 1,
+    CASE WHEN w.st + (s.value - 5.5) > 0.0
+              AND NOT (CASE WHEN w.st + (s.value - 5.5) > 0.0
+                            THEN w.st + (s.value - 5.5) ELSE 0.0 END) > 20.0
+         THEN w.st + (s.value - 5.5) ELSE 0.0 END,
+    CASE WHEN (CASE WHEN w.st + (s.value - 5.5) > 0.0
+                    THEN w.st + (s.value - 5.5) ELSE 0.0 END) > w.peak
+         THEN (CASE WHEN w.st + (s.value - 5.5) > 0.0
+                    THEN w.st + (s.value - 5.5) ELSE 0.0 END)
+         ELSE w.peak END,
+    w.alerts + CASE WHEN (CASE WHEN w.st + (s.value - 5.5) > 0.0
+                               THEN w.st + (s.value - 5.5) ELSE 0.0 END) > 20.0
+                    THEN 1 ELSE 0 END
+  FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+SELECT w.user_id, w.alerts::BIGINT AS n_alerts,
+  round(w.st, 6) AS final_stat, round(w.peak, 6) AS peak_stat
+FROM walk w JOIN counts c ON w.user_id = c.user_id AND w.rn = c.mx
+ORDER BY w.user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "cusum_alerts": QuerySpec(
+            q_cusum_alerts,
+            SQL_CUSUM_ALERTS,
+            "per-key one-sided CUSUM with alert-reset (recursive-CTE oracle)",
         ),
     }
 )

@@ -900,3 +900,21 @@ def test_cms_absent_key_estimates_zero_via_empty_cells(spark):
     assert est["only"] == 10
     # 'ghost' would need to collide with 'only' in ALL 4 rows (p ~ 64^-4)
     assert est["ghost"] == 0
+
+
+def test_cusum_alerts_fires_and_resets(spark):
+    """A sustained shift fires an alert and resets; values at target
+    contribute nothing; peak tracks the pre-reset maximum."""
+    from d2b_dataframework_spark.operators.recurrence import cusum_alerts
+
+    rows = [(1, i, 5.0) for i in range(5)]              # on target: s stays 0
+    rows += [(1, 10 + i, 9.0) for i in range(4)]        # +3.5/step -> 3.5,7,10.5,14 -> alert at >10
+    rows += [(2, i, 4.0) for i in range(10)]            # below target: never fires
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    out = {r["key"]: r for r in cusum_alerts(
+        df, "k", ["seq"], "v", target=5.0, slack=0.5, threshold=10.0
+    ).collect()}
+    assert out[1]["n_alerts"] == 1
+    assert out[1]["peak_stat"] == 10.5  # 3.5 * 3 crosses 10, then reset
+    assert out[1]["final_stat"] == 3.5  # one step after the reset
+    assert out[2]["n_alerts"] == 0 and out[2]["final_stat"] == 0.0
