@@ -181,3 +181,49 @@ def column_stats(
         ),
         F.col("_total").alias("n_rows"),
     )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group OLS line fit (slope/intercept/r2) from moment sums in
+    ONE aggregation pass — the trend-per-series primitive (metric drift
+    per segment, price trend per part, engagement slope per channel).
+
+    Same determinism contract as :func:`pairwise_pearson`: Σx, Σy, Σxy,
+    Σx², Σy² accumulate in DECIMAL (exact, order/partition-independent),
+    the closed forms evaluate once per group in fixed-parenthesization
+    double math. Degenerate groups (zero x-variance) return null slope/
+    intercept/r2 rather than ±inf.
+
+    Returns (keys..., n_rows, slope, intercept, r2).
+    """
+    x, y = _dec(x_col), _dec(y_col)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum(x * y).cast("double").alias("_sxy"),
+        F.sum(x * x).cast("double").alias("_sxx"),
+        F.sum(y * y).cast("double").alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    intercept = (sy - slope * sx) / n
+    r2 = (cov_n * cov_n) / (var_x * var_y)
+    guard = var_x > 0
+    return agg.select(
+        *keys,
+        n.cast("long").alias("n_rows"),
+        F.when(guard, F.round(slope, decimals)).alias("slope"),
+        F.when(guard, F.round(intercept, decimals)).alias("intercept"),
+        F.when(guard & (var_y > 0), F.round(r2, decimals)).alias("r2"),
+    )

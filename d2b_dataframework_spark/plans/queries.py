@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "grouped_linreg",
     "cusum_alerts",
     "corpus_report",
     "quantile_bins",
@@ -8444,6 +8445,57 @@ REGISTRY.update(
             q_cusum_alerts,
             SQL_CUSUM_ALERTS,
             "per-key one-sided CUSUM with alert-reset (recursive-CTE oracle)",
+        ),
+    }
+)
+
+
+def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value trend (operators/stats.py:grouped_linreg):
+    OLS slope/intercept/r2 of event value over the day index, from
+    decimal-exact moment sums in one pass."""
+    from d2b_dataframework_spark.operators.stats import grouped_linreg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return grouped_linreg(ev, ["event_type"], "x", "y").orderBy("event_type")
+
+
+SQL_GROUPED_LINREG = """
+WITH base AS (
+  SELECT event_type,
+    CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS DECIMAL(19,4)) AS x,
+    CAST(value AS DECIMAL(19,4)) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+    count(*)::DOUBLE AS n,
+    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(x * y) AS DOUBLE) AS sxy,
+    CAST(sum(x * x) AS DOUBLE) AS sxx,
+    CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM base GROUP BY 1)
+SELECT event_type, n::BIGINT AS n_rows,
+  CASE WHEN (n * sxx - sx * sx) > 0
+       THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+  CASE WHEN (n * sxx - sx * sx) > 0
+       THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) END AS intercept,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+       THEN round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
+FROM m ORDER BY event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "grouped_linreg": QuerySpec(
+            q_grouped_linreg,
+            SQL_GROUPED_LINREG,
+            "per-group OLS trend from decimal-exact moment sums",
         ),
     }
 )

@@ -918,3 +918,16 @@ def test_cusum_alerts_fires_and_resets(spark):
     assert out[1]["peak_stat"] == 10.5  # 3.5 * 3 crosses 10, then reset
     assert out[1]["final_stat"] == 3.5  # one step after the reset
     assert out[2]["n_alerts"] == 0 and out[2]["final_stat"] == 0.0
+
+
+def test_grouped_linreg_exact_line_and_degenerate_guard(spark):
+    from d2b_dataframework_spark.operators.stats import grouped_linreg
+
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(10)]       # perfect line
+    rows += [("b", float(x), 5.0) for x in range(10)]                # zero y-variance
+    rows += [("c", 3.0, float(x)) for x in range(5)]                 # zero x-variance
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r["k"]: r for r in grouped_linreg(df, ["k"], "x", "y").collect()}
+    assert (out["a"]["slope"], out["a"]["intercept"], out["a"]["r2"]) == (2.0, 1.0, 1.0)
+    assert out["b"]["slope"] == 0.0 and out["b"]["intercept"] == 5.0 and out["b"]["r2"] is None
+    assert out["c"]["slope"] is None and out["c"]["r2"] is None
