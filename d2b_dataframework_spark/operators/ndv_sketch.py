@@ -195,6 +195,23 @@ def hll_ndv_grouped(
         .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("mj"))
     )
+    return hll_estimate_from_registers(regs, group_cols, p=p)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 10,
+) -> DataFrame:
+    """Estimate per group from a deterministic-HLL register frame
+    (group_cols + ``j`` + ``mj``) — the read side of the mergeable
+    sketch store: registers persisted per day/shard merge with a plain
+    ``max(mj)`` over any subset (associative, order-free), then this
+    function turns the merged registers into counts. Exposed separately
+    so rolling-window / arbitrary-range rollups can re-merge stored
+    registers without touching raw data."""
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - mj)")
     per_group = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("present"),
@@ -213,6 +230,40 @@ def hll_ndv_grouped(
     ).otherwise(e_raw)
     return per_group.select(
         *group_cols, F.round(e, 0).cast("long").alias("ndv_approx")
+    )
+
+
+def hll_registers_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """The register frame (group_cols, j, mj) itself — the persistable/
+    mergeable unit behind :func:`hll_ndv_grouped` (which is exactly
+    this + :func:`hll_estimate_from_registers`)."""
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
+    rho_max = scale
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .select(
+            *group_cols,
+            F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("j"),
+            F.expr(f"_h DIV {m}").alias("w"),
+        )
+    )
+    rho = F.when(F.col("w") == 0, F.lit(rho_max)).otherwise(
+        F.lit(scale) - F.length(F.bin(F.col("w")))
+    )
+    return (
+        staged.select(*group_cols, "j", rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("mj"))
     )
 
 

@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "rolling_active_hll",
     "grouped_linreg",
     "cusum_alerts",
     "corpus_report",
@@ -8496,6 +8497,95 @@ REGISTRY.update(
             q_grouped_linreg,
             SQL_GROUPED_LINREG,
             "per-group OLS trend from decimal-exact moment sums",
+        ),
+    }
+)
+
+
+def q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day ROLLING distinct users per day from stored daily HLL
+    registers (operators/ndv_sketch.py:hll_registers_grouped +
+    hll_estimate_from_registers): the merge is max(mj) over each day's
+    trailing week — registers persisted once answer every window, no
+    raw re-scan, and the estimate is exact-value oracle-matched. The
+    register join is sketch-sized (|days| x 1024), never data-sized."""
+    from d2b_dataframework_spark.operators.ndv_sketch import (
+        hll_estimate_from_registers,
+        hll_registers_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    regs = hll_registers_grouped(ev, ["day"], "user_id")
+    days = regs.select("day").distinct().withColumn(
+        "_di", F.datediff(F.to_date("day"), F.lit("2024-01-01").cast("date"))
+    )
+    reg_days = regs.withColumn(
+        "_ri", F.datediff(F.to_date("day"), F.lit("2024-01-01").cast("date"))
+    ).select(F.col("_ri"), "j", "mj")
+    windowed = (
+        days.join(
+            reg_days,
+            (F.col("_ri") <= F.col("_di")) & (F.col("_ri") >= F.col("_di") - 6),
+        )
+        .groupBy("day", "j")
+        .agg(F.max("mj").alias("mj"))
+    )
+    return (
+        hll_estimate_from_registers(windowed, ["day"])
+        .withColumnRenamed("ndv_approx", "rolling7_users")
+        .orderBy("day")
+    )
+
+
+def _sql_rolling_active_hll() -> str:
+    # mirrors hll_ndv_grouped_sql's register/estimate arithmetic with a
+    # trailing-7-day register merge in between
+    m, scale = 1024, 51
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / float(m)) * float(m) * float(m)
+    return f"""
+WITH hashed AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+staged AS (SELECT day, h % {m} AS j, h // {m} AS w FROM hashed),
+regs AS (
+  SELECT day, j,
+    max(CASE WHEN w = 0 THEN {scale} ELSE {scale} - length(bin(w)) END) AS mj
+  FROM staged GROUP BY day, j),
+days AS (
+  SELECT day, date_diff('day', DATE '2024-01-01', day::DATE) AS di
+  FROM (SELECT DISTINCT day FROM regs)),
+rd AS (
+  SELECT date_diff('day', DATE '2024-01-01', day::DATE) AS ri, j, mj FROM regs),
+windowed AS (
+  SELECT d.day, rd.j, max(rd.mj) AS mj
+  FROM days d JOIN rd ON rd.ri <= d.di AND rd.ri >= d.di - 6
+  GROUP BY d.day, rd.j),
+per_group AS (
+  SELECT day, count(*) AS present,
+    SUM((1::BIGINT << ({scale} - mj)))::BIGINT AS s_present
+  FROM windowed GROUP BY day),
+est AS (
+  SELECT day, ({m}::BIGINT - present) AS empty,
+    {alpha_m2!r} * ({float(1 << scale)!r} /
+      (s_present + ({m}::BIGINT - present) * {1 << scale}::BIGINT)::DOUBLE) AS e_raw
+  FROM per_group)
+SELECT day,
+  CAST(round(CASE WHEN e_raw <= {2.5 * m!r} AND empty > 0
+    THEN {float(m)!r} * ln({float(m)!r} / empty::DOUBLE)
+    ELSE e_raw END, 0) AS BIGINT) AS rolling7_users
+FROM est ORDER BY day
+"""
+
+
+REGISTRY.update(
+    {
+        "rolling_active_hll": QuerySpec(
+            q_rolling_active_hll,
+            _sql_rolling_active_hll(),
+            "7-day rolling distinct users by max-merging stored HLL registers",
         ),
     }
 )

@@ -931,3 +931,27 @@ def test_grouped_linreg_exact_line_and_degenerate_guard(spark):
     assert (out["a"]["slope"], out["a"]["intercept"], out["a"]["r2"]) == (2.0, 1.0, 1.0)
     assert out["b"]["slope"] == 0.0 and out["b"]["intercept"] == 5.0 and out["b"]["r2"] is None
     assert out["c"]["slope"] is None and out["c"]["r2"] is None
+
+
+def test_hll_register_merge_equals_recompute(spark):
+    """max-merging two shards' register frames gives the SAME estimate
+    as sketching the union directly — the property that lets stored
+    daily registers answer any date range."""
+    from d2b_dataframework_spark.operators.ndv_sketch import (
+        hll_estimate_from_registers,
+        hll_registers_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 2, f"u{i % 700}") for i in range(4000)], "g int, u string"
+    )
+    whole = hll_estimate_from_registers(
+        hll_registers_grouped(df.select(F.lit(0).alias("g"), "u"), ["g"], "u"), ["g"]
+    ).collect()[0]["ndv_approx"]
+    shards = hll_registers_grouped(df, ["g"], "u")  # g=0 and g=1 shards
+    merged = shards.groupBy("j").agg(F.max("mj").alias("mj")).withColumn(
+        "g", F.lit(0)
+    )
+    via_merge = hll_estimate_from_registers(merged, ["g"]).collect()[0]["ndv_approx"]
+    assert whole == via_merge
+    assert abs(whole - 700) <= 0.1 * 700  # ~3% expected error at p=10
