@@ -304,3 +304,29 @@ def cms_estimate(
     return probes.join(est, key_col, "left").select(
         *probes.columns, F.coalesce(F.col("_est"), F.lit(0)).cast("long").alias("est")
     )
+
+
+def cms_join_size_estimate(
+    cms_a: DataFrame,
+    cms_b: DataFrame,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    on the join key (same d/w): for each hash row, the inner product
+    sum_b(a[r][b] * b[r][b]) equals |A join B| plus non-negative
+    collision mass, so the MIN over rows is the standard upward-biased
+    estimator (Cormode-Muthukrishnan) — the join-size oracle a planner
+    consults without scanning either side: two kilobyte sketch tables
+    in, one number out.
+
+    Returns one row: (est: long). Exact integer arithmetic throughout
+    (counter products summed as int64), so the estimate reproduces on
+    any engine.
+    """
+    a = cms_a.groupBy("row", "bucket").agg(F.sum("n").alias("na"))
+    b = cms_b.groupBy("row", "bucket").agg(F.sum("n").alias("nb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est"))

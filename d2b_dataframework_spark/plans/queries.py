@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "join_size_estimate",
     "rolling_active_hll",
     "grouped_linreg",
     "cusum_alerts",
@@ -8586,6 +8587,82 @@ REGISTRY.update(
             q_rolling_active_hll,
             _sql_rolling_active_hll(),
             "7-day rolling distinct users by max-merging stored HLL registers",
+        ),
+    }
+)
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation without scanning the join
+    (operators/sketches.py:cms_join_size_estimate): CMS sketches of
+    purchase-user and click-user keys meet in a per-row inner product;
+    min over rows estimates |purchases join clicks on user| — compared
+    against the exact product-of-counts sum in the same output. The
+    planner-primitive shape: kilobyte sketches in, one cardinality out."""
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    est = sk.cms_join_size_estimate(
+        sk.cms_partials(purchases, "user_id", d=4, w=512),
+        sk.cms_partials(clicks, "user_id", d=4, w=512),
+    )
+    exact = (
+        purchases.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .join(
+            clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("nc")),
+            "user_id",
+        )
+        .agg(F.sum(F.col("np") * F.col("nc")).cast("long").alias("exact"))
+    )
+    return est.crossJoin(exact).select(
+        "est",
+        "exact",
+        F.round((F.col("est") - F.col("exact")) / F.col("exact"), 6).alias(
+            "rel_overcount"
+        ),
+    )
+
+
+_CMS_JOIN_BUCKET = (
+    "(('0x' || substr(md5(r.row::VARCHAR || ':' || user_id::VARCHAR), 1, 15))"
+    "::BIGINT % 512)::INT"
+)
+
+SQL_JOIN_SIZE_ESTIMATE = f"""
+WITH p AS (SELECT user_id FROM events
+           WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+c AS (SELECT user_id FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'click'),
+pa AS (
+  SELECT r.row, {_CMS_JOIN_BUCKET} AS bucket, count(*)::BIGINT AS na
+  FROM p, range(0, 4) r(row) GROUP BY 1, 2),
+cb AS (
+  SELECT r.row, {_CMS_JOIN_BUCKET} AS bucket, count(*)::BIGINT AS nb
+  FROM c, range(0, 4) r(row) GROUP BY 1, 2),
+ip AS (
+  SELECT pa.row, sum(pa.na * cb.nb)::BIGINT AS ip
+  FROM pa JOIN cb USING (row, bucket) GROUP BY 1),
+est AS (SELECT min(ip)::BIGINT AS est FROM ip),
+exact AS (
+  SELECT sum(np * nc)::BIGINT AS exact FROM (
+    SELECT p.user_id, count(*)::BIGINT AS np FROM p GROUP BY 1) a
+  JOIN (SELECT c.user_id, count(*)::BIGINT AS nc FROM c GROUP BY 1) b
+  USING (user_id))
+SELECT est.est, exact.exact,
+  round((est.est - exact.exact) / exact.exact, 6) AS rel_overcount
+FROM est CROSS JOIN exact
+"""
+
+
+REGISTRY.update(
+    {
+        "join_size_estimate": QuerySpec(
+            q_join_size_estimate,
+            SQL_JOIN_SIZE_ESTIMATE,
+            "CMS inner-product join-cardinality estimate vs exact",
         ),
     }
 )

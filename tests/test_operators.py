@@ -955,3 +955,24 @@ def test_hll_register_merge_equals_recompute(spark):
     via_merge = hll_estimate_from_registers(merged, ["g"]).collect()[0]["ndv_approx"]
     assert whole == via_merge
     assert abs(whole - 700) <= 0.1 * 700  # ~3% expected error at p=10
+
+
+def test_cms_join_size_upper_bounds_exact(spark):
+    """est >= exact always (collision mass adds, never subtracts), and
+    with ample width the estimate is exact."""
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([(i, f"k{i % 20}") for i in range(400)], "id long, k string")
+    b = spark.createDataFrame([(i, f"k{i % 30}") for i in range(300)], "id long, k string")
+    exact = (
+        a.groupBy("k").count().withColumnRenamed("count", "na")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "nb"), "k")
+        .agg(F.sum(F.col("na") * F.col("nb"))).collect()[0][0]
+    )
+    for w in (8, 4096):
+        est = sk.cms_join_size_estimate(
+            sk.cms_partials(a, "k", d=4, w=w), sk.cms_partials(b, "k", d=4, w=w)
+        ).collect()[0]["est"]
+        assert est >= exact
+        if w == 4096:
+            assert est == exact  # 20+30 keys in 4096 buckets: no collisions
