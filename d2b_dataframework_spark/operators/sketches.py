@@ -155,8 +155,12 @@ def histogram_quantiles(
     keys: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from a histogram sketch (linear interpolation
-    inside the winning bin — the classic mergeable-histogram readout;
-    max error = one bin width). For each q in ``qs`` the estimate is
+    inside the winning bin — the classic mergeable-histogram readout).
+    Error contract: the estimate lands in the bin holding the
+    ceil(q*N)-th order statistic, so it is within ONE BIN WIDTH of the
+    step-CDF quantile (property-tested); an INTERPOLATED quantile can
+    additionally sit mid-gap between distant values, where no histogram
+    can be closer than the gap. For each q in ``qs`` the estimate is
 
         lo + (bin + (target - cum_before) / bin_n) * width
 
@@ -329,4 +333,11 @@ def cms_join_size_estimate(
         .groupBy("row")
         .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
     )
-    return per_row.agg(F.min("ip").cast("long").alias("est"))
+    # A hash row whose buckets never overlap has inner product 0 — and 0
+    # must win the min (disjoint key sets estimate 0, not null): anchor
+    # on the sketch's row spine and fill absent rows.
+    rows = a.select("row").distinct()
+    return (
+        rows.join(per_row, "row", "left")
+        .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).cast("long").alias("est"))
+    )

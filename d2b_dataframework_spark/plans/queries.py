@@ -8645,7 +8645,9 @@ cb AS (
 ip AS (
   SELECT pa.row, sum(pa.na * cb.nb)::BIGINT AS ip
   FROM pa JOIN cb USING (row, bucket) GROUP BY 1),
-est AS (SELECT min(ip)::BIGINT AS est FROM ip),
+est AS (
+  SELECT min(coalesce(ip.ip, 0))::BIGINT AS est
+  FROM (SELECT DISTINCT row FROM pa) r LEFT JOIN ip USING (row)),
 exact AS (
   SELECT sum(np * nc)::BIGINT AS exact FROM (
     SELECT p.user_id, count(*)::BIGINT AS np FROM p GROUP BY 1) a

@@ -167,3 +167,91 @@ def test_zorder_value_is_invertible(spark, pts):
 
     for r in rows:
         assert decode(r["z"]) == (r["x"], r["y"])
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=999.999, allow_nan=False),
+        min_size=5,
+        max_size=60,
+    ),
+    qs=st.lists(st.sampled_from([0.1, 0.25, 0.5, 0.9, 0.99]), min_size=1, max_size=3, unique=True),
+)
+@settings(**SETTINGS)
+def test_histogram_quantile_error_bounded_by_bin_width(spark, vals, qs):
+    """For ANY input within range, every sketch quantile lands within
+    one bin width of a true value's neighborhood, and sharded partials
+    re-summed give identical estimates (merge exactness)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    lo, hi, bins = 0.0, 1000.0, 100
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    whole = sk.histogram_partials(df, "v", lo, hi, bins)
+    merged = sk.histogram_partials(df.filter(F.col("id") % 2 == 0), "v", lo, hi, bins).unionByName(
+        sk.histogram_partials(df.filter(F.col("id") % 2 == 1), "v", lo, hi, bins)
+    )
+    est_w = {r["q"]: r["est"] for r in sk.histogram_quantiles(whole, lo, hi, bins, qs).collect()}
+    est_m = {r["q"]: r["est"] for r in sk.histogram_quantiles(merged, lo, hi, bins, qs).collect()}
+    assert est_w == est_m
+    width = (hi - lo) / bins
+    ordered = sorted(vals)
+    for q in qs:
+        # the guarantee is vs the STEP-CDF quantile (the ceil(qN)-th
+        # order statistic): the estimate lands in that value's bin, so
+        # it is within one bin width of it. Interpolated quantiles
+        # (np.quantile's default) can sit mid-gap arbitrarily far from
+        # any bin — hypothesis found exactly that case.
+        import math
+
+        exact = ordered[math.ceil(q * len(ordered)) - 1]
+        assert abs(est_w[q] - exact) <= width + 1e-9, (q, est_w[q], exact)
+
+
+@given(
+    keys_a=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=80),
+    keys_b=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=80),
+)
+@settings(**SETTINGS)
+def test_cms_join_estimate_never_undercounts(spark, keys_a, keys_b):
+    from collections import Counter
+
+    from d2b_dataframework_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([(i, str(k)) for i, k in enumerate(keys_a)], "id long, k string")
+    b = spark.createDataFrame([(i, str(k)) for i, k in enumerate(keys_b)], "id long, k string")
+    ca, cb = Counter(keys_a), Counter(keys_b)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    est = sk.cms_join_size_estimate(
+        sk.cms_partials(a, "k", d=4, w=32), sk.cms_partials(b, "k", d=4, w=32)
+    ).collect()[0]["est"]
+    assert est >= exact
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_skyline_matches_quadratic_reference(spark, pts):
+    from d2b_dataframework_spark.operators.ranking import skyline_2d
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    expect = {
+        i
+        for i, x, y in rows
+        if not any(
+            ox <= x and oy >= y and (ox < x or oy > y) for _, ox, oy in rows
+        )
+    }
+    assert got == expect
