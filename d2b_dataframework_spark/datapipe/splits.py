@@ -254,3 +254,25 @@ def priority_sample_topk(
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """Leakage-aware k-fold assignment: the fold is a pure md5 function
+    of the GROUP (author/source/domain/session), so every row of a
+    group lands in the same fold — near-duplicate or correlated rows
+    can never straddle a train/validation boundary (the group-k-fold
+    discipline; row-level folding over correlated data leaks and
+    inflates eval scores).
+
+    Pure projection: zero shuffle, stable under repartitioning and
+    across runs/engines (same md5-bucket kernel as assign_split).
+    Adds ``fold`` (0..k-1).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    return df.withColumn("fold", hash_bucket(group_col, salt, k))

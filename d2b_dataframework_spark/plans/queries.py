@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "group_kfold",
     "join_size_estimate",
     "rolling_active_hll",
     "grouped_linreg",
@@ -8665,6 +8666,44 @@ REGISTRY.update(
             q_join_size_estimate,
             SQL_JOIN_SIZE_ESTIMATE,
             "CMS inner-product join-cardinality estimate vs exact",
+        ),
+    }
+)
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware 5-fold assignment (datapipe/splits.py:group_kfold):
+    folds keyed on SOURCE, so correlated documents from one source can
+    never straddle a train/validation boundary; the output audits the
+    resulting fold balance per source grouping."""
+    from d2b_dataframework_spark.datapipe.splits import group_kfold
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_kfold(docs, "source", k=5)
+    return (
+        out.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("fold")
+    )
+
+
+SQL_GROUP_KFOLD = """
+SELECT (('0x' || substr(md5('fold:' || source), 1, 7))::BIGINT % 5) AS fold,
+  count(*)::BIGINT AS n_docs,
+  count(DISTINCT source)::BIGINT AS n_sources
+FROM documents GROUP BY 1 ORDER BY fold
+"""
+
+
+REGISTRY.update(
+    {
+        "group_kfold": QuerySpec(
+            q_group_kfold,
+            SQL_GROUP_KFOLD,
+            "leakage-aware group k-fold: fold is a pure function of source",
         ),
     }
 )

@@ -1209,3 +1209,19 @@ def test_corpus_report_metrics(spark):
     assert got["mean_doc_tokens"] == round(11 / 4, 6)
     assert got["lang_share:en"] == 0.75 and got["lang_share:es"] == 0.25
     assert got["dup_doc_share"] == 0.5  # docs 1+2 share a fingerprint
+
+
+def test_group_kfold_no_group_straddles_folds(spark):
+    from d2b_dataframework_spark.datapipe.splits import group_kfold
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(70)], "doc_id long, source string"
+    )
+    out = group_kfold(df, "source", k=3)
+    per_group = out.groupBy("source").agg(F.count_distinct("fold").alias("nf")).collect()
+    assert all(r["nf"] == 1 for r in per_group)
+    assert out.select("fold").distinct().count() <= 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="positive"):
+        group_kfold(df, "source", k=0)
