@@ -289,3 +289,92 @@ def label_centroids(
         centroid.alias("centroid_micro_csv"),
         inertia.alias("inertia_quant"),
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_threshold: float = 4.0,
+) -> DataFrame:
+    """Embedding outlier detection against class prototypes: each
+    vector scores ``d^2 / mean_d^2`` vs its label's centroid — the
+    mislabeled/out-of-distribution screen a curation pipeline runs over
+    annotated embeddings (score 1 = typical member; >> 1 = far from its
+    class). Flags rows with score > ``score_threshold``.
+
+    Two passes, both scale-shaped: (1) the k x dim cell aggregate from
+    :func:`label_centroids` materializes per-label rational centroids +
+    moment totals on the driver (|labels| x dim numbers — model
+    parameters); (2) a pure map-side projection against that
+    constant-folded literal computes every distance and score — no
+    join, no shuffle beyond pass 1's bounded cell agg. Arithmetic is
+    the module's exact quantized rational decomposition end to end, so
+    scores reproduce cross-engine.
+
+    Returns flagged rows only: (id, label, score).
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_label"),
+        _quantized(F.col(vec_col)).alias("qv"),
+    )
+    cells = (
+        q.select("_label", F.posexplode(F.col("qv")).alias("dim", "val"))
+        .groupBy("_label", "dim")
+        .agg(F.sum(F.col("val").cast("long")).alias("s"))
+        .collect()
+    )
+    stats = (
+        q.select("_label", _dot(F.col("qv"), F.col("qv")).alias("_xx"))
+        .groupBy("_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_xx").cast("double").alias("sxx"),
+        )
+        .collect()
+    )
+    sums: dict[int, dict[int, int]] = {}
+    for r in cells:
+        sums.setdefault(int(r["_label"]), {})[int(r["dim"])] = int(r["s"])
+    payload = []
+    for r in stats:
+        lab = int(r["_label"])
+        dims = sums[lab]
+        s = [float(dims[i]) for i in range(len(dims))]
+        payload.append(
+            {
+                "label": lab,
+                "s": s,
+                "ss": float(sum(v * v for v in s)),
+                "n": float(int(r["n"])),
+                "sxx": float(r["sxx"]),
+            }
+        )
+    lit = F.from_json(
+        F.lit(json.dumps(payload)),
+        "array<struct<label: bigint, s: array<double>, ss: double, n: double, sxx: double>>",
+    )
+    # entry for THIS row's label (labels are bounded; filter is a tiny HOF)
+    entry = F.element_at(
+        F.filter(lit, lambda e: e["label"] == F.col("_label").cast("bigint")), 1
+    )
+    staged = q.select("_id", "_label", "qv", entry.alias("_e")).filter(
+        F.col("_e").isNotNull()
+    )
+    e = F.col("_e")
+    xx = _dot(F.col("qv"), F.col("qv"))
+    d2 = xx - (F.lit(2.0) * _dot(F.col("qv"), e["s"])) / e["n"] + e["ss"] / (
+        e["n"] * e["n"]
+    )
+    mean_d2 = (e["sxx"] - e["ss"] / e["n"]) / e["n"]
+    score = F.round(d2 / mean_d2, 6)
+    return (
+        staged.select(
+            F.col("_id").alias(id_col),
+            F.col("_label").alias(label_col),
+            score.alias("score"),
+        )
+        .filter(F.col("score") > score_threshold)
+    )

@@ -2089,6 +2089,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # behind ~88 round-2 entries and stay unsampled).
 _NEWEST_FIRST: tuple[str, ...] = (
     # round-3 second sweep (newest of all)
+    "centroid_outliers",
     "group_kfold",
     "join_size_estimate",
     "rolling_active_hll",
@@ -8704,6 +8705,58 @@ REGISTRY.update(
             q_group_kfold,
             SQL_GROUP_KFOLD,
             "leakage-aware group k-fold: fold is a pure function of source",
+        ),
+    }
+)
+
+
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled/OOD embedding screen
+    (datapipe/clustering.py:centroid_outliers): squared distance to the
+    row's label centroid over the label's mean squared distance; rows
+    scoring > 1.8 flagged. Map-side against constant-folded per-label
+    moments; exact quantized arithmetic end to end."""
+    from d2b_dataframework_spark.datapipe.clustering import centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, score_threshold=1.05).orderBy("vec_id")
+
+
+SQL_CENTROID_OUTLIERS = """
+WITH q AS (SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[], v -> round(v * 1000)) AS qv
+           FROM embeddings),
+per AS (
+  SELECT label, count(*)::BIGINT AS n,
+         CAST(sum(list_dot_product(qv, qv)) AS DOUBLE) AS sxx
+  FROM q GROUP BY 1),
+cells AS (
+  SELECT label, t.i AS dim, sum(qv[t.i]::BIGINT)::BIGINT AS s
+  FROM q, range(1, 65) t(i) GROUP BY 1, 2),
+cent AS (
+  SELECT label, list(s::DOUBLE ORDER BY dim) AS s FROM cells GROUP BY 1),
+model AS (
+  SELECT p.label, c.s, list_dot_product(c.s, c.s) AS ss,
+         p.n::DOUBLE AS n, p.sxx
+  FROM per p JOIN cent c ON p.label = c.label),
+scored AS (
+  SELECT q.vec_id, q.label,
+    round(
+      (list_dot_product(q.qv, q.qv)
+       - (2.0 * list_dot_product(q.qv, m.s)) / m.n
+       + m.ss / (m.n * m.n))
+      / ((m.sxx - m.ss / m.n) / m.n), 6) AS score
+  FROM q JOIN model m ON q.label = m.label)
+SELECT vec_id, label, score FROM scored WHERE score > 1.05 ORDER BY vec_id
+"""
+
+
+REGISTRY.update(
+    {
+        "centroid_outliers": QuerySpec(
+            q_centroid_outliers,
+            SQL_CENTROID_OUTLIERS,
+            "distance-to-label-centroid outlier screen (score vs class mean)",
         ),
     }
 )

@@ -1225,3 +1225,21 @@ def test_group_kfold_no_group_straddles_folds(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="positive"):
         group_kfold(df, "source", k=0)
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    """A vector far from its label's tight cluster scores >> 1 and is
+    flagged; cluster members score ~1 and are not."""
+    import math
+
+    rows = []
+    for i in range(20):
+        base = [math.sin(0.3 * (d + 1)) for d in range(8)]
+        rows.append((i, 0, [b + 0.01 * ((i + d) % 5) for d, b in enumerate(base)]))
+    rows.append((99, 0, [5.0] * 8))  # planted outlier
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    from d2b_dataframework_spark.datapipe.clustering import centroid_outliers
+
+    flagged = {r["vec_id"]: r["score"] for r in centroid_outliers(df, score_threshold=4.0).collect()}
+    assert set(flagged) == {99}
+    assert flagged[99] > 10
