@@ -315,32 +315,38 @@ def centroid_outliers(
 
     Returns flagged rows only: (id, label, score).
     """
-    q = df.select(
+    # Labels match by STRING image so integral and string label columns
+    # both work; null labels / null vectors are excluded up front (they
+    # have no class to score against).
+    q = df.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_label"),
+        F.col(label_col).cast("string").alias("_lkey"),
         _quantized(F.col(vec_col)).alias("qv"),
     )
     cells = (
-        q.select("_label", F.posexplode(F.col("qv")).alias("dim", "val"))
-        .groupBy("_label", "dim")
+        q.select("_lkey", F.posexplode(F.col("qv")).alias("dim", "val"))
+        .groupBy("_lkey", "dim")
         .agg(F.sum(F.col("val").cast("long")).alias("s"))
         .collect()
     )
     stats = (
-        q.select("_label", _dot(F.col("qv"), F.col("qv")).alias("_xx"))
-        .groupBy("_label")
+        q.select("_lkey", _dot(F.col("qv"), F.col("qv")).alias("_xx"))
+        .groupBy("_lkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("_xx").cast("double").alias("sxx"),
         )
         .collect()
     )
-    sums: dict[int, dict[int, int]] = {}
+    sums: dict[str, dict[int, int]] = {}
     for r in cells:
-        sums.setdefault(int(r["_label"]), {})[int(r["dim"])] = int(r["s"])
+        sums.setdefault(str(r["_lkey"]), {})[int(r["dim"])] = int(r["s"])
     payload = []
     for r in stats:
-        lab = int(r["_label"])
+        lab = str(r["_lkey"])
         dims = sums[lab]
         s = [float(dims[i]) for i in range(len(dims))]
         payload.append(
@@ -354,15 +360,15 @@ def centroid_outliers(
         )
     lit = F.from_json(
         F.lit(json.dumps(payload)),
-        "array<struct<label: bigint, s: array<double>, ss: double, n: double, sxx: double>>",
+        "array<struct<label: string, s: array<double>, ss: double, n: double, sxx: double>>",
     )
     # entry for THIS row's label (labels are bounded; filter is a tiny HOF)
     entry = F.element_at(
-        F.filter(lit, lambda e: e["label"] == F.col("_label").cast("bigint")), 1
+        F.filter(lit, lambda e: e["label"] == F.col("_lkey")), 1
     )
     staged = q.select("_id", "_label", "qv", entry.alias("_e")).filter(
         F.col("_e").isNotNull()
-    )
+    )  # _label keeps the ORIGINAL type for output; _lkey was match-only
     e = F.col("_e")
     xx = _dot(F.col("qv"), F.col("qv"))
     d2 = xx - (F.lit(2.0) * _dot(F.col("qv"), e["s"])) / e["n"] + e["ss"] / (

@@ -709,34 +709,47 @@ def corpus_report(
     counts or 6dp-rounded rationals of exact integers (deterministic
     cross-engine).
     """
+    spark = df.sparkSession
     toks = tokens(text_col)
+    # The volume block is ONE tiny row — materialize it driver-side
+    # (model-parameter pattern) so its full-scan aggregate is not
+    # re-embedded into every branch of the plan: without this, the
+    # lang-share and dup-share branches would each replay the scan.
     vol = df.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum(F.size(toks).cast("long")).cast("long").alias("_tok"),
         F.count_distinct(F.col(source_col)).cast("long").alias("_src"),
+    ).collect()[0]
+    n, tok, src = int(vol["_n"]), int(vol["_tok"] or 0), int(vol["_src"])
+    n_lit = F.lit(float(n))
+    volume = spark.createDataFrame(
+        [
+            ("n_docs", float(n)),
+            # mean as an in-engine division of the exact integer literals
+            # (identical IEEE op to the oracle's tok / n)
+        ],
+        "metric string, value double",
+    ).unionByName(
+        spark.createDataFrame(
+            [("n_tokens_total", float(tok)), ("n_sources", float(src))],
+            "metric string, value double",
+        )
+    ).unionByName(
+        spark.range(1).select(
+            F.lit("mean_doc_tokens").alias("metric"),
+            F.round(F.lit(float(tok)) / n_lit, 6).alias("value"),
+        )
     )
-    volume = vol.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("n_docs").alias("metric"), F.col("_n").cast("double").alias("value")),
-                F.struct(F.lit("n_tokens_total").alias("metric"), F.col("_tok").cast("double").alias("value")),
-                F.struct(F.lit("mean_doc_tokens").alias("metric"),
-                         F.round(F.col("_tok") / F.col("_n"), 6).alias("value")),
-                F.struct(F.lit("n_sources").alias("metric"), F.col("_src").cast("double").alias("value")),
-            )
-        ).alias("kv")
-    ).select("kv.metric", "kv.value")
     langs = (
         df.groupBy(F.col(lang_col).alias("_lang"))
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .crossJoin(F.broadcast(vol.select("_n")))
         .select(
             F.concat(F.lit("lang_share:"), F.col("_lang")).alias("metric"),
-            F.round(F.col("_c") / F.col("_n"), 6).alias("value"),
+            F.round(F.col("_c") / n_lit, 6).alias("value"),
         )
     )
     fp = F.md5(normalize_whitespace(F.lower(F.col(text_col))))
-    dup_docs = (
+    dup = (
         df.select(fp.alias("_fp"))
         .groupBy("_fp")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
@@ -745,9 +758,9 @@ def corpus_report(
             .cast("long")
             .alias("_dup")
         )
-    )
-    dup = dup_docs.crossJoin(F.broadcast(vol.select("_n"))).select(
-        F.lit("dup_doc_share").alias("metric"),
-        F.round(F.col("_dup") / F.col("_n"), 6).alias("value"),
+        .select(
+            F.lit("dup_doc_share").alias("metric"),
+            F.round(F.coalesce(F.col("_dup"), F.lit(0)) / n_lit, 6).alias("value"),
+        )
     )
     return volume.unionByName(langs).unionByName(dup)

@@ -166,36 +166,9 @@ def hll_ndv_grouped(
     state is also the mergeable unit: persist the (group, j, mj) frame
     daily and re-aggregate for arbitrary date ranges (same pattern as
     operators/sketches.py HLL partials, minus the engine lock-in)."""
-    m = 1 << p
-    scale = _HASH_BITS - p + 1
-    rho_max = scale
-
-    # same small-input parallelization guard as hll_ndv (no-op at scale)
-    sc = df.sparkSession.sparkContext
-    df = df.select(*group_cols, value_col)  # prune before repartition
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    h = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    staged = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, h.alias("_h"))
-        .select(
-            *group_cols,
-            F.pmod(F.col("_h"), F.lit(m)).cast("int").alias("j"),
-            F.expr(f"_h DIV {m}").alias("w"),
-        )
+    return hll_estimate_from_registers(
+        hll_registers_grouped(df, group_cols, value_col, p=p), group_cols, p=p
     )
-    rho = F.when(F.col("w") == 0, F.lit(rho_max)).otherwise(
-        F.lit(scale) - F.length(F.bin(F.col("w")))
-    )
-    regs = (
-        staged.select(*group_cols, "j", rho.alias("rho"))
-        .groupBy(*group_cols, "j")
-        .agg(F.max("rho").alias("mj"))
-    )
-    return hll_estimate_from_registers(regs, group_cols, p=p)
 
 
 def hll_estimate_from_registers(
@@ -241,10 +214,19 @@ def hll_registers_grouped(
 ) -> DataFrame:
     """The register frame (group_cols, j, mj) itself — the persistable/
     mergeable unit behind :func:`hll_ndv_grouped` (which is exactly
-    this + :func:`hll_estimate_from_registers`)."""
+    this + :func:`hll_estimate_from_registers`). This is the ONE place
+    the register kernel lives for the grouped path — build-side changes
+    cannot diverge from the rollup."""
     m = 1 << p
     scale = _HASH_BITS - p + 1
     rho_max = scale
+    # small-input parallelization guard (see hll_ndv): spread the
+    # CPU-bound md5 stage across cores when the input has fewer splits
+    # than the machine; at real scale splits >> cores and this no-ops.
+    sc = df.sparkSession.sparkContext
+    df = df.select(*group_cols, value_col)  # prune before repartition
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")

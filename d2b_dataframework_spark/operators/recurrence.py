@@ -82,6 +82,8 @@ def cusum_alerts(
     -CTE oracle lands on bit-identical doubles.
 
     Returns one row per key: (key, n_alerts, final_stat, peak_stat).
+    ``key_col`` must be integral (same output-schema contract as
+    :func:`clamped_running_balance`).
     """
     schema = StructType(
         [

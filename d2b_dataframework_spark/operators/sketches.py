@@ -337,7 +337,11 @@ def cms_join_size_estimate(
     # must win the min (disjoint key sets estimate 0, not null): anchor
     # on the sketch's row spine and fill absent rows.
     rows = a.select("row").distinct()
-    return (
-        rows.join(per_row, "row", "left")
-        .agg(F.min(F.coalesce(F.col("ip"), F.lit(0))).cast("long").alias("est"))
+    est = rows.join(per_row, "row", "left").agg(
+        F.min(F.coalesce(F.col("ip"), F.lit(0))).alias("_min_ip")
+    )
+    # an EMPTY A-side sketch leaves the row spine empty and min() null —
+    # the true join size is 0 there too, same as the disjoint-key case
+    return est.select(
+        F.coalesce(F.col("_min_ip"), F.lit(0)).cast("long").alias("est")
     )

@@ -8520,7 +8520,10 @@ def q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
     )
-    regs = hll_registers_grouped(ev, ["day"], "user_id")
+    # persist: both the day spine and the windowed merge read the
+    # register frame — unpersisted, the md5 register build (the
+    # expensive stage) would execute twice
+    regs = hll_registers_grouped(ev, ["day"], "user_id").persist()
     days = regs.select("day").distinct().withColumn(
         "_di", F.datediff(F.to_date("day"), F.lit("2024-01-01").cast("date"))
     )
@@ -8648,7 +8651,7 @@ ip AS (
   SELECT pa.row, sum(pa.na * cb.nb)::BIGINT AS ip
   FROM pa JOIN cb USING (row, bucket) GROUP BY 1),
 est AS (
-  SELECT min(coalesce(ip.ip, 0))::BIGINT AS est
+  SELECT coalesce(min(coalesce(ip.ip, 0)), 0)::BIGINT AS est
   FROM (SELECT DISTINCT row FROM pa) r LEFT JOIN ip USING (row)),
 exact AS (
   SELECT sum(np * nc)::BIGINT AS exact FROM (
@@ -8714,7 +8717,7 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mislabeled/OOD embedding screen
     (datapipe/clustering.py:centroid_outliers): squared distance to the
     row's label centroid over the label's mean squared distance; rows
-    scoring > 1.8 flagged. Map-side against constant-folded per-label
+    scoring > 1.05 flagged. Map-side against constant-folded per-label
     moments; exact quantized arithmetic end to end."""
     from d2b_dataframework_spark.datapipe.clustering import centroid_outliers
 
