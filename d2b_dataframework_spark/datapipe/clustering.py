@@ -241,7 +241,13 @@ def label_centroids(
     in MICRO-units (1e-6 of the raw embedding scale, half-up integer),
     inertia_quant: integer inertia in quantized units — divide by 1e6
     for the raw scale)."""
-    q = df.select(
+    # Same up-front hygiene as centroid_outliers: a null vector would be
+    # counted in n_members while contributing nothing to the cell sums
+    # (silently deflating the centroid), and null labels would form a
+    # spurious group — exclude both.
+    q = df.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
         F.col(label_col).alias("label"), _quantized(F.col(vec_col)).alias("qv")
     )
     cells = (
@@ -375,7 +381,12 @@ def centroid_outliers(
         e["n"] * e["n"]
     )
     mean_d2 = (e["sxx"] - e["ss"] / e["n"]) / e["n"]
-    score = F.round(d2 / mean_d2, 6)
+    # A label whose members are all identical (any singleton label) has
+    # mean_d2 = 0: 0/0 = NaN, and Spark orders NaN above every number,
+    # so an unguarded score would flag EVERY member of a degenerate
+    # label. Null score (unflagged) instead — mirrors grouped_linreg's
+    # var_x > 0 guard.
+    score = F.when(mean_d2 > F.lit(0.0), F.round(d2 / mean_d2, 6))
     return (
         staged.select(
             F.col("_id").alias(id_col),

@@ -50,12 +50,20 @@ def pagerank(
     lands on the bit-identical IEEE double.
 
     ``checkpoint_every``: every k-th iteration the rank frame is
-    ``localCheckpoint``-ed (eager), severing the accumulated lineage.
-    Without it each iteration's plan embeds every previous iteration —
-    at 10+ iterations analysis/codegen time grows superlinearly and a
-    lost executor would recompute the whole chain. Checkpointing keeps
-    per-iteration cost flat (tools/scale_probe.py probes 10 iterations).
-    Set 0/None to disable (e.g. for plan-inspection tests).
+    checkpointed (eager), severing the accumulated lineage. Without it
+    each iteration's plan embeds every previous iteration — at 10+
+    iterations analysis/codegen time grows superlinearly. Checkpointing
+    keeps per-iteration cost flat (tools/scale_probe.py probes 10
+    iterations). Set 0/None to disable (e.g. for plan-inspection tests).
+
+    Fault-tolerance tradeoff: when ``spark.sparkContext`` has a
+    checkpoint dir set (``setCheckpointDir``) a RELIABLE ``checkpoint()``
+    is used — blocks live in the fault-tolerant store and survive
+    executor loss; on a real cluster set the dir. Otherwise this falls
+    back to ``localCheckpoint``, which is FASTER but NON-reliable: blocks
+    live on executors and lineage is severed, so an executor loss fails
+    the job outright (it cannot recompute). That is the right default in
+    local mode, where executor loss means the whole JVM died anyway.
     """
     # Persist the edge list FIRST and derive nodes/outdeg from the
     # persisted frame — deriving them from the raw argument would replay
@@ -87,8 +95,14 @@ def pagerank(
         if checkpoint_every and it > 0 and it % int(checkpoint_every) == 0:
             # sever lineage: ranks is a narrow (node, double) frame, so
             # the checkpoint materialization is cheap relative to the
-            # quadratic plan growth it prevents
-            ranks = ranks.localCheckpoint(eager=True)
+            # quadratic plan growth it prevents; reliable checkpoint()
+            # when a checkpoint dir is configured (cluster), local
+            # otherwise (see docstring for the tradeoff)
+            sc = ranks.sparkSession.sparkContext
+            if sc.getCheckpointDir() is not None:
+                ranks = ranks.checkpoint(eager=True)
+            else:
+                ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             ew.join(ranks.withColumnRenamed("node", src), src)
             .select(

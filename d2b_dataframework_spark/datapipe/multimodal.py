@@ -1,10 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side design is real and tested — schema contracts, Arrow-batched
-``mapInPandas`` signatures, partition sizing — while the actual media
-decode is STUBBED (the image/audio codec libraries are not available in
-this environment). Swap ``_decode_image_stub`` for a PIL/ffmpeg call in
-production; nothing else changes.
+``mapInPandas`` signatures, partition sizing. Decode status, honestly:
+
+- REAL, zero-dependency: PNG pixel decode (stdlib zlib + unfilter) and
+  WAV PCM sample decode via :mod:`.codecs` (``png_pixel_stats``,
+  ``wav_sample_stats``, and the PNG path of ``extract_image_features``);
+  container METADATA parsing for PNG/JPEG/WAV/MP4 below.
+- STUBBED: JPEG/WebP pixel data, MP4/compressed-audio sample data —
+  entropy decode needs a codec library this environment doesn't ship.
+  The stubs are deterministic and documented; swap ``_decode_image_stub``
+  for a PIL/ffmpeg call in production and nothing else changes
+  (``tests/test_codec_optional.py`` holds the importorskip PIL/soundfile
+  conformance legs).
 
 Layout convention (one row per asset):
     asset_id STRING, modality STRING,  -- image | audio | video
@@ -57,8 +65,10 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 def _decode_image_stub(content: bytes) -> tuple[int, int]:
     """STUB decode: derives a deterministic fake (width, height) from the
-    byte length. Replace with ``PIL.Image.open(io.BytesIO(content)).size``
-    when codec libs are present."""
+    byte length — the fallback for formats the pure decoder cannot read
+    (JPEG/WebP pixel data needs a codec library). PNG payloads take the
+    REAL decode path in :func:`extract_image_features` via
+    :mod:`.codecs`."""
     n = len(content or b"")
     return (64 + n % 512, 64 + (n * 7) % 512)
 
@@ -78,22 +88,41 @@ def _feature_stub(content: bytes, dim: int = 8) -> list[float]:
 def extract_image_features(assets: DataFrame, feature_dim: int = 8) -> DataFrame:
     """Decode + featurize image assets via Arrow-batched mapInPandas.
 
+    PNG payloads are REALLY decoded (:func:`codecs.decode_png` —
+    stdlib zlib + unfilter, no codec library) and featurized from the
+    reconstructed pixels; other formats fall back to the documented
+    deterministic stubs (JPEG entropy decode needs a real codec).
+
     Filter to the image modality BEFORE the Python stage so non-image
     bytes never cross the JVM→Arrow boundary.
     """
+    from d2b_dataframework_spark.datapipe.codecs import decode_png
+
+    def one(content) -> tuple[int, int, list[float]]:
+        decoded = decode_png(content)
+        if decoded is None:
+            w, h = _decode_image_stub(content)
+            return (w, h, _feature_stub(content, feature_dim))
+        w, h, ch, pixels = decoded
+        # Real feature: normalized pixel-intensity histogram projection
+        # over the reconstructed bytes (same shape as the stub so the
+        # schema contract is format-independent).
+        acc = [0] * feature_dim
+        for i, byte in enumerate(pixels):
+            acc[i % feature_dim] += byte
+        denom = 255.0 * max(1, len(pixels) / feature_dim)
+        return (w, h, [a / denom for a in acc])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["content"].map(_decode_image_stub)
+            parsed = pdf["content"].map(one)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": [p[0] for p in parsed],
+                    "height": [p[1] for p in parsed],
                     "n_bytes": pdf["content"].map(lambda c: len(c or b"")),
-                    "features": pdf["content"].map(
-                        lambda c: _feature_stub(c, feature_dim)
-                    ),
+                    "features": [p[2] for p in parsed],
                 }
             )
 
@@ -241,10 +270,20 @@ def parse_image_dimensions(content: bytes) -> tuple[str, int, int] | None:
         while i + 9 < len(b):
             if b[i] != 0xFF:
                 return None  # broken marker stream
+            # Legal 0xFF fill/padding bytes may precede any marker
+            # (ISO/IEC 10918-1 B.1.1.2): skip runs of 0xFF so the byte
+            # after them is interpreted as the marker — without this a
+            # fill byte reads as marker 0xFF and a bogus segment length
+            # desynchronizes the walk.
+            while i + 9 < len(b) and b[i + 1] == 0xFF:
+                i += 1
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers have no length
                 continue
+            if marker == 0xDA:
+                # SOS: entropy-coded data follows — no SOF seen, stop.
+                return None
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h = int.from_bytes(b[i + 5 : i + 7], "big")
@@ -465,4 +504,122 @@ def mp4_meta(assets: DataFrame) -> DataFrame:
         assets.filter(F.col("modality") == "video")
         .select("asset_id", "content")
         .mapInPandas(run, _MP4_META_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel / sample decode stats (zero-dependency codecs)
+# ---------------------------------------------------------------------------
+
+_PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_values", LongType()),
+        StructField("sum_val", LongType()),
+        StructField("min_val", LongType()),
+        StructField("max_val", LongType()),
+    ]
+)
+
+
+def png_pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL PNG pixel decode over image assets: zlib-inflate the IDAT
+    stream and unfilter every scanline (:func:`codecs.decode_png`, pure
+    stdlib), then reduce the reconstructed pixels to per-image integer
+    stats — the "drop black/blank/degenerate images" screen a curation
+    pipeline runs, and the proof the decode is real (the stats depend on
+    every reconstructed byte).
+
+    Integer sums only (no float accumulation) so results reproduce
+    bit-identically on any engine; nulls for payloads the decoder does
+    not support. Arrow-batched mapInPandas; the binary column streams
+    through Python batch-by-batch and the output is metadata-sized.
+    """
+    from d2b_dataframework_spark.datapipe.codecs import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _PIXEL_STATS_SCHEMA.fields}
+            for _, row in pdf.iterrows():
+                decoded = decode_png(row["content"])
+                out["asset_id"].append(row["asset_id"])
+                if decoded is None:
+                    for k in ("width", "height", "channels", "n_values",
+                              "sum_val", "min_val", "max_val"):
+                        out[k].append(None)
+                else:
+                    w, h, ch, px = decoded
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    out["n_values"].append(len(px))
+                    out["sum_val"].append(sum(px))
+                    out["min_val"].append(min(px) if px else None)
+                    out["max_val"].append(max(px) if px else None)
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "content")
+        .mapInPandas(run, _PIXEL_STATS_SCHEMA)
+    )
+
+
+_WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("n_values", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_us", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("sum_abs", LongType()),
+    ]
+)
+
+
+def wav_sample_stats(assets: DataFrame) -> DataFrame:
+    """REAL WAV PCM sample decode (:func:`codecs.decode_wav`): integer
+    frames out of the data chunk, reduced to loudness/clipping screens
+    (peak, mean-abs via exact integer sum) plus the exact
+    ``n_frames * 1e6 // rate`` duration — silence/clip detection before
+    any ASR cost. Nulls for non-PCM payloads; same Arrow-batched
+    map-side shape as :func:`png_pixel_stats`."""
+    from d2b_dataframework_spark.datapipe.codecs import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _WAV_STATS_SCHEMA.fields}
+            for _, row in pdf.iterrows():
+                decoded = decode_wav(row["content"])
+                out["asset_id"].append(row["asset_id"])
+                if decoded is None:
+                    for k in ("sample_rate", "channels", "bit_depth",
+                              "n_values", "n_frames", "duration_us",
+                              "peak_abs", "sum_abs"):
+                        out[k].append(None)
+                else:
+                    rate, ch, depth, samples = decoded
+                    n_frames = len(samples) // ch
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(ch)
+                    out["bit_depth"].append(depth)
+                    out["n_values"].append(len(samples))
+                    out["n_frames"].append(n_frames)
+                    out["duration_us"].append(n_frames * 1_000_000 // rate)
+                    out["peak_abs"].append(
+                        max(abs(s) for s in samples) if samples else None
+                    )
+                    out["sum_abs"].append(sum(abs(s) for s in samples))
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "content")
+        .mapInPandas(run, _WAV_STATS_SCHEMA)
     )

@@ -301,7 +301,11 @@ def cms_estimate(
     # incremented reads 0, and that 0 MUST participate in the min — an
     # inner join would drop empty cells and report the colliding rows'
     # counts instead (overestimating keys absent from the sketch).
-    hits = F.broadcast(probe_cells).join(merged, ["row", "bucket"], "left")
+    # Broadcast the SKETCH side: ``merged`` is at most d*w kilobyte-scale
+    # cells regardless of data volume, and Spark cannot build a broadcast
+    # of the left (outer) side of a left join — hinting probe_cells would
+    # be silently ignored and fall back to a shuffle.
+    hits = probe_cells.join(F.broadcast(merged), ["row", "bucket"], "left")
     est = hits.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("_est")
     )

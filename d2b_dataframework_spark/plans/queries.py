@@ -2056,13 +2056,17 @@ REGISTRY: dict[str, QuerySpec] = {
 
 
 # Query names already verified by a past driver correctness run
-# (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json). The driver's gate samples
-# the registry in iteration order and has historically checked only the
-# first ~50 entries, so ``queries()`` surfaces never-driver-checked
-# queries FIRST — each round the freshest, riskiest operators land inside
-# the sampled window while the already-proven ones rotate to the back.
+# (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json ∪ CORRECTNESS_r03.json).
+# The driver's gate samples the registry in iteration order and has
+# historically checked only the first ~50 entries, so ``queries()``
+# surfaces never-driver-checked queries FIRST.  Once the unverified
+# backlog is smaller than the sampled window, a deterministic rotating
+# slice of already-verified names backfills the front of the order so
+# older queries are periodically re-checked rather than rotated out
+# forever (regressions in shared operators stay catchable).
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        # r1 ∪ r2
         "action_array_extract", "asof_join", "broadcast_dim_enrich",
         "cosine_topk", "customer_activity_flags", "dedup_clusters",
         "dedup_exact", "dedup_keep_latest", "doc_fingerprint",
@@ -2079,63 +2083,75 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "text_quality", "token_bpe", "token_stats", "top_revenue_orders",
         "train_split", "union_mixed_schema", "urn_extract",
         "utc_day_bounds", "value_percentiles", "window_running_total",
+        # r3 (CORRECTNESS_r03.json, all 50 green)
+        "ann_recall", "benford_digits", "bm25_scores", "bpe_merge_step",
+        "centroid_outliers", "cluster_balanced_sample", "cms_user_counts",
+        "containment_capped", "corpus_report", "curation_pipeline",
+        "cusum_alerts", "daily_active_hll", "decontaminate",
+        "dedup_keep_best", "dod_change", "domain_mixture",
+        "embedding_quantize", "events_cube_weekday", "global_shuffle",
+        "group_kfold", "grouped_linreg", "grouped_quantile_sketch",
+        "hash_embeddings", "hybrid_retrieval_rrf", "image_dimensions",
+        "ivfpq_topk", "join_size_estimate", "kmeans_clusters",
+        "label_centroids", "late_shipment_priority", "length_histogram",
+        "market_share", "pareto_frontier", "pq_encode", "pq_topk",
+        "pq_topk_trained", "price_band_join", "quality_curriculum",
+        "quantile_bins", "quantile_sketch", "random_projection",
+        "rolling_active_hll", "rolling_median", "salted_event_sums",
+        "segment_dedup", "soft_dedup_weights", "table_stats_approx",
+        "triangle_stats", "video_duration", "vocab_coverage",
     }
 )
 
 
-# Queries added THIS round — the riskiest, so they go first within the
-# never-driver-checked block (the driver's sampled gate checks ~50
-# entries from the front; without this the newest queries would sit
-# behind ~88 round-2 entries and stay unsampled).
+# Queries added THIS round (round 4) — never checked by ANY gate yet, so
+# they go behind the round-2/3 backlog this round: the judge's round-3
+# directive is that the sampled window covers the 71 queries that have
+# never appeared in a driver artifact.  New additions are still covered
+# by the full local gate (tools/check_correctness.py runs all entries)
+# and rotate into the driver window next round.
 _NEWEST_FIRST: tuple[str, ...] = (
-    # round-3 second sweep (newest of all)
-    "centroid_outliers",
-    "group_kfold",
-    "join_size_estimate",
-    "rolling_active_hll",
-    "grouped_linreg",
-    "cusum_alerts",
-    "corpus_report",
-    "quantile_bins",
-    "hash_embeddings",
-    "label_centroids",
-    "ivfpq_topk",
-    "pq_topk_trained",
-    "pq_topk",
-    "pq_encode",
-    "ann_recall",
-    "hybrid_retrieval_rrf",
-    "triangle_stats",
-    "quantile_sketch",
-    "grouped_quantile_sketch",
-    "cms_user_counts",
-    "random_projection",
-    "pareto_frontier",
-    "soft_dedup_weights",
-    "benford_digits",
-    "video_duration",
-    # round-3 first sweep
-    "table_stats_approx",
-    "daily_active_hll",
-    "dedup_keep_best",
-    "containment_capped",
-    "rolling_median",
-    "events_cube_weekday",
-    "vocab_coverage",
-    "image_dimensions",
+    "png_pixel_stats",
+    "wav_sample_stats",
 )
 
 
+# Deterministic rotation counter for the verified re-check slice.  Bump
+# by one each round the ordering ships; the slice it selects changes
+# every round so the whole verified set is eventually re-sampled.
+_GATE_ROUND: int = 4
+
+# How many already-verified names to surface inside the sampled window
+# once the unverified backlog no longer fills it (sampled window ≈ 50).
+_RECHECK_SLOTS: int = 8
+_GATE_WINDOW: int = 50
+
+
 def _gate_order() -> list[str]:
-    """Registry names: this round's additions, then the rest of the
-    never-driver-checked queries, then the already-verified ones."""
+    """Registry names ordered for the external correctness gate.
+
+    Never-driver-checked queries first (backlog before this round's
+    brand-new entries), then the already-verified ones.  When the
+    unverified block is smaller than the sampled window, a rotating
+    slice of verified names is promoted to the front of the verified
+    block so the sampler re-checks ``_RECHECK_SLOTS`` old queries per
+    round instead of never seeing them again.
+    """
     names = list(REGISTRY)
     newest = [n for n in _NEWEST_FIRST if n in REGISTRY]
-    rest_unverified = [
+    backlog = [
         n for n in names if n not in _DRIVER_VERIFIED and n not in _NEWEST_FIRST
     ]
     verified = [n for n in names if n in _DRIVER_VERIFIED]
-    return newest + rest_unverified + verified
+    unverified = backlog + newest
+    if len(unverified) < _GATE_WINDOW and verified:
+        # Rotate a deterministic slice of verified names into the window.
+        start = (_GATE_ROUND * _RECHECK_SLOTS) % len(verified)
+        rotated = verified[start:] + verified[:start]
+        recheck = rotated[:_RECHECK_SLOTS]
+        rest = [n for n in verified if n not in recheck]
+        return unverified + recheck + rest
+    return unverified + verified
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -8760,6 +8776,155 @@ REGISTRY.update(
             q_centroid_outliers,
             SQL_CENTROID_OUTLIERS,
             "distance-to-label-centroid outlier screen (score vs class mean)",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: REAL media decode (pure-stdlib codecs)
+# ---------------------------------------------------------------------------
+
+
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode round-trip (datapipe/codecs.py): per
+    document a deterministic pixel pattern is written as a genuine
+    zlib-compressed PNG executor-side (filters cycle 0-4 per scanline,
+    valid CRCs), then datapipe/multimodal.py:png_pixel_stats inflates +
+    unfilters every scanline and reduces the reconstructed bytes to
+    integer stats. The oracle computes the same stats ARITHMETICALLY
+    from the pixel formula — a hash match proves every byte of the
+    decode (inflate, all five unfilter branches, scanline order), with
+    no shared code between synthesis arithmetic and decoder."""
+    import pandas as pd
+
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+    from d2b_dataframework_spark.datapipe.codecs import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "modality": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 5 + 2, d % 3 + 2
+                ch = {0: 1, 1: 3, 2: 4}[d % 3]
+                px = bytes(
+                    (d + 7 * y + 3 * x + 11 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                rows["asset_id"].append(str(d))
+                rows["modality"].append("image")
+                rows["content"].append(
+                    encode_png(w, h, ch, px,
+                               filter_for_row=lambda y, d=d: (d + y) % 5)
+                )
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        enc, "asset_id string, modality string, content binary"
+    )
+    return (
+        mm.png_pixel_stats(assets)
+        .select(
+            F.col("asset_id").cast("long").alias("doc_id"),
+            "width", "height", "channels", "n_values",
+            "sum_val", "min_val", "max_val",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_PNG_PIXEL_STATS = """
+WITH dims AS (
+  SELECT doc_id, (doc_id % 5 + 2)::BIGINT AS w, (doc_id % 3 + 2)::BIGINT AS h,
+    (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::BIGINT AS ch
+  FROM documents),
+vals AS (
+  SELECT d.doc_id, d.w, d.h, d.ch,
+    ((d.doc_id + 7 * ty.y + 3 * tx.x + 11 * tc.c) % 256)::BIGINT AS v
+  FROM dims d, range(0, 4) ty(y), range(0, 6) tx(x), range(0, 4) tc(c)
+  WHERE ty.y < d.h AND tx.x < d.w AND tc.c < d.ch)
+SELECT doc_id, max(w) AS width, max(h) AS height, max(ch) AS channels,
+  count(*)::BIGINT AS n_values, sum(v)::BIGINT AS sum_val,
+  min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val
+FROM vals GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM sample decode round-trip: deterministic 16-bit
+    interleaved frames written as genuine RIFF/fmt/data payloads
+    executor-side (datapipe/codecs.py:encode_wav), decoded back by
+    multimodal.py:wav_sample_stats and reduced to loudness/duration
+    stats; the oracle replays the sample formula arithmetically."""
+    import pandas as pd
+
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+    from d2b_dataframework_spark.datapipe.codecs import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "modality": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, ch = d % 50 + 20, d % 2 + 1
+                rate = 8000 + (d % 4) * 4000
+                samples = [
+                    ((d * 31 + i * 7) % 65536) - 32768 for i in range(n * ch)
+                ]
+                rows["asset_id"].append(str(d))
+                rows["modality"].append("audio")
+                rows["content"].append(encode_wav(rate, ch, 16, samples))
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        enc, "asset_id string, modality string, content binary"
+    )
+    return (
+        mm.wav_sample_stats(assets)
+        .select(
+            F.col("asset_id").cast("long").alias("doc_id"),
+            "sample_rate", "channels", "bit_depth", "n_values",
+            "n_frames", "duration_us", "peak_abs", "sum_abs",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_WAV_SAMPLE_STATS = """
+WITH p AS (
+  SELECT doc_id, (doc_id % 50 + 20)::BIGINT AS n, (doc_id % 2 + 1)::BIGINT AS ch,
+    (8000 + (doc_id % 4) * 4000)::BIGINT AS rate
+  FROM documents),
+vals AS (
+  SELECT p.doc_id, p.n, p.ch, p.rate,
+    ((p.doc_id * 31 + t.i * 7) % 65536 - 32768)::BIGINT AS s
+  FROM p, range(0, 140) t(i) WHERE t.i < p.n * p.ch)
+SELECT doc_id, max(rate) AS sample_rate, max(ch) AS channels,
+  16::BIGINT AS bit_depth, count(*)::BIGINT AS n_values,
+  max(n) AS n_frames, (max(n) * 1000000 // max(rate))::BIGINT AS duration_us,
+  max(abs(s))::BIGINT AS peak_abs, sum(abs(s))::BIGINT AS sum_abs
+FROM vals GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "png_pixel_stats": QuerySpec(
+            q_png_pixel_stats,
+            SQL_PNG_PIXEL_STATS,
+            "real zlib+unfilter PNG pixel decode vs arithmetic oracle",
+        ),
+        "wav_sample_stats": QuerySpec(
+            q_wav_sample_stats,
+            SQL_WAV_SAMPLE_STATS,
+            "real RIFF PCM sample decode vs arithmetic oracle",
         ),
     }
 )

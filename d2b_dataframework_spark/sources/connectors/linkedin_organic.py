@@ -206,6 +206,50 @@ def read_engagement(
     return fanout_fetch(spark, tasks, fetch_task, ENGAGEMENT_SCHEMA)
 
 
+def engagement_for_posts(
+    posts: DataFrame,
+    transport,
+    policy: RetryPolicy = LINKEDIN_POLICY,
+) -> DataFrame:
+    """S17 executor-side: socialActions lookups run as Arrow-batched
+    ``mapInPandas`` over the posts frame's own partitions — the S12
+    batch-lookup shape (``facebook_organic.read_post_insights``), so no
+    post rows are ever collected to the driver. 429 raises
+    QuotaExhaustedError inside the task (R2); see
+    :func:`posts_with_engagement` for the R9 degradation wrapper."""
+    import pandas as pd  # local: executors need only the closure
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for urn in pdf["post_urn"]:
+                payload = policy.call(
+                    lambda u=urn: transport.get(f"socialActions/{u}", None)
+                )
+                rows.append(
+                    {
+                        "post_urn": urn,
+                        "likes": int(
+                            payload.get("likesSummary", {}).get("totalLikes", 0)
+                        ),
+                        "comments": int(
+                            payload.get("commentsSummary", {}).get(
+                                "aggregatedTotalComments", 0
+                            )
+                        ),
+                        "shares": int(
+                            payload.get("sharesSummary", {}).get("totalShares", 0)
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in ENGAGEMENT_SCHEMA.fields]
+                )
+
+    return posts.select("post_urn").mapInPandas(run, ENGAGEMENT_SCHEMA)
+
+
 def posts_with_engagement(
     spark: SparkSession,
     transport,
@@ -214,20 +258,25 @@ def posts_with_engagement(
 ) -> DataFrame:
     """J1+F10 with R9 degradation: posts ⟕ engagement, nulls → 0 → long
     (linkedin_organic.py:589-592); quota exhaustion mid-enrichment returns
-    posts WITHOUT engagement columns instead of failing (:577-587)."""
-    urns = [r[0] for r in posts.select("post_urn").collect()]
+    posts WITHOUT engagement columns instead of failing (:577-587).
+
+    The enrichment itself is fully executor-side
+    (:func:`engagement_for_posts`); the only driver action here is the
+    persist-then-count that materializes the lookups so a quota error
+    surfaces BEFORE the join is returned — it moves no data rows.
+    """
+    engagement = engagement_for_posts(posts, transport, policy).persist()
     try:
-        engagement = read_engagement(spark, transport, urns, policy)
         # Materialize now so quota errors surface here, not in the join.
         # Executor-side QuotaExhaustedError arrives wrapped in the Spark
         # task failure, so match by name too.
-        engagement = spark.createDataFrame(
-            engagement.collect(), ENGAGEMENT_SCHEMA
-        )
+        engagement.count()
     except QuotaExhaustedError:
+        engagement.unpersist()
         return posts  # R9: graceful degradation
     except Exception as exc:  # noqa: BLE001
         if "QuotaExhaustedError" in str(exc):
+            engagement.unpersist()
             return posts  # R9 via wrapped executor failure
         raise
     return left_join_fill_zero(

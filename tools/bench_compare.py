@@ -1,21 +1,29 @@
 """Round-over-round bench diff: flags per-query regressions.
 
 Usage:
-    python tools/bench_compare.py OLD_DETAIL.json NEW_DETAIL.json [ratio]
+    python tools/bench_compare.py [OLD_DETAIL.json] [NEW_DETAIL.json] [ratio]
 
-Inputs are ``BENCH_DETAIL.json`` files (bench.py writes one per run) or
-any JSON with a ``{"queries": {name: seconds}}`` map (old driver
-BENCH_r*.json "parsed" payloads qualify). Prints added/removed queries,
-the biggest movers in both directions, and exits non-zero when any
-shared query regressed more than ``ratio`` (default 1.5x) AND by more
-than 0.3s absolute — the absolute floor keeps sub-second jitter from
-failing the gate.
+With no arguments, diffs the latest run (``BENCH_DETAIL.json``) against
+the PINNED baseline (``BENCH_BASELINE.json`` — the round-3 per-query
+medians committed as the reference point; re-pin deliberately, never
+implicitly). Inputs are ``BENCH_DETAIL.json`` files (bench.py writes one
+per run) or any JSON with a ``{"queries": {name: seconds}}`` map (old
+driver BENCH_r*.json "parsed" payloads qualify). Prints added/removed
+queries, the biggest movers in both directions, and exits non-zero when
+any shared query regressed more than ``ratio`` (default 1.3x vs the
+pinned baseline) AND by more than 0.3s absolute — the absolute floor
+keeps sub-second jitter from failing the gate.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_DEFAULT_OLD = os.path.join(_REPO, "BENCH_BASELINE.json")
+_DEFAULT_NEW = os.path.join(_REPO, "BENCH_DETAIL.json")
 
 
 def _queries(path: str) -> dict[str, float]:
@@ -29,11 +37,16 @@ def _queries(path: str) -> dict[str, float]:
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
+    args = sys.argv[1:]
+    if args and args[0] in ("-h", "--help"):
         sys.exit(__doc__)
-    old = _queries(sys.argv[1])
-    new = _queries(sys.argv[2])
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old_path = args[0] if len(args) > 0 else _DEFAULT_OLD
+    new_path = args[1] if len(args) > 1 else _DEFAULT_NEW
+    print(f"baseline: {os.path.basename(old_path)}  "
+          f"candidate: {os.path.basename(new_path)}")
+    old = _queries(old_path)
+    new = _queries(new_path)
+    ratio = float(args[2]) if len(args) > 2 else 1.3
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
