@@ -116,3 +116,55 @@ def cusum_alerts(
         )
 
     return df.groupBy(key_col).applyInPandas(run, schema)
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing: ``level = a*x +
+    (1-a)*(level+trend); trend = b*(level-prev) + (1-b)*trend`` over the
+    ordered rows, seeded level = first value, trend = 0. The level/trend
+    state is a coupled non-linear recurrence — same ``applyInPandas``
+    contract as the other operators in this module (keys distribute,
+    IEEE ops replay in the caller-given order, recursive-CTE oracles
+    land bit-identical).
+
+    Returns one row per key: (key: string, level, trend, forecast_next
+    = level + trend). ``key_col`` is stringified into the static output
+    schema.
+    """
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast_next", DoubleType()),
+        ]
+    )
+    a, b = float(alpha), float(beta)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vs = [float(v) for v in pdf[value_col]]
+        level, trend = vs[0], 0.0
+        for v in vs[1:]:
+            prev = level
+            level = a * v + (1.0 - a) * (level + trend)
+            trend = b * (level - prev) + (1.0 - b) * trend
+        return pd.DataFrame(
+            {
+                "key": [str(pdf[key_col].iloc[0])],
+                "level": [level],
+                "trend": [trend],
+                "forecast_next": [level + trend],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(run, schema)

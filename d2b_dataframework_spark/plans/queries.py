@@ -6761,45 +6761,20 @@ def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (level/trend recurrence — sequential state, applyInPandas per key
     like the clamped balance), reporting the final level, trend, and
     one-step forecast. The oracle replays the identical recurrence via
-    a recursive CTE — state math hash-matches step-exact."""
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+    a recursive CTE — state math hash-matches step-exact. The recurrence
+    itself is the reusable operators/recurrence.py:holt_smoothing
+    (hypothesis-swept against an independent replay in
+    tests/test_properties.py)."""
+    from d2b_dataframework_spark.operators.recurrence import holt_smoothing
 
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
     )
-    alpha, beta = 0.5, 0.3
-    schema = StructType(
-        [
-            StructField("event_type", StringType()),
-            StructField("level", DoubleType()),
-            StructField("trend", DoubleType()),
-            StructField("forecast_next", DoubleType()),
-        ]
-    )
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day", kind="mergesort")
-        vs = list(pdf["v"])
-        level, trend = vs[0], 0.0
-        for v in vs[1:]:
-            prev = level
-            level = alpha * v + (1.0 - alpha) * (level + trend)
-            trend = beta * (level - prev) + (1.0 - beta) * trend
-        return pd.DataFrame(
-            {
-                "event_type": [pdf["event_type"].iloc[0]],
-                "level": [level],
-                "trend": [trend],
-                "forecast_next": [level + trend],
-            }
-        )
-
-    out = daily.groupBy("event_type").applyInPandas(run, schema)
+    out = holt_smoothing(daily, "event_type", ["day"], "v", alpha=0.5, beta=0.3)
     return out.select(
-        "event_type",
+        F.col("key").alias("event_type"),
         F.round("level", 6).alias("level"),
         F.round("trend", 6).alias("trend"),
         F.round("forecast_next", 6).alias("forecast_next"),

@@ -81,27 +81,31 @@ def _fetch_window(
     data_level: str,
     page_size: int,
     policy: RetryPolicy,
+    filtering: list[dict] | None = None,
 ) -> list[dict]:
-    """Page-number loop for one window (tiktok_marketing.py:404-438)."""
+    """Page-number loop for one window (tiktok_marketing.py:404-438).
+    ``filtering`` is the API's filter list (tiktok_marketing.py:284 —
+    the reference JSON-encodes it into the request params); the DSv2
+    reader builds it from pushed-down predicates."""
     rename = leaf_names(
         [f"dimensions.{d}" for d in dimensions] + [f"metrics.{m}" for m in metrics]
     )
 
     def fetch(page: int):
+        body = {
+            "advertiser_id": advertiser_id,
+            "start_date": start_date,
+            "end_date": end_date,
+            "dimensions": dimensions,
+            "metrics": metrics,
+            "data_level": data_level,
+            "page": page,
+            "page_size": page_size,
+        }
+        if filtering:
+            body["filtering"] = filtering
         payload = policy.call(
-            lambda: transport.get(
-                "report/integrated/get",
-                {
-                    "advertiser_id": advertiser_id,
-                    "start_date": start_date,
-                    "end_date": end_date,
-                    "dimensions": dimensions,
-                    "metrics": metrics,
-                    "data_level": data_level,
-                    "page": page,
-                    "page_size": page_size,
-                },
-            )
+            lambda: transport.get("report/integrated/get", body)
         )
         if payload.get("code", 0) != 0:
             raise RuntimeError(

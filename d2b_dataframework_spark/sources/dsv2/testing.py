@@ -143,3 +143,46 @@ class DeterministicPollTransport:
         if self.commit_log:
             with open(self.commit_log, "a") as f:
                 f.write(f"{offset}\n")
+
+
+class TikTokEchoTransport:
+    """Echo double for the tiktok_rest reader: pretends the API holds
+    ``echo_total_rows`` rows per window (option, default 1) and serves
+    them honoring ``page``/``page_size`` with a real ``total_page``, so
+    the page-number loop is exercised. The first metric column carries
+    the JSON request body; ``stat_time_day`` carries the window's
+    ``start_date``; other dimensions carry ``"echo"``; other metrics
+    carry the row's global 1-based position."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("echo_total_rows", 1))
+
+    def get(self, path: str, body: dict) -> dict:
+        import json as _json
+
+        page = int(body["page"])
+        size = int(body["page_size"])
+        dims = body["dimensions"]
+        mets = body["metrics"]
+        total_page = max(1, -(-self.total // size))
+        start = (page - 1) * size
+        n = max(0, min(size, self.total - start))
+        body_json = _json.dumps(body, sort_keys=True)
+        rows = []
+        for i in range(n):
+            rows.append(
+                {
+                    "dimensions": {
+                        d: (body["start_date"] if d == "stat_time_day" else "echo")
+                        for d in dims
+                    },
+                    "metrics": {
+                        m: (body_json if j == 0 else str(start + i + 1))
+                        for j, m in enumerate(mets)
+                    },
+                }
+            )
+        return {
+            "code": 0,
+            "data": {"list": rows, "page_info": {"total_page": total_page}},
+        }

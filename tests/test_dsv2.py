@@ -312,3 +312,115 @@ def test_register_all_registers_every_format(spark):
     # reading/writing through each format elsewhere in this module
     # proves behavior; here just assert registration is idempotent.
     register_all(spark)
+
+
+# ---------------------------------------------------------------------------
+# TikTok DSv2 reader: window + filtering pushdown (VERDICT r3 item #8;
+# reference request params d2b_data/tiktok_marketing.py:284-296)
+# ---------------------------------------------------------------------------
+
+TIKTOK_ECHO = "d2b_dataframework_spark.sources.dsv2.testing:TikTokEchoTransport"
+
+
+@pytest.fixture(scope="module")
+def tiktok(spark):
+    from d2b_dataframework_spark.sources.dsv2 import tiktok as tk
+
+    tk.register(spark)
+    return (
+        spark.read.format("tiktok_rest")
+        .option("advertiser_id", "adv-1")
+        .option("dimensions", "stat_time_day,campaign_id")
+        .option("metrics", "spend,impressions")
+        .option("transport", TIKTOK_ECHO)
+    )
+
+
+def test_tiktok_date_pushdown_narrows_window_and_chunks(tiktok):
+    """A 40-day pushed range fans out as two ≤30-day InputPartitions
+    whose request bodies carry the narrowed window."""
+    df = tiktok.load().filter(
+        (F.col("stat_time_day") >= "2025-01-01")
+        & (F.col("stat_time_day") <= "2025-02-09")
+    )
+    rows = df.collect()
+    bodies = [json.loads(r["spend"]) for r in rows]
+    windows = sorted({(b["start_date"], b["end_date"]) for b in bodies})
+    assert windows == [
+        ("2025-01-01", "2025-01-30"),
+        ("2025-01-31", "2025-02-09"),
+    ]
+    for b in bodies:
+        assert b["advertiser_id"] == "adv-1"
+        assert b["data_level"] == "AUCTION_AD"
+        assert "filtering" not in b
+    # absorbed predicates are gone from the post-scan plan
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bFilter\b", plan)
+
+
+def test_tiktok_id_equality_pushdown_builds_filtering(tiktok):
+    df = tiktok.load().filter(
+        (F.col("stat_time_day") == "2025-03-05")
+        & (F.col("campaign_id") == "c-77")
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    body = json.loads(rows[0]["spend"])
+    assert body["start_date"] == body["end_date"] == "2025-03-05"
+    assert body["filtering"] == [
+        {"field_name": "campaign_id", "filter_type": "IN",
+         "filter_value": ["c-77"]}
+    ]
+    # the echo row's campaign_id is "echo", not "c-77": it survived
+    # because Catalyst removed the absorbed equality — proof it was
+    # handled in the request, not post-scan (only the planner's
+    # companion isnotnull may remain, as in the GSC dimension case)
+    assert rows[0]["campaign_id"] == "echo"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "c-77" not in plan
+
+
+def test_tiktok_unsupported_predicate_stays_post_scan(tiktok):
+    """A metric predicate cannot be pushed into the report API — it must
+    survive as a post-scan Filter node."""
+    df = tiktok.load().filter(
+        (F.col("stat_time_day") == "2025-03-05")
+        & (F.col("impressions") == "nope")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan
+    assert df.collect() == []  # echoed position '1' != 'nope'
+
+
+def test_tiktok_contradictory_dates_yield_empty(tiktok):
+    df = tiktok.load().filter(
+        (F.col("stat_time_day") == "2025-03-05")
+        & (F.col("stat_time_day") == "2025-04-01")
+    )
+    assert df.collect() == []
+
+
+def test_tiktok_page_loop_until_total_page(spark):
+    """47 rows at page_size 10 → 5 pages walked inside one partition."""
+    from d2b_dataframework_spark.sources.dsv2 import tiktok as tk
+
+    tk.register(spark)
+    df = (
+        spark.read.format("tiktok_rest")
+        .option("advertiser_id", "adv-1")
+        .option("dimensions", "campaign_id")  # lifetime mode: one window
+        .option("metrics", "spend,impressions")
+        .option("page_size", "10")
+        .option("echo_total_rows", "47")
+        .option("start_date", "2025-01-01")
+        .option("end_date", "2025-01-31")
+        .option("transport", TIKTOK_ECHO)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 47
+    positions = sorted(int(r["impressions"]) for r in rows)
+    assert positions == list(range(1, 48))
