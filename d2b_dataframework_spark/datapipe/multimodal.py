@@ -623,3 +623,140 @@ def wav_sample_stats(assets: DataFrame) -> DataFrame:
         .select("asset_id", "content")
         .mapInPandas(run, _WAV_STATS_SCHEMA)
     )
+
+
+_DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("dhash_bits", StringType()),
+    ]
+)
+
+
+def _luma(vals: bytes, ch: int, off: int) -> int:
+    """Integer Rec.601 luma for the pixel starting at ``off`` (floor
+    division — exact, engine-portable)."""
+    if ch >= 3:
+        return (
+            299 * vals[off] + 587 * vals[off + 1] + 114 * vals[off + 2]
+        ) // 1000
+    return vals[off]  # gray / gray+alpha: first sample is the gray value
+
+
+def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash over REALLY decoded PNG pixels — the
+    near-duplicate image screen (dHash: Krawetz's kindofblue algorithm
+    family): luma plane -> ``grid x (grid+1)`` block means -> one bit
+    per horizontally adjacent pair (left mean < right mean), row-major.
+
+    All arithmetic is exact-integer (floor-div luma, block sums compared
+    by cross-multiplication instead of dividing), so the hash is
+    bit-identical on any engine — and oracle-checkable. Images narrower
+    than ``grid+1`` px or shorter than ``grid`` px (or undecodable
+    payloads) hash to null. Returns (asset_id, dhash_bits: string of
+    grid*grid '0'/'1' chars); band the leading bits for LSH-style
+    near-dup candidate joins exactly like simhash.
+    """
+    from d2b_dataframework_spark.datapipe.codecs import decode_png
+
+    g = int(grid)
+
+    def one(content) -> str | None:
+        decoded = decode_png(content)
+        if decoded is None:
+            return None
+        w, h, ch, px = decoded
+        if w < g + 1 or h < g:
+            return None
+        sums = [[0] * (g + 1) for _ in range(g)]
+        counts = [[0] * (g + 1) for _ in range(g)]
+        for y in range(h):
+            gy = (y * g) // h
+            row = y * w * ch
+            for x in range(w):
+                gx = (x * (g + 1)) // w
+                sums[gy][gx] += _luma(px, ch, row + x * ch)
+                counts[gy][gx] += 1
+        bits = []
+        for gy in range(g):
+            for gx in range(g):
+                l_s, l_c = sums[gy][gx], counts[gy][gx]
+                r_s, r_c = sums[gy][gx + 1], counts[gy][gx + 1]
+                bits.append("1" if l_s * r_c < r_s * l_c else "0")
+        return "".join(bits)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash_bits": pdf["content"].map(one),
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "content")
+        .mapInPandas(run, _DHASH_SCHEMA)
+    )
+
+
+_AUDIO_SIGNAL_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("n_zero_cross", LongType()),
+        StructField("n_silent", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_signal_stats(
+    assets: DataFrame, silence_threshold: int = 1000
+) -> DataFrame:
+    """Channel-0 signal screens over REALLY decoded WAV PCM samples:
+    zero-crossing count (sign transitions — the cheap voiced/unvoiced /
+    noise heuristic), silent-sample count (|s| < threshold), and exact
+    integer energy (sum of squares) — the silence/clip triage an audio
+    pipeline runs before paying ASR cost. Nulls for undecodable
+    payloads; all-integer arithmetic, oracle-checkable."""
+    from d2b_dataframework_spark.datapipe.codecs import decode_wav
+
+    thr = int(silence_threshold)
+
+    def one(content):
+        decoded = decode_wav(content)
+        if decoded is None:
+            return (None, None, None, None)
+        _rate, ch, _depth, samples = decoded
+        mono = samples[0::ch]
+        crossings = 0
+        for prev, cur in zip(mono, mono[1:]):
+            if (prev > 0 and cur < 0) or (prev < 0 and cur > 0):
+                crossings += 1
+        return (
+            len(mono),
+            crossings,
+            sum(1 for s in mono if abs(s) < thr),
+            sum(s * s for s in mono),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_samples": [p[0] for p in parsed],
+                    "n_zero_cross": [p[1] for p in parsed],
+                    "n_silent": [p[2] for p in parsed],
+                    "energy": [p[3] for p in parsed],
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "content")
+        .mapInPandas(run, _AUDIO_SIGNAL_SCHEMA)
+    )

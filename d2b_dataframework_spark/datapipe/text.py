@@ -764,3 +764,101 @@ def corpus_report(
         )
     )
     return volume.unionByName(langs).unionByName(dup)
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Per-source boilerplate removal — the CCNet/RefinedWeb-style
+    cleanup that strips navigation chrome, disclaimers, and template
+    text repeated across most documents of one origin. A token is
+    boilerplate for a source when it appears in ≥ ``min_frac`` of that
+    source's documents; cleaned text keeps the remaining tokens in
+    original order.
+
+    Fully declarative/JVM-side: one doc-frequency aggregation per
+    (source, token), a per-source boilerplate array (collect_set —
+    small: vocabulary-of-one-source sized) broadcast back onto the
+    docs, and a higher-order ``filter`` + ``array_join`` rebuild. The
+    shuffle carries (source, token) pairs, never document text; at
+    100 TB the DF table is corpus-vocabulary sized, and per-source
+    arrays stay broadcastable because min_frac keeps only the head.
+
+    Returns (id, source, cleaned_text, n_tokens, n_removed).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), F.col(source_col), toks.alias("_ts")
+    )
+    exploded = base.select(
+        id_col, source_col, F.explode("_ts").alias("_tok")
+    )
+    dfreq = exploded.groupBy(source_col, "_tok").agg(
+        F.countDistinct(id_col).alias("_dfreq")
+    )
+    ndocs = df.groupBy(source_col).agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    bp = (
+        dfreq.join(ndocs, source_col)
+        .filter(
+            F.col("_dfreq").cast("double")
+            >= F.lit(float(min_frac)) * F.col("_nd").cast("double")
+        )
+        .groupBy(source_col)
+        .agg(F.collect_set("_tok").alias("_bts"))
+    )
+    joined = base.join(F.broadcast(bp), source_col, "left")
+    bts = F.coalesce(F.col("_bts"), F.array().cast("array<string>"))
+    kept = F.filter(F.col("_ts"), lambda t: ~F.array_contains(bts, t))
+    return joined.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.size("_ts").cast("long").alias("n_tokens"),
+        (F.size("_ts") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document from engine-portable proxies:
+    whitespace words, ``[.!?]+`` sentence runs (min 1), and
+    vowel-group syllable estimates — the classic curation signal for
+    "too simple / too dense" document screens. All counting is
+    regex/HOF built-ins (one map-side projection, no shuffle, no
+    Python); the score is the standard ``206.835 - 1.015*(W/S) -
+    84.6*(Syl/W)`` with IEEE doubles rounded to 6.
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch).
+    """
+    toks = F.split(F.col(text_col), " ")
+    words = F.size(F.filter(toks, lambda t: t != F.lit("")))
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+    )
+    # regexp_extract_all inside a HOF needs the lambda var by name — SQL
+    # expression form (still whole-stage JVM, no Python)
+    syllables = F.expr(
+        f"aggregate(split({text_col}, ' '), 0L, "
+        f"(acc, t) -> acc + size(regexp_extract_all(t, '[aeiouyAEIOUY]+', 0)))"
+    )
+    w = words.cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / w)
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.when(words > 0, F.round(flesch, 6)).alias("flesch"),
+    )

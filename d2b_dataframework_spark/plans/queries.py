@@ -2113,6 +2113,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 _NEWEST_FIRST: tuple[str, ...] = (
     "png_pixel_stats",
     "wav_sample_stats",
+    "image_dhash",
+    "audio_signal_stats",
+    "strip_boilerplate",
+    "readability",
 )
 
 
@@ -8900,6 +8904,243 @@ REGISTRY.update(
             q_wav_sample_stats,
             SQL_WAV_SAMPLE_STATS,
             "real RIFF PCM sample decode vs arithmetic oracle",
+        ),
+    }
+)
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over REALLY decoded PNG pixels
+    (multimodal.py:image_dhash): per document, a 12-17 x 10-14 RGB
+    pattern is written as a genuine zlib PNG (filters cycling),
+    decoded back (inflate + unfilter), luma-reduced, block-mean
+    downsampled to an 8x9 grid and hashed to 64 adjacent-mean bits.
+    The oracle replays luma/block/bit arithmetic from the pixel formula
+    — every reconstructed byte participates, all arithmetic exact
+    integers (floor-div luma, cross-multiplied mean comparison)."""
+    import pandas as pd
+
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+    from d2b_dataframework_spark.datapipe.codecs import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "modality": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, ch = 12 + d % 6, 10 + d % 5, 3
+                px = bytes(
+                    (d + 7 * y + 3 * x + 11 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                rows["asset_id"].append(str(d))
+                rows["modality"].append("image")
+                rows["content"].append(
+                    encode_png(w, h, ch, px,
+                               filter_for_row=lambda y, d=d: (d + y) % 5)
+                )
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        enc, "asset_id string, modality string, content binary"
+    )
+    return (
+        mm.image_dhash(assets, grid=8)
+        .select(F.col("asset_id").cast("long").alias("doc_id"), "dhash_bits")
+        .orderBy("doc_id")
+    )
+
+
+SQL_IMAGE_DHASH = """
+WITH dims AS (
+  SELECT doc_id, (12 + doc_id % 6)::BIGINT AS w, (10 + doc_id % 5)::BIGINT AS h
+  FROM documents),
+pix AS (
+  SELECT d.doc_id, d.w, d.h, ty.y, tx.x,
+    ((299 * ((d.doc_id + 7 * ty.y + 3 * tx.x) % 256)
+    + 587 * ((d.doc_id + 7 * ty.y + 3 * tx.x + 11) % 256)
+    + 114 * ((d.doc_id + 7 * ty.y + 3 * tx.x + 22) % 256)) // 1000)::BIGINT
+      AS luma
+  FROM dims d, range(0, 15) ty(y), range(0, 18) tx(x)
+  WHERE ty.y < d.h AND tx.x < d.w),
+blocks AS (
+  SELECT doc_id, (y * 8) // h AS gy, (x * 9) // w AS gx,
+    sum(luma)::BIGINT AS s, count(*)::BIGINT AS c
+  FROM pix GROUP BY doc_id, (y * 8) // h, (x * 9) // w),
+bits AS (
+  SELECT l.doc_id, l.gy, l.gx,
+    CASE WHEN l.s * r.c < r.s * l.c THEN '1' ELSE '0' END AS b
+  FROM blocks l
+  JOIN blocks r ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
+  WHERE l.gx < 8)
+SELECT doc_id, string_agg(b, '' ORDER BY gy, gx) AS dhash_bits
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_audio_signal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-0 zero-crossing / silence / energy screens over REALLY
+    decoded WAV PCM (multimodal.py:audio_signal_stats): deterministic
+    interleaved 16-bit frames round-trip through genuine RIFF payloads;
+    the oracle replays channel-0 extraction (i % ch = 0), sign
+    transitions via lag, and exact integer energy."""
+    import pandas as pd
+
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+    from d2b_dataframework_spark.datapipe.codecs import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "modality": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, ch = d % 50 + 20, d % 2 + 1
+                rate = 8000 + (d % 4) * 4000
+                samples = [
+                    ((d * 31 + i * 7) % 65536) - 32768 for i in range(n * ch)
+                ]
+                rows["asset_id"].append(str(d))
+                rows["modality"].append("audio")
+                rows["content"].append(encode_wav(rate, ch, 16, samples))
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        enc, "asset_id string, modality string, content binary"
+    )
+    return (
+        mm.audio_signal_stats(assets, silence_threshold=1000)
+        .select(
+            F.col("asset_id").cast("long").alias("doc_id"),
+            "n_samples", "n_zero_cross", "n_silent", "energy",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_AUDIO_SIGNAL_STATS = """
+WITH p AS (
+  SELECT doc_id, (doc_id % 50 + 20)::BIGINT AS n, (doc_id % 2 + 1)::BIGINT AS ch
+  FROM documents),
+mono AS (
+  SELECT p.doc_id, t.i,
+    ((p.doc_id * 31 + t.i * 7) % 65536 - 32768)::BIGINT AS s
+  FROM p, range(0, 140) t(i)
+  WHERE t.i < p.n * p.ch AND t.i % p.ch = 0),
+lagd AS (
+  SELECT doc_id, s,
+    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM mono)
+SELECT doc_id, count(*)::BIGINT AS n_samples,
+  SUM(CASE WHEN (prev > 0 AND s < 0) OR (prev < 0 AND s > 0)
+      THEN 1 ELSE 0 END)::BIGINT AS n_zero_cross,
+  SUM(CASE WHEN abs(s) < 1000 THEN 1 ELSE 0 END)::BIGINT AS n_silent,
+  SUM(s * s)::BIGINT AS energy
+FROM lagd GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "image_dhash": QuerySpec(
+            q_image_dhash,
+            SQL_IMAGE_DHASH,
+            "perceptual dHash from really-decoded PNG pixels vs arithmetic oracle",
+        ),
+        "audio_signal_stats": QuerySpec(
+            q_audio_signal_stats,
+            SQL_AUDIO_SIGNAL_STATS,
+            "zero-crossing/silence/energy from really-decoded PCM vs oracle",
+        ),
+    }
+)
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate token removal (datapipe/text.py:
+    strip_boilerplate): tokens in >= 40% of a source's documents are
+    stripped, cleaned text reassembled in order via HOF filter +
+    array_join — one vocabulary-sized shuffle, broadcast per-source
+    arrays, document text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dt.strip_boilerplate(docs, min_frac=0.4)
+        .select("doc_id", "source", "cleaned_text", "n_tokens", "n_removed")
+        .orderBy("doc_id")
+    )
+
+
+SQL_STRIP_BOILERPLATE = """
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+exploded AS (
+  SELECT doc_id, source, unnest(ts) AS tok FROM base),
+dfreq AS (
+  SELECT source, tok, count(DISTINCT doc_id) AS df
+  FROM exploded GROUP BY 1, 2),
+ndocs AS (SELECT source, count(DISTINCT doc_id) AS nd FROM documents GROUP BY 1),
+bp AS (
+  SELECT d.source, list(d.tok) AS bts
+  FROM dfreq d JOIN ndocs n USING (source)
+  WHERE d.df::DOUBLE >= 0.4 * n.nd::DOUBLE GROUP BY 1)
+SELECT b.doc_id, b.source,
+  coalesce(array_to_string(
+    list_filter(b.ts, t -> NOT coalesce(list_contains(p.bts, t), false)),
+    ' '), '') AS cleaned_text,
+  len(b.ts)::BIGINT AS n_tokens,
+  (len(b.ts) - len(
+    list_filter(b.ts, t -> NOT coalesce(list_contains(p.bts, t), false))
+  ))::BIGINT AS n_removed
+FROM base b LEFT JOIN bp p USING (source)
+ORDER BY doc_id
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease screen (datapipe/text.py:readability_scores):
+    word / sentence-run / vowel-group-syllable counts in one map-side
+    regex+HOF projection, scored with the standard coefficients."""
+    docs = _t(spark, sf_dir, "documents")
+    return dt.readability_scores(docs).orderBy("doc_id")
+
+
+SQL_READABILITY = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
+counts AS (
+  SELECT doc_id,
+    len(list_filter(ts, t -> t <> ''))::BIGINT AS n_words,
+    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+      AS n_sentences,
+    list_sum(
+      list_transform(ts, t -> len(regexp_extract_all(t, '[aeiouyAEIOUY]+')))
+    )::BIGINT AS n_syllables
+  FROM toks)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN
+    round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+          - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
+  END AS flesch
+FROM counts ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "strip_boilerplate": QuerySpec(
+            q_strip_boilerplate,
+            SQL_STRIP_BOILERPLATE,
+            "per-source boilerplate token removal with ordered reassembly",
+        ),
+        "readability": QuerySpec(
+            q_readability,
+            SQL_READABILITY,
+            "Flesch reading-ease from regex/HOF word-sentence-syllable counts",
         ),
     }
 )
