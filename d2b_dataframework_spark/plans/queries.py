@@ -2117,6 +2117,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "audio_signal_stats",
     "strip_boilerplate",
     "readability",
+    "bloom_prune_stats",
 )
 
 
@@ -9141,6 +9142,106 @@ REGISTRY.update(
             q_readability,
             SQL_READABILITY,
             "Flesch reading-ease from regex/HOF word-sentence-syllable counts",
+        ),
+    }
+)
+
+
+def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable bloom-filter semi-join pruning (operators/bloom.py):
+    build a 4096-bit / k=3 filter over BUILDING-segment customer keys
+    (one bit_or aggregation, ≤128-word output), probe every distinct
+    orders custkey with a broadcast join + bit test, and report the
+    filter's quality: probe keys, bloom passes, true matches, false
+    positives. Zero false negatives by construction (asserted by the
+    oracle's identical replay: same md5-prefix positions, same 32-bit
+    words). At 100 TB this prunes the probe scan BEFORE the join
+    shuffle; the filter itself never exceeds kilobytes."""
+    from d2b_dataframework_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_build(build, "c_custkey", n_bits=4096, k=3)
+    verdicts = bloom_might_contain(
+        orders.select(F.col("o_custkey")), bloom, "o_custkey", n_bits=4096, k=3
+    )
+    truth = (
+        orders.select("o_custkey")
+        .distinct()
+        .join(
+            F.broadcast(build.withColumnRenamed("c_custkey", "o_custkey")),
+            "o_custkey",
+            "left_semi",
+        )
+        .select(F.col("o_custkey").cast("string").alias("o_custkey"))
+        .withColumn("_true", F.lit(True))
+    )
+    joined = verdicts.join(truth, "o_custkey", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.col("might_contain").cast("long")).alias("n_pass"),
+        F.sum(F.coalesce(F.col("_true"), F.lit(False)).cast("long")).alias(
+            "n_true"
+        ),
+        F.sum(
+            (F.col("might_contain") & ~F.coalesce(F.col("_true"), F.lit(False)))
+            .cast("long")
+        ).alias("n_false_pos"),
+        F.sum(
+            (~F.col("might_contain") & F.coalesce(F.col("_true"), F.lit(False)))
+            .cast("long")
+        ).alias("n_false_neg"),
+    )
+
+
+SQL_BLOOM_PRUNE = """
+WITH build AS (
+  SELECT DISTINCT c_custkey::VARCHAR AS kk FROM customer
+  WHERE c_mktsegment = 'BUILDING'),
+set_bits AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5('bloom' || j.j || ':' || kk), 1, 7))::BIGINT % 4096)
+      AS pos
+  FROM build, range(0, 3) j(j)),
+words AS (
+  SELECT pos // 32 AS word, bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+  FROM set_bits GROUP BY 1),
+probe AS (SELECT DISTINCT o_custkey::VARCHAR AS kk FROM orders),
+cand AS (
+  SELECT p.kk,
+    (('0x' || substr(md5('bloom' || j.j || ':' || p.kk), 1, 7))::BIGINT % 4096)
+      AS pos
+  FROM probe p, range(0, 3) j(j)),
+verdict AS (
+  SELECT c.kk,
+    min(CASE WHEN coalesce(w.bits & (1::BIGINT << (c.pos % 32)::INT), 0) <> 0
+        THEN 1 ELSE 0 END) AS might
+  FROM cand c LEFT JOIN words w ON w.word = c.pos // 32
+  GROUP BY 1),
+truth AS (SELECT DISTINCT o_custkey::VARCHAR AS kk FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING'))
+SELECT count(*)::BIGINT AS n_probe_keys,
+  sum(v.might)::BIGINT AS n_pass,
+  sum(CASE WHEN t.kk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_true,
+  sum(CASE WHEN v.might = 1 AND t.kk IS NULL THEN 1 ELSE 0 END)::BIGINT
+    AS n_false_pos,
+  sum(CASE WHEN v.might = 0 AND t.kk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+    AS n_false_neg
+FROM verdict v LEFT JOIN truth t USING (kk)
+"""
+
+
+REGISTRY.update(
+    {
+        "bloom_prune_stats": QuerySpec(
+            q_bloom_prune_stats,
+            SQL_BLOOM_PRUNE,
+            "portable bloom-filter semi-join pruning with FP/FN accounting",
         ),
     }
 )

@@ -362,3 +362,23 @@ def test_holt_matches_replay(spark, groups, ab):
             level = alpha * float(v) + (1.0 - alpha) * (level + trend)
             trend = beta * (level - prev) + (1.0 - beta) * trend
         assert got[str(k)] == (level, trend, level + trend), f"key {k}"
+
+
+@given(
+    build=st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    probe=st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+@settings(**SETTINGS)
+def test_bloom_prune_never_false_negative(spark, build, probe):
+    """The pruned probe joined to the build side equals the unpruned
+    join — bloom filters may over-keep, never drop a true match."""
+    from d2b_dataframework_spark.operators.bloom import bloom_prune
+
+    bdf = spark.createDataFrame([(k,) for k in build], "k long")
+    pdf = spark.createDataFrame([(k,) for k in probe], "k long")
+    kept = {
+        r["k"]
+        for r in bloom_prune(pdf, bdf, "k", n_bits=256, k=3).collect()
+    }
+    assert kept >= (probe & build)          # no false negatives
+    assert kept <= probe                     # pruning only drops rows
