@@ -760,3 +760,49 @@ def audio_signal_stats(
         .select("asset_id", "content")
         .mapInPandas(run, _AUDIO_SIGNAL_SCHEMA)
     )
+
+
+_LUMA_HIST_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("bucket", LongType()),
+        StructField("n_pixels", LongType()),
+    ]
+)
+
+
+def image_luma_histogram(assets: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Luma histogram over REALLY decoded PNG pixels — the
+    too-dark / too-bright / low-contrast screen (drop images whose mass
+    sits in one bucket) run before any model inference. Integer Rec.601
+    luma, ``luma * n_buckets // 256`` bucketing, dense output (every
+    bucket emitted, zeros included) so downstream distribution math
+    needs no sparse handling. Undecodable payloads yield no rows."""
+    from d2b_dataframework_spark.datapipe.codecs import decode_png
+
+    nb = int(n_buckets)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "bucket": [], "n_pixels": []}
+            for _, row in pdf.iterrows():
+                decoded = decode_png(row["content"])
+                if decoded is None:
+                    continue
+                w, h, ch, px = decoded
+                counts = [0] * nb
+                for y in range(h):
+                    base = y * w * ch
+                    for x in range(w):
+                        counts[_luma(px, ch, base + x * ch) * nb // 256] += 1
+                for b in range(nb):
+                    out["asset_id"].append(row["asset_id"])
+                    out["bucket"].append(b)
+                    out["n_pixels"].append(counts[b])
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "content")
+        .mapInPandas(run, _LUMA_HIST_SCHEMA)
+    )

@@ -2118,6 +2118,10 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "strip_boilerplate",
     "readability",
     "bloom_prune_stats",
+    "time_weighted_avg",
+    "autocorrelation",
+    "hll_set_ops",
+    "image_luma_histogram",
 )
 
 
@@ -9242,6 +9246,342 @@ REGISTRY.update(
             q_bloom_prune_stats,
             SQL_BLOOM_PRUNE,
             "portable bloom-filter semi-join pruning with FP/FN accounting",
+        ),
+    }
+)
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value stream — the
+    metering/billing integral (each reading holds until the next one):
+    TWA = sum(v_i * dt_i) / span. One lead window per user, exact
+    decimal x microsecond products, double division only at the end —
+    engine-reproducible to the rounded digit."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    staged = ev.select(
+        "user_id",
+        us.alias("_us"),
+        F.lead(us).over(w).alias("_nxt"),
+        F.col("value").cast("decimal(18,2)").alias("_v"),
+    ).filter(F.col("_nxt").isNotNull())
+    dt = (F.col("_nxt") - F.col("_us")).cast("decimal(20,0)")
+    agg = staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("_v") * dt).alias("_wsum"),
+        F.sum(dt).cast("long").alias("_span"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_intervals",
+            F.round(F.col("_span").cast("double") / F.lit(86400.0 * 1e6), 6).alias(
+                "span_days"
+            ),
+            F.round(
+                F.col("_wsum").cast("double") / F.col("_span").cast("double"), 6
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH staged AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS us,
+    lead(epoch_us(ts)::BIGINT) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+    value::DECIMAL(18,2) AS v
+  FROM events),
+iv AS (
+  SELECT user_id, v, (nxt - us)::DECIMAL(20,0) AS dt
+  FROM staged WHERE nxt IS NOT NULL),
+agg AS (
+  SELECT user_id, count(*)::BIGINT AS n_intervals,
+    sum(v * dt) AS wsum, sum(dt)::BIGINT AS span
+  FROM iv GROUP BY 1)
+SELECT user_id, n_intervals,
+  round(span::DOUBLE / 86400000000.0, 6) AS span_days,
+  round(CAST(wsum AS DOUBLE) / span::DOUBLE, 6) AS twa_value
+FROM agg ORDER BY user_id
+"""
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of each event type's daily-total series
+    — the seasonality screen before any forecasting spend. Pearson r
+    over (x_t, x_{t-lag}) pairs via a row-number self-join (one series
+    shuffle, lags fan out map-side), with EXACT decimal moments and a
+    single double sqrt at the end (identical IEEE on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.select(
+        "event_type", F.row_number().over(w).alias("rn"), "v"
+    )
+    lags = seq.select(
+        "event_type", "rn", "v", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag")
+    )
+    pairs = lags.alias("a").join(
+        seq.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.rn") == F.col("a.rn") - F.col("a.lag")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.lag").alias("lag"),
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    acf = F.when(den > 0, F.round((n * sxy - sx * sy) / F.sqrt(den), 6))
+    return m.select(
+        "event_type", "lag", "n_pairs", acf.alias("acf")
+    ).orderBy("event_type", "lag")
+
+
+SQL_AUTOCORRELATION = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, sum(value::DECIMAL(18,2)) AS v
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY day)
+    AS rn, v
+  FROM daily),
+pairs AS (
+  SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+  FROM seq a, range(1, 4) l(lag)
+  JOIN seq b ON b.event_type = a.event_type AND b.rn = a.rn - l.lag),
+m AS (
+  SELECT event_type, lag, count(*)::BIGINT AS n_pairs,
+    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+    sum(x*y) AS sxy
+  FROM pairs GROUP BY 1, 2)
+SELECT event_type, lag, n_pairs,
+  CASE WHEN (n_pairs::DOUBLE * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (n_pairs::DOUBLE * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+  THEN round(
+    (n_pairs::DOUBLE * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / sqrt((n_pairs::DOUBLE * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (n_pairs::DOUBLE * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  END AS acf
+FROM m ORDER BY event_type, lag
+"""
+
+
+REGISTRY.update(
+    {
+        "time_weighted_avg": QuerySpec(
+            q_time_weighted_avg,
+            SQL_TIME_WEIGHTED_AVG,
+            "step-function time-weighted average per user (metering integral)",
+        ),
+        "autocorrelation": QuerySpec(
+            q_autocorrelation,
+            SQL_AUTOCORRELATION,
+            "lag-1..3 ACF of daily series via rn self-join, exact moments",
+        ),
+    }
+)
+
+
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate set algebra from MERGEABLE deterministic-HLL
+    registers (operators/ndv_sketch.py): per-type audience sizes, the
+    union via a max(mj) register merge — NO raw re-scan — and the
+    intersection / Jaccard by inclusion-exclusion. The at-scale
+    audience-overlap primitive: persisted per-segment registers answer
+    any pairwise overlap question at sketch cost. Exact-value
+    oracle-matched because the union merge equals a register build over
+    the unioned input (max is associative)."""
+    from d2b_dataframework_spark.operators.ndv_sketch import (
+        hll_estimate_from_registers,
+        hll_registers_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("event_type", "user_id")
+    regs = hll_registers_grouped(ev, ["event_type"], "user_id").persist()
+    per_type = hll_estimate_from_registers(regs, ["event_type"])
+    wide = per_type.groupBy().agg(
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ndv_approx"))
+        ).alias("ndv_view"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ndv_approx"))
+        ).alias("ndv_purchase"),
+    )
+    merged = (
+        regs.groupBy("j")
+        .agg(F.max("mj").alias("mj"))
+        .withColumn("_g", F.lit(1))
+    )
+    union_est = hll_estimate_from_registers(merged, ["_g"]).select(
+        F.col("ndv_approx").alias("ndv_union")
+    )
+    out = wide.crossJoin(union_est)
+    inter = F.col("ndv_view") + F.col("ndv_purchase") - F.col("ndv_union")
+    return out.select(
+        "ndv_view",
+        "ndv_purchase",
+        "ndv_union",
+        inter.alias("ndv_intersection"),
+        F.when(
+            F.col("ndv_union") > 0,
+            F.round(
+                inter.cast("double") / F.col("ndv_union").cast("double"), 6
+            ),
+        ).alias("jaccard"),
+    )
+
+
+def _sql_hll_set_ops() -> str:
+    from d2b_dataframework_spark.operators.ndv_sketch import (
+        hll_ndv_grouped_sql,
+    )
+
+    per_type = hll_ndv_grouped_sql(
+        "(SELECT event_type, user_id FROM events "
+        "WHERE event_type IN ('view', 'purchase'))",
+        ["event_type"],
+        "user_id",
+    )
+    union = hll_ndv_grouped_sql(
+        "(SELECT 1 AS g, user_id FROM events "
+        "WHERE event_type IN ('view', 'purchase'))",
+        ["g"],
+        "user_id",
+    )
+    return f"""
+WITH per_type AS ({per_type}),
+uni AS ({union}),
+wide AS (
+  SELECT
+    max(CASE WHEN event_type = 'view' THEN ndv_approx END) AS ndv_view,
+    max(CASE WHEN event_type = 'purchase' THEN ndv_approx END)
+      AS ndv_purchase
+  FROM per_type)
+SELECT w.ndv_view, w.ndv_purchase, u.ndv_approx AS ndv_union,
+  (w.ndv_view + w.ndv_purchase - u.ndv_approx) AS ndv_intersection,
+  CASE WHEN u.ndv_approx > 0 THEN
+    round((w.ndv_view + w.ndv_purchase - u.ndv_approx)::DOUBLE
+          / u.ndv_approx::DOUBLE, 6)
+  END AS jaccard
+FROM wide w, uni u
+"""
+
+
+REGISTRY.update(
+    {
+        "hll_set_ops": QuerySpec(
+            q_hll_set_ops,
+            _sql_hll_set_ops(),
+            "audience union/intersection/Jaccard from mergeable HLL registers",
+        ),
+    }
+)
+
+
+def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense luma histogram over really-decoded PNG pixels
+    (multimodal.py:image_luma_histogram) — the brightness/contrast
+    screen; same genuine-PNG round-trip as image_dhash, arithmetic
+    oracle over the pixel formula."""
+    import pandas as pd
+
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+    from d2b_dataframework_spark.datapipe.codecs import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "modality": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, ch = 12 + d % 6, 10 + d % 5, 3
+                px = bytes(
+                    (d + 7 * y + 3 * x + 11 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                rows["asset_id"].append(str(d))
+                rows["modality"].append("image")
+                rows["content"].append(
+                    encode_png(w, h, ch, px,
+                               filter_for_row=lambda y, d=d: (d + y) % 5)
+                )
+            yield pd.DataFrame(rows)
+
+    assets = docs.mapInPandas(
+        enc, "asset_id string, modality string, content binary"
+    )
+    return (
+        mm.image_luma_histogram(assets, n_buckets=8)
+        .select(
+            F.col("asset_id").cast("long").alias("doc_id"),
+            "bucket",
+            "n_pixels",
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+SQL_IMAGE_LUMA_HIST = """
+WITH dims AS (
+  SELECT doc_id, (12 + doc_id % 6)::BIGINT AS w, (10 + doc_id % 5)::BIGINT AS h
+  FROM documents),
+pix AS (
+  SELECT d.doc_id,
+    ((299 * ((d.doc_id + 7 * ty.y + 3 * tx.x) % 256)
+    + 587 * ((d.doc_id + 7 * ty.y + 3 * tx.x + 11) % 256)
+    + 114 * ((d.doc_id + 7 * ty.y + 3 * tx.x + 22) % 256)) // 1000)
+      AS luma
+  FROM dims d, range(0, 15) ty(y), range(0, 18) tx(x)
+  WHERE ty.y < d.h AND tx.x < d.w),
+counts AS (
+  SELECT doc_id, (luma * 8) // 256 AS bucket, count(*)::BIGINT AS n
+  FROM pix GROUP BY 1, 2),
+spine AS (SELECT d.doc_id, b.b AS bucket FROM dims d CROSS JOIN range(0, 8) b(b))
+SELECT s.doc_id, s.bucket, coalesce(c.n, 0)::BIGINT AS n_pixels
+FROM spine s
+LEFT JOIN counts c ON c.doc_id = s.doc_id AND c.bucket = s.bucket
+ORDER BY s.doc_id, s.bucket
+"""
+
+
+REGISTRY.update(
+    {
+        "image_luma_histogram": QuerySpec(
+            q_image_luma_histogram,
+            SQL_IMAGE_LUMA_HIST,
+            "dense luma histogram from really-decoded PNG pixels",
         ),
     }
 )
