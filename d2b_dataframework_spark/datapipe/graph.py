@@ -224,3 +224,52 @@ def triangle_stats(
         )
     )
     return track(out, und, deg, oriented)
+
+
+def kcore_filter(
+    edges: DataFrame,
+    k: int,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration k-core peel over an undirected edge list (pass
+    canonical ``src < dst`` pairs): repeatedly drop nodes whose degree
+    among the still-alive subgraph is below ``k`` — the engagement /
+    spam-ring screen (a node's final survival needs k neighbors that
+    themselves survive). Fixed ``iterations`` keeps the operator
+    deterministic and oracle-replayable (unrolled stages); peeling
+    converges when an iteration removes nothing, so choose iterations
+    >= the longest peel chain you care about (each extra iteration is
+    one degree-agg + one semi-join — linear cost, no plan blowup).
+
+    Returns the surviving (node, degree) rows — degrees measured in the
+    FINAL surviving subgraph.
+    """
+    e = edges.select(src, dst).persist()
+    # undirected incidence: each edge contributes to both endpoints
+    inc = e.select(F.col(src).alias("node"), F.col(dst).alias("peer")).unionAll(
+        e.select(F.col(dst).alias("node"), F.col(src).alias("peer"))
+    ).persist()
+
+    def surviving_deg(alive_df: DataFrame) -> DataFrame:
+        # semi-joins, not broadcasts: the alive set starts as ALL nodes,
+        # so hinting a broadcast would be wrong at scale — AQE downgrades
+        # to broadcast on its own once peeling shrinks the set
+        return (
+            inc.join(
+                alive_df.withColumnRenamed("node", "peer"), "peer", "left_semi"
+            )
+            .join(alive_df, "node", "left_semi")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    alive = inc.select("node").distinct()
+    for _ in range(int(iterations)):
+        alive = (
+            surviving_deg(alive).filter(F.col("degree") >= k).select("node")
+        )
+    return surviving_deg(alive).select(
+        "node", F.col("degree").cast("long").alias("degree")
+    )

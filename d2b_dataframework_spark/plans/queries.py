@@ -2122,6 +2122,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "autocorrelation",
     "hll_set_ops",
     "image_luma_histogram",
+    "kcore_filter",
 )
 
 
@@ -9582,6 +9583,71 @@ REGISTRY.update(
             q_image_luma_histogram,
             SQL_IMAGE_LUMA_HIST,
             "dense luma histogram from really-decoded PNG pixels",
+        ),
+    }
+)
+
+
+def q_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core screen over the support>=2 co-purchase graph
+    (datapipe/graph.py:kcore_filter): three fixed degree-peel
+    iterations (drop nodes with < 3 surviving neighbors), then report
+    final in-subgraph degrees — the engagement/spam-ring filter. Each
+    iteration is one degree aggregation + two semi-joins on node ids;
+    the oracle unrolls the identical three stages."""
+    from d2b_dataframework_spark.datapipe.graph import kcore_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return kcore_filter(edges, k=3, iterations=3).orderBy("node")
+
+
+SQL_KCORE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+inc AS (SELECT s AS node, d AS peer FROM e UNION ALL SELECT d, s FROM e),
+a0 AS (SELECT DISTINCT node FROM inc),
+d1 AS (
+  SELECT i.node, count(*) AS c FROM inc i
+  WHERE i.peer IN (SELECT node FROM a0) AND i.node IN (SELECT node FROM a0)
+  GROUP BY 1),
+a1 AS (SELECT node FROM d1 WHERE c >= 3),
+d2 AS (
+  SELECT i.node, count(*) AS c FROM inc i
+  WHERE i.peer IN (SELECT node FROM a1) AND i.node IN (SELECT node FROM a1)
+  GROUP BY 1),
+a2 AS (SELECT node FROM d2 WHERE c >= 3),
+d3 AS (
+  SELECT i.node, count(*) AS c FROM inc i
+  WHERE i.peer IN (SELECT node FROM a2) AND i.node IN (SELECT node FROM a2)
+  GROUP BY 1),
+a3 AS (SELECT node FROM d3 WHERE c >= 3)
+SELECT i.node, count(*)::BIGINT AS degree FROM inc i
+WHERE i.peer IN (SELECT node FROM a3) AND i.node IN (SELECT node FROM a3)
+GROUP BY 1 ORDER BY node
+"""
+
+
+REGISTRY.update(
+    {
+        "kcore_filter": QuerySpec(
+            q_kcore_filter,
+            SQL_KCORE,
+            "fixed-iteration 3-core peel over the co-purchase graph",
         ),
     }
 )
