@@ -255,8 +255,14 @@ def parse_image_dimensions(content: bytes) -> tuple[str, int, int] | None:
     JPEG: walk the marker stream; any SOF0–SOF15 frame header (except
     DHT/JPG/DAC 0xC4/0xC8/0xCC) carries height then width as big-endian
     uint16s at offsets +5/+7 from the marker.
+    GIF: 'GIF87a'/'GIF89a' magic, then the logical-screen descriptor —
+    width/height as little-endian uint16s at offsets 6 and 8.
+    BMP: 'BM' magic + BITMAPINFOHEADER — width/|height| as little-endian
+    int32s at offsets 18 and 22 (height may be negative for top-down
+    rows; dimension is the magnitude).
 
-    Returns (format, width, height) or None when the bytes are neither.
+    Returns (format, width, height) or None when the bytes are none of
+    these.
     """
     if content is None:
         return None
@@ -265,6 +271,14 @@ def parse_image_dimensions(content: bytes) -> tuple[str, int, int] | None:
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
         return ("png", w, h)
+    if len(b) >= 10 and b[0:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return ("gif", w, h)
+    if len(b) >= 26 and b[0:2] == b"BM":
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return ("bmp", abs(w), abs(h))
     if len(b) >= 4 and b[0:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         while i + 9 < len(b):

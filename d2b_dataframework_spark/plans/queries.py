@@ -2123,6 +2123,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "hll_set_ops",
     "image_luma_histogram",
     "kcore_filter",
+    "join_advice",
 )
 
 
@@ -9648,6 +9649,78 @@ REGISTRY.update(
             q_kcore_filter,
             SQL_KCORE,
             "fixed-iteration 3-core peel over the co-purchase graph",
+        ),
+    }
+)
+
+
+def q_join_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical join-strategy advisor (plans/advisor.py:join_advice):
+    exact key-level stats (build size, probe NDV, exact join
+    cardinality via the per-key count product, hottest-key share)
+    reduced to broadcast / shuffle / shuffle+salt recommendations for
+    three candidate joins — the pre-flight a 100 TB pipeline runs
+    instead of discovering skew mid-shuffle."""
+    from d2b_dataframework_spark.plans.advisor import join_advice
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    a = join_advice(li, part, "l_partkey", "p_partkey", label="lineitem~part")
+    b = join_advice(
+        li, orders, "l_orderkey", "o_orderkey", label="lineitem~orders"
+    )
+    c = join_advice(
+        li, li.select("l_partkey"), "l_partkey", "l_partkey",
+        label="lineitem~lineitem",
+    )
+    return a.unionAll(b).unionAll(c).orderBy("candidate")
+
+
+def _sql_join_advice_one(
+    probe: str, pk: str, build: str, bk: str, label: str
+) -> str:
+    return f"""
+SELECT '{label}' AS candidate,
+  sum(bc)::BIGINT AS build_rows,
+  sum(pc)::BIGINT AS probe_rows,
+  count(CASE WHEN pc IS NOT NULL THEN 1 END)::BIGINT AS probe_ndv,
+  round(max(pc)::DOUBLE / sum(pc)::DOUBLE, 6) AS top_share,
+  sum(coalesce(pc, 0) * coalesce(bc, 0))::BIGINT AS est_join_rows,
+  CASE WHEN sum(bc) <= 10000 THEN 'broadcast'
+       WHEN round(max(pc)::DOUBLE / sum(pc)::DOUBLE, 6) > 0.0003
+         THEN 'shuffle+salt'
+       ELSE 'shuffle' END AS recommendation
+FROM (SELECT {pk} AS k, count(*) AS pc FROM {probe} GROUP BY 1) p
+FULL JOIN (SELECT {bk} AS k, count(*) AS bc FROM {build} GROUP BY 1) b
+  USING (k)
+"""
+
+
+SQL_JOIN_ADVICE = (
+    _sql_join_advice_one(
+        "lineitem", "l_partkey", "part", "p_partkey", "lineitem~part"
+    )
+    + " UNION ALL "
+    + _sql_join_advice_one(
+        "lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem~orders"
+    )
+    + " UNION ALL "
+    + _sql_join_advice_one(
+        "lineitem", "l_partkey",
+        "(SELECT l_partkey FROM lineitem)", "l_partkey",
+        "lineitem~lineitem",
+    )
+    + " ORDER BY candidate"
+)
+
+
+REGISTRY.update(
+    {
+        "join_advice": QuerySpec(
+            q_join_advice,
+            SQL_JOIN_ADVICE,
+            "broadcast/shuffle/salt advisor from exact key-level stats",
         ),
     }
 )

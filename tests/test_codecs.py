@@ -122,3 +122,16 @@ def test_jpeg_sos_stops_walk():
     sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x00\x00\x00\x00\x00"
     blob = b"\xff\xd8" + sos + b"\xff\x00garbage" + b"\x00" * 8
     assert parse_image_dimensions(blob) is None
+
+
+def test_gif_and_bmp_dimensions():
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+    assert parse_image_dimensions(gif) == ("gif", 320, 200)
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + (640).to_bytes(4, "little", signed=True)
+        + (-480).to_bytes(4, "little", signed=True)  # top-down rows
+        + b"\x00" * 8
+    )
+    assert parse_image_dimensions(bmp) == ("bmp", 640, 480)
+    assert parse_image_dimensions(b"GIF89") is None
