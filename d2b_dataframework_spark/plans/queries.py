@@ -2124,6 +2124,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "image_luma_histogram",
     "kcore_filter",
     "join_advice",
+    "nation_trade_flows",
 )
 
 
@@ -9721,6 +9722,92 @@ REGISTRY.update(
             q_join_advice,
             SQL_JOIN_ADVICE,
             "broadcast/shuffle/salt advisor from exact key-level stats",
+        ),
+    }
+)
+
+
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped six-way join (lineitem x supplier x orders x
+    customer x nation x nation): cross-border trade volume between two
+    nations by ship year. The join-reordering showcase — Catalyst gets
+    two tiny nation dims (broadcast), two mid dims, and one fact table,
+    and must push the nation-pair predicate below the big joins. Exact
+    decimal volume; the asymmetric pair filter (n1 <> n2, both in the
+    pair) exercises predicate pushdown through join reordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ("NATION_1", "NATION_2")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    df = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
+        .filter(
+            F.col("supp_nation").isin(*pair)
+            & F.col("cust_nation").isin(*pair)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("long").alias("ship_year"),
+            vol.alias("_v"),
+        )
+    )
+    return (
+        df.groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            # decimal sum (exact) -> double output: the repo's money
+            # convention; a final DECIMAL(x,2) cast would tie-break
+            # half-up vs half-even between engines
+            F.sum("_v").cast("double").alias("volume"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+SQL_NATION_TRADE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l_shipdate::DATE)::BIGINT AS ship_year,
+  count(*)::BIGINT AS n_lineitems,
+  CAST(sum(l_extendedprice::DECIMAL(12,2)
+      * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))) AS DOUBLE)
+    AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+REGISTRY.update(
+    {
+        "nation_trade_flows": QuerySpec(
+            q_nation_trade_flows,
+            SQL_NATION_TRADE,
+            "TPC-H Q7-shaped six-way join with nation-pair pushdown",
         ),
     }
 )

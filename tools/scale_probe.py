@@ -207,6 +207,41 @@ def _quantiles(docs):
     return sk.histogram_quantiles(hist, 0.0, 2000.0, 1000, [0.5, 0.9, 0.99])
 
 
+def _kcore(docs, mult=1):
+    from d2b_dataframework_spark.datapipe.graph import kcore_filter
+
+    n_nodes = 20000 * mult
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    edges = docs.select(
+        F.pmod(h("ka"), F.lit(n_nodes)).alias("_u"),
+        F.pmod(h("kb"), F.lit(n_nodes)).alias("_v"),
+    ).select(
+        F.least("_u", "_v").alias("src"), F.greatest("_u", "_v").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    return kcore_filter(edges, k=3, iterations=3)
+
+
+def _bloom(docs, base_docs):
+    from d2b_dataframework_spark.operators.bloom import bloom_prune
+
+    build = base_docs.select("doc_id").filter(F.col("doc_id") % 97 == 0)
+    return bloom_prune(docs.select("doc_id"), build, "doc_id", n_bits=4096)
+
+
+def _boilerplate(docs):
+    from d2b_dataframework_spark.datapipe.text import strip_boilerplate
+
+    return strip_boilerplate(docs, min_frac=0.4).select(
+        F.sum("n_removed").alias("removed"), F.count(F.lit(1)).alias("docs")
+    )
+
+
 def _call(build, docs, emb, mult):
     try:
         return build(docs, emb, mult)
@@ -277,6 +312,19 @@ def main() -> None:
         ),
         "triangle_stats": lambda d, e, m=1: _triangles(d, m),
         "quantile_sketch": lambda d, e: _quantiles(d),
+        # Round-4 additions.
+        # k-core: constant-average-degree graph (same construction as
+        # triangles) — three peel iterations are each one agg + two
+        # semi-joins, so total cost must stay ~linear in edges.
+        "kcore_3iter": lambda d, e, m=1: _kcore(d, m),
+        # Bloom pruning: FIXED small build filter probed by the growing
+        # corpus — probe cost is a projection + broadcast bit test, so
+        # growth must track the corpus scan, never the build side.
+        "bloom_prune": lambda d, e: _bloom(d, base_docs),
+        # Boilerplate strip: the (source, token) DF shuffle is
+        # vocabulary-sized; with replica-prefixed tokens the vocab grows
+        # with the corpus, so ~linear is the contract.
+        "strip_boilerplate": lambda d, e: _boilerplate(d),
     }
 
     print(f"{'op':20s} {'1x':>8s} {'3x':>8s} {'10x':>8s} {'r3':>6s} {'r10':>6s}")
