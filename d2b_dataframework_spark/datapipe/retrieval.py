@@ -26,7 +26,7 @@ bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import grouped_topk
@@ -154,3 +154,58 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("rank") <= top_k)
     return out.select(query_col, doc_col, "rrf_score", "rank")
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@k per query over a ranked frame (query, rank starting at 1,
+    graded integer relevance) — the retrieval-evaluation companion to
+    :func:`rrf_fuse`: DCG = sum(rel / log2(rank+1)) over the top k,
+    IDCG from the same relevance values re-ranked descending (ideal
+    order), ndcg = DCG/IDCG (null when IDCG is 0 — no relevant docs).
+
+    Two window passes over lists already truncated to k per query —
+    work is |queries| x k rows, independent of corpus size. The log2 is
+    the one transcendental; both engines evaluate ln(x)/ln(2) on IEEE
+    doubles (same caveat class as the HLL linear-counting ln,
+    documented there). Per-position terms are rounded to 6dp and summed
+    as exact DECIMAL (the engine's order-independent-sum convention),
+    so results reproduce under any partitioning. Returns
+    (query, dcg, idcg, ndcg) rounded to 6.
+    """
+    top = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(rank_col).alias("_r"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    dcg_term = F.round(
+        F.col("_rel") / log2(F.col("_r").cast("double") + F.lit(1.0)), 6
+    ).cast("decimal(28,6)")
+    iw = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_r").asc()
+    )
+    ideal_rank = F.row_number().over(iw)
+    staged = top.select(
+        "_q", dcg_term.alias("_dt"), ideal_rank.alias("_ir"), "_rel"
+    )
+    ideal_term = F.round(
+        F.col("_rel") / log2(F.col("_ir").cast("double") + F.lit(1.0)), 6
+    ).cast("decimal(28,6)")
+    agg = staged.groupBy("_q").agg(
+        F.sum("_dt").cast("double").alias("dcg"),
+        F.sum(ideal_term).cast("double").alias("idcg"),
+    )
+    return agg.select(
+        F.col("_q").alias(query_col),
+        "dcg",
+        "idcg",
+        F.when(
+            F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+        ).alias("ndcg"),
+    )

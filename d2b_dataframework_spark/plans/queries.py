@@ -2125,6 +2125,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "kcore_filter",
     "join_advice",
     "nation_trade_flows",
+    "ndcg_eval",
 )
 
 
@@ -9808,6 +9809,111 @@ REGISTRY.update(
             q_nation_trade_flows,
             SQL_NATION_TRADE,
             "TPC-H Q7-shaped six-way join with nation-pair pushdown",
+        ),
+    }
+)
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation: nDCG@10 per query
+    (datapipe/retrieval.py:ndcg_at_k) over the TF-IDF ranked lists,
+    with graded relevance = number of distinct query terms the document
+    actually contains. The quality gate every retrieval change runs;
+    work after ranking is |queries| x k rows."""
+    from d2b_dataframework_spark.datapipe.retrieval import (
+        inverted_index,
+        ndcg_at_k,
+        retrieve_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = inverted_index(docs).persist()
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    qs = {
+        "q1": ["spark", "join"],
+        "q2": ["window", "sort"],
+        "q3": ["vector", "stream", "batch"],
+    }
+    ranked = retrieve_topk(postings, qs, n_docs, k=10)
+    qterms = spark.createDataFrame(
+        [(q, t) for q, terms in qs.items() for t in terms],
+        "query_id string, term string",
+    )
+    rel = (
+        ranked.join(F.broadcast(qterms), "query_id")
+        .join(postings.select("term", "doc_id"), ["term", "doc_id"], "left_semi")
+        .groupBy("query_id", "rank")
+        .agg(F.count_distinct("term").cast("long").alias("rel"))
+    )
+    graded = ranked.join(rel, ["query_id", "rank"], "left").select(
+        "query_id", "rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
+    )
+    return ndcg_at_k(graded, k=10).orderBy("query_id")
+
+
+SQL_NDCG_EVAL = f"""
+WITH docs_tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM docs_tok GROUP BY 1, 2),
+queries(query_id, term) AS (VALUES
+  ('q1','spark'), ('q1','join'),
+  ('q2','window'), ('q2','sort'),
+  ('q3','vector'), ('q3','stream'), ('q3','batch')),
+stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfreq AS (
+  SELECT p.term, count(*)::DOUBLE AS dfv
+  FROM postings p JOIN (SELECT DISTINCT term FROM queries) q USING (term)
+  GROUP BY 1),
+tw AS (
+  SELECT query_id, q.term,
+    CAST(round(ln((n + 1.0) / (dfv + 1.0)), 6) AS DECIMAL(18,6)) AS idf
+  FROM queries q JOIN dfreq ON q.term = dfreq.term CROSS JOIN stats),
+scored AS (
+  SELECT query_id, doc_id, CAST(SUM(tf * idf) AS DOUBLE) AS score
+  FROM postings JOIN tw ON postings.term = tw.term GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+      AS rank
+  FROM scored),
+top AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10),
+rel AS (
+  SELECT t.query_id, t.rank, count(DISTINCT q.term)::BIGINT AS rel
+  FROM top t
+  JOIN queries q ON q.query_id = t.query_id
+  JOIN postings p ON p.doc_id = t.doc_id AND p.term = q.term
+  GROUP BY 1, 2),
+graded AS (
+  SELECT t.query_id, t.rank, coalesce(r.rel, 0)::DOUBLE AS rel
+  FROM top t LEFT JOIN rel r ON r.query_id = t.query_id AND r.rank = t.rank),
+ideal AS (
+  SELECT query_id, rank, rel,
+    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rank ASC)
+      AS irank
+  FROM graded),
+terms AS (
+  SELECT query_id,
+    CAST(round(rel / (ln(rank::DOUBLE + 1.0) / ln(2.0)), 6)
+         AS DECIMAL(28,6)) AS dt,
+    CAST(round(rel / (ln(irank::DOUBLE + 1.0) / ln(2.0)), 6)
+         AS DECIMAL(28,6)) AS it
+  FROM ideal),
+agg AS (
+  SELECT query_id, CAST(sum(dt) AS DOUBLE) AS dcg,
+    CAST(sum(it) AS DOUBLE) AS idcg
+  FROM terms GROUP BY 1)
+SELECT query_id, dcg, idcg,
+  CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
+FROM agg ORDER BY query_id
+"""
+
+
+REGISTRY.update(
+    {
+        "ndcg_eval": QuerySpec(
+            q_ndcg_eval,
+            SQL_NDCG_EVAL,
+            "nDCG@10 retrieval evaluation with graded term relevance",
         ),
     }
 )
