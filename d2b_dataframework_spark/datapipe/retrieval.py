@@ -209,3 +209,54 @@ def ndcg_at_k(
             F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
         ).alias("ndcg"),
     )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al.) between two ranked
+    lists — the top-weighted "did my ranking change?" metric for
+    retrieval / feed regression testing: rbo@k = (1-p) * sum_{d<=k}
+    p^(d-1) * |A_1..d ∩ B_1..d| / d.
+
+    Depth-d overlap needs no per-depth set work: a doc in both lists
+    contributes to every depth >= max(rank_a, rank_b), so one inner
+    join + a depth-spine join computes all k overlaps. The p-powers are
+    Python-computed doubles injected as literals on BOTH engine sides
+    (repr round-trip — no cross-engine pow()), per-depth terms rounded
+    then decimal-summed (order-independent). Returns one row
+    (n_common, rbo)."""
+    spark = a.sparkSession
+    ra = a.filter(F.col(rank_col) <= k).select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_ra")
+    )
+    rb = b.filter(F.col(rank_col) <= k).select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_rb")
+    )
+    both = ra.join(rb, "_id").select(
+        F.greatest("_ra", "_rb").alias("_md")
+    )
+    depths = spark.createDataFrame(
+        [(d, p ** (d - 1)) for d in range(1, k + 1)], "d long, w double"
+    )
+    per_depth = (
+        both.join(F.broadcast(depths), F.col("_md") <= F.col("d"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("_ov"))
+    )
+    term = F.round(
+        F.col("w") * F.col("_ov") / F.col("d").cast("double"), 6
+    ).cast("decimal(28,6)")
+    agg = per_depth.agg(
+        F.sum(term).cast("double").alias("_s"),
+        F.max("_ov").cast("long").alias("n_common"),
+    )
+    return agg.select(
+        "n_common",
+        F.round((F.lit(1.0) - F.lit(float(p))) * F.col("_s"), 6).alias("rbo"),
+    )

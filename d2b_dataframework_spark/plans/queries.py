@@ -2126,6 +2126,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "join_advice",
     "nation_trade_flows",
     "ndcg_eval",
+    "rbo_rankings",
 )
 
 
@@ -9914,6 +9915,113 @@ REGISTRY.update(
             q_ndcg_eval,
             SQL_NDCG_EVAL,
             "nDCG@10 retrieval evaluation with graded term relevance",
+        ),
+    }
+)
+
+
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the BM25 and TF-IDF top-10 rankings
+    for the same term set (datapipe/retrieval.py:rank_biased_overlap) —
+    the top-weighted ranking-regression metric: did switching scorers
+    actually change what users see first?"""
+    from pyspark.sql import Window as W
+
+    from d2b_dataframework_spark.datapipe.retrieval import (
+        inverted_index,
+        rank_biased_overlap,
+        retrieve_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "table", "merge"]
+    bm = dt.bm25_scores(docs, terms)
+    wa = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    a = bm.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("rank")
+    ).filter(F.col("rank") <= 10)
+    postings = inverted_index(docs)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    b = retrieve_topk(postings, {"q": terms}, n_docs, k=10).select(
+        "doc_id", "rank"
+    )
+    return rank_biased_overlap(a, b, k=10, p=0.9)
+
+
+def _sql_rbo_rankings() -> str:
+    weights = ", ".join(
+        f"({d}, {0.9 ** (d - 1)!r})" for d in range(1, 11)
+    )
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {_WORDS_ORDERED} AS words FROM documents),
+tf AS (
+  SELECT doc_id, len(words)::BIGINT AS dl,
+    len(list_filter(words, t -> t = 'spark'))::DOUBLE AS tf0,
+    len(list_filter(words, t -> t = 'table'))::DOUBLE AS tf1,
+    len(list_filter(words, t -> t = 'merge'))::DOUBLE AS tf2
+  FROM staged),
+bmstats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sumdl,
+    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+  FROM tf),
+bm AS (
+  SELECT doc_id,
+    round(
+      (0.0
+       + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sumdl / n)))))
+       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sumdl / n)))))
+       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sumdl / n))))))
+    , 6) AS bm25
+  FROM tf CROSS JOIN bmstats),
+a AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM bm QUALIFY rank <= 10),
+docs_tok AS (
+  SELECT doc_id, unnest(words) AS term FROM staged),
+postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tfv FROM docs_tok GROUP BY 1, 2),
+qterms(term) AS (VALUES ('spark'), ('table'), ('merge')),
+nstats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfreq AS (
+  SELECT p.term, count(*)::DOUBLE AS dfv
+  FROM postings p JOIN qterms q USING (term) GROUP BY 1),
+tw AS (
+  SELECT term,
+    CAST(round(ln((n + 1.0) / (dfv + 1.0)), 6) AS DECIMAL(18,6)) AS idf
+  FROM dfreq CROSS JOIN nstats),
+scored AS (
+  SELECT doc_id, CAST(SUM(tfv * idf) AS DOUBLE) AS score
+  FROM postings JOIN tw USING (term) GROUP BY 1),
+b AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored QUALIFY rank <= 10),
+md AS (
+  SELECT greatest(a.rank, b.rank) AS m
+  FROM a JOIN b USING (doc_id)),
+depths(d, w) AS (VALUES {weights}),
+per_depth AS (
+  SELECT d, w, count(*)::DOUBLE AS ov
+  FROM md JOIN depths ON m <= d GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(sum(CAST(round(w * ov / d::DOUBLE, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS s,
+         max(ov)::BIGINT AS n_common
+  FROM per_depth)
+SELECT n_common, round((1.0 - 0.9) * s, 6) AS rbo FROM agg
+"""
+
+
+REGISTRY.update(
+    {
+        "rbo_rankings": QuerySpec(
+            q_rbo_rankings,
+            _sql_rbo_rankings(),
+            "rank-biased overlap between BM25 and TF-IDF top-10 lists",
         ),
     }
 )
