@@ -260,3 +260,79 @@ def rank_biased_overlap(
         "n_common",
         F.round((F.lit(1.0) - F.lit(float(p))) * F.col("_s"), 6).alias("rbo"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs document similarity over sparse TF-IDF vectors — the
+    term-partitioned self-join (the classic DISCO/DIMSUM shape): two
+    docs can only be similar if they share a term, so candidate pairs
+    come from joining the posting list with itself per term, never from
+    a cross product.
+
+    ``max_df`` is the scale guard: a term appearing in more than
+    ``max_df`` documents contributes O(df^2) candidate pairs while
+    carrying ~zero discriminative weight (its idf is near the floor) —
+    those hub terms are dropped BEFORE the self-join, bounding join
+    fan-out the same way containment_pairs caps hot shingles. Weights
+    and dot products are exact decimals (idf rounded to 6dp, fixed
+    DECIMAL); only the final norm division runs in doubles.
+
+    Returns (id_a, id_b, cosine) for pairs with cosine >= threshold,
+    id_a < id_b.
+    """
+    posts = inverted_index(df, text_col, id_col).select(
+        "term", F.col(id_col).alias("_doc"), "tf"
+    )
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n"))
+    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    kept = dfreq.filter(F.col("_df") <= max_df)
+    idf = F.round(
+        F.log(F.col("_n") / F.col("_df").cast("double")), 6
+    ).cast("decimal(18,6)")
+    weighted = (
+        posts.join(kept, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", "_doc",
+            (F.col("tf").cast("decimal(18,0)") * idf).alias("_w"),
+        )
+        .persist()
+    )
+    norms = weighted.groupBy("_doc").agg(
+        F.sum(F.col("_w") * F.col("_w")).alias("_n2")
+    )
+    a = weighted.select(
+        "term", F.col("_doc").alias("_da"), F.col("_w").alias("_wa")
+    )
+    b = weighted.select(
+        "term", F.col("_doc").alias("_db"), F.col("_w").alias("_wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("_da") < F.col("_db"))
+        .groupBy("_da", "_db")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    na = norms.select(F.col("_doc").alias("_da"), F.col("_n2").alias("_n2a"))
+    nb = norms.select(F.col("_doc").alias("_db"), F.col("_n2").alias("_n2b"))
+    cos = F.round(
+        F.col("_dot").cast("double")
+        / (F.sqrt(F.col("_n2a").cast("double")) * F.sqrt(F.col("_n2b").cast("double"))),
+        6,
+    )
+    return (
+        dots.join(na, "_da")
+        .join(nb, "_db")
+        .select(
+            F.col("_da").alias("id_a"),
+            F.col("_db").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -2127,6 +2127,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "nation_trade_flows",
     "ndcg_eval",
     "rbo_rankings",
+    "tfidf_cosine_pairs",
 )
 
 
@@ -10022,6 +10023,62 @@ REGISTRY.update(
             q_rbo_rankings,
             _sql_rbo_rankings(),
             "rank-biased overlap between BM25 and TF-IDF top-10 lists",
+        ),
+    }
+)
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse all-pairs TF-IDF cosine similarity
+    (datapipe/retrieval.py:tfidf_cosine_pairs): candidate pairs from
+    the term-partitioned posting self-join with a max_df hub cap —
+    never a cross product — exact decimal dots, double norms only at
+    the end. The lexical near-dup / related-docs screen."""
+    from d2b_dataframework_spark.datapipe.retrieval import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tfidf_cosine_pairs(docs, threshold=0.6, max_df=200)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH docs_tok AS (
+  SELECT doc_id, unnest({_WORDS_ORDERED}) AS term FROM documents),
+posts AS (
+  SELECT term, doc_id AS d, count(*)::BIGINT AS tf
+  FROM docs_tok GROUP BY 1, 2),
+nstats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfreq AS (SELECT term, count(*)::BIGINT AS dfv FROM posts GROUP BY 1),
+kept AS (SELECT term, dfv FROM dfreq WHERE dfv <= 200),
+weighted AS (
+  SELECT p.term, p.d,
+    p.tf::DECIMAL(18,0)
+      * CAST(round(ln(n / dfv::DOUBLE), 6) AS DECIMAL(18,6)) AS w
+  FROM posts p JOIN kept USING (term) CROSS JOIN nstats),
+norms AS (SELECT d, sum(w * w) AS n2 FROM weighted GROUP BY 1),
+dots AS (
+  SELECT a.d AS da, b.d AS db, sum(a.w * b.w) AS dt
+  FROM weighted a JOIN weighted b ON a.term = b.term AND a.d < b.d
+  GROUP BY 1, 2),
+scored AS (
+  SELECT da AS id_a, db AS id_b,
+    round(CAST(dt AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+      AS cosine
+  FROM dots JOIN norms na ON na.d = dots.da JOIN norms nb ON nb.d = dots.db)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+REGISTRY.update(
+    {
+        "tfidf_cosine_pairs": QuerySpec(
+            q_tfidf_cosine_pairs,
+            SQL_TFIDF_COSINE_PAIRS,
+            "term-partitioned all-pairs TF-IDF cosine with hub-term cap",
         ),
     }
 )

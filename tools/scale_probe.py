@@ -327,6 +327,9 @@ def main() -> None:
         "strip_boilerplate": lambda d, e: _boilerplate(d),
     }
 
+    only = set(sys.argv[2:])  # optional op-name filter
+    if only:
+        ops = {n: b for n, b in ops.items() if n in only}
     print(f"{'op':20s} {'1x':>8s} {'3x':>8s} {'10x':>8s} {'r3':>6s} {'r10':>6s}")
     for name, build in ops.items():
         times = {}
