@@ -100,6 +100,31 @@ _API = {
     "chunk_audio": "datapipe.multimodal",
     "sample_video_frames": "datapipe.multimodal",
     "release": "datapipe.cache",
+    # round-4 additions
+    "bloom_build": "operators.bloom",
+    "bloom_might_contain": "operators.bloom",
+    "bloom_prune": "operators.bloom",
+    "kcore_filter": "datapipe.graph",
+    "holt_smoothing": "operators.recurrence",
+    "cusum_alerts": "operators.recurrence",
+    "clamped_running_balance": "operators.recurrence",
+    "join_advice": "plans.advisor",
+    "ndcg_at_k": "datapipe.retrieval",
+    "rank_biased_overlap": "datapipe.retrieval",
+    "tfidf_cosine_pairs": "datapipe.retrieval",
+    "strip_boilerplate": "datapipe.text",
+    "readability_scores": "datapipe.text",
+    "decode_png": "datapipe.codecs",
+    "encode_png": "datapipe.codecs",
+    "decode_wav": "datapipe.codecs",
+    "encode_wav": "datapipe.codecs",
+    "png_pixel_stats": "datapipe.multimodal",
+    "wav_sample_stats": "datapipe.multimodal",
+    "image_dhash": "datapipe.multimodal",
+    "image_luma_histogram": "datapipe.multimodal",
+    "audio_signal_stats": "datapipe.multimodal",
+    "hll_ndv": "operators.ndv_sketch",
+    "hll_ndv_grouped": "operators.ndv_sketch",
     # sinks
     "write_date_sharded": "sinks.partitioned",
     "upsert_cache": "sinks.partitioned",

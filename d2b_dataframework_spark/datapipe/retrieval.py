@@ -253,8 +253,10 @@ def rank_biased_overlap(
         F.col("w") * F.col("_ov") / F.col("d").cast("double"), 6
     ).cast("decimal(28,6)")
     agg = per_depth.agg(
-        F.sum(term).cast("double").alias("_s"),
-        F.max("_ov").cast("long").alias("n_common"),
+        F.coalesce(F.sum(term), F.lit(0).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("_s"),
+        F.coalesce(F.max("_ov"), F.lit(0.0)).cast("long").alias("n_common"),
     )
     return agg.select(
         "n_common",

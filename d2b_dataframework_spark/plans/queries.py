@@ -10009,9 +10009,10 @@ per_depth AS (
   SELECT d, w, count(*)::DOUBLE AS ov
   FROM md JOIN depths ON m <= d GROUP BY 1, 2),
 agg AS (
-  SELECT CAST(sum(CAST(round(w * ov / d::DOUBLE, 6) AS DECIMAL(28,6)))
-              AS DOUBLE) AS s,
-         max(ov)::BIGINT AS n_common
+  SELECT CAST(coalesce(sum(CAST(round(w * ov / d::DOUBLE, 6)
+                                AS DECIMAL(28,6))),
+                       0::DECIMAL(28,6)) AS DOUBLE) AS s,
+         coalesce(max(ov), 0)::BIGINT AS n_common
   FROM per_depth)
 SELECT n_common, round((1.0 - 0.9) * s, 6) AS rbo FROM agg
 """

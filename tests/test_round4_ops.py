@@ -1,0 +1,200 @@
+"""Hand-computed example tests for the round-4 operators — independent
+of the DuckDB oracles (which replay the same algorithms): tiny inputs
+whose expected outputs were derived by hand."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.single_leg
+
+
+def test_kcore_triangle_plus_tail(spark):
+    """Triangle {1,2,3} + tail 3-4: node 4 (deg 1) peels first, then 3
+    keeps degree 2 inside the triangle — the 2-core is the triangle."""
+    from d2b_dataframework_spark.datapipe.graph import kcore_filter
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_filter(edges, k=2, iterations=3).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_peels_progressively(spark):
+    """A path 1-2-3-4 has no 2-core: ends peel, exposing new ends, until
+    nothing survives — needs >1 iteration to fully unravel."""
+    from d2b_dataframework_spark.datapipe.graph import kcore_filter
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert kcore_filter(edges, k=2, iterations=3).collect() == []
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    """Ranking that matches relevance order → ndcg 1.0; fully inverted
+    ranking → dcg < idcg."""
+    from d2b_dataframework_spark.datapipe.retrieval import ndcg_at_k
+
+    perfect = spark.createDataFrame(
+        [("q", 1, 3), ("q", 2, 2), ("q", 3, 1)],
+        "query_id string, rank long, rel long",
+    )
+    row = ndcg_at_k(perfect, k=3).collect()[0]
+    assert row["ndcg"] == 1.0
+    inverted = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, rank long, rel long",
+    )
+    row = ndcg_at_k(inverted, k=3).collect()[0]
+    assert row["dcg"] < row["idcg"] and 0 < row["ndcg"] < 1
+    # hand check: dcg = 1/log2(2) + 2/log2(3) + 3/log2(4)
+    expect_dcg = round(
+        round(1 / math.log2(2), 6) + round(2 / math.log2(3), 6)
+        + round(3 / math.log2(4), 6),
+        6,
+    )
+    assert abs(row["dcg"] - expect_dcg) < 1e-9
+
+
+def test_rbo_identical_and_disjoint(spark):
+    """Identical lists → rbo = (1-p) * sum p^(d-1) (the truncated
+    maximum); disjoint lists → no common docs → empty agg row."""
+    from d2b_dataframework_spark.datapipe.retrieval import rank_biased_overlap
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "doc_id long, rank long"
+    )
+    row = rank_biased_overlap(a, a, k=5, p=0.9).collect()[0]
+    expect = round(
+        0.1 * sum(round(0.9 ** (d - 1) * d / d, 6) for d in range(1, 6)), 6
+    )
+    assert abs(row["rbo"] - expect) < 1e-9 and row["n_common"] == 5
+    b = spark.createDataFrame(
+        [(i + 100, i) for i in range(1, 6)], "doc_id long, rank long"
+    )
+    row = rank_biased_overlap(a, b, k=5).collect()[0]
+    assert (row["n_common"], row["rbo"]) == (0, 0.0)
+
+
+def test_join_advice_thresholds(spark):
+    from d2b_dataframework_spark.plans.advisor import join_advice
+
+    probe = spark.createDataFrame(
+        [(1,)] * 98 + [(2,), (3,)], "k long"
+    )
+    small = spark.createDataFrame([(1,), (2,)], "k long")
+    row = join_advice(probe, small, "k", broadcast_limit_rows=10).collect()[0]
+    assert row["recommendation"] == "broadcast"
+    assert row["est_join_rows"] == 99  # 98 + 1 matching rows
+    big = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    row = join_advice(
+        probe, big, "k", broadcast_limit_rows=10, skew_share=0.5
+    ).collect()[0]
+    # top key owns 98% of probe rows > 50% → salt
+    assert row["recommendation"] == "shuffle+salt"
+    assert row["top_share"] == 0.98
+    row = join_advice(
+        probe, big, "k", broadcast_limit_rows=10, skew_share=0.999
+    ).collect()[0]
+    assert row["recommendation"] == "shuffle"
+
+
+def test_tfidf_cosine_identical_docs(spark):
+    """Two identical docs → cosine 1.0; an unrelated doc pairs with
+    neither above threshold."""
+    from d2b_dataframework_spark.datapipe.retrieval import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(df, threshold=0.5, max_df=10).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_tfidf_cosine_max_df_prunes_hub_terms(spark):
+    """A term in every doc is dropped by max_df, so docs sharing ONLY
+    that term produce no candidate pair at all."""
+    from d2b_dataframework_spark.datapipe.retrieval import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the alpha"), (2, "the beta"), (3, "the gamma")],
+        "doc_id long, text string",
+    )
+    assert tfidf_cosine_pairs(df, threshold=0.0, max_df=2).collect() == []
+
+
+def test_strip_boilerplate_keeps_order_and_counts(spark):
+    from d2b_dataframework_spark.datapipe.text import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav home alpha nav", "s"),
+            (2, "nav beta", "s"),
+            (3, "nav gamma home", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # nav in 3/3 docs, home in 2/3 -> both >= 0.6? home = 0.667 >= 0.6
+    rows = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+        for r in strip_boilerplate(df, min_frac=0.6).collect()
+    }
+    assert rows[1] == ("alpha", 3)
+    assert rows[2] == ("beta", 1)
+    assert rows[3] == ("gamma", 2)
+
+
+def test_readability_flesch_hand_example(spark):
+    from d2b_dataframework_spark.datapipe.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it purred!")], "doc_id long, text string"
+    )
+    row = readability_scores(df).collect()[0]
+    # words: the cat sat. it purred! -> 5; sentences: 2 runs; syllables:
+    # e(1) + a(1) + a(1) + i(1) + u+e(2) = 6
+    assert (row["n_words"], row["n_sentences"], row["n_syllables"]) == (5, 2, 6)
+    expect = round(206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5), 6)
+    assert abs(row["flesch"] - expect) < 1e-9
+
+
+def test_hll_set_ops_union_merge_equals_union_build(spark):
+    """max-merging per-group registers equals building registers over
+    the unioned input — the mergeability contract behind hll_set_ops."""
+    from d2b_dataframework_spark.operators.ndv_sketch import (
+        hll_estimate_from_registers,
+        hll_registers_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(200)] + [("b", i) for i in range(100, 350)],
+        "g string, v long",
+    )
+    regs = hll_registers_grouped(df, ["g"], "v")
+    merged = regs.groupBy("j").agg(F.max("mj").alias("mj")).withColumn(
+        "_g", F.lit(1)
+    )
+    est_merged = hll_estimate_from_registers(merged, ["_g"]).collect()[0][
+        "ndv_approx"
+    ]
+    union_regs = hll_registers_grouped(
+        df.select(F.lit(1).alias("_g"), "v"), ["_g"], "v"
+    )
+    est_union = hll_estimate_from_registers(union_regs, ["_g"]).collect()[0][
+        "ndv_approx"
+    ]
+    assert est_merged == est_union
