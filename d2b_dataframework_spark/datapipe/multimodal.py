@@ -565,14 +565,17 @@ def png_pixel_stats(assets: DataFrame) -> DataFrame:
                               "sum_val", "min_val", "max_val"):
                         out[k].append(None)
                 else:
+                    import numpy as np
+
                     w, h, ch, px = decoded
+                    arr = np.frombuffer(px, dtype=np.uint8)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["channels"].append(ch)
                     out["n_values"].append(len(px))
-                    out["sum_val"].append(sum(px))
-                    out["min_val"].append(min(px) if px else None)
-                    out["max_val"].append(max(px) if px else None)
+                    out["sum_val"].append(int(arr.sum(dtype=np.int64)))
+                    out["min_val"].append(int(arr.min()) if px else None)
+                    out["max_val"].append(int(arr.max()) if px else None)
             yield pd.DataFrame(out)
 
     return (
@@ -657,6 +660,22 @@ def _luma(vals: bytes, ch: int, off: int) -> int:
     return vals[off]  # gray / gray+alpha: first sample is the gray value
 
 
+def _luma_plane(px: bytes, w: int, h: int, ch: int):
+    """(h, w) int64 luma plane via vectorized exact-integer arithmetic —
+    identical values to :func:`_luma`, ~100x faster on large images
+    (the stats hot path; the sequential unfilter stays in
+    codecs.decode_png)."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+    arr = arr.reshape(h, w, ch)
+    if ch >= 3:
+        return (
+            299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+        ) // 1000
+    return arr[:, :, 0]
+
+
 def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
     """Perceptual difference-hash over REALLY decoded PNG pixels — the
     near-duplicate image screen (dHash: Krawetz's kindofblue algorithm
@@ -676,28 +695,34 @@ def image_dhash(assets: DataFrame, grid: int = 8) -> DataFrame:
     g = int(grid)
 
     def one(content) -> str | None:
+        import numpy as np
+
         decoded = decode_png(content)
         if decoded is None:
             return None
         w, h, ch, px = decoded
         if w < g + 1 or h < g:
             return None
-        sums = [[0] * (g + 1) for _ in range(g)]
-        counts = [[0] * (g + 1) for _ in range(g)]
-        for y in range(h):
-            gy = (y * g) // h
-            row = y * w * ch
-            for x in range(w):
-                gx = (x * (g + 1)) // w
-                sums[gy][gx] += _luma(px, ch, row + x * ch)
-                counts[gy][gx] += 1
-        bits = []
-        for gy in range(g):
-            for gx in range(g):
-                l_s, l_c = sums[gy][gx], counts[gy][gx]
-                r_s, r_c = sums[gy][gx + 1], counts[gy][gx + 1]
-                bits.append("1" if l_s * r_c < r_s * l_c else "0")
-        return "".join(bits)
+        luma = _luma_plane(px, w, h, ch)
+        # vectorized block sums/counts: bincount over the flattened
+        # (gy, gx) cell index — exact int64, same cells as the scalar
+        # (y*g)//h, (x*(g+1))//w mapping
+        gy = (np.arange(h, dtype=np.int64) * g) // h
+        gx = (np.arange(w, dtype=np.int64) * (g + 1)) // w
+        cell = (gy[:, None] * (g + 1) + gx[None, :]).ravel()
+        n_cells = g * (g + 1)
+        sums = np.bincount(cell, weights=None, minlength=n_cells)  # counts
+        counts = sums.astype(np.int64)
+        sums = np.bincount(cell, weights=luma.ravel(), minlength=n_cells)
+        sums = sums.astype(np.int64)  # luma sums are ints; weights came
+        # back float64 — exact below 2^53, and a cell sum is bounded by
+        # 255 * pixels-per-cell, far under that
+        sums = sums.reshape(g, g + 1)
+        counts = counts.reshape(g, g + 1)
+        left_s, right_s = sums[:, :g], sums[:, 1:]
+        left_c, right_c = counts[:, :g], counts[:, 1:]
+        bits = (left_s * right_c < right_s * left_c).ravel()
+        return "".join("1" if b else "0" for b in bits)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -743,17 +768,19 @@ def audio_signal_stats(
         decoded = decode_wav(content)
         if decoded is None:
             return (None, None, None, None)
+        import numpy as np
+
         _rate, ch, _depth, samples = decoded
-        mono = samples[0::ch]
-        crossings = 0
-        for prev, cur in zip(mono, mono[1:]):
-            if (prev > 0 and cur < 0) or (prev < 0 and cur > 0):
-                crossings += 1
+        mono = np.asarray(samples[0::ch], dtype=np.int64)
+        prev, cur = mono[:-1], mono[1:]
+        crossings = int(
+            (((prev > 0) & (cur < 0)) | ((prev < 0) & (cur > 0))).sum()
+        )
         return (
-            len(mono),
+            int(mono.size),
             crossings,
-            sum(1 for s in mono if abs(s) < thr),
-            sum(s * s for s in mono),
+            int((np.abs(mono) < thr).sum()),
+            int((mono * mono).sum()),
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -803,12 +830,13 @@ def image_luma_histogram(assets: DataFrame, n_buckets: int = 8) -> DataFrame:
                 decoded = decode_png(row["content"])
                 if decoded is None:
                     continue
+                import numpy as np
+
                 w, h, ch, px = decoded
-                counts = [0] * nb
-                for y in range(h):
-                    base = y * w * ch
-                    for x in range(w):
-                        counts[_luma(px, ch, base + x * ch) * nb // 256] += 1
+                luma = _luma_plane(px, w, h, ch)
+                counts = np.bincount(
+                    (luma.ravel() * nb) // 256, minlength=nb
+                ).astype(np.int64)
                 for b in range(nb):
                     out["asset_id"].append(row["asset_id"])
                     out["bucket"].append(b)
