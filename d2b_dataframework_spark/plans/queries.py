@@ -2131,10 +2131,11 @@ _NEWEST_FIRST: tuple[str, ...] = (
 )
 
 
-# Deterministic rotation counter for the verified re-check slice.  Bump
-# by one each round the ordering ships; the slice it selects changes
-# every round so the whole verified set is eventually re-sampled.
-_GATE_ROUND: int = 4
+# Deterministic rotation seed for the verified re-check slice: derived
+# from |_DRIVER_VERIFIED|, which grows every round a correctness
+# artifact lands, so the selected slice shifts round-over-round with NO
+# manual bump; the whole verified set is eventually re-sampled.
+_GATE_ROUND: int = len(_DRIVER_VERIFIED)
 
 # How many already-verified names to surface inside the sampled window
 # once the unverified backlog no longer fills it (sampled window ≈ 50).
