@@ -519,3 +519,69 @@ def test_sketch_store_stream_accumulates_and_replays_idempotently(spark, tmp_pat
     )
     spark.catalog.refreshByPath(store)
     assert spark.read.parquet(store).agg(F.sum("n")).collect()[0][0] == 500
+
+
+def test_running_totals_stream_v2_state_across_batches(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas: state carries across
+    micro-batches (maxFilesPerTrigger=1 -> one batch per file) and the
+    LAST emission per key equals the batch groupBy totals."""
+    from d2b_dataframework_spark.streaming.microbatch import (
+        running_totals_stream_v2,
+        stream_files,
+    )
+
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        pytest.skip("ANSI-independent pandas-state path; off leg only")
+    # transformWithState's state protocol is protobuf-based; the sandbox
+    # ships pyspark without protobuf, so this leg runs wherever the
+    # dependency exists and SKIPS (visibly) elsewhere — the prophet-leg
+    # pattern.
+    pytest.importorskip("google.protobuf.descriptor")
+
+    # transformWithState requires the RocksDB state store provider
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    src = str(tmp_path / "twsv2_landing")
+    schema = "user_id long, value double"
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(1, 1.0), (2, 100.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    totals = running_totals_stream_v2(stream)
+    qname = f"twsv2_{abs(hash(str(tmp_path))) % 10**9}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "twsv2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    # one emission per key per batch that contained that key
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["key"], []).append((r["n"], r["total"], r["max_value"]))
+    # final state equals the all-data batch aggregate
+    finals = {k: max(v, key=lambda t: t[0]) for k, v in per_key.items()}
+    assert finals[1] == (3, 16.0, 10.0)
+    assert finals[2] == (2, 107.0, 100.0)
+    # state genuinely crossed batches: key 1 has two emissions (n=2 then 3)
+    assert sorted(n for n, _, _ in per_key[1]) == [2, 3]
+    if prev_provider:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev_provider
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
