@@ -265,11 +265,24 @@ def kcore_filter(
             .agg(F.count(F.lit(1)).alias("degree"))
         )
 
-    alive = inc.select("node").distinct()
+    # Persist every iteration's alive set: surviving_deg consumes it
+    # TWICE (both semi-join sides) and iteration k's plan embeds every
+    # previous iteration — unpersisted, the peel chain replays
+    # super-linearly (the pagerank lineage lesson; measured 16.9s -> a
+    # fraction at sf0.1). Handles are tracked on the result for
+    # datapipe.cache.release.
+    handles: list[DataFrame] = [e, inc]
+    alive = inc.select("node").distinct().persist()
+    handles.append(alive)
     for _ in range(int(iterations)):
         alive = (
-            surviving_deg(alive).filter(F.col("degree") >= k).select("node")
+            surviving_deg(alive)
+            .filter(F.col("degree") >= k)
+            .select("node")
+            .persist()
         )
-    return surviving_deg(alive).select(
+        handles.append(alive)
+    out = surviving_deg(alive).select(
         "node", F.col("degree").cast("long").alias("degree")
     )
+    return track(out, *handles)
