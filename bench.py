@@ -67,16 +67,24 @@ def main() -> None:
     # round comparisons aren't dominated by the ±10% single-run noise of
     # local[32] (each query's JSON value is its median; detail carries
     # median/min/n).
+    from d2b_dataframework_spark.datapipe.cache import release
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in REGISTRY}
     for _ in range(n_runs):
         for name, spec in REGISTRY.items():
             start = time.perf_counter()
-            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out = spec.spark(spark, sf_dir)
+            out.write.format("noop").mode("overwrite").save()
             t = time.perf_counter() - start
             samples[name].append(t)
+            # the documented consumer contract: drop this query's tracked
+            # persists so caches don't pile eviction pressure onto every
+            # later query in the round (release is outside the timer —
+            # it's bookkeeping the NEXT query shouldn't inherit either way)
+            release(out)
             print(f"{name}: {round(t, 4)}s", file=sys.stderr, flush=True)
-        spark.catalog.clearCache()  # drop this round's pair-builder persists
+        spark.catalog.clearCache()  # drop untracked pair-builder persists
 
     from statistics import median
 

@@ -328,7 +328,9 @@ def tfidf_cosine_pairs(
         / (F.sqrt(F.col("_n2a").cast("double")) * F.sqrt(F.col("_n2b").cast("double"))),
         6,
     )
-    return (
+    from .cache import track
+
+    return track(
         dots.join(na, "_da")
         .join(nb, "_db")
         .select(
@@ -336,5 +338,6 @@ def tfidf_cosine_pairs(
             F.col("_db").alias("id_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine") >= threshold),
+        weighted,
     )

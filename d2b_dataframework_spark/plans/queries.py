@@ -9451,9 +9451,11 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_est = hll_estimate_from_registers(merged, ["_g"]).select(
         F.col("ndv_approx").alias("ndv_union")
     )
+    from d2b_dataframework_spark.datapipe.cache import track
+
     out = wide.crossJoin(union_est)
     inter = F.col("ndv_view") + F.col("ndv_purchase") - F.col("ndv_union")
-    return out.select(
+    final = out.select(
         "ndv_view",
         "ndv_purchase",
         "ndv_union",
@@ -9465,6 +9467,7 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("jaccard"),
     )
+    return track(final, regs)
 
 
 def _sql_hll_set_ops() -> str:
@@ -9850,7 +9853,9 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded = ranked.join(rel, ["query_id", "rank"], "left").select(
         "query_id", "rank", F.coalesce(F.col("rel"), F.lit(0)).alias("rel")
     )
-    return ndcg_at_k(graded, k=10).orderBy("query_id")
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    return track(ndcg_at_k(graded, k=10).orderBy("query_id"), postings)
 
 
 SQL_NDCG_EVAL = f"""
