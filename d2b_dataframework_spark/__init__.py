@@ -105,6 +105,14 @@ _API = {
     "bloom_might_contain": "operators.bloom",
     "bloom_prune": "operators.bloom",
     "kcore_filter": "datapipe.graph",
+    "bfs_hops": "datapipe.graph",
+    "jaccard_link_prediction": "datapipe.graph",
+    "heavy_hitters": "operators.frequency",
+    "heavy_hitter_candidates": "operators.frequency",
+    "poisson_bootstrap_means": "operators.stats",
+    "bootstrap_ci": "operators.stats",
+    "negative_sample_candidates": "datapipe.splits",
+    "label_weights": "datapipe.splits",
     "holt_smoothing": "operators.recurrence",
     "cusum_alerts": "operators.recurrence",
     "clamped_running_balance": "operators.recurrence",

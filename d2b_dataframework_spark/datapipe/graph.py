@@ -286,3 +286,126 @@ def kcore_filter(
         "node", F.col("degree").cast("long").alias("degree")
     )
     return track(out, *handles)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: the minimum hop
+    distance from ANY seed node, capped at ``max_hops`` — the
+    blast-radius / influence-frontier query (how far does an incident,
+    a recall, or a promotion propagate through the co-purchase or
+    interaction graph). Unreached nodes are absent from the output.
+
+    Pregel shape, one round per hop: frontier ⋈ adjacency (shuffle on
+    node id), anti-join against the visited set so each node is
+    expanded exactly once — the standard distributed BFS where total
+    work is O(E) per round and the frontier/visited frames stay
+    (node: long, hop: int) narrow rows. Every round's visited set is
+    persisted (the k-core lesson: both the join and the next round's
+    anti-join consume it, and round k's plan embeds rounds 0..k-1).
+    Handles are tracked for :func:`datapipe.cache.release`.
+
+    Deterministic: hop distances are a pure function of the graph, so
+    the result is partitioning- and engine-independent (DuckDB oracle:
+    a recursive CTE with ``min(hop)``).
+    """
+    e = edges.select(src, dst).persist()
+    adj = (
+        e.select(F.col(src).alias("node"), F.col(dst).alias("peer"))
+        .unionAll(e.select(F.col(dst).alias("node"), F.col(src).alias("peer")))
+        .persist()
+    )
+    handles: list[DataFrame] = [e, adj]
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    visited = frontier.select("node", F.lit(0).alias("hop")).persist()
+    handles.append(visited)
+    for hop in range(1, int(max_hops) + 1):
+        reached = (
+            adj.join(frontier, "node")
+            .select(F.col("peer").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).alias("hop"))
+        )
+        visited = visited.unionAll(reached).persist()
+        handles.append(visited)
+        # next frontier reads back out of the PERSISTED visited frame —
+        # deriving it from `reached` directly would replay this round's
+        # expansion a second time inside the next round's plan
+        frontier = visited.filter(F.col("hop") == hop).select("node")
+    out = visited.select("node", F.col("hop").cast("int").alias("hop"))
+    return track(out, *handles)
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    max_pivot_degree: int = 50,
+    min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list
+    (canonical ``src < dst`` pairs): for node pairs NOT already joined
+    by an edge, count shared neighbors through pivot nodes of degree <=
+    ``max_pivot_degree`` and score jaccard = common / (deg_a + deg_b -
+    common) — the "customers also bought" / friend-suggestion candidate
+    generator.
+
+    Scale shape: candidate pairs are generated by a self-join on the
+    PIVOT node (posting-list blocking, the tfidf_cosine_pairs pattern)
+    — never an all-pairs product — and the hub cap bounds each pivot's
+    fan-out at max_pivot_degree^2 pairs, so a celebrity node cannot
+    quadratically explode the shuffle. Degrees are measured on the FULL
+    graph (the cap only limits which pivots GENERATE candidates, making
+    ``common`` a documented lower bound through hubby neighborhoods).
+    The known-edge screen is a left-anti join on the canonical pair.
+    """
+    e = edges.select(src, dst).persist()
+    und = e.select(F.col(src).alias("node"), F.col(dst).alias("peer")).unionAll(
+        e.select(F.col(dst).alias("node"), F.col(src).alias("peer"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    piv = (
+        und.withColumnRenamed("node", "pivot")
+        .join(
+            deg.filter(F.col("deg") <= max_pivot_degree)
+            .select(F.col("node").alias("pivot")),
+            "pivot",
+        )
+    )
+    a = piv.select("pivot", F.col("peer").alias("na"))
+    b = piv.select("pivot", F.col("peer").alias("nb"))
+    cand = (
+        a.join(b, "pivot")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    non_edge = cand.join(
+        e.select(F.col(src).alias("na"), F.col(dst).alias("nb")),
+        ["na", "nb"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("nb"), F.col("deg").alias("_db"))
+    scored = (
+        non_edge.join(da, "na")
+        .join(db, "nb")
+        .select(
+            "na",
+            "nb",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return track(scored, e)

@@ -276,3 +276,135 @@ def group_kfold(
     if k <= 0:
         raise ValueError("k must be positive")
     return df.withColumn("fold", hash_bucket(group_col, salt, k))
+
+
+def negative_sample_candidates(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    max_item: int,
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    pairs: for every distinct user in ``positives``, propose ``k``
+    hash-derived candidate items in [1, max_item] and keep those the
+    user has NOT interacted with — the standard contrastive-pair
+    generator for recommender / embedding training, at anti-join cost
+    instead of materializing the user x item complement (which is
+    astronomically large at scale).
+
+    Scale shape: candidates are a pure map-side projection (users x k
+    rows, no RNG state — the md5-prefix hash makes every draw a pure
+    function of (salt, user, j), reproducible across engines and
+    retries); the only shuffle is the left-anti join against the
+    positive pairs on (user, item). Collisions with positives simply
+    drop (expected loss k * |items_u| / max_item — negligible when the
+    catalog is large); j is retained so downstream can distinguish
+    draws.
+
+    Returns (user_col, j: int, item_col) — the accepted negatives.
+    """
+    users = positives.select(user_col).distinct()
+    cand = users.select(
+        user_col,
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+    ).select(
+        user_col,
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:"),
+                            F.col(user_col).cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(max_item)
+            + F.lit(1)
+        ).alias(item_col),
+    )
+    return cand.join(
+        positives.select(user_col, item_col).distinct(),
+        [user_col, item_col],
+        "left_anti",
+    ).select(user_col, F.col("j").cast("int").alias("j"), item_col)
+
+
+def label_weights(
+    df: DataFrame,
+    label_col: str,
+    beta: float = 0.999,
+) -> DataFrame:
+    """Per-class training weights for an imbalanced label column, two
+    standard schemes in one pass:
+
+    * ``inv_weight`` — inverse frequency, N / (K * n_c): the classic
+      rebalancing that makes every class contribute equally;
+    * ``cb_weight`` — class-balanced "effective number of samples"
+      (Cui et al. 2019), (1 - beta) / (1 - beta^n_c), normalized to
+      mean 1 over classes: softer than inverse frequency when classes
+      overlap (each additional sample adds diminishing novelty).
+
+    One groupBy over the label column (map-side combining; K rows out),
+    then scalar normalization against broadcast totals. Exact integer
+    counts; double math only in the final weight expressions, rounded
+    to 6 — engine-reproducible.
+
+    Returns (label_col, n: long, frac, inv_weight, cb_weight) ordered
+    by label. Null labels are excluded.
+    """
+    counts = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("_N"), F.count(F.lit(1)).cast("long").alias("_K")
+    )
+    eff = F.lit(1.0) - F.pow(F.lit(beta), F.col("n").cast("double"))
+    # per-class value rounded to 12dp and summed as DECIMAL: the
+    # normalizing mean must not depend on float summation order (the
+    # module's cross-engine convention — see operators/stats.py)
+    raw_cb = F.round((F.lit(1.0) - F.lit(beta)) / eff, 12).cast("decimal(24,12)")
+    joined = counts.crossJoin(F.broadcast(tot))
+    # keep the exact SUM (not a decimal division — division result
+    # types differ across engines); the mean folds into one double
+    # expression below: cb = (raw * K) / sum
+    # (column names must not collide case-insensitively with tot's
+    # _N/_K — Spark's default resolver is case-insensitive)
+    cb_mean = joined.agg(
+        F.sum(raw_cb).alias("_cbs"),
+        F.count(F.lit(1)).cast("long").alias("_cbk"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(cb_mean))
+        .select(
+            label_col,
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_N").cast("double"), 6).alias(
+                "frac"
+            ),
+            F.round(
+                F.col("_N").cast("double")
+                / (F.col("_K").cast("double") * F.col("n").cast("double")),
+                6,
+            ).alias("inv_weight"),
+            F.round(
+                raw_cb.cast("double")
+                * F.col("_cbk").cast("double")
+                / F.col("_cbs").cast("double"),
+                6,
+            ).alias("cb_weight"),
+        )
+        .orderBy(label_col)
+    )

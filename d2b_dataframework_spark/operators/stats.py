@@ -227,3 +227,140 @@ def grouped_linreg(
         F.when(guard, F.round(intercept, decimals)).alias("intercept"),
         F.when(guard & (var_y > 0), F.round(r2, decimals)).alias("r2"),
     )
+
+
+# Poisson(1) CDF thresholds for the deterministic bootstrap: a uniform
+# u in [0,1) maps to the smallest k with u < P(X <= k). Written as the
+# exact double literals both engines parse identically.
+_POISSON1_CDF: tuple[float, ...] = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group bootstrap replicate means via the DETERMINISTIC Poisson
+    bootstrap: replicate ``b`` weights each row by a Poisson(1) draw
+    derived from md5(salt:b:id) — the standard one-pass approximation
+    of resampling-with-replacement at scale (Poisson(1) counts converge
+    to multinomial resampling for large n; no shuffle of the raw data,
+    no per-replicate scan).
+
+    Scale shape: the replicate dimension fans out map-side (explode of
+    ``n_reps`` weights per row) and collapses in the SAME partial
+    aggregation, so the exchange carries groups x n_reps partial sums —
+    never n_reps copies of the data. Weighted sums are exact DECIMAL;
+    the mean divides once in double and rounds to 6 (the engine's
+    cross-engine convention). Hash is the portable md5-prefix (28-bit)
+    so replicate weights — and therefore every statistic downstream —
+    reproduce bit-identically on any engine with md5.
+
+    Returns (group_col, rep: int, rep_mean: double, n_eff: long) — one
+    row per (group, replicate) with sum(weight) > 0.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(268435456.0)
+    )
+    wt = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        wt = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(wt)
+    reps = df.select(
+        group_col,
+        id_col,
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        F.explode(F.array(*[F.lit(b) for b in range(n_reps)])).alias("rep"),
+    ).withColumn("_w", wt)
+    agg = reps.groupBy(group_col, "rep").agg(
+        F.sum(F.col("_w").cast("decimal(18,0)") * F.col("_v")).alias("_ws"),
+        F.sum("_w").cast("long").alias("_n"),
+    )
+    return agg.filter(F.col("_n") > 0).select(
+        group_col,
+        F.col("rep").cast("int").alias("rep"),
+        F.round(F.col("_ws").cast("double") / F.col("_n").cast("double"), 6).alias(
+            "rep_mean"
+        ),
+        F.col("_n").alias("n_eff"),
+    )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 32,
+    trim: int = 2,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group mean with a bootstrap confidence band: the point
+    estimate plus the ``trim``-th smallest / largest replicate mean
+    from :func:`poisson_bootstrap_means` (with the default 32
+    replicates and trim=2 that's an ~94% empirical interval). Rank
+    selection instead of interpolated percentiles keeps the band an
+    EXACT order statistic — identical on every engine, no
+    percentile-method ambiguity.
+
+    Returns (group_col, n: long, mean: double, ci_lo, ci_hi,
+    n_reps: long) ordered by group.
+    """
+    from pyspark.sql import Window
+
+    means = poisson_bootstrap_means(
+        df, group_col, value_col, id_col, n_reps=n_reps, salt=salt
+    )
+    wa = Window.partitionBy(group_col).orderBy(
+        F.col("rep_mean").asc(), F.col("rep").asc()
+    )
+    wd = Window.partitionBy(group_col).orderBy(
+        F.col("rep_mean").desc(), F.col("rep").desc()
+    )
+    ranked = means.select(
+        group_col,
+        "rep_mean",
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"),
+    )
+    ci = ranked.groupBy(group_col).agg(
+        F.max(F.when(F.col("_ra") == trim, F.col("rep_mean"))).alias("ci_lo"),
+        F.max(F.when(F.col("_rd") == trim, F.col("rep_mean"))).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+    )
+    pt = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean"),
+    )
+    return pt.join(ci, group_col).orderBy(group_col)

@@ -2128,6 +2128,12 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "ndcg_eval",
     "rbo_rankings",
     "tfidf_cosine_pairs",
+    "heavy_hitters",
+    "bfs_hops",
+    "link_prediction",
+    "bootstrap_ci",
+    "negative_sampling",
+    "label_weights",
 )
 
 
@@ -10086,6 +10092,312 @@ REGISTRY.update(
             q_tfidf_cosine_pairs,
             SQL_TFIDF_COSINE_PAIRS,
             "term-partitioned all-pairs TF-IDF cosine with hub-term cap",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: exact heavy hitters, multi-source BFS, link prediction,
+# deterministic bootstrap CI, negative sampling, class-weight schemes
+# ---------------------------------------------------------------------------
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequency-0.008 heavy hitters over events.user_id
+    (operators/frequency.py): a map-only partition-local candidate pass
+    (pigeonhole superset, <= 2/phi keys per partition cross the wire)
+    + a broadcast-semi exact verify — the dominant-key answer at
+    O(answer) shuffle instead of O(distinct users)."""
+    from d2b_dataframework_spark.operators.frequency import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", 0.008).orderBy("user_id")
+
+
+SQL_HEAVY_HITTERS = """
+WITH tot AS (
+  SELECT count(*)::BIGINT AS n FROM events WHERE user_id IS NOT NULL),
+cnts AS (
+  SELECT user_id, count(*)::BIGINT AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+SELECT user_id, cnt, round(cnt::DOUBLE / n::DOUBLE, 6) AS share
+FROM cnts CROSS JOIN tot
+WHERE cnt >= ceil(0.008 * n)::BIGINT
+ORDER BY user_id
+"""
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS blast radius (datapipe/graph.py:bfs_hops) over
+    the support>=2 co-purchase graph: minimum hop distance from the
+    seed parts (partkey % 100 == 0) capped at 3 — one frontier-join +
+    visited anti-join per hop, every round's visited set persisted (the
+    k-core lineage lesson). Oracle: recursive CTE with min(hop)."""
+    from d2b_dataframework_spark.datapipe.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 100 == 0)
+    return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
+
+
+SQL_BFS_HOPS = """
+WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT s AS node, d AS peer FROM e UNION ALL SELECT d, s FROM e),
+nodes AS (SELECT DISTINCT node FROM und),
+walk(node, hop) AS (
+  SELECT node, 0 FROM nodes WHERE node % 100 = 0
+  UNION
+  SELECT u.peer, w.hop + 1
+  FROM walk w JOIN und u ON u.node = w.node
+  WHERE w.hop < 3)
+SELECT node, min(hop)::INT AS hop FROM walk GROUP BY 1 ORDER BY node
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction
+    (datapipe/graph.py:jaccard_link_prediction) on the co-purchase
+    graph: non-edge part pairs sharing >= 2 neighbors through pivots of
+    degree <= 50 (posting-list blocking — never all-pairs; the hub cap
+    bounds every pivot's candidate fan-out), scored by jaccard over
+    full-graph degrees — the "customers also bought" candidate set."""
+    from d2b_dataframework_spark.datapipe.graph import jaccard_link_prediction
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return jaccard_link_prediction(
+        edges, max_pivot_degree=50, min_common=2
+    ).orderBy("na", "nb")
+
+
+SQL_LINK_PREDICTION = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT s AS node, d AS peer FROM e UNION ALL SELECT d, s FROM e),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+piv AS (
+  SELECT u.node AS pivot, u.peer FROM und u
+  JOIN deg ON deg.node = u.node WHERE deg.deg <= 50),
+cand AS (
+  SELECT a.peer AS na, b.peer AS nb, count(*)::BIGINT AS common
+  FROM piv a JOIN piv b ON a.pivot = b.pivot AND a.peer < b.peer
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN e ON e.s = c.na AND e.d = c.nb
+  WHERE e.s IS NULL)
+SELECT na, nb, common,
+  round(common::DOUBLE / (da.deg + db.deg - common)::DOUBLE, 6) AS jaccard
+FROM nonedge
+JOIN deg da ON da.node = na
+JOIN deg db ON db.node = nb
+ORDER BY na, nb
+"""
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence band for mean order
+    value per priority (operators/stats.py:bootstrap_ci): 32 replicate
+    means from md5-derived Poisson(1) weights — replicates fan out and
+    collapse inside ONE map-side-combining aggregation (groups x 32
+    partial sums cross the wire, never 32 copies of the data) — banded
+    by exact order statistics (2nd smallest/largest replicate)."""
+    from d2b_dataframework_spark.operators.stats import bootstrap_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    return bootstrap_ci(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", n_reps=32, trim=2
+    )
+
+
+SQL_BOOTSTRAP_CI = """
+WITH reps AS (SELECT unnest(range(32)) AS b),
+w AS (
+  SELECT o.o_orderpriority AS pri, r.b,
+    o.o_totalprice::DECIMAL(18,2) AS price, o.o_orderkey,
+    ('0x' || substr(md5('boot:' || r.b::VARCHAR || ':' ||
+      o.o_orderkey::VARCHAR), 1, 7))::BIGINT::DOUBLE / 268435456.0 AS u
+  FROM orders o CROSS JOIN reps r),
+pw AS (
+  SELECT pri, b, price,
+    CASE WHEN u < 0.36787944117144233 THEN 0
+         WHEN u < 0.7357588823428847 THEN 1
+         WHEN u < 0.9196986029286058 THEN 2
+         WHEN u < 0.9810118431238462 THEN 3
+         WHEN u < 0.9963401531726563 THEN 4
+         WHEN u < 0.9994058151824183 THEN 5
+         WHEN u < 0.9999167588507119 THEN 6
+         ELSE 7 END AS wt
+  FROM w),
+rep_means AS (
+  SELECT pri, b,
+    round(CAST(sum(wt::DECIMAL(18,0) * price) AS DOUBLE)
+          / sum(wt)::DOUBLE, 6) AS m
+  FROM pw GROUP BY 1, 2 HAVING sum(wt) > 0),
+ranked AS (
+  SELECT pri, b, m,
+    row_number() OVER (PARTITION BY pri ORDER BY m ASC, b ASC) AS ra,
+    row_number() OVER (PARTITION BY pri ORDER BY m DESC, b DESC) AS rd
+  FROM rep_means),
+ci AS (
+  SELECT pri, max(CASE WHEN ra = 2 THEN m END) AS ci_lo,
+    max(CASE WHEN rd = 2 THEN m END) AS ci_hi,
+    count(*)::BIGINT AS n_reps
+  FROM ranked GROUP BY 1),
+pt AS (
+  SELECT o_orderpriority AS pri, count(*)::BIGINT AS n,
+    round(CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE)
+          / count(*)::DOUBLE, 6) AS mean
+  FROM orders GROUP BY 1)
+SELECT pt.pri AS o_orderpriority, n, mean, ci_lo, ci_hi, n_reps
+FROM pt JOIN ci ON ci.pri = pt.pri ORDER BY 1
+"""
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (datapipe/splits.py:negative_sample_candidates): for every 20th
+    customer, 4 md5-derived candidate parts in [1, max partkey],
+    anti-joined against the parts they actually ordered — contrastive
+    pairs at anti-join cost, no user x catalog complement, no RNG
+    state (pure function of (salt, user, j))."""
+    from d2b_dataframework_spark.datapipe.splits import negative_sample_candidates
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    max_item = part.agg(F.max("p_partkey")).collect()[0][0]
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .filter(F.col("custkey") % 20 == 0)
+    )
+    return negative_sample_candidates(
+        pos, "custkey", "partkey", max_item=int(max_item), k=4
+    ).orderBy("custkey", "j")
+
+
+SQL_NEGATIVE_SAMPLING = """
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey % 20 = 0),
+users AS (SELECT DISTINCT custkey FROM pos),
+mx AS (SELECT max(p_partkey)::BIGINT AS m FROM part),
+cand AS (
+  SELECT custkey, j,
+    ('0x' || substr(md5('neg:' || custkey::VARCHAR || ':' ||
+      j::VARCHAR), 1, 7))::BIGINT % m + 1 AS partkey
+  FROM users CROSS JOIN range(1, 5) t(j) CROSS JOIN mx)
+SELECT custkey, j::INT AS j, partkey
+FROM cand ANTI JOIN pos USING (custkey, partkey)
+ORDER BY custkey, j
+"""
+
+
+def q_label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance training weights over documents.lang
+    (datapipe/splits.py:label_weights): inverse-frequency AND
+    class-balanced effective-number (Cui et al. 2019) schemes from ONE
+    map-side-combining label count — K rows out, exact integer counts,
+    the cb normalizer summed as DECIMAL so no float-order dependence."""
+    from d2b_dataframework_spark.datapipe.splits import label_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return label_weights(docs, "lang", beta=0.999)
+
+
+SQL_LABEL_WEIGHTS = """
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS kk FROM counts),
+raw AS (
+  SELECT lang, n,
+    round((1.0::DOUBLE - 0.999::DOUBLE)
+          / (1.0::DOUBLE - pow(0.999::DOUBLE, n::DOUBLE)),
+      12)::DECIMAL(24,12) AS cb
+  FROM counts),
+s AS (SELECT sum(cb) AS sc, count(*)::BIGINT AS k FROM raw)
+SELECT lang, n,
+  round(n::DOUBLE / nn::DOUBLE, 6) AS frac,
+  round(nn::DOUBLE / (kk::DOUBLE * n::DOUBLE), 6) AS inv_weight,
+  round(CAST(cb AS DOUBLE) * k::DOUBLE / CAST(sc AS DOUBLE), 6) AS cb_weight
+FROM raw CROSS JOIN tot CROSS JOIN s ORDER BY lang
+"""
+
+
+REGISTRY.update(
+    {
+        "heavy_hitters": QuerySpec(
+            q_heavy_hitters,
+            SQL_HEAVY_HITTERS,
+            "exact heavy hitters, candidate-bounded two-pass",
+        ),
+        "bfs_hops": QuerySpec(
+            q_bfs_hops,
+            SQL_BFS_HOPS,
+            "multi-source BFS hop distances, 3 rounds",
+        ),
+        "link_prediction": QuerySpec(
+            q_link_prediction,
+            SQL_LINK_PREDICTION,
+            "common-neighbor jaccard link prediction, hub-capped",
+        ),
+        "bootstrap_ci": QuerySpec(
+            q_bootstrap_ci,
+            SQL_BOOTSTRAP_CI,
+            "deterministic Poisson-bootstrap mean CI per group",
+        ),
+        "negative_sampling": QuerySpec(
+            q_negative_sampling,
+            SQL_NEGATIVE_SAMPLING,
+            "hash-derived contrastive negatives via anti-join",
+        ),
+        "label_weights": QuerySpec(
+            q_label_weights,
+            SQL_LABEL_WEIGHTS,
+            "inverse-frequency + class-balanced label weights",
         ),
     }
 )

@@ -198,3 +198,115 @@ def test_hll_set_ops_union_merge_equals_union_build(spark):
         "ndv_approx"
     ]
     assert est_merged == est_union
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path 1-2-3-4-5 from seed {1}: hops 0,1,2,3; node 5 unreached at
+    the 3-hop cap and therefore absent."""
+    from d2b_dataframework_spark.datapipe.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_min_distance_wins(spark):
+    """Two seeds on a path 1-2-3: node 2 is 1 hop from both ends; node
+    distances are minima over all seeds."""
+    from d2b_dataframework_spark.datapipe.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 3: 0, 2: 1}
+
+
+def test_jaccard_link_prediction_square(spark):
+    """4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) share BOTH their
+    neighbors and are not edges -> common=2, jaccard = 2/(2+2-2) = 1."""
+    from d2b_dataframework_spark.datapipe.graph import jaccard_link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    got = {
+        (r["na"], r["nb"]): (r["common"], r["jaccard"])
+        for r in jaccard_link_prediction(edges, min_common=2).collect()
+    }
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_jaccard_link_prediction_excludes_edges_and_hubs(spark):
+    """Triangle + pendant: every candidate pair is already an edge, so
+    nothing is predicted; with max_pivot_degree=0 no pivot generates."""
+    from d2b_dataframework_spark.datapipe.graph import jaccard_link_prediction
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    assert jaccard_link_prediction(tri, min_common=1).collect() == []
+    assert (
+        jaccard_link_prediction(tri, max_pivot_degree=0, min_common=1).collect()
+        == []
+    )
+
+
+def test_poisson_bootstrap_weight_replay(spark):
+    """The replicate-0 weight for id=42 replays the md5 hash exactly:
+    u = 0x(md5('boot:0:42')[:7])/2^28 = 0.13042... -> Poisson ladder
+    k=0, so id 42 contributes nothing to replicate 0."""
+    from d2b_dataframework_spark.operators.stats import poisson_bootstrap_means
+
+    df = spark.createDataFrame([("g", 42, 10.0)], "grp string, id long, v double")
+    reps = poisson_bootstrap_means(df, "grp", "v", "id", n_reps=1)
+    # sum of weights is 0 -> the (group, rep) row is dropped entirely
+    assert reps.collect() == []
+
+
+def test_bootstrap_ci_constant_collapses(spark):
+    """Every replicate mean of a constant column equals the constant, so
+    the band degenerates to [c, c] regardless of weights."""
+    from d2b_dataframework_spark.operators.stats import bootstrap_ci
+
+    rows = [("g", i, 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = bootstrap_ci(df, "grp", "v", "id", n_reps=8, trim=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["mean"], r["ci_lo"], r["ci_hi"]) == (7.0, 7.0, 7.0)
+    assert r["n"] == 50
+
+
+def test_negative_sampling_replays_hash_and_excludes_positives(spark):
+    """Candidates are the md5 replay (user 7, max_item 10 -> items
+    [10, 8, 2, 6] for j=1..4); a positive on item 8 must drop it."""
+    from d2b_dataframework_spark.datapipe.splits import negative_sample_candidates
+
+    pos = spark.createDataFrame([(7, 8)], "user long, item long")
+    got = {
+        (r["j"], r["item"])
+        for r in negative_sample_candidates(
+            pos, "user", "item", max_item=10, k=4
+        ).collect()
+    }
+    assert got == {(1, 10), (3, 2), (4, 6)}
+
+
+def test_label_weights_hand_computed(spark):
+    """Classes a x1, b x3 at beta=0.999: inv = N/(K*n) = 2.0 / 0.666667;
+    cb(1)=1.0, cb(3)=0.333666889, normalized to mean 1 ->
+    1.499625 / 0.500375 (hand-derived from the effective-number
+    formula)."""
+    from d2b_dataframework_spark.datapipe.splits import label_weights
+
+    rows = [("a",)] + [("b",)] * 3
+    df = spark.createDataFrame(rows, "lang string")
+    got = {
+        r["lang"]: (r["n"], r["frac"], r["inv_weight"], r["cb_weight"])
+        for r in label_weights(df, "lang").collect()
+    }
+    assert got == {
+        "a": (1, 0.25, 2.0, 1.499625),
+        "b": (3, 0.75, 0.666667, 0.500375),
+    }
