@@ -122,6 +122,7 @@ _API = {
     "tfidf_cosine_pairs": "datapipe.retrieval",
     "strip_boilerplate": "datapipe.text",
     "readability_scores": "datapipe.text",
+    "rake_keywords": "datapipe.text",
     "decode_png": "datapipe.codecs",
     "encode_png": "datapipe.codecs",
     "decode_wav": "datapipe.codecs",

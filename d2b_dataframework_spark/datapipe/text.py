@@ -862,3 +862,82 @@ def readability_scores(
         syllables.cast("long").alias("n_syllables"),
         F.when(words > 0, F.round(flesch, 6)).alias("flesch"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    top_k: int = 20,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """Corpus-level RAKE keyword extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = summed length of the phrases it appears
+    in — co-occurrence mass); a phrase scores the sum of its words'
+    scores. The classic unsupervised keyphrase screen for corpus
+    exploration / tagging before any model spend.
+
+    Distributed shape: one posexplode (map-side), a per-document window
+    to number stopword-delimited segments, then three
+    map-side-combining aggregations (phrase lengths, word stats, phrase
+    scores) — no self-joins, no all-pairs anything; the only global
+    step is top-k over UNIQUE phrases (orderBy + limit, the copurchase
+    pattern). Word scores are rounded to 6dp and summed as DECIMAL so
+    phrase scores are float-order-independent and engine-exact.
+
+    Returns the global top-``top_k``: (phrase, n_words: int, n_occ:
+    long, score, rank) by (score desc, phrase asc). Phrases longer than
+    ``max_phrase_len`` words are dropped (they are near-unique strings
+    with inflated additive scores — standard practice)."""
+    stop = STOPWORDS[lang]
+    toks = tokens(text_col)
+    t = df.select(F.col(id_col).alias("_doc"), F.posexplode(toks).alias("pos", "tok"))
+    flagged = t.withColumn("_stop", F.col("tok").isin(list(stop)))
+    wseg = Window.partitionBy("_doc").orderBy("pos")
+    words = (
+        flagged.withColumn("seg", F.sum(F.col("_stop").cast("int")).over(wseg))
+        .filter(~F.col("_stop") & (F.col("tok") != ""))
+        .select("_doc", "seg", "pos", "tok")
+    )
+    plen = words.groupBy("_doc", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("_plen")
+    )
+    occ = words.join(plen, ["_doc", "seg"])
+    wstats = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("_freq"),
+        F.sum("_plen").cast("long").alias("_deg"),
+    )
+    wscore = wstats.select(
+        "tok",
+        F.round(F.col("_deg").cast("double") / F.col("_freq").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("_ws"),
+    )
+    scored_occ = occ.join(wscore, "tok")
+    phrases = scored_occ.groupBy("_doc", "seg").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.sum("_ws").alias("_score"),
+    ).filter(F.col("n_words") <= max_phrase_len)
+    uniq = phrases.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.max("_score").alias("_score"),
+    )
+    top = uniq.orderBy(F.col("_score").desc(), F.col("phrase").asc()).limit(top_k)
+    wrank = Window.orderBy(F.col("_score").desc(), F.col("phrase").asc())
+    return top.select(
+        "phrase",
+        "n_words",
+        "n_occ",
+        F.col("_score").cast("double").alias("score"),
+        F.row_number().over(wrank).cast("int").alias("rank"),
+    )

@@ -2134,6 +2134,10 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "bootstrap_ci",
     "negative_sampling",
     "label_weights",
+    "rake_keywords",
+    "compaction_bins",
+    "lateness_profile",
+    "survival_curve",
 )
 
 
@@ -10398,6 +10402,355 @@ REGISTRY.update(
             q_label_weights,
             SQL_LABEL_WEIGHTS,
             "inverse-frequency + class-balanced label weights",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 3: RAKE keyphrases, compaction planning, watermark-lateness
+# profiling, Kaplan-Meier survival
+# ---------------------------------------------------------------------------
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 RAKE keyphrases (datapipe/text.py:rake_keywords):
+    stopword-delimited phrase runs, degree/frequency word scores,
+    decimal-summed phrase scores — one posexplode + per-doc window +
+    three map-side aggregations, no self-joins; global step is top-k
+    over unique phrases only."""
+    from d2b_dataframework_spark.datapipe.text import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, top_k=20, max_phrase_len=4)
+
+
+SQL_RAKE_KEYWORDS = r"""
+WITH base AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+      AS words
+  FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS tok
+  FROM base),
+segged AS (
+  SELECT doc_id, pos, tok,
+    sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','that')
+        THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM tok),
+words AS (
+  SELECT doc_id, seg, pos, tok FROM segged
+  WHERE tok <> ''
+    AND tok NOT IN ('the','a','of','and','to','in','is','that')),
+plen AS (
+  SELECT doc_id, seg, count(*)::BIGINT AS plen FROM words GROUP BY 1, 2),
+occ AS (SELECT w.*, p.plen FROM words w JOIN plen p USING (doc_id, seg)),
+wscore AS (
+  SELECT tok,
+    round(sum(plen)::DOUBLE / count(*)::DOUBLE, 6)::DECIMAL(18,6) AS ws
+  FROM occ GROUP BY 1),
+phrases AS (
+  SELECT o.doc_id, o.seg,
+    string_agg(o.tok, ' ' ORDER BY o.pos) AS phrase,
+    count(*)::INT AS n_words,
+    sum(s.ws) AS score
+  FROM occ o JOIN wscore s USING (tok)
+  GROUP BY 1, 2 HAVING count(*) <= 4),
+uniq AS (
+  SELECT phrase, max(n_words) AS n_words, count(*)::BIGINT AS n_occ,
+    max(score) AS score
+  FROM phrases GROUP BY 1)
+SELECT phrase, n_words, n_occ, CAST(score AS DOUBLE) AS score,
+  row_number() OVER (ORDER BY score DESC, phrase ASC)::INT AS rank
+FROM uniq ORDER BY score DESC, phrase ASC LIMIT 20
+"""
+
+
+def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: pack each source's documents
+    into ~2000-char output bins by linear next-fit over the
+    size-descending order — bin = floor(preceding-cumsum / target), a
+    pure per-source window cumsum (one shuffle on source, no loops) —
+    the lakehouse maintenance planner that turns millions of small
+    files into right-sized rewrite tasks. Reports per-bin doc count,
+    char mass, and fill ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    target = 2000
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    staged = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).withColumn(
+        "_cum",
+        F.sum("n_chars").over(w),
+    )
+    binned = staged.withColumn(
+        "bin", F.floor((F.col("_cum") - F.col("n_chars")) / F.lit(target))
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("bin_chars"),
+        )
+        .select(
+            "source",
+            F.col("bin").cast("long").alias("bin"),
+            "n_docs",
+            "bin_chars",
+            F.round(F.col("bin_chars").cast("double") / F.lit(2000.0), 6).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+SQL_COMPACTION_BINS = """
+WITH staged AS (
+  SELECT source, doc_id, n_chars::BIGINT AS n_chars,
+    sum(n_chars::BIGINT) OVER (PARTITION BY source
+      ORDER BY n_chars DESC, doc_id ASC) AS cum
+  FROM documents),
+binned AS (
+  SELECT source, n_chars, ((cum - n_chars) // 2000)::BIGINT AS bin
+  FROM staged)
+SELECT source, bin, count(*)::BIGINT AS n_docs,
+  sum(n_chars)::BIGINT AS bin_chars,
+  round(sum(n_chars)::DOUBLE / 2000.0, 6) AS fill_ratio
+FROM binned GROUP BY 1, 2 ORDER BY source, bin
+"""
+
+
+def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing lateness profile: per event type, how far
+    event-time lags the running per-user event-time high-water mark in
+    ARRIVAL order — n_late, p50/p95/max lateness seconds — the numbers
+    that pick a Structured Streaming ``withWatermark`` bound. The
+    test data's arrival order is its event_id (time-ordered), so
+    arrival is simulated by a deterministic md5 permutation of
+    event_id (documented stand-in for transport reordering; production
+    passes the true arrival column). One window per user + one
+    aggregation; exact integer microsecond lateness, double only in
+    the final percentiles."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_arr").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    staged = ev.select(
+        "event_type", "user_id", "event_id", us.alias("_us")
+    ).withColumn("_arr", arr)
+    lagged = staged.withColumn("_hwm", F.max("_us").over(w)).withColumn(
+        "late_us",
+        F.greatest(F.lit(0).cast("long"), F.col("_hwm") - F.col("_us")),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+            F.round(
+                F.percentile(F.col("late_us").cast("double") / F.lit(1e6), F.lit(0.5)),
+                6,
+            ).alias("p50_late_s"),
+            F.round(
+                F.percentile(
+                    F.col("late_us").cast("double") / F.lit(1e6), F.lit(0.95)
+                ),
+                6,
+            ).alias("p95_late_s"),
+            F.round(F.max("late_us").cast("double") / F.lit(1e6), 6).alias(
+                "max_late_s"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_LATENESS_PROFILE = """
+WITH staged AS (
+  SELECT event_type, user_id, event_id, epoch_us(ts)::BIGINT AS us,
+    ('0x' || substr(md5('arr:' || event_id::VARCHAR), 1, 7))::BIGINT AS arr
+  FROM events),
+lagged AS (
+  SELECT event_type, us,
+    greatest(0, coalesce(max(us) OVER (PARTITION BY user_id
+      ORDER BY arr ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), us) - us)
+      AS late_us
+  FROM staged)
+SELECT event_type, count(*)::BIGINT AS n_events,
+  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+  round(quantile_cont(late_us::DOUBLE / 1000000.0, 0.5), 6) AS p50_late_s,
+  round(quantile_cont(late_us::DOUBLE / 1000000.0, 0.95), 6) AS p95_late_s,
+  round(max(late_us)::DOUBLE / 1000000.0, 6) AS max_late_s
+FROM lagged GROUP BY 1 ORDER BY event_type
+"""
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion per acquisition cohort: a user's
+    clock starts at their first event; the "event" is their first
+    high-value purchase (value >= 150 — ~45% of users convert at every
+    SF, the rest are right-censored at observation end), and the
+    cohort is the user's FIRST event type (what brought them in).
+    S(t) = prod(1 - d_i/n_i) over event times — computed as
+    exp(decimal-cumsum of 12dp-rounded ln terms), so the product is
+    float-order-independent and engine-exact. Windows partition by
+    cohort; the at-risk count is total-minus-cumulative-preceding,
+    never a per-t rescan."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("cohort"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                F.to_date("ts"),
+            )
+        ).alias("conv_day"),
+    )
+    obs = ev.agg(F.max(F.to_date("ts")).alias("obs_end"))
+    durs = per_user.crossJoin(F.broadcast(obs)).select(
+        "cohort",
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.datediff("conv_day", "first_day").cast("long"),
+        )
+        .otherwise(F.datediff("obs_end", "first_day").cast("long"))
+        .alias("dur"),
+        F.col("conv_day").isNotNull().cast("int").alias("observed"),
+    )
+    per_t = durs.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_all"),
+        F.sum("observed").cast("long").alias("events"),
+    )
+    wcum = Window.partitionBy("cohort").orderBy("dur")
+    tot = durs.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("_total")
+    )
+    risked = (
+        per_t.join(tot, "cohort")
+        .withColumn(
+            "at_risk",
+            F.col("_total")
+            - F.coalesce(
+                F.sum("_n_all").over(wcum.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("events") > 0)
+    )
+    ln_term = F.round(
+        F.log(
+            F.lit(1.0)
+            - F.col("events").cast("double") / F.col("at_risk").cast("double")
+        ),
+        12,
+    ).cast("decimal(24,12)")
+    wsur = Window.partitionBy("cohort").orderBy("dur")
+    curved = risked.withColumn(
+        "_dead", F.max((F.col("events") == F.col("at_risk")).cast("int")).over(wsur)
+    ).withColumn(
+        "_lnsum",
+        F.sum(F.when(F.col("events") < F.col("at_risk"), ln_term)).over(wsur),
+    )
+    return curved.select(
+        "cohort",
+        F.col("dur").alias("t_day"),
+        "at_risk",
+        "events",
+        F.when(F.col("_dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("_lnsum").cast("double")), 6))
+        .alias("survival"),
+    ).orderBy("cohort", "t_day")
+
+
+SQL_SURVIVAL_CURVE = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+per_user AS (
+  SELECT e.user_id, min(e.ts::DATE) AS first_day,
+    min(CASE WHEN e.event_type = 'purchase' AND e.value >= 150
+        THEN e.ts::DATE END) AS conv_day
+  FROM events e GROUP BY 1),
+coh AS (SELECT user_id, event_type AS cohort FROM ranked WHERE rn = 1),
+obs AS (SELECT max(ts::DATE) AS obs_end FROM events),
+durs AS (
+  SELECT c.cohort,
+    CASE WHEN p.conv_day IS NOT NULL
+      THEN date_diff('day', p.first_day, p.conv_day)::BIGINT
+      ELSE date_diff('day', p.first_day, obs_end)::BIGINT END AS dur,
+    CASE WHEN p.conv_day IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM per_user p JOIN coh c USING (user_id) CROSS JOIN obs),
+per_t AS (
+  SELECT cohort, dur, count(*)::BIGINT AS n_all,
+    sum(observed)::BIGINT AS events
+  FROM durs GROUP BY 1, 2),
+tot AS (SELECT cohort, count(*)::BIGINT AS total FROM durs GROUP BY 1),
+risked AS (
+  SELECT p.cohort, p.dur, p.events,
+    (t.total - coalesce(sum(p.n_all) OVER (PARTITION BY p.cohort
+      ORDER BY p.dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      )::BIGINT AS at_risk
+  FROM per_t p JOIN tot t USING (cohort)
+  WHERE p.events > 0),
+curved AS (
+  SELECT cohort, dur, at_risk, events,
+    max(CASE WHEN events = at_risk THEN 1 ELSE 0 END)
+      OVER (PARTITION BY cohort ORDER BY dur) AS dead,
+    sum(CASE WHEN events < at_risk THEN
+      round(ln(1.0 - events::DOUBLE / at_risk::DOUBLE), 12)::DECIMAL(24,12)
+      END)
+      OVER (PARTITION BY cohort ORDER BY dur) AS lnsum
+  FROM risked)
+SELECT cohort, dur AS t_day, at_risk, events,
+  CASE WHEN dead = 1 THEN 0.0
+       ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+FROM curved ORDER BY cohort, t_day
+"""
+
+
+REGISTRY.update(
+    {
+        "rake_keywords": QuerySpec(
+            q_rake_keywords,
+            SQL_RAKE_KEYWORDS,
+            "corpus top-20 RAKE keyphrases, decimal-summed scores",
+        ),
+        "compaction_bins": QuerySpec(
+            q_compaction_bins,
+            SQL_COMPACTION_BINS,
+            "small-file compaction planning via window next-fit",
+        ),
+        "lateness_profile": QuerySpec(
+            q_lateness_profile,
+            SQL_LATENESS_PROFILE,
+            "watermark-sizing event-time lateness percentiles",
+        ),
+        "survival_curve": QuerySpec(
+            q_survival_curve,
+            SQL_SURVIVAL_CURVE,
+            "Kaplan-Meier cohort retention, exact product via ln-cumsum",
         ),
     }
 )

@@ -310,3 +310,35 @@ def test_label_weights_hand_computed(spark):
         "a": (1, 0.25, 2.0, 1.499625),
         "b": (3, 0.75, 0.666667, 0.500375),
     }
+
+
+def test_rake_keywords_hand_computed(spark):
+    """'the fast key order sort the fast key': phrases are the two
+    stopword-free runs; word scores = degree/freq (fast=6/2, key=6/2,
+    order=4/1, sort=4/1), so the 4-word phrase scores 3+3+4+4=14 and
+    'fast key' scores 6 — RAKE by hand (Rose et al. 2010)."""
+    from d2b_dataframework_spark.datapipe.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "the fast key order sort the fast key")], "doc_id long, text string"
+    )
+    got = [
+        (r["phrase"], r["n_occ"], r["score"], r["rank"])
+        for r in rake_keywords(df).collect()
+    ]
+    assert got == [
+        ("fast key order sort", 1, 14.0, 1),
+        ("fast key", 1, 6.0, 2),
+    ]
+
+
+def test_rake_keywords_drops_long_phrases(spark):
+    """max_phrase_len bounds candidate length: a 3-word run disappears
+    at max_phrase_len=2 while shorter runs survive."""
+    from d2b_dataframework_spark.datapipe.text import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "red blue green and red blue")], "doc_id long, text string"
+    )
+    got = {r["phrase"] for r in rake_keywords(df, max_phrase_len=2).collect()}
+    assert got == {"red blue"}
