@@ -382,3 +382,39 @@ def test_bloom_prune_never_false_negative(spark, build, probe):
     }
     assert kept >= (probe & build)          # no false negatives
     assert kept <= probe                     # pruning only drops rows
+
+
+@given(
+    keys=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=60,
+    ),
+    phi_th=st.sampled_from(["0.1", "0.2", "0.25", "0.5"]),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_equals_group_by_twin(spark, keys, phi_th, parts):
+    """The two-pass candidate-bounded heavy hitter result equals plain
+    GROUP BY / HAVING ceil(phi*N) under ANY partition layout — the
+    pigeonhole superset guarantee plus exact verify, swept over random
+    key streams, thresholds, and partitionings."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from d2b_dataframework_spark.operators.frequency import heavy_hitters
+
+    phi = float(phi_th)
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(parts)
+    thr = math.ceil(Fraction(phi_th) * len(keys))
+    twin = {
+        (r["k"], r["cnt"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+        .collect()
+    }
+    got = {(r["k"], r["cnt"]) for r in heavy_hitters(df, "k", phi).collect()}
+    assert got == twin

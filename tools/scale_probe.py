@@ -242,6 +242,81 @@ def _boilerplate(docs):
     )
 
 
+def _heavy_hitters_tokens(docs):
+    # Token-frequency heavy hitters: the distinct-token domain grows
+    # linearly with the replica-prefixed corpus, which is exactly the
+    # case the two-pass design targets — candidate emission stays
+    # bounded per partition, so cost must track the scan, never the NDV.
+    from d2b_dataframework_spark.operators.frequency import heavy_hitters
+    from d2b_dataframework_spark.datapipe.text import tokens
+
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", 0.001)
+
+
+def _graph_edges(docs, mult=1):
+    n_nodes = 20000 * mult
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            F.pmod(h("ba"), F.lit(n_nodes)).alias("_u"),
+            F.pmod(h("bb"), F.lit(n_nodes)).alias("_v"),
+        )
+        .select(
+            F.least("_u", "_v").alias("src"), F.greatest("_u", "_v").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _bfs(docs, mult=1):
+    # Constant-average-degree graph, seed set a fixed FRACTION of nodes:
+    # each hop is one frontier join + one anti-join, so cost per hop
+    # must stay ~linear in edges.
+    from d2b_dataframework_spark.datapipe.graph import bfs_hops
+
+    edges = _graph_edges(docs, mult)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 100 == 0)
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+def _linkpred(docs, mult=1):
+    # Hub-capped common-neighbor generation: candidate pairs per pivot
+    # are bounded by max_pivot_degree^2 and average degree is constant,
+    # so pair volume — and cost — must grow ~linearly with edges.
+    from d2b_dataframework_spark.datapipe.graph import jaccard_link_prediction
+
+    return jaccard_link_prediction(
+        _graph_edges(docs, mult), max_pivot_degree=50, min_common=2
+    )
+
+
+def _bootstrap(docs):
+    # 32 replicates fan out and collapse inside one aggregation: the
+    # exchange carries groups x 32 partials regardless of corpus size.
+    from d2b_dataframework_spark.operators.stats import bootstrap_ci
+
+    return bootstrap_ci(docs, "source", "n_chars", "doc_id", n_reps=32)
+
+
+def _rake(docs):
+    from d2b_dataframework_spark.datapipe.text import rake_keywords
+
+    return rake_keywords(docs, top_k=20, max_phrase_len=4)
+
+
 def _call(build, docs, emb, mult):
     try:
         return build(docs, emb, mult)
@@ -325,6 +400,12 @@ def main() -> None:
         # vocabulary-sized; with replica-prefixed tokens the vocab grows
         # with the corpus, so ~linear is the contract.
         "strip_boilerplate": lambda d, e: _boilerplate(d),
+        # Round-4 batch 2/3 additions.
+        "heavy_hitters": lambda d, e: _heavy_hitters_tokens(d),
+        "bfs_3hops": lambda d, e, m=1: _bfs(d, m),
+        "link_prediction": lambda d, e, m=1: _linkpred(d, m),
+        "bootstrap_ci": lambda d, e: _bootstrap(d),
+        "rake_keywords": lambda d, e: _rake(d),
     }
 
     only = set(sys.argv[2:])  # optional op-name filter
