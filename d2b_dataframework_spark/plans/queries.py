@@ -2138,6 +2138,9 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "compaction_bins",
     "lateness_profile",
     "survival_curve",
+    "token_entropy",
+    "rate_limit_violations",
+    "seasonal_decompose",
 )
 
 
@@ -10751,6 +10754,267 @@ REGISTRY.update(
             q_survival_curve,
             SQL_SURVIVAL_CURVE,
             "Kaplan-Meier cohort retention, exact product via ln-cumsum",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 4: corpus diversity, abuse-rate screening, STL-lite
+# seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token Shannon entropy — the corpus-diversity screen
+    (low-entropy sources are template/boilerplate farms; a curation
+    pipeline down-weights them before training). One explode + two
+    map-side-combining aggregations; the -p*ln(p) terms are rounded to
+    12dp and summed as DECIMAL so the entropy is float-order-independent
+    and engine-exact. Reports bits (H/ln2), normalized by the maximum
+    ln(V) for comparability across vocab sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    from d2b_dataframework_spark.datapipe.text import tokens
+
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    p = F.col("c").cast("double") / F.col("_n").cast("double")
+    term = F.round(p * F.log(p), 12).cast("decimal(24,12)")
+    ent = (
+        counts.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("_n").alias("n_tokens"),
+            F.max("vocab").alias("vocab"),
+            F.sum(term).alias("_s"),
+        )
+    )
+    h = -F.col("_s").cast("double")
+    return ent.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.round(h / F.lit(0.6931471805599453), 6).alias("entropy_bits"),
+        F.round(h / F.log(F.col("vocab").cast("double")), 6).alias(
+            "entropy_norm"
+        ),
+    ).orderBy("source")
+
+
+SQL_TOKEN_ENTROPY = r"""
+WITH tok AS (
+  SELECT source, unnest(string_split(trim(regexp_replace(lower(text),
+    '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+counts AS (
+  SELECT source, tok, count(*)::BIGINT AS c
+  FROM tok WHERE tok <> '' GROUP BY 1, 2),
+tot AS (
+  SELECT source, sum(c)::BIGINT AS n, count(*)::BIGINT AS vocab
+  FROM counts GROUP BY 1),
+ent AS (
+  SELECT c.source, max(t.n) AS n_tokens, max(t.vocab) AS vocab,
+    sum(round((c.c::DOUBLE / t.n::DOUBLE)
+      * ln(c.c::DOUBLE / t.n::DOUBLE), 12)::DECIMAL(24,12)) AS s
+  FROM counts c JOIN tot t USING (source) GROUP BY 1)
+SELECT source, n_tokens, vocab,
+  round(-CAST(s AS DOUBLE) / 0.6931471805599453, 6) AS entropy_bits,
+  round(-CAST(s AS DOUBLE) / ln(vocab::DOUBLE), 6) AS entropy_norm
+FROM ent ORDER BY source
+"""
+
+
+def q_rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window abuse screen: events where the user's 1-hour
+    trailing event count reaches 3 — the batch twin of a streaming
+    rate limiter (the RANGE window is event-time, so the same rows
+    trip a `transformWithState` counter). One range window per user,
+    exact integer microsecond bounds."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_us").asc())
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    staged = ev.select(
+        "user_id", "event_id", "event_type", us.alias("_us")
+    ).withColumn("win_events", F.count(F.lit(1)).over(w))
+    return (
+        staged.filter(F.col("win_events") >= 3)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("win_events").cast("long").alias("win_events"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_RATE_LIMIT = """
+WITH staged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts)::BIGINT AS us,
+    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)::BIGINT
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT
+      AS win_events
+  FROM events)
+SELECT user_id, event_id, event_type, win_events
+FROM staged WHERE win_events >= 3
+ORDER BY user_id, event_id
+"""
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite decomposition of each event type's daily total:
+    trend = centered 7-day moving average (full windows only), seasonal
+    = dow-mean of the detrended series re-centered to sum 0 over the
+    week, residual = remainder — the pre-forecast diagnostic that
+    separates level shifts from weekly rhythm from noise. Every mean is
+    an exact DECIMAL sum divided once in double (the engine's
+    float-order-independence convention); windows partition by event
+    type."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff("day", F.lit("1970-01-01").cast("date")))
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.withColumn("_cnt", F.count(F.lit(1)).over(wma)).withColumn(
+        "trend",
+        F.when(
+            F.col("_cnt") == 7,
+            F.round(F.sum("v").over(wma).cast("double") / F.lit(7.0), 6),
+        ),
+    )
+    det = trended.withColumn(
+        "_det",
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(F.col("v").cast("double") - F.col("trend"), 6).cast(
+                "decimal(18,6)"
+            ),
+        ),
+    )
+    dow = F.pmod(
+        F.datediff("day", F.lit("1970-01-01").cast("date")) + F.lit(4), F.lit(7)
+    ).cast("int")
+    bydow = (
+        det.withColumn("dow", dow)
+        .filter(F.col("_det").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("_det").alias("_ds"),
+            F.count(F.lit(1)).cast("long").alias("_dn"),
+        )
+        .withColumn(
+            "_sraw",
+            F.round(
+                F.col("_ds").cast("double") / F.col("_dn").cast("double"), 6
+            ).cast("decimal(18,6)"),
+        )
+    )
+    scent = bydow.groupBy("event_type").agg(
+        F.sum("_sraw").alias("_ss"), F.count(F.lit(1)).cast("long").alias("_sn")
+    )
+    seasonal = bydow.join(scent, "event_type").select(
+        "event_type",
+        "dow",
+        F.round(
+            F.col("_sraw").cast("double")
+            - F.col("_ss").cast("double") / F.col("_sn").cast("double"),
+            6,
+        ).alias("seasonal"),
+    )
+    out = (
+        det.withColumn("dow", dow)
+        .join(seasonal, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("v").cast("double").alias("value"),
+            "trend",
+            "seasonal",
+            F.when(
+                F.col("trend").isNotNull(),
+                F.round(
+                    F.col("_det").cast("double") - F.col("seasonal"), 6
+                ),
+            ).alias("residual"),
+        )
+    )
+    return out.orderBy("event_type", "day")
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, sum(value::DECIMAL(18,2)) AS v
+  FROM events GROUP BY 1, 2),
+trended AS (
+  SELECT event_type, day, v,
+    count(*) OVER w AS cnt, sum(v) OVER w AS sv
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+det AS (
+  SELECT event_type, day, v,
+    CASE WHEN cnt = 7 THEN round(CAST(sv AS DOUBLE) / 7.0, 6) END AS trend,
+    CASE WHEN cnt = 7 THEN
+      round(CAST(v AS DOUBLE) - round(CAST(sv AS DOUBLE) / 7.0, 6), 6)
+        ::DECIMAL(18,6) END AS detr,
+    ((day - DATE '1970-01-01') + 4) % 7 AS dow
+  FROM trended),
+bydow AS (
+  SELECT event_type, dow,
+    round(CAST(sum(detr) AS DOUBLE) / count(detr)::DOUBLE, 6)
+      ::DECIMAL(18,6) AS sraw
+  FROM det WHERE detr IS NOT NULL GROUP BY 1, 2),
+scent AS (
+  SELECT event_type, sum(sraw) AS ss, count(*)::BIGINT AS sn
+  FROM bydow GROUP BY 1),
+seasonal AS (
+  SELECT b.event_type, b.dow,
+    round(CAST(b.sraw AS DOUBLE)
+          - CAST(s.ss AS DOUBLE) / s.sn::DOUBLE, 6) AS seasonal
+  FROM bydow b JOIN scent s USING (event_type))
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+  CAST(d.v AS DOUBLE) AS value, d.trend,
+  se.seasonal,
+  CASE WHEN d.trend IS NOT NULL THEN
+    round(CAST(d.detr AS DOUBLE) - se.seasonal, 6) END AS residual
+FROM det d LEFT JOIN seasonal se
+  ON se.event_type = d.event_type AND se.dow = d.dow
+ORDER BY d.event_type, d.day
+"""
+
+
+REGISTRY.update(
+    {
+        "token_entropy": QuerySpec(
+            q_token_entropy,
+            SQL_TOKEN_ENTROPY,
+            "per-source Shannon entropy, decimal-summed terms",
+        ),
+        "rate_limit_violations": QuerySpec(
+            q_rate_limit_violations,
+            SQL_RATE_LIMIT,
+            "sliding 1h range-window abuse screen",
+        ),
+        "seasonal_decompose": QuerySpec(
+            q_seasonal_decompose,
+            SQL_SEASONAL_DECOMPOSE,
+            "STL-lite additive trend/seasonal/residual",
         ),
     }
 )
