@@ -29,6 +29,10 @@ hash-matches ``GROUP BY key HAVING count(*) >= ceil(phi*N)`` on any
 engine — while the shuffle volume is O(answer), not O(NDV). The
 equivalence is pinned by a declarative-twin test
 (tests/test_frequency.py) per the engine's Arrow-stage policy.
+
+Streaming twin: ``streaming/microbatch.py::heavy_hitters_stream`` — a
+bounded space-saving sketch per group (approximate, O(capacity) state)
+for unbounded streams; this module is the exact batch counterpart.
 """
 
 from __future__ import annotations
