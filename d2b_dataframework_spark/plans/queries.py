@@ -2141,6 +2141,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "token_entropy",
     "rate_limit_violations",
     "seasonal_decompose",
+    "cdc_merge_patch",
+    "mv_join_incremental",
 )
 
 
@@ -11015,6 +11017,163 @@ REGISTRY.update(
             q_seasonal_decompose,
             SQL_SEASONAL_DECOMPOSE,
             "STL-lite additive trend/seasonal/residual",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 5: CDC merge-patch compaction, incremental join-MV
+# maintenance
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-patch compaction: per entity, the LAST NON-NULL value
+    of each attribute, where different change-stream record types carry
+    different attributes (clicks carry a score, views carry the props
+    payload, purchases carry a tier) — the lakehouse CDC-compaction
+    semantics (RFC 7386 merge-patch per column) that one sorted window
+    CANNOT express but one single-pass aggregation can: conditional
+    max_by per attribute (null ordering keys are skipped), zero-padded
+    string ordering key for cross-engine lexicographic = numeric
+    order. One map-side-combining agg over the log, no window, no
+    self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    ordkey = F.format_string(
+        "%020d%020d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    is_c = F.col("event_type") == "click"
+    is_v = F.col("event_type") == "view"
+    is_p = F.col("event_type") == "purchase"
+    tier = (
+        F.when(F.col("value") >= 200, "gold")
+        .when(F.col("value") >= 50, "silver")
+        .otherwise("bronze")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ops"),
+            F.max(ordkey).alias("_last_ord"),
+            F.round(
+                F.max_by(F.when(is_c, F.col("value")), F.when(is_c, ordkey)), 2
+            ).alias("last_click_score"),
+            F.max_by(
+                F.when(is_v, F.get_json_object("props", "$.k").cast("long")),
+                F.when(is_v, ordkey),
+            ).alias("last_view_k"),
+            F.max_by(F.when(is_p, tier), F.when(is_p, ordkey)).alias(
+                "last_purchase_tier"
+            ),
+        )
+        .select(
+            "user_id",
+            "n_ops",
+            F.substring("_last_ord", 1, 20).cast("long").alias("last_op_us"),
+            "last_click_score",
+            "last_view_k",
+            "last_purchase_tier",
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_CDC_MERGE_PATCH = """
+WITH log AS (
+  SELECT user_id, event_type, value, props, epoch_us(ts)::BIGINT AS us,
+    lpad(epoch_us(ts)::VARCHAR, 20, '0')
+      || lpad(event_id::VARCHAR, 20, '0') AS ord
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_ops,
+  substr(max(ord), 1, 20)::BIGINT AS last_op_us,
+  round(arg_max(value, ord) FILTER (event_type = 'click'), 2)
+    AS last_click_score,
+  arg_max(json_extract(props, '$.k')::BIGINT, ord)
+    FILTER (event_type = 'view') AS last_view_k,
+  arg_max(CASE WHEN value >= 200 THEN 'gold'
+               WHEN value >= 50 THEN 'silver'
+               ELSE 'bronze' END, ord)
+    FILTER (event_type = 'purchase') AS last_purchase_tier
+FROM log GROUP BY 1 ORDER BY user_id
+"""
+
+
+def q_mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view: nation-day
+    revenue from orders ⋈ customer is stored through day 20; the
+    remaining days arrive as a fact DELTA and are propagated as
+    dNation = (dOrders ⋈ customer) re-aggregated with the stored
+    partials — the delta pass joins ONLY the new fact rows against the
+    (broadcast) dimension, never re-scanning history. The oracle is
+    the full recompute, so the gate proves incremental == full (the
+    additive-MV contract extended across a join)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey").alias("custkey"), F.col("n_name").alias("nation"))
+    fact = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    cutoff = F.lit("1998-04-25").cast("date")  # ~median order date
+
+    def agg(df):
+        return df.groupBy("nation", "day").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("rev").alias("_sr"),
+        )
+
+    stored = agg(
+        fact.filter(F.col("day") <= cutoff).join(F.broadcast(dim), "custkey")
+    )
+    delta = agg(
+        fact.filter(F.col("day") > cutoff).join(F.broadcast(dim), "custkey")
+    )
+    merged = (
+        stored.unionByName(delta)
+        .groupBy("nation", "day")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("_sr").alias("_sr"),
+        )
+    )
+    monthly = merged.groupBy(
+        "nation", F.date_format("day", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("_sr").cast("double").alias("revenue"),
+    )
+    return monthly.select(
+        "nation", "month", "n_orders", F.round("revenue", 2).alias("revenue")
+    ).orderBy("nation", "month")
+
+
+SQL_MV_JOIN_INCREMENTAL = """
+SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y-%m') AS month,
+  count(*)::BIGINT AS n_orders,
+  round(CAST(sum(o.o_totalprice::DECIMAL(18,2)) AS DOUBLE), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2 ORDER BY nation, month
+"""
+
+
+REGISTRY.update(
+    {
+        "cdc_merge_patch": QuerySpec(
+            q_cdc_merge_patch,
+            SQL_CDC_MERGE_PATCH,
+            "per-column last-non-null CDC compaction, one agg",
+        ),
+        "mv_join_incremental": QuerySpec(
+            q_mv_join_incremental,
+            SQL_MV_JOIN_INCREMENTAL,
+            "join-MV delta maintenance == full recompute",
         ),
     }
 )
