@@ -38,6 +38,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (pass both
     directions for an undirected graph). Returns (node, rank) for every
@@ -88,9 +89,45 @@ def pagerank(
     # iteration. n is an exact integer; its double form is identical to
     # the oracle's count(*)::DOUBLE.
     n = F.lit(float(nodes.count()))
-    teleport = (F.lit(1.0) - F.lit(float(damping))) / n
 
-    ranks = nodes.select("node", F.round(F.lit(1.0) / n, 12).alias("rank"))
+    if seeds is None:
+        # uniform teleport — the classic global PageRank
+        teleport = (F.lit(1.0) - F.lit(float(damping))) / n
+        base = nodes
+        ranks = nodes.select("node", F.round(F.lit(1.0) / n, 12).alias("rank"))
+    else:
+        # personalized: restart mass concentrated on the seed set —
+        # ranks become proximity-to-seeds scores (local community /
+        # related-items ranking). Seed flag joined onto the node frame
+        # ONCE and persisted; per-node teleport is (1-d)/|S| on seeds,
+        # 0 elsewhere. |S| counted over seeds ∩ nodes so stray seed ids
+        # cannot leak mass.
+        seed_nodes = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+        )
+        s = F.lit(float(seed_nodes.count()))
+        base = (
+            nodes.join(
+                seed_nodes.withColumn("_seed", F.lit(1)), "node", "left"
+            )
+            .select(
+                "node",
+                F.when(
+                    F.col("_seed") == 1,
+                    (F.lit(1.0) - F.lit(float(damping))) / s,
+                )
+                .otherwise(F.lit(0.0))
+                .alias("_tp"),
+                F.when(F.col("_seed") == 1, F.round(F.lit(1.0) / s, 12))
+                .otherwise(F.lit(0.0))
+                .alias("_r0"),
+            )
+            .persist()
+        )
+        teleport = F.col("_tp")
+        ranks = base.select("node", F.col("_r0").alias("rank"))
     for it in range(int(iterations)):
         if checkpoint_every and it > 0 and it % int(checkpoint_every) == 0:
             # sever lineage: ranks is a narrow (node, double) frame, so
@@ -117,14 +154,15 @@ def pagerank(
             )
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = nodes.join(sums, "node", "left").select(
+        ranks = base.join(sums, "node", "left").select(
             "node",
             F.round(
                 teleport + F.coalesce(F.col("_s").cast("double"), F.lit(0.0)),
                 12,
             ).alias("rank"),
         )
-    return track(ranks, nodes, ew, e)
+    handles = [nodes, ew, e] if seeds is None else [nodes, ew, e, base]
+    return track(ranks, *handles)
 
 
 def triangle_stats(

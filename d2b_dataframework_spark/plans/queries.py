@@ -2143,6 +2143,10 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "seasonal_decompose",
     "cdc_merge_patch",
     "mv_join_incremental",
+    "personalized_pagerank",
+    "variant_extract",
+    "hash_collision_stats",
+    "weighted_median_price",
 )
 
 
@@ -11174,6 +11178,292 @@ REGISTRY.update(
             q_mv_join_incremental,
             SQL_MV_JOIN_INCREMENTAL,
             "join-MV delta maintenance == full recompute",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 6: personalized PageRank, Spark-4 VARIANT path, hashing-
+# trick collision audit, weighted median
+# ---------------------------------------------------------------------------
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (datapipe/graph.py:pagerank(seeds=…)) on
+    the user↔prop-key graph: restart mass concentrated on every 50th
+    user, so ranks become proximity-to-that-community scores — the
+    related-items / local-community ranking primitive. Same Pregel
+    iteration and decimal-summed contributions as global PageRank; the
+    per-node teleport column is joined once and persisted."""
+    from d2b_dataframework_spark.datapipe.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("k"), F.get_json_object("props", "$.k")).alias("dst"),
+    ).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node")
+    ).filter(F.col("user_id") % 50 == 0).distinct()
+    ranks = pagerank(edges, damping=0.85, iterations=3, seeds=seeds)
+    return (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .filter(F.col("rank") > 0)
+        .orderBy("node")
+    )
+
+
+def _sql_ppr(iterations: int = 3) -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node,
+    CAST(round((0.85 * r.rank) / (o.outdeg::DOUBLE), 12) AS DECIMAL(28,12)) AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src JOIN {prev} r ON e.src = r.node),
+s{i} AS (SELECT node, SUM(c) AS s FROM c{i} GROUP BY node),
+r{i} AS (
+  SELECT nodes.node,
+    round(CASE WHEN sd.node IS NOT NULL THEN (1.0 - 0.85) / sc.s ELSE 0.0 END
+          + COALESCE(CAST(s{i}.s AS DOUBLE), 0.0), 12) AS rank
+  FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node
+  LEFT JOIN seeds sd ON nodes.node = sd.node CROSS JOIN scount sc)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'u' || user_id::VARCHAR AS src,
+    'k' || json_extract_string(props, '$.k') AS dst
+  FROM events),
+edges AS (SELECT src, dst FROM pairs
+  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM
+  (SELECT src FROM edges UNION SELECT dst FROM edges) t(src)),
+seeds AS (
+  SELECT DISTINCT 'u' || user_id::VARCHAR AS node FROM events
+  WHERE user_id % 50 = 0),
+scount AS (SELECT count(*)::DOUBLE AS s FROM seeds),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT nodes.node,
+    CASE WHEN sd.node IS NOT NULL THEN round(1.0 / sc.s, 12) ELSE 0.0 END
+      AS rank
+  FROM nodes LEFT JOIN seeds sd ON nodes.node = sd.node CROSS JOIN scount sc),{",".join(iters)}
+SELECT node, round(rank, 9) AS rank FROM {prev}
+WHERE round(rank, 9) > 0 ORDER BY node
+"""
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT schema-on-read path: the raw JSON payload is
+    parsed ONCE into the binary VARIANT encoding (parse_json) and
+    fields are extracted with typed variant_get — the modern
+    semi-structured column layout (no per-access string re-parse, no
+    schema declared up front). The oracle computes the same aggregate
+    from the typed columns directly, proving the VARIANT path
+    end-to-end: per event type, event count, distinct prop-k count and
+    decimal value total for high-k events."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    staged = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("_v"),
+        F.variant_get(v, "$.k", "long").alias("_k"),
+    )
+    return (
+        staged.filter(F.col("_k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("_k").cast("long").alias("n_distinct_k"),
+            F.sum("_v").cast("double").alias("value_total"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_distinct_k",
+            F.round("value_total", 2).alias("value_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+  count(DISTINCT json_extract(props, '$.k')::BIGINT)::BIGINT
+    AS n_distinct_k,
+  round(CAST(sum(value::DECIMAL(18,2)) AS DOUBLE), 2) AS value_total
+FROM events
+WHERE json_extract(props, '$.k')::BIGINT >= 50
+GROUP BY 1 ORDER BY event_type
+"""
+
+
+def q_hash_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick capacity audit: for each candidate dimension, how
+    much of the corpus vocabulary collides — occupied buckets, collided
+    tokens, and the expected occupancy under uniform hashing
+    (V*(1-(1-1/m)^V) ≈ birthday arithmetic) to show the hash behaves.
+    The sizing table consulted BEFORE committing a feature-hashed
+    embedding width (datapipe/text.py:hashed_embedding — same md5
+    60-bit kernel, so this audit measures the production hash, not a
+    model of it). One vocab aggregation reused across all dims via a
+    map-side explode."""
+    docs = _t(spark, sf_dir, "documents")
+    from d2b_dataframework_spark.datapipe.text import tokens
+
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    dims = F.explode(
+        F.array(F.lit(256), F.lit(1024), F.lit(4096), F.lit(16384))
+    ).alias("dim")
+    hashed = vocab.select(h.alias("_h"), dims).select(
+        "dim", F.pmod(F.col("_h"), F.col("dim")).alias("bucket")
+    )
+    per_bucket = hashed.groupBy("dim", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    stats = per_bucket.groupBy("dim").agg(
+        F.sum("c").cast("long").alias("vocab"),
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        F.sum(F.when(F.col("c") > 1, F.col("c"))).cast("long").alias(
+            "_coll_toks"
+        ),
+    )
+    v = F.col("vocab").cast("double")
+    m = F.col("dim").cast("double")
+    expected = m * (F.lit(1.0) - F.pow(F.lit(1.0) - F.lit(1.0) / m, v))
+    return stats.select(
+        F.col("dim").cast("int").alias("dim"),
+        "vocab",
+        "occupied",
+        F.coalesce(F.col("_coll_toks"), F.lit(0)).alias("collided_tokens"),
+        F.round(expected, 2).alias("expected_occupied"),
+        F.round(
+            F.lit(1.0) - F.col("occupied").cast("double") / v, 6
+        ).alias("collision_rate"),
+    ).orderBy("dim")
+
+
+SQL_HASH_COLLISIONS = r"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split(trim(regexp_replace(lower(text),
+    '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+v2 AS (SELECT tok FROM vocab WHERE tok <> ''),
+hashed AS (
+  SELECT d.dim,
+    ('0x' || substr(md5(tok), 1, 15))::BIGINT % d.dim AS bucket
+  FROM v2 CROSS JOIN (SELECT unnest([256, 1024, 4096, 16384]) AS dim) d),
+per_bucket AS (
+  SELECT dim, bucket, count(*)::BIGINT AS c FROM hashed GROUP BY 1, 2),
+stats AS (
+  SELECT dim, sum(c)::BIGINT AS vocab, count(*)::BIGINT AS occupied,
+    coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT
+      AS collided_tokens
+  FROM per_bucket GROUP BY 1)
+SELECT dim::INT AS dim, vocab, occupied, collided_tokens,
+  round(dim::DOUBLE * (1.0 - pow(1.0 - 1.0 / dim::DOUBLE, vocab::DOUBLE)),
+    2) AS expected_occupied,
+  round(1.0 - occupied::DOUBLE / vocab::DOUBLE, 6) AS collision_rate
+FROM stats ORDER BY dim
+"""
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per part brand: the price at
+    which half the SHIPPED UNITS (not half the line items) are cheaper
+    — the inventory-weighted price point. Exact integer cumulative
+    weights via one window per brand ordered by (price, line identity);
+    the median is the first row whose cumulative weight reaches half
+    the total — order-statistic selection, no interpolation ambiguity
+    across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.col("price").asc(), F.col("ok").asc(), F.col("ln").asc()
+    )
+    cum = joined.withColumn("_cw", F.sum("qty").over(w))
+    tot = joined.groupBy("brand").agg(
+        F.sum("qty").cast("long").alias("_tw"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    hit = (
+        cum.join(tot, "brand")
+        .filter(F.col("_cw") * 2 >= F.col("_tw"))
+        .groupBy("brand")
+        .agg(
+            F.min("price").alias("_med"),
+            F.max("_tw").alias("_tw2"),
+            F.max("n_lines").alias("n_lines"),
+        )
+    )
+    return hit.select(
+        "brand",
+        "n_lines",
+        F.col("_tw2").alias("total_units"),
+        F.col("_med").cast("double").alias("weighted_median_price"),
+    ).orderBy("brand")
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH joined AS (
+  SELECT p.p_brand AS brand, l.l_extendedprice::DECIMAL(18,2) AS price,
+    l.l_quantity::BIGINT AS qty, l.l_orderkey AS ok, l.l_linenumber AS ln
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+cum AS (
+  SELECT brand, price, qty,
+    sum(qty) OVER (PARTITION BY brand ORDER BY price, ok, ln)::BIGINT
+      AS cw
+  FROM joined),
+tot AS (
+  SELECT brand, sum(qty)::BIGINT AS tw, count(*)::BIGINT AS n_lines
+  FROM joined GROUP BY 1)
+SELECT c.brand, max(t.n_lines) AS n_lines, max(t.tw) AS total_units,
+  CAST(min(c.price) AS DOUBLE) AS weighted_median_price
+FROM cum c JOIN tot t USING (brand)
+WHERE c.cw * 2 >= t.tw
+GROUP BY c.brand ORDER BY c.brand
+"""
+
+
+REGISTRY.update(
+    {
+        "personalized_pagerank": QuerySpec(
+            q_personalized_pagerank,
+            _sql_ppr(3),
+            "seed-restart PageRank: proximity-to-community ranking",
+        ),
+        "variant_extract": QuerySpec(
+            q_variant_extract,
+            SQL_VARIANT_EXTRACT,
+            "Spark-4 VARIANT parse-once typed extraction",
+        ),
+        "hash_collision_stats": QuerySpec(
+            q_hash_collision_stats,
+            SQL_HASH_COLLISIONS,
+            "feature-hash width sizing: collisions vs expectation",
+        ),
+        "weighted_median_price": QuerySpec(
+            q_weighted_median_price,
+            SQL_WEIGHTED_MEDIAN,
+            "quantity-weighted median via cumulative order statistic",
         ),
     }
 )

@@ -342,3 +342,36 @@ def test_rake_keywords_drops_long_phrases(spark):
     )
     got = {r["phrase"] for r in rake_keywords(df, max_phrase_len=2).collect()}
     assert got == {"red blue"}
+
+
+def test_personalized_pagerank_path_graph(spark):
+    """Path 1-2-3 seeded at {1}, one iteration, d=0.85: r0 = [1,0,0];
+    node 1 keeps only its teleport 0.15, node 2 receives 0.85*1/1 from
+    the seed, node 3 gets nothing yet — hand-derived PPR step."""
+    from d2b_dataframework_spark.datapipe.graph import pagerank
+
+    und = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: round(r["rank"], 9)
+        for r in pagerank(und, iterations=1, seeds=seeds).collect()
+    }
+    assert got == {1: 0.15, 2: 0.85, 3: 0.0}
+
+
+def test_personalized_pagerank_mass_conserved(spark):
+    """On a graph with no dangling nodes the personalized ranks sum to
+    ~1 every iteration (teleport mass (1-d) + propagated mass d)."""
+    from d2b_dataframework_spark.datapipe.graph import pagerank
+
+    edges = [(a, b) for a, b in [(1, 2), (2, 3), (3, 1), (2, 4), (4, 2)]]
+    und = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    total = sum(
+        r["rank"] for r in pagerank(und, iterations=3, seeds=seeds).collect()
+    )
+    assert abs(total - 1.0) < 1e-6
