@@ -1,0 +1,210 @@
+"""Aggregation-native supervised classification: models whose training
+IS a groupBy — no gradient loops, no collect, no Python in the hot path.
+
+Two classic "counting" learners, each a handful of shuffle aggregations:
+
+* :func:`naive_bayes_predict` — multinomial Naive Bayes over a token
+  column. Training = one (token, class) count table + per-class totals;
+  scoring = a shuffle join of test tokens against the model. The model
+  table can exceed executor memory (web-scale vocab x classes), so the
+  join is a plain hash shuffle on the token key and AQE downgrades to
+  broadcast when the model is actually small.
+* :func:`decision_stump` — the best single threshold split on a numeric
+  feature under weighted Gini impurity, evaluated for a caller-supplied
+  candidate grid in ONE aggregation pass (a conditional count per
+  (candidate, class) cell via explode of a literal array).
+
+Engine-exactness notes (the DuckDB oracles replay the same math):
+
+* Naive Bayes per-row log terms are computed in DOUBLE with every
+  intermediate rounded to 9 decimals (absorbing last-ulp ``ln``
+  divergence across libm builds), then accumulated in DECIMAL so the
+  per-(doc, class) score is order-independent. A residual boundary-case
+  divergence moves a score by 1e-9 and can only flip the argmax when
+  two classes tie to within that — the emitted CONFUSION MATRIX (not
+  raw scores) is therefore stable across engines.
+* Gini impurity is pure rational arithmetic on integer counts —
+  IEEE-identical in any engine; no logarithms anywhere.
+
+The reference has no learner (it ships point ETL + Prophet forecasting);
+these cover the "label a corpus cheaply at 100 TB" step of a training-
+data pipeline (e.g. FastText-style language-ID or quality gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC9 = "decimal(28,9)"
+
+
+def _ln9(col: Column) -> Column:
+    """Natural log rounded to 9 decimals (double — exact enough that a
+    later x9-rounded product is bit-stable across engines)."""
+    return F.round(F.log(col), 9)
+
+
+def naive_bayes_predict(
+    train: DataFrame,
+    test: DataFrame,
+    tokens_col: str = "_tk",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+) -> DataFrame:
+    """Fit add-``alpha`` multinomial Naive Bayes on ``train`` (token
+    array + label) and return per-test-row ``(id_col, actual, predicted,
+    score)`` with the argmax class.
+
+    score(d, c) = ln P(c) + sum_t n_t * ln((c_tc + a) / (T_c + a*V))
+
+    rearranged so the sparse (token, class) model join covers ONLY
+    observed pairs — unseen tokens contribute the closed form
+    N_d * (ln a - ln(T_c + a*V)), so no dense doc x vocab x class grid
+    is ever materialized:
+
+    score = ln P(c) + N_d * (ln a - ln(T_c + a*V))
+            + sum_{t seen in c} n_t * (ln(c_tc + a) - ln a)
+
+    Scale: model = one groupBy(token, label) over train tokens; priors
+    and class totals are tiny broadcasts; scoring shuffles test tokens
+    once on the token key. Ties (and they are ~impossible with real
+    text) break on the class name ascending.
+    """
+    tr_tok = train.select(F.col(label_col).alias("_c"), F.explode(tokens_col).alias("_t"))
+    model = tr_tok.groupBy("_t", "_c").agg(F.count(F.lit(1)).cast("long").alias("_ctc"))
+    cls = tr_tok.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_tc"))
+    vocab = model.select("_t").distinct().agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    priors = (
+        train.groupBy(F.col(label_col).alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    )
+    tot = priors.agg(F.sum("_nd").cast("long").alias("_ndocs"))
+
+    a = float(alpha)
+    const = (
+        cls.crossJoin(F.broadcast(vocab))
+        .join(priors, "_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_c",
+            _ln9(F.col("_nd").cast("double") / F.col("_ndocs").cast("double")).alias(
+                "_ln_prior"
+            ),
+            _ln9(F.col("_tc").cast("double") + F.lit(a) * F.col("_v").cast("double")).alias(
+                "_ln_denom"
+            ),
+        )
+    )
+
+    te_tok = (
+        test.select(
+            F.col(id_col), F.col(label_col).alias("actual"), F.explode(tokens_col).alias("_t")
+        )
+        .groupBy(id_col, "actual", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    )
+    doc_len = te_tok.groupBy(id_col, "actual").agg(F.sum("_nt").cast("long").alias("_ndoc"))
+
+    # Seen-token correction per (doc, class): sparse join on the token
+    # key. Every per-row product is double math on 9-decimal operands,
+    # re-rounded to 9 and summed as DECIMAL (order-independent).
+    ln_a = _ln9(F.lit(a))
+    seen = (
+        te_tok.join(model, "_t")
+        .groupBy(id_col, "_c")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("_nt").cast("double")
+                    * (_ln9(F.col("_ctc").cast("double") + F.lit(a)) - ln_a),
+                    9,
+                ).cast(_DEC9)
+            ).alias("_seen_mass")
+        )
+    )
+
+    grid = doc_len.crossJoin(F.broadcast(const))
+    scored = grid.join(seen, [id_col, "_c"], "left").select(
+        id_col,
+        "actual",
+        F.col("_c").alias("predicted"),
+        (
+            F.round(F.col("_ln_prior"), 9).cast(_DEC9)
+            + F.round(
+                F.col("_ndoc").cast("double") * (ln_a - F.col("_ln_denom")), 9
+            ).cast(_DEC9)
+            + F.coalesce(F.col("_seen_mass"), F.lit(0).cast(_DEC9))
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("predicted").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature: str,
+    label: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Evaluate every candidate threshold ``feature <= t`` as a 1-split
+    decision stump under weighted Gini impurity; return all candidates
+    ranked (rank 1 = best split).
+
+    One pass: each row explodes onto the candidate grid (a LITERAL array
+    — candidates x classes cells, bounded), then two nested aggs compute
+    left/right class counts and the weighted Gini. Pure integer counts
+    and IEEE-exact double quotients — no ln, engine-exact to the oracle.
+
+    At 100 TB the explode multiplies the scan by |thresholds| — callers
+    pass a bounded grid (e.g. 20 candidates from a prior stats pass), so
+    the blowup is a constant factor over ONE scan, still beating
+    |thresholds| separate filtered aggregations.
+    """
+    t_arr = F.array(*[F.lit(float(t)) for t in thresholds])
+    cells = (
+        df.select(F.col(feature).alias("_x"), F.col(label).alias("_y"))
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .select("_x", "_y", F.explode(t_arr).alias("threshold"))
+        .groupBy("threshold", "_y")
+        .agg(
+            F.sum(F.when(F.col("_x") <= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("_nl"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+    )
+    per_t = cells.groupBy("threshold").agg(
+        F.sum("_nl").cast("long").alias("_l"),
+        F.sum("_n").cast("long").alias("_tot"),
+        F.sum(F.col("_nl") * F.col("_nl")).cast("long").alias("_sql2"),
+        F.sum((F.col("_n") - F.col("_nl")) * (F.col("_n") - F.col("_nl")))
+        .cast("long")
+        .alias("_sqr2"),
+    )
+    left = F.col("_l").cast("double")
+    right = (F.col("_tot") - F.col("_l")).cast("double")
+    n = F.col("_tot").cast("double")
+    gini_l = F.when(
+        F.col("_l") > 0,
+        F.lit(1.0) - F.col("_sql2").cast("double") / (left * left),
+    ).otherwise(F.lit(0.0))
+    gini_r = F.when(
+        F.col("_tot") - F.col("_l") > 0,
+        F.lit(1.0) - F.col("_sqr2").cast("double") / (right * right),
+    ).otherwise(F.lit(0.0))
+    scored = per_t.select(
+        "threshold",
+        F.col("_l").alias("n_left"),
+        (F.col("_tot") - F.col("_l")).cast("long").alias("n_right"),
+        F.round((left / n) * gini_l + (right / n) * gini_r, 9).alias("weighted_gini"),
+    )
+    w = Window.orderBy(F.col("weighted_gini").asc(), F.col("threshold").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "threshold", "n_left", "n_right", "weighted_gini"
+    )

@@ -90,3 +90,49 @@ def quality_report(*checks: DataFrame) -> DataFrame:
         "n_rows",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def fd_violations(df: DataFrame, lhs: list[str], rhs: str) -> DataFrame:
+    """Approximate-functional-dependency audit: how badly does
+    ``lhs -> rhs`` hold? Returns one row with the classic g3 error —
+    the minimum fraction of rows that must be removed for the FD to
+    hold exactly (per lhs group, every row outside the group's majority
+    rhs class is a violation).
+
+    Profilers (Deequ, TANE-style discovery) use g3 to rank candidate
+    keys and detect denormalization drift; the reference's schema-CSV
+    validation (d2b_data/functions.py load_schema_csv) checks declared
+    shapes, while this checks SEMANTIC invariants the schema can't.
+
+    Scale shape: two cascaded aggregations — groupBy(lhs, rhs) with
+    map-side partials collapses the table to the distinct-pair frame,
+    then groupBy(lhs) reduces to per-group (total, majority) — both
+    shuffle on keys, no window over raw rows, no collect. Output is a
+    single row per audited FD.
+    """
+    pair = df.groupBy(*lhs, rhs).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    grp = pair.groupBy(*lhs).agg(
+        F.sum("_n").cast("long").alias("_rows"),
+        F.max("_n").cast("long").alias("_majority"),
+        F.count(F.lit(1)).cast("long").alias("_classes"),
+    )
+    return grp.agg(
+        F.lit(",".join(lhs)).alias("lhs"),
+        F.lit(rhs).alias("rhs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("_rows").cast("long").alias("n_rows"),
+        F.sum(F.col("_rows") - F.col("_majority")).cast("long").alias("violations"),
+        F.sum(F.when(F.col("_classes") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_groups"),
+    ).select(
+        "lhs",
+        "rhs",
+        "n_groups",
+        "n_rows",
+        "violations",
+        "violating_groups",
+        F.round(
+            F.col("violations").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("g3_error"),
+    )

@@ -11467,3 +11467,563 @@ REGISTRY.update(
         ),
     }
 )
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order report: orders whose total
+    shipped quantity crosses a threshold, enriched with the customer.
+
+    Scale shape: aggregate lineitem FIRST (map-side partial sum on
+    l_orderkey), filter to the tiny qualifying keyset, and only then
+    join orders and customer — AQE sees the post-filter statistics and
+    downgrades both joins to broadcast when the survivor set is small.
+    Never join-then-aggregate: that shuffles the full fact table twice.
+    Reference parity: d2b_data pipelines express this as a pandas
+    groupby-filter-merge at single-node scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_tq"))
+        .filter(F.col("_tq") >= 300)
+    )
+    return (
+        orders.join(qual, orders.o_orderkey == qual.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name").alias("c_name"),
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
+            F.col("_tq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = """
+WITH qual AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS tq
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity::DECIMAL(18,2)) >= 300)
+SELECT c.c_name, c.c_custkey::BIGINT AS c_custkey,
+  o.o_orderkey::BIGINT AS o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  CAST(o.o_totalprice::DECIMAL(18,2) AS DOUBLE) AS o_totalprice,
+  CAST(q.tq AS DOUBLE) AS total_qty
+FROM orders o JOIN qual q ON q.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped lost-opportunity report: customers holding an
+    above-average positive balance with NO orders in the final 365 days
+    of the order history, rolled up per nation.
+
+    Scale shape: both scalar thresholds (average positive balance,
+    recency cutoff) are 1-row aggregates broadcast via crossJoin — no
+    driver-side collect, no correlated subquery re-evaluation. The
+    "recently active customer" keyset is aggregated to DISTINCT
+    custkeys BEFORE the anti-join so the anti-join probe side is keys,
+    not order rows. Decimal sums keep the hash engine-exact."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avg_bal")
+    )
+    cutoff = orders.agg(
+        F.date_add(F.max(F.col("o_orderdate")).cast("date"), -365).alias("_cutoff")
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate").cast("date") > F.col("_cutoff"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)").cast("double") > F.col("_avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_idle"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("idle_balance"),
+        )
+        .orderBy("nation")
+    )
+
+
+SQL_IDLE_CUSTOMER_BALANCE = """
+WITH avg_bal AS (
+  SELECT CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS ab
+  FROM customer WHERE c_acctbal > 0),
+cutoff AS (
+  SELECT max(o_orderdate)::DATE - INTERVAL 365 DAY AS co FROM orders),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders, cutoff
+  WHERE o_orderdate::DATE > co)
+SELECT n.n_name AS nation, count(*)::BIGINT AS n_idle,
+  CAST(sum(c.c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS idle_balance
+FROM customer c, avg_bal
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(c.c_acctbal::DECIMAL(18,2) AS DOUBLE) > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped blame report: on orders served by >= 2 distinct
+    suppliers where EXACTLY ONE supplier shipped late (> 60 days after
+    the order date), charge that supplier one "wait"; rank suppliers by
+    waits. Q21's EXISTS / NOT EXISTS double correlation collapses into
+    one aggregation: per order, count distinct suppliers, count
+    distinct LATE suppliers, and capture the late supplier's key — the
+    (ns >= 2, nl = 1) filter reproduces the semi/anti join pair without
+    re-scanning lineitem three times.
+
+    Scale shape: lineitem joins orders on the orderkey both sides hash
+    to (co-partitioned shuffle), one groupBy(l_orderkey) with map-side
+    partials, then a 100-row supplier rollup with broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    late = F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    per_order = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_ns"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_nl"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+        )
+        .filter((F.col("_ns") >= 2) & (F.col("_nl") == 1))
+    )
+    return (
+        per_order.groupBy(F.col("_late_supp").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")), "s_suppkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_name"),
+            F.col("n_name").alias("nation"),
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "numwait",
+        )
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    )
+
+
+SQL_SOLE_LATE_SUPPLIER = """
+WITH per_order AS (
+  SELECT l.l_orderkey,
+    count(DISTINCT l.l_suppkey) AS ns,
+    count(DISTINCT CASE WHEN l.l_shipdate::DATE > o.o_orderdate::DATE
+      + INTERVAL 60 DAY THEN l.l_suppkey END) AS nl,
+    max(CASE WHEN l.l_shipdate::DATE > o.o_orderdate::DATE
+      + INTERVAL 60 DAY THEN l.l_suppkey END) AS late_supp
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1)
+SELECT s.s_name, n.n_name AS nation, s.s_suppkey::BIGINT AS s_suppkey,
+  count(*)::BIGINT AS numwait
+FROM per_order p
+JOIN supplier s ON s.s_suppkey = p.late_supp
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.ns >= 2 AND p.nl = 1
+GROUP BY 1, 2, 3 ORDER BY numwait DESC, s.s_name ASC
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost-supplier selection: for every part, the
+    supplier who has shipped it at the lowest observed unit price
+    (lineitem stands in for partsupp — the testdata star schema has no
+    partsupp table), with full supplier/nation enrichment.
+
+    Scale shape: the argmin is ONE groupBy with a lexicographic
+    struct-min — a map-side-combinable aggregation — instead of a
+    window sort over the fact table (rank-1 selection needs no total
+    per-group ordering). Unit price ranks on the raw IEEE quotient
+    (identical division both engines); the OUTPUT re-derives price
+    from the argmin row's exact decimals, so no rounded float is
+    hashed. Dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    offers = li.filter(F.col("l_quantity") > 0).select(
+        F.col("l_partkey"),
+        F.struct(
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+            F.col("l_suppkey").cast("long").alias("suppkey"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("ep"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        ).alias("_offer"),
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("_offer").alias("_b"))
+    return (
+        best.join(F.broadcast(part.select("p_partkey", "p_name", "p_brand")),
+                  best.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")),
+              F.col("_b.suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.col("p_brand"),
+            F.col("s_name"),
+            F.col("n_name").alias("nation"),
+            F.col("_b.ep").cast("double").alias("best_extendedprice"),
+            F.col("_b.qty").cast("double").alias("best_quantity"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH ranked AS (
+  SELECT l_partkey, l_suppkey::BIGINT AS suppkey,
+    l_extendedprice::DECIMAL(18,2) AS ep, l_quantity::DECIMAL(18,2) AS qty,
+    row_number() OVER (PARTITION BY l_partkey ORDER BY
+      l_extendedprice / l_quantity ASC, l_suppkey ASC,
+      l_extendedprice::DECIMAL(18,2) ASC, l_quantity::DECIMAL(18,2) ASC)
+      AS rn
+  FROM lineitem WHERE l_quantity > 0)
+SELECT p.p_partkey::BIGINT AS p_partkey, p.p_brand, s.s_name,
+  n.n_name AS nation,
+  CAST(r.ep AS DOUBLE) AS best_extendedprice,
+  CAST(r.qty AS DOUBLE) AS best_quantity
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE r.rn = 1 ORDER BY p_partkey
+"""
+
+
+REGISTRY.update(
+    {
+        "large_volume_orders": QuerySpec(
+            q_large_volume_orders,
+            SQL_LARGE_VOLUME_ORDERS,
+            "Q18-shaped: aggregate-first large-order report",
+        ),
+        "idle_customer_balance": QuerySpec(
+            q_idle_customer_balance,
+            SQL_IDLE_CUSTOMER_BALANCE,
+            "Q22-shaped: above-average balance, inactive, anti-join",
+        ),
+        "sole_late_supplier": QuerySpec(
+            q_sole_late_supplier,
+            SQL_SOLE_LATE_SUPPLIER,
+            "Q21-shaped: exists/not-exists collapsed to one aggregation",
+        ),
+        "min_cost_supplier": QuerySpec(
+            q_min_cost_supplier,
+            SQL_MIN_COST_SUPPLIER,
+            "Q2-shaped: struct-min argmin join-back",
+        ),
+    }
+)
+
+
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial-Naive-Bayes language ID, trained and applied IN the
+    engine (datapipe/classify.py): 80% of documents (doc_id % 5 != 0)
+    train a token/class count model; the held-out 20% are argmax-scored;
+    the emitted CONFUSION MATRIX grades the classifier against the
+    documents table's lang labels. Training is one groupBy; scoring is
+    one shuffle join on the token key — the canonical "label a corpus
+    cheaply" pre-filter of LLM data pipelines (FastText lang-ID shape)."""
+    from d2b_dataframework_spark.datapipe.classify import naive_bayes_predict
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("label"), dt.tokens("text").alias("_tk")
+    )
+    pred = naive_bayes_predict(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+SQL_NAIVE_BAYES_LANG = f"""
+WITH tk AS (
+  SELECT doc_id, lang, unnest(string_split({_NORM}, ' ')) AS t
+  FROM documents),
+tr AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+model AS (SELECT t, lang AS c, count(*)::BIGINT AS ctc FROM tr GROUP BY 1, 2),
+clt AS (SELECT lang AS c, count(*)::BIGINT AS tc FROM tr GROUP BY 1),
+vocab AS (SELECT count(DISTINCT t)::BIGINT AS v FROM tr),
+priors AS (
+  SELECT lang AS c, count(*)::BIGINT AS nd FROM documents
+  WHERE doc_id % 5 <> 0 GROUP BY 1),
+tot AS (SELECT sum(nd)::BIGINT AS ndocs FROM priors),
+const AS (
+  SELECT clt.c,
+    round(ln(priors.nd::DOUBLE / tot.ndocs::DOUBLE), 9) AS ln_prior,
+    round(ln(clt.tc::DOUBLE + 1.0 * vocab.v::DOUBLE), 9) AS ln_denom
+  FROM clt JOIN priors ON priors.c = clt.c, vocab, tot),
+te_tok AS (
+  SELECT doc_id, lang AS actual, t, count(*)::BIGINT AS nt
+  FROM tk WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+doc_len AS (
+  SELECT doc_id, actual, sum(nt)::BIGINT AS ndoc FROM te_tok GROUP BY 1, 2),
+seen AS (
+  SELECT te.doc_id, m.c,
+    sum(CAST(round(te.nt::DOUBLE * (round(ln(m.ctc::DOUBLE + 1.0), 9) - 0.0), 9)
+        AS DECIMAL(28,9))) AS seen_mass
+  FROM te_tok te JOIN model m ON m.t = te.t GROUP BY 1, 2),
+scored AS (
+  SELECT d.doc_id, d.actual, k.c AS predicted,
+    CAST(round(k.ln_prior, 9) AS DECIMAL(28,9))
+      + CAST(round(d.ndoc::DOUBLE * (0.0 - k.ln_denom), 9) AS DECIMAL(28,9))
+      + coalesce(s.seen_mass, CAST(0 AS DECIMAL(28,9))) AS score
+  FROM doc_len d CROSS JOIN const k
+  LEFT JOIN seen s ON s.doc_id = d.doc_id AND s.c = k.c),
+best AS (
+  SELECT doc_id, actual, predicted,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, predicted ASC)
+      AS rn
+  FROM scored)
+SELECT actual, predicted, count(*)::BIGINT AS n_docs
+FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the brand level (A -> B with
+    support / confidence / lift), mined from order baskets. Apriori's
+    first two passes expressed declaratively: item supports = one agg
+    over distinct (order, brand); pair supports = a self-join BLOCKED ON
+    the order key (baskets are small, so pairs-per-order ~ brands^2 per
+    basket, never corpus^2); rules = both directions of each pair with
+    conf = s_ab/s_a and lift = s_ab*N/(s_a*s_b) — exact integer-count
+    quotients, IEEE-identical across engines. Top-50 by lift."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    item = baskets.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("s_item"))
+    a = baskets.select("l_orderkey", F.col("brand").alias("brand_a"))
+    b = baskets.select("l_orderkey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("s_ab"))
+    )
+    rules = pairs.select(
+        F.col("brand_a").alias("antecedent"), F.col("brand_b").alias("consequent"), "s_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("brand_b").alias("antecedent"), F.col("brand_a").alias("consequent"), "s_ab"
+        )
+    )
+    enriched = (
+        rules.join(F.broadcast(item.withColumnRenamed("brand", "antecedent")
+                   .withColumnRenamed("s_item", "s_a")), "antecedent")
+        .join(F.broadcast(item.withColumnRenamed("brand", "consequent")
+              .withColumnRenamed("s_item", "s_b")), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "s_ab",
+            F.round(F.col("s_ab").cast("double") / F.col("s_a").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("s_ab").cast("double") * F.col("_n").cast("double"))
+                / (F.col("s_a").cast("double") * F.col("s_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc()
+    )
+    return (
+        enriched.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "antecedent", "consequent", "s_ab", "confidence", "lift")
+    )
+
+
+SQL_BRAND_ASSOCIATION_RULES = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM baskets),
+item AS (SELECT brand, count(*)::BIGINT AS s_item FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*)::BIGINT AS s_ab
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+  WHERE a.brand < b.brand GROUP BY 1, 2),
+rules AS (
+  SELECT brand_a AS antecedent, brand_b AS consequent, s_ab FROM pairs
+  UNION ALL
+  SELECT brand_b AS antecedent, brand_a AS consequent, s_ab FROM pairs),
+enriched AS (
+  SELECT r.antecedent, r.consequent, r.s_ab,
+    round(r.s_ab::DOUBLE / ia.s_item::DOUBLE, 6) AS confidence,
+    round((r.s_ab::DOUBLE * n.n_orders::DOUBLE)
+          / (ia.s_item::DOUBLE * ic.s_item::DOUBLE), 6) AS lift
+  FROM rules r
+  JOIN item ia ON ia.brand = r.antecedent
+  JOIN item ic ON ic.brand = r.consequent
+  CROSS JOIN n)
+SELECT row_number() OVER (ORDER BY lift DESC, antecedent ASC, consequent ASC)
+    ::BIGINT AS rank,
+  antecedent, consequent, s_ab, confidence, lift
+FROM enriched
+ORDER BY lift DESC, antecedent ASC, consequent ASC LIMIT 50
+"""
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-functional-dependency audit (g3 error) across three
+    candidate invariants of the star schema — the profiling pass a
+    warehouse runs before trusting a denormalization. Each candidate is
+    two cascaded aggregations (operators/quality.py fd_violations);
+    the three 1-row results union into one tidy report."""
+    from d2b_dataframework_spark.operators.quality import fd_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        fd_violations(orders, ["o_custkey"], "o_orderpriority")
+        .unionByName(fd_violations(cust, ["c_nationkey"], "c_mktsegment"))
+        .unionByName(fd_violations(li, ["l_partkey"], "l_returnflag"))
+        .orderBy("lhs")
+    )
+
+
+SQL_FD_AUDIT = """
+SELECT * FROM (
+  SELECT 'o_custkey' AS lhs, 'o_orderpriority' AS rhs,
+    count(*)::BIGINT AS n_groups, sum(rows_)::BIGINT AS n_rows,
+    sum(rows_ - maj)::BIGINT AS violations,
+    sum(CASE WHEN classes > 1 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+    round(sum(rows_ - maj)::DOUBLE / sum(rows_)::DOUBLE, 6) AS g3_error
+  FROM (
+    SELECT o_custkey, sum(c)::BIGINT AS rows_, max(c)::BIGINT AS maj,
+      count(*)::BIGINT AS classes
+    FROM (SELECT o_custkey, o_orderpriority, count(*) AS c
+          FROM orders GROUP BY 1, 2) GROUP BY 1)
+  UNION ALL
+  SELECT 'c_nationkey', 'c_mktsegment',
+    count(*)::BIGINT, sum(rows_)::BIGINT, sum(rows_ - maj)::BIGINT,
+    sum(CASE WHEN classes > 1 THEN 1 ELSE 0 END)::BIGINT,
+    round(sum(rows_ - maj)::DOUBLE / sum(rows_)::DOUBLE, 6)
+  FROM (
+    SELECT c_nationkey, sum(c)::BIGINT AS rows_, max(c)::BIGINT AS maj,
+      count(*)::BIGINT AS classes
+    FROM (SELECT c_nationkey, c_mktsegment, count(*) AS c
+          FROM customer GROUP BY 1, 2) GROUP BY 1)
+  UNION ALL
+  SELECT 'l_partkey', 'l_returnflag',
+    count(*)::BIGINT, sum(rows_)::BIGINT, sum(rows_ - maj)::BIGINT,
+    sum(CASE WHEN classes > 1 THEN 1 ELSE 0 END)::BIGINT,
+    round(sum(rows_ - maj)::DOUBLE / sum(rows_)::DOUBLE, 6)
+  FROM (
+    SELECT l_partkey, sum(c)::BIGINT AS rows_, max(c)::BIGINT AS maj,
+      count(*)::BIGINT AS classes
+    FROM (SELECT l_partkey, l_returnflag, count(*) AS c
+          FROM lineitem GROUP BY 1, 2) GROUP BY 1)
+) ORDER BY lhs
+"""
+
+_STUMP_GRID = [float(t) for t in range(25000, 500000, 25000)]
+
+
+def q_gini_order_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training sweep: every candidate threshold on
+    o_totalprice scored as a one-split classifier of o_orderstatus under
+    weighted Gini impurity (datapipe/classify.py decision_stump) — the
+    inner loop of tree building as ONE scan + two aggs. Pure integer
+    counts and exact double quotients; no logarithms to flake on."""
+    from d2b_dataframework_spark.datapipe.classify import decision_stump
+
+    return decision_stump(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderstatus", _STUMP_GRID
+    )
+
+
+def _sql_gini_order_stump() -> str:
+    grid = ", ".join(f"{t:.1f}" for t in _STUMP_GRID)
+    return f"""
+WITH cells AS (
+  SELECT t.threshold, o.o_orderstatus AS y,
+    sum(CASE WHEN o.o_totalprice <= t.threshold THEN 1 ELSE 0 END)::BIGINT
+      AS nl,
+    count(*)::BIGINT AS n
+  FROM orders o
+  CROSS JOIN (SELECT unnest([{grid}]) AS threshold) t
+  WHERE o.o_totalprice IS NOT NULL AND o.o_orderstatus IS NOT NULL
+  GROUP BY 1, 2),
+per_t AS (
+  SELECT threshold, sum(nl)::BIGINT AS l, sum(n)::BIGINT AS tot,
+    sum(nl * nl)::BIGINT AS sql2, sum((n - nl) * (n - nl))::BIGINT AS sqr2
+  FROM cells GROUP BY 1),
+scored AS (
+  SELECT threshold, l AS n_left, (tot - l)::BIGINT AS n_right,
+    round(
+      (l::DOUBLE / tot::DOUBLE) * (CASE WHEN l > 0
+        THEN 1.0 - sql2::DOUBLE / (l::DOUBLE * l::DOUBLE) ELSE 0.0 END)
+      + ((tot - l)::DOUBLE / tot::DOUBLE) * (CASE WHEN tot - l > 0
+        THEN 1.0 - sqr2::DOUBLE / ((tot - l)::DOUBLE * (tot - l)::DOUBLE)
+        ELSE 0.0 END), 9) AS weighted_gini
+  FROM per_t)
+SELECT row_number() OVER (ORDER BY weighted_gini ASC, threshold ASC)::BIGINT
+    AS rank,
+  threshold, n_left, n_right, weighted_gini
+FROM scored ORDER BY weighted_gini ASC, threshold ASC
+"""
+
+
+REGISTRY.update(
+    {
+        "naive_bayes_lang": QuerySpec(
+            q_naive_bayes_lang,
+            SQL_NAIVE_BAYES_LANG,
+            "multinomial NB language-ID: train+score as aggregations",
+        ),
+        "brand_association_rules": QuerySpec(
+            q_brand_association_rules,
+            SQL_BRAND_ASSOCIATION_RULES,
+            "apriori-style rules: support/confidence/lift",
+        ),
+        "fd_audit": QuerySpec(
+            q_fd_audit,
+            SQL_FD_AUDIT,
+            "approximate-FD g3-error profiling across 3 candidates",
+        ),
+        "gini_order_stump": QuerySpec(
+            q_gini_order_stump,
+            _sql_gini_order_stump(),
+            "decision-stump threshold sweep under weighted Gini",
+        ),
+    }
+)

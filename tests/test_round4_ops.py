@@ -375,3 +375,173 @@ def test_personalized_pagerank_mass_conserved(spark):
         r["rank"] for r in pagerank(und, iterations=3, seeds=seeds).collect()
     )
     assert abs(total - 1.0) < 1e-6
+
+
+@pytest.fixture()
+def tpch_mini_dir(spark, tmp_path):
+    """Tiny hand-built star schema written as parquet so the q_* registry
+    functions (which read {sf_dir}/{table}.parquet) run on known data."""
+    import datetime as dt
+
+    d = str(tmp_path)
+    ts = dt.datetime
+    spark.createDataFrame(
+        [(1, "N_A", 0), (2, "N_B", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [(10, "Cust#10", 1, 500.0, "SEG"), (11, "Cust#11", 2, 100.0, "SEG"),
+         (12, "Cust#12", 1, 900.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(100, "Supp#100", 1, 0.0), (101, "Supp#101", 2, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    ).write.parquet(f"{d}/supplier.parquet")
+    spark.createDataFrame(
+        [(7, "widget", "B1", "T", 1, 10.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    # order 1000 (cust 10, Jan 1 2020): two suppliers, one ships +90d late.
+    # order 1001 (cust 12, Jun 1 2021): one supplier, big quantity.
+    spark.createDataFrame(
+        [(1000, 10, "F", 50.0, ts(2020, 1, 1), "1-URGENT"),
+         (1001, 12, "O", 999.0, ts(2021, 6, 1), "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [  # okey pkey skey ln qty extprice disc tax rf ls shipdate
+            (1000, 7, 100, 1, 2.0, 30.0, 0.0, 0.0, "N", "O", ts(2020, 4, 15)),
+            (1000, 7, 101, 2, 5.0, 50.0, 0.0, 0.0, "N", "O", ts(2020, 1, 20)),
+            (1001, 7, 101, 1, 400.0, 4000.0, 0.0, 0.0, "N", "O", ts(2021, 6, 5)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    return d
+
+
+def test_large_volume_orders_threshold_and_enrichment(spark, tpch_mini_dir):
+    """Only order 1001 crosses the 300-unit threshold (400 vs 7)."""
+    from d2b_dataframework_spark.plans.queries import q_large_volume_orders
+
+    rows = q_large_volume_orders(spark, tpch_mini_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["o_orderkey"], r["c_custkey"], r["total_qty"]) == (1001, 12, 400.0)
+    assert r["o_orderdate"] == "2021-06-01"
+
+
+def test_idle_customer_balance_anti_join(spark, tpch_mini_dir):
+    """avg positive balance = 500; only cust 12 (900) is above it, but 12
+    ordered within 365d of the max orderdate -> no idle customers. Cust 10
+    sits AT the average (excluded by strict >)."""
+    from d2b_dataframework_spark.plans.queries import q_idle_customer_balance
+
+    assert q_idle_customer_balance(spark, tpch_mini_dir).collect() == []
+
+
+def test_sole_late_supplier_blames_unique_late_shipper(spark, tpch_mini_dir):
+    """Order 1000 has 2 suppliers; only supplier 100 ships > 60 days after
+    the order date -> one wait charged to Supp#100. Order 1001 has a single
+    supplier (ns < 2) and never qualifies."""
+    from d2b_dataframework_spark.plans.queries import q_sole_late_supplier
+
+    rows = q_sole_late_supplier(spark, tpch_mini_dir).collect()
+    assert [(r["s_name"], r["nation"], r["numwait"]) for r in rows] == [
+        ("Supp#100", "N_A", 1)
+    ]
+
+
+def test_min_cost_supplier_argmin_unit_price(spark, tpch_mini_dir):
+    """Offers for part 7: 30/2=15 (supp 100), 50/5=10 (supp 101),
+    4000/400=10 (supp 101). Min unit price 10 -> supp 101; the struct-min
+    tiebreak (suppkey, then exact decimals) picks ep=50.00/qty=5.00."""
+    from d2b_dataframework_spark.plans.queries import q_min_cost_supplier
+
+    rows = q_min_cost_supplier(spark, tpch_mini_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["p_partkey"], r["s_name"], r["nation"]) == (7, "Supp#101", "N_B")
+    assert (r["best_extendedprice"], r["best_quantity"]) == (50.0, 5.0)
+
+
+def test_naive_bayes_hand_computed(spark):
+    """Two clean classes: 'a a b' docs labeled A, 'c c d' docs labeled B.
+    A test doc 'a a' must score A; 'c d' must score B — hand-checkable
+    because the seen-token mass dominates."""
+    from d2b_dataframework_spark.datapipe.classify import naive_bayes_predict
+
+    train = spark.createDataFrame(
+        [(1, "A", ["a", "a", "b"]), (2, "A", ["a", "b", "b"]),
+         (3, "B", ["c", "c", "d"]), (4, "B", ["c", "d", "d"])],
+        "doc_id long, label string, _tk array<string>",
+    )
+    test = spark.createDataFrame(
+        [(10, "A", ["a", "a"]), (11, "B", ["c", "d"])],
+        "doc_id long, label string, _tk array<string>",
+    )
+    got = {r["doc_id"]: (r["actual"], r["predicted"])
+           for r in naive_bayes_predict(train, test).collect()}
+    assert got == {10: ("A", "A"), 11: ("B", "B")}
+
+
+def test_naive_bayes_unseen_tokens_fall_back_to_prior(spark):
+    """A test doc of only unseen tokens gets the same per-token penalty
+    from every class, so the argmax is the class with more TRAIN
+    TOKENS' denominators & priors — with symmetric classes and a
+    majority-prior imbalance, the majority class wins."""
+    from d2b_dataframework_spark.datapipe.classify import naive_bayes_predict
+
+    train = spark.createDataFrame(
+        [(1, "A", ["a"]), (2, "A", ["a"]), (3, "B", ["b"])],
+        "doc_id long, label string, _tk array<string>",
+    )
+    test = spark.createDataFrame(
+        [(10, "B", ["zzz", "qqq"])], "doc_id long, label string, _tk array<string>"
+    )
+    rows = naive_bayes_predict(train, test).collect()
+    # priors: A=2/3, B=1/3; identical class token totals (2 vs 1 -> the
+    # denominators differ: A has T_c=2, B T_c=1; smaller denom favors B:
+    # score_A = ln(2/3) + 2*(0 - ln(2+2)) ; score_B = ln(1/3) + 2*(0 - ln(1+2))
+    # = -0.405 - 2.773 = -3.178  vs  -1.099 - 2.197 = -3.296 -> A wins.
+    assert rows[0]["predicted"] == "A"
+
+
+def test_decision_stump_perfect_split(spark):
+    """Classes separate exactly at x=5: threshold 5 yields weighted Gini
+    0 and must rank first."""
+    from d2b_dataframework_spark.datapipe.classify import decision_stump
+
+    df = spark.createDataFrame(
+        [(1.0, "lo"), (2.0, "lo"), (4.0, "lo"), (6.0, "hi"), (8.0, "hi"), (9.0, "hi")],
+        "x double, y string",
+    )
+    rows = decision_stump(df, "x", "y", [3.0, 5.0, 7.0]).collect()
+    best = rows[0]
+    assert (best["rank"], best["threshold"], best["weighted_gini"]) == (1, 5.0, 0.0)
+    assert (best["n_left"], best["n_right"]) == (3, 3)
+    # threshold 3 leaves one 'lo' on the right: weighted gini =
+    # (2/6)*0 + (4/6)*(1 - (1/16 + 9/16)) = (2/3)*(3/8) = 0.25
+    by_t = {r["threshold"]: r["weighted_gini"] for r in rows}
+    assert by_t[3.0] == 0.25
+
+
+def test_fd_violations_g3_hand_computed(spark):
+    """lhs=1 has rhs values [x, x, y] -> majority 2, violations 1;
+    lhs=2 is clean -> g3 = 1/5."""
+    from d2b_dataframework_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "z"), (2, "z")], "k long, v string"
+    )
+    r = fd_violations(df, ["k"], "v").collect()[0]
+    assert (r["n_groups"], r["n_rows"], r["violations"], r["violating_groups"]) == (
+        2, 5, 1, 1,
+    )
+    assert r["g3_error"] == 0.2
