@@ -418,3 +418,123 @@ def test_heavy_hitters_equals_group_by_twin(spark, keys, phi_th, parts):
     }
     got = {(r["k"], r["cnt"]) for r in heavy_hitters(df, "k", phi).collect()}
     assert got == twin
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**SETTINGS)
+def test_fd_violations_matches_pure_python_g3(spark, rows):
+    """g3 accounting equals a brute-force per-group majority replay."""
+    from collections import Counter, defaultdict
+
+    from d2b_dataframework_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(rows, "k long, v string")
+    r = fd_violations(df, ["k"], "v").collect()[0]
+
+    groups = defaultdict(Counter)
+    for k, v in rows:
+        groups[k][v] += 1
+    viol = sum(sum(c.values()) - max(c.values()) for c in groups.values())
+    assert r["n_groups"] == len(groups)
+    assert r["n_rows"] == len(rows)
+    assert r["violations"] == viol
+    assert r["violating_groups"] == sum(1 for c in groups.values() if len(c) > 1)
+    assert r["g3_error"] == round(viol / len(rows), 6)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    thresholds=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+)
+@settings(**SETTINGS)
+def test_decision_stump_matches_pure_python_gini(spark, pts, thresholds):
+    """Weighted Gini per candidate equals an independent float replay
+    (same operand order: counts -> squares -> quotients -> weighted sum)."""
+    from collections import Counter
+
+    from d2b_dataframework_spark.datapipe.classify import decision_stump
+
+    df = spark.createDataFrame([(float(x), y) for x, y in pts], "x double, y string")
+    got = {r["threshold"]: (r["n_left"], r["n_right"], r["weighted_gini"])
+           for r in decision_stump(df, "x", "y", [float(t) for t in thresholds]).collect()}
+
+    for t in (float(t) for t in thresholds):
+        left = Counter(y for x, y in pts if float(x) <= t)
+        right = Counter(y for x, y in pts if float(x) > t)
+        n_l, n_r = sum(left.values()), sum(right.values())
+        n = n_l + n_r
+        sql2 = sum(c * c for c in left.values())
+        sqr2 = sum(c * c for c in right.values())
+        g_l = 1.0 - sql2 / float(n_l * n_l) if n_l > 0 else 0.0
+        g_r = 1.0 - sqr2 / float(n_r * n_r) if n_r > 0 else 0.0
+        want = round((n_l / float(n)) * g_l + (n_r / float(n)) * g_r, 9)
+        assert got[t][:2] == (n_l, n_r)
+        assert abs(got[t][2] - want) < 1e-12
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.lists(st.sampled_from(["t1", "t2", "t3", "t4"]), min_size=1, max_size=6),
+        ),
+        min_size=2,
+        max_size=12,
+    ).filter(lambda d: len({lab for lab, _ in d}) == 2),
+)
+@settings(**SETTINGS)
+def test_naive_bayes_matches_pure_python_replay(spark, docs):
+    """Argmax class per test doc equals an independent add-1 multinomial
+    NB replay (scores compared in plain float math; the engine's decimal
+    accumulation only reorders sums of identical 9-dec terms)."""
+    import math
+    from collections import Counter
+
+    from d2b_dataframework_spark.datapipe.classify import naive_bayes_predict
+
+    train_rows = [(i, lab, tk) for i, (lab, tk) in enumerate(docs)]
+    test_rows = [(100 + i, lab, tk) for i, (lab, tk) in enumerate(docs[: max(1, len(docs) // 2)])]
+    train = spark.createDataFrame(train_rows, "doc_id long, label string, _tk array<string>")
+    test = spark.createDataFrame(test_rows, "doc_id long, label string, _tk array<string>")
+    got = {r["doc_id"]: r["predicted"] for r in naive_bayes_predict(train, test).collect()}
+
+    ctc: dict[str, Counter] = {"A": Counter(), "B": Counter()}
+    nd = Counter()
+    for _, lab, tk in train_rows:
+        nd[lab] += 1
+        ctc[lab].update(tk)
+    vocab = {t for c in ctc.values() for t in c}
+    v = len(vocab)
+    ndocs = sum(nd.values())
+    for doc_id, _, tk in test_rows:
+        scores = {}
+        for c in ("A", "B"):
+            t_c = sum(ctc[c].values())
+            s = round(math.log(nd[c] / ndocs), 9)
+            for t in tk:
+                s += round(math.log((ctc[c][t] + 1) / (t_c + v)), 9)
+            scores[c] = s
+        # argmax with class-name tiebreak ascending
+        want = min(scores, key=lambda c: (-scores[c], c))
+        best, second = sorted(scores.values(), reverse=True)
+        if best - second < 1e-6:
+            continue  # too close to assert across accumulation orders
+        assert got[doc_id] == want, (doc_id, scores)

@@ -317,6 +317,21 @@ def _rake(docs):
     return rake_keywords(docs, top_k=20, max_phrase_len=4)
 
 
+def _nb(docs):
+    """Train on even docs, score odd docs — both sides grow with the
+    corpus; the model join shuffles on the token key, so ~linear."""
+    from d2b_dataframework_spark.datapipe.classify import naive_bayes_predict
+    from d2b_dataframework_spark.datapipe.text import tokens
+
+    d = docs.select(
+        "doc_id", F.col("lang").alias("label"), tokens("text").alias("_tk")
+    )
+    pred = naive_bayes_predict(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+    return pred.groupBy("actual", "predicted").count()
+
+
 def _call(build, docs, emb, mult):
     try:
         return build(docs, emb, mult)
@@ -406,6 +421,10 @@ def main() -> None:
         "link_prediction": lambda d, e, m=1: _linkpred(d, m),
         "bootstrap_ci": lambda d, e: _bootstrap(d),
         "rake_keywords": lambda d, e: _rake(d),
+        # Naive Bayes: model = groupBy(token, class); scoring = sparse
+        # token-key shuffle join. Vocab grows with replica-prefixed
+        # corpus, so both sides scale — ~linear is the contract.
+        "naive_bayes": lambda d, e: _nb(d),
     }
 
     only = set(sys.argv[2:])  # optional op-name filter
