@@ -45,6 +45,46 @@ def _ln9(col: Column) -> Column:
     return F.round(F.log(col), 9)
 
 
+def nb_fit(
+    train: DataFrame,
+    tokens_col: str = "_tk",
+    label_col: str = "label",
+    alpha: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the multinomial NB: returns (model, class_stats) —
+    ``model`` = (_t, _c, _ctc) sparse token/class counts (can exceed
+    executor memory; joined on the token key at scoring time) and
+    ``class_stats`` = (_c, _ln_prior, _ln_denom) per-class constants
+    (tiny; broadcast by every scorer). Shared by the batch predictor and
+    the streaming foreachBatch twin (streaming/microbatch.py
+    classify_stream) — train once, score anywhere."""
+    tr_tok = train.select(F.col(label_col).alias("_c"), F.explode(tokens_col).alias("_t"))
+    model = tr_tok.groupBy("_t", "_c").agg(F.count(F.lit(1)).cast("long").alias("_ctc"))
+    cls = tr_tok.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_tc"))
+    vocab = model.select("_t").distinct().agg(F.count(F.lit(1)).cast("long").alias("_v"))
+    priors = (
+        train.groupBy(F.col(label_col).alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    )
+    tot = priors.agg(F.sum("_nd").cast("long").alias("_ndocs"))
+    a = float(alpha)
+    const = (
+        cls.crossJoin(F.broadcast(vocab))
+        .join(priors, "_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_c",
+            _ln9(F.col("_nd").cast("double") / F.col("_ndocs").cast("double")).alias(
+                "_ln_prior"
+            ),
+            _ln9(F.col("_tc").cast("double") + F.lit(a) * F.col("_v").cast("double")).alias(
+                "_ln_denom"
+            ),
+        )
+    )
+    return model, const
+
+
 def naive_bayes_predict(
     train: DataFrame,
     test: DataFrame,
@@ -72,40 +112,43 @@ def naive_bayes_predict(
     once on the token key. Ties (and they are ~impossible with real
     text) break on the class name ascending.
     """
-    tr_tok = train.select(F.col(label_col).alias("_c"), F.explode(tokens_col).alias("_t"))
-    model = tr_tok.groupBy("_t", "_c").agg(F.count(F.lit(1)).cast("long").alias("_ctc"))
-    cls = tr_tok.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_tc"))
-    vocab = model.select("_t").distinct().agg(F.count(F.lit(1)).cast("long").alias("_v"))
-    priors = (
-        train.groupBy(F.col(label_col).alias("_c"))
-        .agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    model, const = nb_fit(train, tokens_col=tokens_col, label_col=label_col, alpha=alpha)
+    return nb_score(
+        test.withColumnRenamed(label_col, "actual"),
+        model,
+        const,
+        tokens_col=tokens_col,
+        id_col=id_col,
+        alpha=alpha,
+        keep_cols=("actual",),
     )
-    tot = priors.agg(F.sum("_nd").cast("long").alias("_ndocs"))
 
+
+def nb_score(
+    test: DataFrame,
+    model: DataFrame,
+    class_stats: DataFrame,
+    tokens_col: str = "_tk",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score rows against a PRE-TRAINED model (see :func:`nb_fit`):
+    returns (id_col, *keep_cols, predicted, score) with the per-row
+    argmax class. Used by the batch predictor and per micro-batch by the
+    streaming twin (streaming/microbatch.py classify_stream) — the model
+    tables are ordinary DataFrames, so "deploying" a model is swapping
+    the tables they read."""
     a = float(alpha)
-    const = (
-        cls.crossJoin(F.broadcast(vocab))
-        .join(priors, "_c")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "_c",
-            _ln9(F.col("_nd").cast("double") / F.col("_ndocs").cast("double")).alias(
-                "_ln_prior"
-            ),
-            _ln9(F.col("_tc").cast("double") + F.lit(a) * F.col("_v").cast("double")).alias(
-                "_ln_denom"
-            ),
-        )
-    )
-
+    keep = list(keep_cols)
     te_tok = (
-        test.select(
-            F.col(id_col), F.col(label_col).alias("actual"), F.explode(tokens_col).alias("_t")
-        )
-        .groupBy(id_col, "actual", "_t")
+        test.select(F.col(id_col), *keep, F.explode(tokens_col).alias("_t"))
+        .groupBy(id_col, *keep, "_t")
         .agg(F.count(F.lit(1)).cast("long").alias("_nt"))
     )
-    doc_len = te_tok.groupBy(id_col, "actual").agg(F.sum("_nt").cast("long").alias("_ndoc"))
+    doc_len = te_tok.groupBy(id_col, *keep).agg(
+        F.sum("_nt").cast("long").alias("_ndoc")
+    )
 
     # Seen-token correction per (doc, class): sparse join on the token
     # key. Every per-row product is double math on 9-decimal operands,
@@ -125,10 +168,10 @@ def naive_bayes_predict(
         )
     )
 
-    grid = doc_len.crossJoin(F.broadcast(const))
+    grid = doc_len.crossJoin(F.broadcast(class_stats))
     scored = grid.join(seen, [id_col, "_c"], "left").select(
         id_col,
-        "actual",
+        *keep,
         F.col("_c").alias("predicted"),
         (
             F.round(F.col("_ln_prior"), 9).cast(_DEC9)

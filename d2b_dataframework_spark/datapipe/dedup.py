@@ -1095,3 +1095,84 @@ def soft_dedup_weights(
         ),
         comp,
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Candidate-generation quality audit for the MinHash-LSH pipeline:
+    on an AUDIT SAMPLE (caller bounds the input — the ground truth is
+    all-pairs exact Jaccard, quadratic by definition, same contract as
+    similarity.ann_recall's brute-force leg), measure how many true
+    near-dup pairs (shingle Jaccard >= threshold) the banding actually
+    surfaces as candidates.
+
+    Returns ONE row: n_true, n_candidates, n_hit, recall (hit/true) and
+    candidate_precision (hit/candidates) — the two dials that justify a
+    band/row configuration before trusting it at 100 TB. Production
+    guidance: run this on a fixed few-thousand-doc sample per corpus
+    snapshot; the sample cost is constant while the pipeline it
+    certifies is corpus-sized.
+
+    Scale shape: ONE signature pass feeds both legs (persisted by the
+    caller if reused); candidates come from the banded self-join
+    (linear), truth from the sample-bounded all-pairs join; the final
+    metrics are three 1-row counts — no data-sized collect.
+    """
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n)
+    hashes = sigs.select(F.col(id_col), "token_hashes")
+    # All-pairs as an EQUI-join (no CartesianProduct node): bucket side B
+    # by id, explode side A onto every bucket — the join shuffles on the
+    # bucket key, spreading the quadratic audit work across partitions
+    # instead of funneling it through one nested-loop task.
+    grid = 16
+    a = hashes.select(
+        F.col(id_col).alias("id_a"),
+        F.col("token_hashes").alias("_ha"),
+        F.explode(F.array(*[F.lit(g) for g in range(grid)])).alias("_g"),
+    )
+    b = hashes.select(
+        F.col(id_col).alias("id_b"),
+        F.col("token_hashes").alias("_hb"),
+        (F.col(id_col) % grid).cast("int").alias("_g"),
+    )
+    truth = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(jaccard(F.col("_ha"), F.col("_hb")), 6) >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    cands = lsh_candidate_pairs(sigs, id_col=id_col)
+    hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_true").cast("double"), 6
+                ),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                    6,
+                ),
+            ).alias("candidate_precision"),
+        )
+    )

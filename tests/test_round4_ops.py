@@ -545,3 +545,32 @@ def test_fd_violations_g3_hand_computed(spark):
         2, 5, 1, 1,
     )
     assert r["g3_error"] == 0.2
+
+
+def test_lsh_recall_eval_identical_docs_full_recall(spark):
+    """Two identical docs + one unrelated: exactly one true pair, which
+    identical MinHash signatures must surface -> recall 1.0."""
+    from d2b_dataframework_spark.datapipe.dedup import lsh_recall_eval
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "completely different words that share nothing with the pair above at all")],
+        "doc_id long, text string",
+    )
+    r = lsh_recall_eval(docs, threshold=0.7).collect()[0]
+    assert (r["n_true"], r["n_hit"], r["recall"]) == (1, 1, 1.0)
+    assert r["candidate_precision"] is not None
+
+
+def test_lsh_recall_eval_no_true_pairs_null_recall(spark):
+    """Disjoint docs: zero true pairs -> recall is NULL (not 0/0)."""
+    from d2b_dataframework_spark.datapipe.dedup import lsh_recall_eval
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    r = lsh_recall_eval(docs, threshold=0.7).collect()[0]
+    assert (r["n_true"], r["n_hit"], r["recall"]) == (0, 0, None)

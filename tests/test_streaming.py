@@ -585,3 +585,54 @@ def test_running_totals_stream_v2_state_across_batches(spark, tmp_path):
         )
     else:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_classify_stream_matches_batch_scorer(spark, tmp_path):
+    """Stream-scored labels equal the batch scorer's on the same docs:
+    the foreachBatch twin reuses nb_score, so train once -> identical
+    predictions whether docs arrive as a table or as micro-batches."""
+    from d2b_dataframework_spark.datapipe.classify import nb_fit, nb_score
+    from d2b_dataframework_spark.datapipe.text import tokens
+    from d2b_dataframework_spark.streaming.microbatch import (
+        classify_stream,
+        run_available_now,
+        stream_files,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "en", ["the", "cat", "sat"]), (2, "en", ["the", "dog", "ran"]),
+         (3, "es", ["el", "gato", "es"]), (4, "es", ["el", "perro", "va"])],
+        "doc_id long, label string, _tk array<string>",
+    )
+    model, stats = nb_fit(train)
+    model.persist().count(), stats.persist().count()
+
+    src = str(tmp_path / "docs_landing")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(10, "the cat ran"), (11, "el gato va")], schema
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame([(12, "the dog sat")], schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "labels_out")
+    ckpt = str(tmp_path / "labels_ckpt")
+    stream = stream_files(spark, src, schema, max_files_per_trigger=1)
+    q = run_available_now(classify_stream(stream, model, stats, out, ckpt))
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["predicted"], r["score"])
+        for r in spark.read.parquet(out).collect()
+    }
+    docs = spark.read.parquet(src)
+    want = {
+        r["doc_id"]: (r["predicted"], float(r["score"]))
+        for r in nb_score(
+            docs.select("doc_id", tokens("text").alias("_tk")), model, stats
+        ).collect()
+    }
+    model.unpersist(), stats.unpersist()
+    assert got == want
+    assert got[10][0] == "en" and got[11][0] == "es" and got[12][0] == "en"
