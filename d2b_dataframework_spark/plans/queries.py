@@ -2147,6 +2147,18 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "variant_extract",
     "hash_collision_stats",
     "weighted_median_price",
+    # round-4 batch 5/6 (this session)
+    "large_volume_orders",
+    "idle_customer_balance",
+    "sole_late_supplier",
+    "min_cost_supplier",
+    "naive_bayes_lang",
+    "brand_association_rules",
+    "fd_audit",
+    "gini_order_stump",
+    "nb_classifier_metrics",
+    "lsh_recall_eval",
+    "zone_map_stats",
 )
 
 
