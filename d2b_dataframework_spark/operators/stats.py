@@ -270,53 +270,81 @@ def poisson_bootstrap_means(
     Returns (group_col, rep: int, rep_mean: double, n_eff: long) — one
     row per (group, replicate) with sum(weight) > 0.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{salt}:"),
-                        F.col("rep").cast("string"),
-                        F.lit(":"),
-                        F.col(id_col).cast("string"),
-                    )
-                ),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
-        .cast("double")
-        / F.lit(268435456.0)
+    # One md5 yields FOUR independent 28-bit uniforms (the 32-hex
+    # digest splits into two 14-hex halves, each a 56-bit long carrying
+    # two 28-bit windows), so replicate b reads shift-window b % 2 of
+    # conv-half (b % 4) div 2 of md5(salt : b div 4 : id) — 4x fewer
+    # digests and 2x fewer hex decodes than one digest per replicate,
+    # same reproducibility contract (the oracle replays the windowing).
+    #
+    # NO replicate explode: fanning each row out n_reps times was the
+    # dominant measured cost. Every replicate is instead a COLUMN PAIR
+    # in ONE aggregation pass — groups x 2 x n_reps partial sums cross
+    # the wire — and the tiny per-group result unpivots via stack().
+    # Money rides as LONG CENTS (integer sums are exact, and
+    # sum_cents/100.0 rounds the same rational to the same double as
+    # the oracle's decimal sum). All hot expressions are built as ONE
+    # selectExpr batch: assembling 64 nested-CASE Column trees through
+    # py4j cost ~4 s of DRIVER time alone (measured), while a parsed
+    # SQL string is one round-trip.
+    n_digests = (n_reps + 3) // 4
+    n_convs = (n_reps + 1) // 2
+    digs = df.select(
+        group_col,
+        (F.col(value_col).cast("decimal(18,2)") * 100).cast("long").alias("_v"),
+        *[
+            F.md5(F.concat(F.lit(f"{salt}:{g}:"), F.col(id_col).cast("string"))).alias(
+                f"_h{g}"
+            )
+            for g in range(n_digests)
+        ],
     )
-    # Materialize the hash uniform ONCE before the CDF ladder: inlining
-    # ``u`` into every WHEN branch makes codegen re-evaluate md5+conv
-    # per branch (measured 2.3x slower at 4.8M rows); a bound column
-    # reference is computed once per row.
-    wt = F.lit(len(_POISSON1_CDF))
-    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
-        wt = F.when(F.col("_u") < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(wt)
-    reps = (
-        df.select(
-            group_col,
-            id_col,
-            F.col(value_col).cast("decimal(18,2)").alias("_v"),
-            F.explode(F.array(*[F.lit(b) for b in range(n_reps)])).alias("rep"),
+    # On under-split local inputs (one parquet file = one task) this
+    # operator is CPU-bound on a single core; spread it. Gated so a
+    # well-partitioned 100 TB input never pays an extra shuffle.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if digs.rdd.getNumPartitions() < max(2, target // 2):
+        digs = digs.repartition(target)
+    convs = digs.selectExpr(
+        group_col,
+        "_v",
+        *[
+            f"cast(conv(substr(_h{j // 2}, {1 + 14 * (j % 2)}, 14), 16, 10)"
+            f" as bigint) as _c{j}"
+            for j in range(n_convs)
+        ],
+    )
+
+    def wt_sql(b: int) -> str:
+        u = (
+            f"(cast((shiftrightunsigned(_c{b // 2}, {28 * (b % 2)})"
+            f" & 268435455) as double) / 268435456.0)"
         )
-        .withColumn("_u", u)
-        .withColumn("_w", wt)
+        expr = str(len(_POISSON1_CDF))
+        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+            expr = f"if({u} < {_POISSON1_CDF[k]!r}, {k}, {expr})"
+        return expr
+
+    agg_exprs = []
+    for b in range(n_reps):
+        w = wt_sql(b)
+        agg_exprs.append(f"sum(cast({w} as bigint) * _v) as _ws{b}")
+        agg_exprs.append(f"cast(sum({w}) as bigint) as _n{b}")
+    per_group = convs.groupBy(group_col).agg(
+        *[F.expr(e) for e in agg_exprs]
     )
-    agg = reps.groupBy(group_col, "rep").agg(
-        F.sum(F.col("_w").cast("decimal(18,0)") * F.col("_v")).alias("_ws"),
-        F.sum("_w").cast("long").alias("_n"),
+    stack_parts = ", ".join(f"{b}, _ws{b}, _n{b}" for b in range(n_reps))
+    agg = per_group.selectExpr(
+        group_col,
+        f"stack({n_reps}, {stack_parts}) as (rep, _ws, _n)",
     )
     return agg.filter(F.col("_n") > 0).select(
         group_col,
         F.col("rep").cast("int").alias("rep"),
-        F.round(F.col("_ws").cast("double") / F.col("_n").cast("double"), 6).alias(
-            "rep_mean"
-        ),
+        F.round(
+            (F.col("_ws").cast("double") / F.lit(100.0)) / F.col("_n").cast("double"),
+            6,
+        ).alias("rep_mean"),
         F.col("_n").alias("n_eff"),
     )
 

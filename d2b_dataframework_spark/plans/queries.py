@@ -2159,6 +2159,9 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "nb_classifier_metrics",
     "lsh_recall_eval",
     "zone_map_stats",
+    "shipping_priority",
+    "ridge_regression",
+    "token_mutual_info",
 )
 
 
@@ -10276,8 +10279,9 @@ WITH reps AS (SELECT unnest(range(32)) AS b),
 w AS (
   SELECT o.o_orderpriority AS pri, r.b,
     o.o_totalprice::DECIMAL(18,2) AS price, o.o_orderkey,
-    ('0x' || substr(md5('boot:' || r.b::VARCHAR || ':' ||
-      o.o_orderkey::VARCHAR), 1, 7))::BIGINT::DOUBLE / 268435456.0 AS u
+    ((('0x' || substr(md5('boot:' || (r.b // 4)::VARCHAR || ':' ||
+      o.o_orderkey::VARCHAR), 1 + 14 * ((r.b % 4) // 2), 14))::BIGINT
+      >> (28 * (r.b % 2))) & 268435455)::DOUBLE / 268435456.0 AS u
   FROM orders o CROSS JOIN reps r),
 pw AS (
   SELECT pri, b, price,
@@ -12128,14 +12132,14 @@ FROM m ORDER BY cls
 
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate-recall audit (datapipe/dedup.py
-    lsh_recall_eval) on a bounded audit sample (doc_id % 4 == 0 slice of
+    lsh_recall_eval) on a bounded audit sample (doc_id % 16 == 0 slice of
     the mutated dup corpus): exact all-pairs shingle-Jaccard ground
     truth vs the banding's candidate set — the certification dial for a
     band/row configuration before trusting it corpus-wide. The
     quadratic truth leg runs as an exploded-grid EQUI-join (no
     cartesian node), bounded by the fixed sample size at any corpus
     scale."""
-    corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(F.col("doc_id") % 4 == 0)
+    corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(F.col("doc_id") % 16 == 0)
     return dd.lsh_recall_eval(corpus, threshold=0.7)
 
 
@@ -12149,7 +12153,7 @@ def _sql_lsh_recall() -> str:
     rpb = dd.ROWS_PER_BAND
     return f"""
 WITH corpus0 AS ({_SQL_DUP_CORPUS_NEAR}),
-corpus AS (SELECT * FROM corpus0 WHERE doc_id % 4 = 0),
+corpus AS (SELECT * FROM corpus0 WHERE doc_id % 16 = 0),
 toks AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
 sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
 hashes AS (SELECT doc_id,
@@ -12323,6 +12327,292 @@ REGISTRY.update(
             q_zone_map_stats,
             SQL_ZONE_MAP_STATS,
             "zone-map pruning effectiveness: arrival vs clustered",
+        ),
+    }
+)
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority report: top-10 unshipped-revenue
+    orders for one market segment at a cutoff date (orders placed before
+    it, lineitems shipping after it). The classic scan-filter-join-agg-
+    topk: both fact filters push into the parquet scans, the segment
+    filter prunes customer BEFORE the join, and the top-10 is
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1999-06-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1999-06-01").cast("date")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey::BIGINT AS o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o.o_orderpriority,
+  CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+    * (CAST(1 AS DECIMAL(4,2)) - l.l_discount::DECIMAL(4,2))) AS DOUBLE)
+    AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate::DATE < DATE '1999-06-01'
+  AND l.l_shipdate::DATE > DATE '1999-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+_RIDGE_LAMBDA = 10.0
+
+
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 2-feature ridge regression in closed form: per return
+    flag, fit extendedprice ~ quantity + discount with an L2 penalty —
+    the 2x2 normal-equation solve from nine exact decimal moments (sum,
+    sum-of-squares, cross-products), one aggregation pass over the fact
+    table. Extends grouped_linreg to multivariate + regularized; the
+    whole "training job" is a groupBy — the same scan cost as a report.
+
+    Engine-exactness: every moment is a DECIMAL sum (order-independent);
+    the solve is a fixed sequence of double ops on those exact moments
+    with identical parenthesization in the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("x1"),
+        F.col("l_discount").cast("decimal(18,2)").alias("x2"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    m = d.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    )
+    n = F.col("n").cast("double")
+    sx1 = F.col("sx1").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy = F.col("sy").cast("double")
+    c11 = F.col("sx1x1").cast("double") - (sx1 * sx1) / n + F.lit(_RIDGE_LAMBDA)
+    c22 = F.col("sx2x2").cast("double") - (sx2 * sx2) / n + F.lit(_RIDGE_LAMBDA)
+    c12 = F.col("sx1x2").cast("double") - (sx1 * sx2) / n
+    c1y = F.col("sx1y").cast("double") - (sx1 * sy) / n
+    c2y = F.col("sx2y").cast("double") - (sx2 * sy) / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    b0 = sy / n - b1 * (sx1 / n) - b2 * (sx2 / n)
+    return m.select(
+        "grp",
+        "n",
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount"),
+        F.round(b0, 6).alias("intercept"),
+    ).orderBy("grp")
+
+
+SQL_RIDGE_REGRESSION = f"""
+WITH d AS (
+  SELECT l_returnflag AS grp,
+    l_quantity::DECIMAL(18,2) AS x1, l_discount::DECIMAL(18,2) AS x2,
+    l_extendedprice::DECIMAL(18,2) AS y
+  FROM lineitem),
+m AS (
+  SELECT grp, count(*)::BIGINT AS n,
+    sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+    sum(x1 * x1) AS sx1x1, sum(x2 * x2) AS sx2x2, sum(x1 * x2) AS sx1x2,
+    sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y
+  FROM d GROUP BY 1),
+k AS (
+  SELECT grp, n,
+    n::DOUBLE AS nd, sx1::DOUBLE AS a1, sx2::DOUBLE AS a2, sy::DOUBLE AS ay,
+    sx1x1::DOUBLE AS a11, sx2x2::DOUBLE AS a22, sx1x2::DOUBLE AS a12,
+    sx1y::DOUBLE AS a1y, sx2y::DOUBLE AS a2y
+  FROM m),
+c AS (
+  SELECT grp, n, nd, a1, a2, ay,
+    a11 - (a1 * a1) / nd + {_RIDGE_LAMBDA} AS c11,
+    a22 - (a2 * a2) / nd + {_RIDGE_LAMBDA} AS c22,
+    a12 - (a1 * a2) / nd AS c12,
+    a1y - (a1 * ay) / nd AS c1y,
+    a2y - (a2 * ay) / nd AS c2y
+  FROM k),
+s AS (
+  SELECT grp, n, nd, a1, a2, ay, c12,
+    (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+  FROM c)
+SELECT grp, n,
+  round(b1, 6) AS beta_quantity,
+  round(b2, 6) AS beta_discount,
+  round(ay / nd - b1 * (a1 / nd) - b2 * (a2 / nd), 6) AS intercept
+FROM s ORDER BY grp
+"""
+
+_MI_TOP_K = 30
+
+
+def q_token_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature selection for the in-engine classifiers: top-30 tokens by
+    mutual information between document-level token PRESENCE and the
+    lang class — the standard filter-method ranking (what you prune a
+    vocab with before training at 100 TB). Inputs are document-frequency
+    counts only (one distinct-pair agg + tiny class counts); the 2 x C
+    MI cell terms are closed-form from df_tc, n_c, df_t, N. ln terms are
+    9-dec rounded and decimal-summed (the classify.py convention), and
+    the ranking tie-breaks on the token string."""
+    docs = _t(spark, sf_dir, "documents")
+    pres = (
+        docs.select(
+            F.col("doc_id"),
+            F.col("lang").alias("c"),
+            F.explode(F.array_distinct(dt.tokens("text"))).alias("t"),
+        )
+        .groupBy("t", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_tc"))
+    )
+    cls = docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    df_t = pres.groupBy("t").agg(F.sum("df_tc").cast("long").alias("df_t"))
+    # Complete the (token x class) grid so absent (t, c) cells (df_tc=0)
+    # still contribute their "token absent in class" term.
+    grid = df_t.crossJoin(F.broadcast(cls)).crossJoin(F.broadcast(tot))
+    full = grid.join(pres, ["t", "c"], "left").select(
+        "t",
+        "c",
+        "df_t",
+        "n_c",
+        "N",
+        F.coalesce(F.col("df_tc"), F.lit(0)).cast("long").alias("df_tc"),
+    )
+    nN = F.col("N").cast("double")
+    present = F.col("df_tc").cast("double")
+    absent = (F.col("n_c") - F.col("df_tc")).cast("double")
+    term_p = F.when(
+        F.col("df_tc") > 0,
+        F.round(
+            (present / nN)
+            * F.round(
+                F.log(
+                    (nN * present)
+                    / (F.col("df_t").cast("double") * F.col("n_c").cast("double"))
+                ),
+                9,
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    term_a = F.when(
+        (F.col("n_c") - F.col("df_tc") > 0) & (F.col("N") - F.col("df_t") > 0),
+        F.round(
+            (absent / nN)
+            * F.round(
+                F.log(
+                    (nN * absent)
+                    / (
+                        (F.col("N") - F.col("df_t")).cast("double")
+                        * F.col("n_c").cast("double")
+                    )
+                ),
+                9,
+            ),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    mi = full.groupBy("t").agg(
+        F.sum(term_p.cast("decimal(28,9)") + term_a.cast("decimal(28,9)")).alias("_mi"),
+        F.max("df_t").alias("df_t"),
+    )
+    # Top-k FIRST (TakeOrderedAndProject: per-partition partial top-k
+    # over the vocab-sized MI frame), THEN rank the 30 survivors — a
+    # global rank window here would funnel the whole vocabulary through
+    # one partition (same limit-then-rank shape as copurchase_pairs).
+    top = mi.orderBy(F.col("_mi").desc(), F.col("t").asc()).limit(_MI_TOP_K)
+    w = Window.orderBy(F.col("_mi").desc(), F.col("t").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank",
+        F.col("t").alias("token"),
+        "df_t",
+        F.round(F.col("_mi").cast("double"), 6).alias("mutual_info"),
+    )
+
+
+SQL_TOKEN_MUTUAL_INFO = f"""
+WITH pres AS (
+  SELECT t, lang AS c, count(*)::BIGINT AS df_tc FROM (
+    SELECT doc_id, lang, unnest(list_distinct(string_split({_NORM}, ' ')))
+      AS t
+    FROM documents) GROUP BY 1, 2),
+cls AS (SELECT lang AS c, count(*)::BIGINT AS n_c FROM documents GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS N FROM documents),
+dft AS (SELECT t, sum(df_tc)::BIGINT AS df_t FROM pres GROUP BY 1),
+grid AS (SELECT d.t, d.df_t, c.c, c.n_c, tot.N FROM dft d, cls c, tot),
+full_ AS (
+  SELECT g.t, g.c, g.df_t, g.n_c, g.N,
+    coalesce(p.df_tc, 0)::BIGINT AS df_tc
+  FROM grid g LEFT JOIN pres p ON p.t = g.t AND p.c = g.c),
+terms AS (
+  SELECT t, df_t,
+    CAST(CASE WHEN df_tc > 0 THEN
+      round((df_tc::DOUBLE / N::DOUBLE)
+        * round(ln((N::DOUBLE * df_tc::DOUBLE)
+                   / (df_t::DOUBLE * n_c::DOUBLE)), 9), 9)
+      ELSE 0.0 END AS DECIMAL(28,9))
+    + CAST(CASE WHEN n_c - df_tc > 0 AND N - df_t > 0 THEN
+      round(((n_c - df_tc)::DOUBLE / N::DOUBLE)
+        * round(ln((N::DOUBLE * (n_c - df_tc)::DOUBLE)
+                   / ((N - df_t)::DOUBLE * n_c::DOUBLE)), 9), 9)
+      ELSE 0.0 END AS DECIMAL(28,9)) AS term
+  FROM full_),
+mi AS (SELECT t, sum(term) AS mi_, max(df_t) AS df_t FROM terms GROUP BY 1)
+SELECT row_number() OVER (ORDER BY mi_ DESC, t ASC)::BIGINT AS rank,
+  t AS token, df_t, round(CAST(mi_ AS DOUBLE), 6) AS mutual_info
+FROM mi ORDER BY mi_ DESC, t ASC LIMIT {_MI_TOP_K}
+"""
+
+
+REGISTRY.update(
+    {
+        "shipping_priority": QuerySpec(
+            q_shipping_priority,
+            SQL_SHIPPING_PRIORITY,
+            "Q3-shaped: filter-pushed 3-way join, partial top-k",
+        ),
+        "ridge_regression": QuerySpec(
+            q_ridge_regression,
+            SQL_RIDGE_REGRESSION,
+            "grouped 2-feature ridge: closed-form from decimal moments",
+        ),
+        "token_mutual_info": QuerySpec(
+            q_token_mutual_info,
+            SQL_TOKEN_MUTUAL_INFO,
+            "MI feature ranking: presence vs class, closed-form cells",
         ),
     }
 )

@@ -253,15 +253,19 @@ def test_jaccard_link_prediction_excludes_edges_and_hubs(spark):
 
 
 def test_poisson_bootstrap_weight_replay(spark):
-    """The replicate-0 weight for id=42 replays the md5 hash exactly:
-    u = 0x(md5('boot:0:42')[:7])/2^28 = 0.13042... -> Poisson ladder
-    k=0, so id 42 contributes nothing to replicate 0."""
+    """Replicate weights replay the digest windowing exactly: replicate
+    b reads 28-bit window b%2 of the 56-bit int from 14-hex half
+    (b%4)//2 of md5('boot:{b div 4}:id'). For id=42: rep 0 -> u=0.54263
+    -> Poisson k=1 (row kept, mean = v); rep 1 -> u=0.13042 -> k=0 (row
+    dropped). Hand-replayed with hashlib."""
     from d2b_dataframework_spark.operators.stats import poisson_bootstrap_means
 
     df = spark.createDataFrame([("g", 42, 10.0)], "grp string, id long, v double")
-    reps = poisson_bootstrap_means(df, "grp", "v", "id", n_reps=1)
-    # sum of weights is 0 -> the (group, rep) row is dropped entirely
-    assert reps.collect() == []
+    got = {
+        r["rep"]: (r["rep_mean"], r["n_eff"])
+        for r in poisson_bootstrap_means(df, "grp", "v", "id", n_reps=2).collect()
+    }
+    assert got == {0: (10.0, 1)}  # rep 1 weight 0 -> dropped
 
 
 def test_bootstrap_ci_constant_collapses(spark):
@@ -574,3 +578,90 @@ def test_lsh_recall_eval_no_true_pairs_null_recall(spark):
     )
     r = lsh_recall_eval(docs, threshold=0.7).collect()[0]
     assert (r["n_true"], r["n_hit"], r["recall"]) == (0, 0, None)
+
+
+def test_shipping_priority_filters_and_revenue(spark, tmp_path):
+    """One BUILDING order before the cutoff with one line shipping after
+    it: revenue = 100 * (1 - 0.1) = 90. The non-BUILDING order and the
+    early-shipping line are filtered out."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_shipping_priority
+
+    d = str(tmp_path)
+    ts = dt.datetime
+    spark.createDataFrame(
+        [(1, "C1", 1, 0.0, "BUILDING"), (2, "C2", 1, 0.0, "MACHINERY")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, "O", 0.0, ts(1999, 1, 1), "1-URGENT"),
+         (11, 2, "O", 0.0, ts(1999, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 100.0, 0.1, 0.0, "N", "O", ts(1999, 8, 1)),
+         (10, 1, 1, 2, 1.0, 500.0, 0.0, 0.0, "N", "O", ts(1999, 2, 1)),
+         (11, 1, 1, 1, 1.0, 700.0, 0.0, 0.0, "N", "O", ts(1999, 8, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    rows = q_shipping_priority(spark, d).collect()
+    assert [(r["o_orderkey"], r["revenue"]) for r in rows] == [(10, 90.0)]
+
+
+def test_ridge_regression_matches_numpy_solve(spark):
+    """Closed-form 2x2 ridge equals numpy's linalg.solve on the centered
+    normal equations (independent arithmetic path)."""
+    import numpy as np
+
+    from d2b_dataframework_spark.plans.queries import _RIDGE_LAMBDA
+    from d2b_dataframework_spark.plans import queries as Q
+
+    rows = [
+        ("A", 1.0, 0.0, 10.0), ("A", 2.0, 0.1, 19.0), ("A", 3.0, 0.0, 31.0),
+        ("A", 4.0, 0.2, 38.0), ("A", 5.0, 0.1, 52.0),
+    ]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(g, x1, x2, y) for g, x1, x2, y in rows],
+        "l_returnflag string, l_quantity double, l_discount double,"
+        " l_extendedprice double",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    got = Q.q_ridge_regression(spark, d).collect()[0]
+
+    x = np.array([[x1, x2] for _, x1, x2, _ in rows])
+    y = np.array([y for *_, y in rows])
+    n = len(rows)
+    xc = x - x.mean(axis=0)
+    yc = y - y.mean()
+    a = xc.T @ xc + _RIDGE_LAMBDA * np.eye(2)
+    beta = np.linalg.solve(a, xc.T @ yc)
+    b0 = y.mean() - beta @ x.mean(axis=0)
+    assert abs(got["beta_quantity"] - beta[0]) < 1e-5
+    assert abs(got["beta_discount"] - beta[1]) < 1e-5
+    assert abs(got["intercept"] - b0) < 1e-5
+
+
+def test_token_mutual_info_perfectly_separating_token(spark, tmp_path):
+    """A token present in every class-A doc and no class-B doc has
+    MI = ln 2 (classes balanced); a token in every doc has MI 0."""
+    import math
+
+    from d2b_dataframework_spark.plans.queries import q_token_mutual_info
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aaa common", "A", "s", 10), (2, "aaa common", "A", "s", 10),
+         (3, "bbb common", "B", "s", 10), (4, "bbb common", "B", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["token"]: r["mutual_info"] for r in q_token_mutual_info(spark, d).collect()}
+    assert abs(got["aaa"] - math.log(2)) < 1e-5
+    assert abs(got["bbb"] - math.log(2)) < 1e-5
+    assert got["common"] == 0.0
