@@ -447,3 +447,71 @@ def jaccard_link_prediction(
         )
     )
     return track(scored, e)
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, made DETERMINISTIC): every node starts with its own id as
+    label; each iteration relabels every node with the most frequent
+    label among its neighbors, ties broken by the SMALLEST label, all
+    nodes updating from the previous iteration's labels (no sequential
+    order-dependence, no RNG — identical output on any engine/cluster
+    layout). Isolated or tie-free convergence is typically reached in a
+    handful of iterations; callers fix ``iterations`` so the oracle can
+    unroll the same stages.
+
+    Scale shape per iteration: one join of the (undirected, both
+    directions materialized) edge list against the current label frame
+    on the node key, one (node, label) count agg, one argmax-by-struct
+    agg (map-side combinable, no window over the node set), one left
+    join back to carry labels of neighbor-less nodes. Labels are node
+    ids (longs) — the frame never exceeds |V| rows, and each iteration
+    is persisted + released like pagerank to keep lineage flat.
+
+    Returns (node, label) — final community assignment.
+    """
+    inc = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("peer"))
+        .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("peer")))
+        .persist()
+    )
+    nodes = inc.select("node").distinct()
+    # labels carries a DISTINCT column name (_lnode) — it derives from
+    # ``inc``, and a same-lineage self-join on an identically-named
+    # column is ambiguous to the analyzer.
+    labels = nodes.select(
+        F.col("node").alias("_lnode"), F.col("node").alias("label")
+    ).persist()
+    labels.count()
+    for _ in range(iterations):
+        nb = inc.join(labels, inc.peer == labels._lnode, "inner").select(
+            inc.node.alias("n"), F.col("label")
+        )
+        counts = nb.groupBy("n", "label").agg(F.count(F.lit(1)).alias("_c"))
+        best = (
+            counts.groupBy("n")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("_b")
+            )
+            .select(F.col("n").alias("_bnode"), F.col("_b.l").alias("new_label"))
+        )
+        nxt = labels.join(
+            best, labels._lnode == best._bnode, "left"
+        ).select(
+            F.col("_lnode"), F.coalesce("new_label", "label").alias("label")
+        )
+        nxt = nxt.persist()
+        nxt.count()
+        labels.unpersist()
+        labels = nxt
+    out = labels.select(F.col("_lnode").alias("node"), "label")
+    from d2b_dataframework_spark.datapipe import cache
+
+    return cache.track(out, labels, inc)

@@ -2162,6 +2162,9 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "shipping_priority",
     "ridge_regression",
     "token_mutual_info",
+    "label_propagation",
+    "item_item_cf",
+    "event_regex_match",
 )
 
 
@@ -12613,6 +12616,220 @@ REGISTRY.update(
             q_token_mutual_info,
             SQL_TOKEN_MUTUAL_INFO,
             "MI feature ranking: presence vs class, closed-form cells",
+        ),
+    }
+)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (datapipe/graph.py:label_propagation) over the support>=2
+    co-purchase graph: 3 fixed iterations, mode-of-neighbors relabeling
+    with smallest-label tie-break — the linear-time community detector
+    (vs the triangle/k-core structural screens). The oracle unrolls the
+    identical three stages with a window argmax per iteration."""
+    from d2b_dataframework_spark.datapipe.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    out = label_propagation(edges, iterations=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    ).orderBy("node")
+
+
+def _sql_label_propagation(iterations: int = 3) -> str:
+    prev = "l0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+cnt{i} AS (
+  SELECT inc.node AS n, l.label, count(*) AS c
+  FROM inc JOIN {prev} l ON l.node = inc.peer GROUP BY 1, 2),
+best{i} AS (
+  SELECT n AS node, label AS new_label FROM (
+    SELECT n, label,
+      row_number() OVER (PARTITION BY n ORDER BY c DESC, label ASC) AS rn
+    FROM cnt{i}) WHERE rn = 1),
+l{i} AS (
+  SELECT p.node, coalesce(b.new_label, p.label) AS label
+  FROM {prev} p LEFT JOIN best{i} b ON b.node = p.node)""")
+        prev = f"l{i}"
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+inc AS (SELECT s AS node, d AS peer FROM e UNION ALL SELECT d, s FROM e),
+l0 AS (SELECT DISTINCT node, node AS label FROM inc),
+{", ".join(it.strip() for it in iters)}
+SELECT node::BIGINT AS node, label::BIGINT AS label FROM {prev}
+ORDER BY node
+"""
+
+
+def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering from order baskets: cosine
+    similarity between parts via co-occurrence counts
+    (sim = c_ab / sqrt(c_a * c_b)), top-5 neighbors per part — the
+    classic memory-based recommender built from the SAME basket-blocked
+    self-join as copurchase_pairs (pairs ~ basket^2 per order, never
+    corpus^2). sqrt is correctly-rounded IEEE — identical both
+    engines; ranking tie-breaks (cosine, support, neighbor id)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    c_item = items.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_i")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("item_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    sim = (
+        pairs.join(c_item.withColumnRenamed("item", "item_a").withColumnRenamed("c_i", "c_a"), "item_a")
+        .join(c_item.withColumnRenamed("item", "item_b").withColumnRenamed("c_i", "c_b"), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                / F.sqrt(F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine").desc(), F.col("support").desc(), F.col("item_b").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("item_a").cast("long").alias("item"),
+            "rank",
+            F.col("item_b").cast("long").alias("neighbor"),
+            "support",
+            "cosine",
+        )
+        .orderBy("item", "rank")
+    )
+
+
+SQL_ITEM_ITEM_CF = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+c_item AS (SELECT l_partkey AS item, count(*)::BIGINT AS c_i
+  FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+    count(*)::BIGINT AS support
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+sim AS (
+  SELECT p.item_a, p.item_b, p.support,
+    round(p.support::DOUBLE / sqrt(ca.c_i::DOUBLE * cb.c_i::DOUBLE), 6)
+      AS cosine
+  FROM pairs p
+  JOIN c_item ca ON ca.item = p.item_a
+  JOIN c_item cb ON cb.item = p.item_b),
+ranked AS (
+  SELECT item_a, item_b, support, cosine,
+    row_number() OVER (PARTITION BY item_a
+      ORDER BY cosine DESC, support DESC, item_b ASC) AS rn
+  FROM sim)
+SELECT item_a::BIGINT AS item, rn::BIGINT AS rank,
+  item_b::BIGINT AS neighbor, support, cosine
+FROM ranked WHERE rn <= 5 ORDER BY item, rank
+"""
+
+_FUNNEL_REGEX = "v[^p]*c[^p]*p"
+
+
+def q_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite pattern matching over per-user event sequences
+    (MATCH_RECOGNIZE shape without the parser): each user's events
+    collapse — in exact (ts, event_id) order — into a compact
+    initial-letter string, and a regex counts view -> click -> purchase
+    funnels with no intervening purchase ('v[^p]*c[^p]*p',
+    non-overlapping scan, identical greedy semantics both engines).
+    One groupBy + per-row regex; sequences live INSIDE rows (bounded by
+    per-user activity), never as a cross-row window."""
+    ev = _t(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("i")
+            ).alias("_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_s")), lambda x: x["i"]
+                ),
+                "",
+            ).alias("_seq"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return seq.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_events",
+        F.size(F.regexp_extract_all("_seq", F.lit(_FUNNEL_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("n_funnels"),
+    ).orderBy("user_id")
+
+
+SQL_EVENT_REGEX_MATCH = f"""
+WITH seq AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+      AS s,
+    count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1)
+SELECT user_id::BIGINT AS user_id, n_events,
+  len(regexp_extract_all(s, '{_FUNNEL_REGEX}'))::BIGINT AS n_funnels
+FROM seq ORDER BY user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "label_propagation": QuerySpec(
+            q_label_propagation,
+            _sql_label_propagation(3),
+            "deterministic sync LPA communities, 3 unrolled iterations",
+        ),
+        "item_item_cf": QuerySpec(
+            q_item_item_cf,
+            SQL_ITEM_ITEM_CF,
+            "item-item CF: basket-blocked cosine, top-5 per item",
+        ),
+        "event_regex_match": QuerySpec(
+            q_event_regex_match,
+            SQL_EVENT_REGEX_MATCH,
+            "CEP-lite: regex funnel count over in-row event strings",
         ),
     }
 )

@@ -665,3 +665,72 @@ def test_token_mutual_info_perfectly_separating_token(spark, tmp_path):
     assert abs(got["aaa"] - math.log(2)) < 1e-5
     assert abs(got["bbb"] - math.log(2)) < 1e-5
     assert got["common"] == 0.0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles bridged by one edge: after 3 sync iterations every
+    node in each triangle carries its triangle's smallest id; the
+    smaller-id community absorbs the bridge endpoint's ties
+    deterministically (min-label tie-break)."""
+    from d2b_dataframework_spark.datapipe.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iterations=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    # the bridge must not merge the triangles into one community
+    assert got[10] != 1
+
+
+def test_label_propagation_star_oscillates_deterministically(spark):
+    """A star 1-(2,3,4) is bipartite, the textbook sync-LPA oscillator —
+    the point of the test is that the oscillation is DETERMINISTIC:
+    iter1: hub -> min(2,3,4)=2, leaves -> 1;
+    iter2: hub -> 1 (all leaves say 1), leaves -> 2 (hub said 2).
+    Exactly reproducible at any partitioning."""
+    from d2b_dataframework_spark.datapipe.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    got1 = {r["node"]: r["label"] for r in label_propagation(edges, iterations=1).collect()}
+    assert got1 == {1: 2, 2: 1, 3: 1, 4: 1}
+    got2 = {r["node"]: r["label"] for r in label_propagation(edges, iterations=2).collect()}
+    assert got2 == {1: 1, 2: 2, 3: 2, 4: 2}
+
+
+def test_item_item_cf_hand_computed(spark, tmp_path):
+    """Parts 7 and 8 co-occur in 3 of their baskets: c_7=4, c_8=3,
+    support=3 -> cosine = 3/sqrt(12) = 0.866025."""
+    from d2b_dataframework_spark.plans.queries import q_item_item_cf
+
+    d = str(tmp_path)
+    rows = []
+    # orders 1-3 contain both 7 and 8; order 4 contains only 7
+    for ok in (1, 2, 3):
+        rows += [(ok, 7), (ok, 8)]
+    rows += [(4, 7)]
+    spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O") for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    got = {(r["item"], r["neighbor"]): (r["support"], r["cosine"])
+           for r in q_item_item_cf(spark, d).collect()}
+    assert got[(7, 8)] == (3, 0.866025)
+    assert got[(8, 7)] == (3, 0.866025)
+
+
+def test_event_regex_match_counts_non_overlapping_funnels(spark):
+    """Sequence 'vcpvcp' has two disjoint v->c->p funnels; 'vcvc' has
+    none (no purchase); a purchase BETWEEN view and click
+    ('vpcp' -> v[^p]*c fails across the first p) yields zero."""
+    from d2b_dataframework_spark.plans.queries import _FUNNEL_REGEX
+    import re
+
+    assert len(re.findall(_FUNNEL_REGEX, "vcpvcp")) == 2
+    assert len(re.findall(_FUNNEL_REGEX, "vcvc")) == 0
+    assert len(re.findall(_FUNNEL_REGEX, "vpcp")) == 0
+    assert len(re.findall(_FUNNEL_REGEX, "vsecsp")) == 1
