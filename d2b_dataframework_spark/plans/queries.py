@@ -2165,6 +2165,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "label_propagation",
     "item_item_cf",
     "event_regex_match",
+    "order_priority_checking",
+    "promo_revenue_share",
 )
 
 
@@ -12830,6 +12832,119 @@ REGISTRY.update(
             q_event_regex_match,
             SQL_EVENT_REGEX_MATCH,
             "CEP-lite: regex funnel count over in-row event strings",
+        ),
+    }
+)
+
+
+def q_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders from one quarter
+    with AT LEAST ONE slow line (shipped > 30 days after the order
+    date), counted per priority. The EXISTS correlation is a LEFT SEMI
+    join on the order key — one pass over lineitem, no duplicate-then-
+    distinct, fact-side filters pushed to both scans."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    slow = li.join(
+        orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).filter(
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 30)
+    ).select("l_orderkey")
+    return (
+        orders.join(slow, orders.o_orderkey == slow.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_PRIORITY_CHECKING = """
+SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate::DATE >= DATE '1998-01-01'
+  AND o.o_orderdate::DATE < DATE '1998-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate::DATE > o.o_orderdate::DATE + INTERVAL 30 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect, per month of 1998: share of
+    discounted revenue coming from PROMO-type parts — one conditional
+    aggregation over the lineitem ⋈ part join (part broadcast), exact
+    decimal sums for both numerator and denominator, single double
+    division at the end."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1999-01-01").cast("date"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL)
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
+            .alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            "month",
+            F.col("_promo").cast("double").alias("promo_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
+            F.round(
+                F.lit(100.0)
+                * (F.col("_promo").cast("double") / F.col("_total").cast("double")),
+                6,
+            ).alias("promo_share_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH j AS (
+  SELECT strftime(l.l_shipdate, '%Y-%m') AS month, p.p_type,
+    l.l_extendedprice::DECIMAL(12,2)
+      * (CAST(1 AS DECIMAL(4,2)) - l.l_discount::DECIMAL(4,2)) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate::DATE >= DATE '1998-01-01'
+    AND l.l_shipdate::DATE < DATE '1999-01-01'),
+m AS (
+  SELECT month,
+    sum(CASE WHEN p_type = 'PROMO' THEN rev
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo,
+    sum(rev) AS total
+  FROM j GROUP BY 1)
+SELECT month, CAST(promo AS DOUBLE) AS promo_revenue,
+  CAST(total AS DOUBLE) AS total_revenue,
+  round(100.0 * (CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+    AS promo_share_pct
+FROM m ORDER BY month
+"""
+
+
+REGISTRY.update(
+    {
+        "order_priority_checking": QuerySpec(
+            q_order_priority_checking,
+            SQL_ORDER_PRIORITY_CHECKING,
+            "Q4-shaped: EXISTS as left-semi, filters pushed",
+        ),
+        "promo_revenue_share": QuerySpec(
+            q_promo_revenue_share,
+            SQL_PROMO_REVENUE_SHARE,
+            "Q14-shaped: conditional decimal agg over broadcast join",
         ),
     }
 )

@@ -734,3 +734,61 @@ def test_event_regex_match_counts_non_overlapping_funnels(spark):
     assert len(re.findall(_FUNNEL_REGEX, "vcvc")) == 0
     assert len(re.findall(_FUNNEL_REGEX, "vpcp")) == 0
     assert len(re.findall(_FUNNEL_REGEX, "vsecsp")) == 1
+
+
+def test_order_priority_checking_semi_join(spark, tmp_path):
+    """Order 10 (in window, one slow line) counts once despite two slow
+    lines; order 11 (no slow line) and order 12 (outside window) do
+    not count."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_order_priority_checking
+
+    d = str(tmp_path)
+    ts = dt.datetime
+    spark.createDataFrame(
+        [(10, 1, "O", 0.0, ts(1998, 2, 1), "1-URGENT"),
+         (11, 1, "O", 0.0, ts(1998, 2, 1), "1-URGENT"),
+         (12, 1, "O", 0.0, ts(1997, 2, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(1998, 4, 1)),
+         (10, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(1998, 5, 1)),
+         (11, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(1998, 2, 10)),
+         (12, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(1997, 6, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    rows = q_order_priority_checking(spark, d).collect()
+    assert [(r["o_orderpriority"], r["order_count"]) for r in rows] == [("1-URGENT", 1)]
+
+
+def test_promo_revenue_share_conditional_agg(spark, tmp_path):
+    """One PROMO line (rev 90) + one STANDARD line (rev 100) in the same
+    month -> share = 100*90/190 = 47.368421."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_promo_revenue_share
+
+    d = str(tmp_path)
+    ts = dt.datetime
+    spark.createDataFrame(
+        [(1, "p1", "B", "PROMO", 1, 1.0), (2, "p2", "B", "STANDARD", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 100.0, 0.1, 0.0, "N", "O", ts(1998, 3, 5)),
+         (1, 2, 1, 2, 1.0, 100.0, 0.0, 0.0, "N", "O", ts(1998, 3, 9))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    r = q_promo_revenue_share(spark, d).collect()[0]
+    assert (r["month"], r["promo_revenue"], r["total_revenue"]) == ("1998-03", 90.0, 190.0)
+    assert r["promo_share_pct"] == 47.368421

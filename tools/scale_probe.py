@@ -317,6 +317,47 @@ def _rake(docs):
     return rake_keywords(docs, top_k=20, max_phrase_len=4)
 
 
+def _lpa(docs, mult=1):
+    """Same constant-average-degree synthetic graph as _kcore: 3 sync
+    LPA iterations are each one label join + two aggs — ~linear in
+    edges is the contract."""
+    from d2b_dataframework_spark.datapipe.graph import label_propagation
+
+    n_nodes = 20000 * mult
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    edges = docs.select(
+        F.pmod(h("la"), F.lit(n_nodes)).alias("_u"),
+        F.pmod(h("lb"), F.lit(n_nodes)).alias("_v"),
+    ).select(
+        F.least("_u", "_v").alias("src"), F.greatest("_u", "_v").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    return label_propagation(edges, iterations=3)
+
+
+def _mi(docs):
+    """Presence counts + grid join: vocab grows with the replica-
+    prefixed corpus; classes stay 5 — ~linear."""
+    from pyspark.sql import Window
+    from d2b_dataframework_spark.datapipe.text import tokens as _toks
+
+    pres = (
+        docs.select(
+            "doc_id", F.col("lang").alias("c"),
+            F.explode(F.array_distinct(_toks("text"))).alias("t"),
+        )
+        .groupBy("t", "c").agg(F.count(F.lit(1)).alias("df_tc"))
+    )
+    return pres.groupBy("t").agg(F.sum("df_tc").alias("df_t")).orderBy(
+        F.col("df_t").desc(), F.col("t").asc()
+    ).limit(30)
+
+
 def _nb(docs):
     """Train on even docs, score odd docs — both sides grow with the
     corpus; the model join shuffles on the token key, so ~linear."""
@@ -425,6 +466,11 @@ def main() -> None:
         # token-key shuffle join. Vocab grows with replica-prefixed
         # corpus, so both sides scale — ~linear is the contract.
         "naive_bayes": lambda d, e: _nb(d),
+        # Sync LPA: per-iteration cost = one edge-label join + two aggs
+        # on a constant-average-degree graph — ~linear in edges.
+        "label_prop_3iter": lambda d, e, m=1: _lpa(d, m),
+        # MI's heavy stage (presence df counts over the growing vocab).
+        "token_mi_counts": lambda d, e: _mi(d),
     }
 
     only = set(sys.argv[2:])  # optional op-name filter
