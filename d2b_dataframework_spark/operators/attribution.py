@@ -171,3 +171,92 @@ def time_decay_attribution(
             "attributed_value"
         ),
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    tiebreaker: str = "event_id",
+    first_w: float = 0.4,
+    last_w: float = 0.4,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: per
+    conversion, the FIRST touch gets ``first_w`` of the value, the LAST
+    gets ``last_w``, the middle touches split the remainder evenly; a
+    single touch gets 1.0, exactly two get first_w/(first_w+last_w)
+    each side — the marketing-standard 40/20/40 recipe completing the
+    engine's last-touch / time-decay family.
+
+    Distributed shape: the SAME one-window conversion assignment as
+    time_decay_attribution (min forward composite key per user), then a
+    per-conversion count + two rank windows (partitioned by conversion
+    key — parallel), weights as exact rational doubles, value x weight
+    rounded to 9 and summed in DECIMAL. Returns (touch_type, n_touches,
+    attributed_value)."""
+    key = F.format_string(
+        "%020d%020d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(tiebreaker),
+    )
+    is_conv = F.col(type_col) == conversion_type
+    fwd = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreaker).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    staged = events.withColumn("_key", key).withColumn(
+        "_conv_key", F.min(F.when(is_conv, key)).over(fwd)
+    )
+    touches = staged.filter(
+        F.col(type_col).isin(*touch_types) & F.col("_conv_key").isNotNull()
+    ).select(
+        user_col,
+        F.col(type_col).alias("_touch"),
+        "_key",
+        "_conv_key",
+    )
+    wa = Window.partitionBy(user_col, "_conv_key").orderBy(F.col("_key").asc())
+    wd = Window.partitionBy(user_col, "_conv_key").orderBy(F.col("_key").desc())
+    ranked = touches.select(
+        user_col,
+        "_touch",
+        "_conv_key",
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wd).alias("_rd"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(user_col, "_conv_key")
+        ).alias("_n"),
+    )
+    mid_w = 1.0 - first_w - last_w
+    weight = (
+        F.when(F.col("_n") == 1, F.lit(1.0))
+        .when(
+            F.col("_n") == 2,
+            F.when(
+                F.col("_ra") == 1, F.lit(first_w / (first_w + last_w))
+            ).otherwise(F.lit(last_w / (first_w + last_w))),
+        )
+        .when(F.col("_ra") == 1, F.lit(first_w))
+        .when(F.col("_rd") == 1, F.lit(last_w))
+        .otherwise(F.lit(mid_w) / (F.col("_n") - 2).cast("double"))
+    )
+    convs = events.filter(is_conv).select(
+        user_col,
+        key.alias("_conv_key"),
+        F.col(value_col).cast("decimal(18,2)").alias("_cv"),
+    )
+    credited = ranked.join(convs, [user_col, "_conv_key"]).select(
+        "_touch",
+        F.round(weight * F.col("_cv").cast("double"), 9).cast("decimal(28,9)").alias(
+            "_credit"
+        ),
+    )
+    return credited.groupBy(F.col("_touch").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(F.sum("_credit").cast("double"), 6).alias("attributed_value"),
+    )

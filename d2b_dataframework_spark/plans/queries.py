@@ -2167,6 +2167,9 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "event_regex_match",
     "order_priority_checking",
     "promo_revenue_share",
+    "community_modularity",
+    "matryoshka_recall",
+    "attribution_position",
 )
 
 
@@ -12651,7 +12654,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
-def _sql_label_propagation(iterations: int = 3) -> str:
+def _sql_lpa_ctes(iterations: int = 3) -> tuple[str, str]:
     prev = "l0"
     iters = []
     for i in range(1, iterations + 1):
@@ -12668,7 +12671,7 @@ l{i} AS (
   SELECT p.node, coalesce(b.new_label, p.label) AS label
   FROM {prev} p LEFT JOIN best{i} b ON b.node = p.node)""")
         prev = f"l{i}"
-    return f"""
+    ctes = f"""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
   SELECT a.l_partkey AS s, b.l_partkey AS d
@@ -12677,8 +12680,14 @@ e AS (
   GROUP BY 1, 2 HAVING count(*) >= 2),
 inc AS (SELECT s AS node, d AS peer FROM e UNION ALL SELECT d, s FROM e),
 l0 AS (SELECT DISTINCT node, node AS label FROM inc),
-{", ".join(it.strip() for it in iters)}
-SELECT node::BIGINT AS node, label::BIGINT AS label FROM {prev}
+{", ".join(it.strip() for it in iters)}"""
+    return ctes, prev
+
+
+def _sql_label_propagation(iterations: int = 3) -> str:
+    ctes, final = _sql_lpa_ctes(iterations)
+    return f"""{ctes}
+SELECT node::BIGINT AS node, label::BIGINT AS label FROM {final}
 ORDER BY node
 """
 
@@ -12945,6 +12954,253 @@ REGISTRY.update(
             q_promo_revenue_share,
             SQL_PROMO_REVENUE_SHARE,
             "Q14-shaped: conditional decimal agg over broadcast join",
+        ),
+    }
+)
+
+
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition on the
+    co-purchase graph: Q = sum_c (e_c/m - (d_c/(2m))^2) — the standard
+    "is this community structure better than random?" score, computed
+    from two aggregations over the labeled edge list (within-community
+    edge counts + community degree sums). Per-community terms are
+    9-dec rounded and decimal-summed (order-independent)."""
+    from d2b_dataframework_spark.datapipe.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    labels = label_propagation(edges, iterations=3)
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("_la"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("_lb"))
+    lab_edges = edges.join(ls, "src").join(ld, "dst")
+    m = lab_edges.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    within = (
+        lab_edges.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_ec"))
+    )
+    deg = (
+        lab_edges.select(F.col("_la").alias("label"))
+        .unionByName(lab_edges.select(F.col("_lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("_dc"))
+    )
+    per_c = (
+        deg.join(within, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.round(
+                F.coalesce(F.col("_ec"), F.lit(0)).cast("double")
+                / F.col("_m").cast("double")
+                - (
+                    F.col("_dc").cast("double")
+                    / (F.lit(2.0) * F.col("_m").cast("double"))
+                )
+                * (
+                    F.col("_dc").cast("double")
+                    / (F.lit(2.0) * F.col("_m").cast("double"))
+                ),
+                9,
+            ).cast("decimal(28,9)").alias("_q")
+        )
+    )
+    return (
+        per_c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.round(F.sum("_q").cast("double"), 6).alias("modularity"),
+        )
+        .crossJoin(F.broadcast(m))
+        .select("n_communities", F.col("_m").alias("n_edges"), "modularity")
+    )
+
+
+def _sql_community_modularity() -> str:
+    ctes, final = _sql_lpa_ctes(3)
+    return f"""{ctes},
+lab_edges AS (
+  SELECT e.s, e.d, la.label AS cla, lb.label AS clb
+  FROM e JOIN {final} la ON la.node = e.s JOIN {final} lb ON lb.node = e.d),
+mm AS (SELECT count(*)::BIGINT AS m FROM lab_edges),
+within AS (
+  SELECT cla AS label, count(*)::BIGINT AS ec FROM lab_edges
+  WHERE cla = clb GROUP BY 1),
+deg AS (
+  SELECT label, count(*)::BIGINT AS dc FROM (
+    SELECT cla AS label FROM lab_edges
+    UNION ALL SELECT clb AS label FROM lab_edges) GROUP BY 1),
+per_c AS (
+  SELECT CAST(round(
+    coalesce(w.ec, 0)::DOUBLE / mm.m::DOUBLE
+    - (d.dc::DOUBLE / (2.0 * mm.m::DOUBLE))
+      * (d.dc::DOUBLE / (2.0 * mm.m::DOUBLE)), 9) AS DECIMAL(28,9)) AS q
+  FROM deg d LEFT JOIN within w ON w.label = d.label CROSS JOIN mm)
+SELECT count(*)::BIGINT AS n_communities,
+  (SELECT m FROM mm) AS n_edges,
+  round(CAST(sum(q) AS DOUBLE), 6) AS modularity
+FROM per_c
+"""
+
+_MATRYOSHKA_DIMS = 16
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding audit: how much of exact full-dimension
+    cosine top-5 survives when ranking on only the FIRST 16 of 64
+    dimensions (MRL-style truncation — the modern cheap-first-pass
+    retrieval recipe)? Per query: overlap@5 between the two exact
+    rankings. Both legs reuse the engine's brute-force scorer; the
+    truncated leg just slices the array — same plan shape, 4x fewer
+    multiply-adds per pair, which IS the point being certified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    full = sim.brute_force_topk(emb, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("_nf")
+    )
+    trunc = sim.brute_force_topk(
+        emb.select("vec_id", F.slice("embedding", 1, _MATRYOSHKA_DIMS).alias("embedding")),
+        queries.select(
+            "vec_id", F.slice("embedding", 1, _MATRYOSHKA_DIMS).alias("embedding")
+        ),
+        k=5,
+    ).select("query_id", F.col("neighbor_id").alias("_nt"))
+    hit = full.join(
+        trunc, (full.query_id == trunc.query_id) & (F.col("_nf") == F.col("_nt"))
+    ).groupBy(full.query_id.alias("qid")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        full.groupBy(F.col("query_id").alias("qid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .join(hit, "qid", "left")
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            "k",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("overlap"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("k").cast("double"),
+                6,
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SQL_MATRYOSHKA_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+full_r AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        round(list_dot_product(qv, cv)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+          DESC, neighbor_id ASC) AS rn
+    FROM c CROSS JOIN q WHERE neighbor_id <> query_id) WHERE rn <= 5),
+trunc_r AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        round(list_dot_product(qv[1:{_MATRYOSHKA_DIMS}], cv[1:{_MATRYOSHKA_DIMS}])
+          / (sqrt(list_dot_product(qv[1:{_MATRYOSHKA_DIMS}], qv[1:{_MATRYOSHKA_DIMS}]))
+             * sqrt(list_dot_product(cv[1:{_MATRYOSHKA_DIMS}], cv[1:{_MATRYOSHKA_DIMS}]))), 6)
+          DESC, neighbor_id ASC) AS rn
+    FROM c CROSS JOIN q WHERE neighbor_id <> query_id) WHERE rn <= 5),
+hit AS (
+  SELECT f.query_id AS qid, count(*)::BIGINT AS n_hit
+  FROM full_r f JOIN trunc_r t
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY 1)
+SELECT f.query_id::BIGINT AS query_id, count(*)::BIGINT AS k,
+  coalesce(max(h.n_hit), 0)::BIGINT AS overlap,
+  round(coalesce(max(h.n_hit), 0)::DOUBLE / count(*)::DOUBLE, 6)
+    AS recall_at_5
+FROM full_r f LEFT JOIN hit h ON h.qid = f.query_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution
+    (operators/attribution.py:position_attribution) — completes the
+    last-touch / time-decay family: first and last touch of each
+    conversion get 40% of its value, middles split 20%."""
+    from d2b_dataframework_spark.operators.attribution import position_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return position_attribution(
+        ev, touch_types=["click", "view"], conversion_type="purchase"
+    ).orderBy("touch_type")
+
+
+SQL_ATTRIBUTION_POSITION = """
+WITH keyed AS (
+  SELECT user_id, event_type, value,
+    printf('%020d%020d', epoch_us(ts), event_id) AS k
+  FROM events),
+staged AS (
+  SELECT user_id, event_type, value, k,
+    min(CASE WHEN event_type = 'purchase' THEN k END)
+      OVER (PARTITION BY user_id ORDER BY k
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_key
+  FROM keyed),
+touches AS (
+  SELECT user_id, event_type AS touch, k, conv_key FROM staged
+  WHERE event_type IN ('click', 'view') AND conv_key IS NOT NULL),
+ranked AS (
+  SELECT user_id, touch, conv_key,
+    row_number() OVER (PARTITION BY user_id, conv_key ORDER BY k ASC) AS ra,
+    row_number() OVER (PARTITION BY user_id, conv_key ORDER BY k DESC) AS rd,
+    count(*) OVER (PARTITION BY user_id, conv_key) AS n
+  FROM touches),
+convs AS (
+  SELECT user_id, k AS conv_key, value::DECIMAL(18,2) AS cv
+  FROM keyed WHERE event_type = 'purchase'),
+credited AS (
+  SELECT r.touch,
+    CAST(round(
+      (CASE WHEN r.n = 1 THEN 1.0
+            WHEN r.n = 2 THEN 0.5
+            WHEN r.ra = 1 THEN 0.4
+            WHEN r.rd = 1 THEN 0.4
+            ELSE 0.19999999999999998 / (r.n - 2)::DOUBLE END)
+      * CAST(c.cv AS DOUBLE), 9) AS DECIMAL(28,9)) AS credit
+  FROM ranked r JOIN convs c
+    ON c.user_id = r.user_id AND c.conv_key = r.conv_key)
+SELECT touch AS touch_type, count(*)::BIGINT AS n_touches,
+  round(CAST(sum(credit) AS DOUBLE), 6) AS attributed_value
+FROM credited GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "community_modularity": QuerySpec(
+            q_community_modularity,
+            _sql_community_modularity(),
+            "Newman modularity of the LPA partition",
+        ),
+        "matryoshka_recall": QuerySpec(
+            q_matryoshka_recall,
+            SQL_MATRYOSHKA_RECALL,
+            "truncated-dim cosine recall vs full-dim exact top-5",
+        ),
+        "attribution_position": QuerySpec(
+            q_attribution_position,
+            SQL_ATTRIBUTION_POSITION,
+            "U-shaped 40/20/40 multi-touch attribution",
         ),
     }
 )

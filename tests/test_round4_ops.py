@@ -792,3 +792,78 @@ def test_promo_revenue_share_conditional_agg(spark, tmp_path):
     r = q_promo_revenue_share(spark, d).collect()[0]
     assert (r["month"], r["promo_revenue"], r["total_revenue"]) == ("1998-03", 90.0, 190.0)
     assert r["promo_share_pct"] == 47.368421
+
+
+def test_position_attribution_u_shape(spark):
+    """Four touches before one 100-value purchase: first and last get
+    40 each, the two middles 10 each; a single-touch conversion gets
+    the full value."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.operators.attribution import position_attribution
+
+    ts = dt.datetime
+    rows = [
+        # user 1: click, view, view, click -> purchase(100)
+        (1, 1, ts(2024, 1, 1, 10, 0), "click", 0.0),
+        (2, 1, ts(2024, 1, 1, 10, 1), "view", 0.0),
+        (3, 1, ts(2024, 1, 1, 10, 2), "view", 0.0),
+        (4, 1, ts(2024, 1, 1, 10, 3), "click", 0.0),
+        (5, 1, ts(2024, 1, 1, 10, 4), "purchase", 100.0),
+        # user 2: one view -> purchase(50)
+        (6, 2, ts(2024, 1, 1, 11, 0), "view", 0.0),
+        (7, 2, ts(2024, 1, 1, 11, 1), "purchase", 50.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["touch_type"]: (r["n_touches"], r["attributed_value"])
+           for r in position_attribution(ev, ["click", "view"], "purchase").collect()}
+    # user1: clicks get 40 (first) + 40 (last); views get 10 + 10
+    # user2: the lone view gets 50
+    assert got["click"] == (2, 80.0)
+    assert got["view"] == (3, 70.0)
+
+
+def test_matryoshka_recall_identical_prefix(spark, tmp_path):
+    """Vectors whose ranking is fully determined by the first 16 dims
+    give recall 1.0 (truncation loses nothing)."""
+    from d2b_dataframework_spark.plans.queries import q_matryoshka_recall
+
+    d = str(tmp_path)
+    rows = []
+    for i in range(12):
+        v = [0.0] * 64
+        v[i % 16] = 1.0  # signal entirely inside the prefix
+        v[16 + (i % 4)] = 0.0
+        rows.append((i, v, "a"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = q_matryoshka_recall(spark, d).collect()
+    assert all(r["recall_at_5"] == 1.0 for r in out)
+
+
+def test_community_modularity_two_cliques_positive(spark, tmp_path):
+    """Two disjoint triangles of co-purchased parts form two perfect
+    communities: modularity = 2 * (3/6 - (6/12)^2) = 0.5."""
+    from d2b_dataframework_spark.plans.queries import q_community_modularity
+
+    d = str(tmp_path)
+    rows = []
+    # orders repeat each triangle edge twice so support >= 2 holds
+    oid = 0
+    for tri in [(1, 2, 3), (10, 11, 12)]:
+        for a_, b_ in [(tri[0], tri[1]), (tri[0], tri[2]), (tri[1], tri[2])]:
+            for _ in range(2):
+                oid += 1
+                rows += [(oid, a_), (oid, b_)]
+    spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O") for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    r = q_community_modularity(spark, d).collect()[0]
+    assert (r["n_communities"], r["n_edges"]) == (2, 6)
+    assert r["modularity"] == 0.5
