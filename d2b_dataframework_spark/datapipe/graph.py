@@ -507,11 +507,20 @@ def label_propagation(
         ).select(
             F.col("_lnode"), F.coalesce("new_label", "label").alias("label")
         )
-        nxt = nxt.persist()
-        nxt.count()
+        # Sever lineage EVERY iteration: labels feeds the next plan
+        # twice (the neighbor join and the carry-forward), so without a
+        # checkpoint the logical plan doubles per iteration — analysis
+        # cost blows up exponentially long before execution does.
+        # Reliable checkpoint() when a dir is configured (cluster),
+        # local otherwise (same tradeoff as pagerank's docstring).
+        sc = nxt.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            nxt = nxt.checkpoint(eager=True)
+        else:
+            nxt = nxt.localCheckpoint(eager=True)
         labels.unpersist()
         labels = nxt
     out = labels.select(F.col("_lnode").alias("node"), "label")
     from d2b_dataframework_spark.datapipe import cache
 
-    return cache.track(out, labels, inc)
+    return cache.track(out, inc)
