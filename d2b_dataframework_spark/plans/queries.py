@@ -2170,6 +2170,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "community_modularity",
     "matryoshka_recall",
     "attribution_position",
+    "prefix_filter_jaccard",
+    "disjunct_revenue",
 )
 
 
@@ -13201,6 +13203,106 @@ REGISTRY.update(
             q_attribution_position,
             SQL_ATTRIBUTION_POSITION,
             "U-shaped 40/20/40 multi-touch attribution",
+        ),
+    }
+)
+
+
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering
+    (datapipe/dedup.py:prefix_filter_pairs, PPJoin lineage) over the
+    mutated dup corpus: candidates come from an equi-join on each doc's
+    RAREST tokens only (ascending-df prefix of length sz-ceil(t*sz)+1 —
+    provably lossless for Jaccard >= t), so recall is exactly 1.0 with
+    no all-pairs stage and no hot frequent-token buckets. The exact
+    complement to the probabilistic MinHash-LSH path."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    return dd.prefix_filter_pairs(corpus, threshold=0.7).orderBy("id_a", "id_b")
+
+
+SQL_PREFIX_FILTER_JACCARD = f"""
+WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
+toks AS (SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS ts
+  FROM corpus),
+flat AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+dfreq AS (SELECT t, count(*)::BIGINT AS df FROM flat GROUP BY 1),
+ordered AS (
+  SELECT f.doc_id, array_agg(f.t ORDER BY d.df, f.t) AS ots,
+    count(*)::BIGINT AS sz
+  FROM flat f JOIN dfreq d ON d.t = f.t GROUP BY 1),
+pref AS (
+  SELECT doc_id,
+    unnest(list_slice(ots, 1,
+      (sz - ceil(0.7 * sz::DOUBLE)::BIGINT + 1)::BIGINT)) AS t
+  FROM ordered),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    round(len(list_intersect(x.ots, y.ots))::DOUBLE
+          / len(list_distinct(x.ots || y.ots))::DOUBLE, 6) AS jaccard_sim
+  FROM cands c
+  JOIN ordered x ON x.doc_id = c.id_a
+  JOIN ordered y ON y.doc_id = c.id_b)
+SELECT id_a, id_b, jaccard_sim FROM verified
+WHERE jaccard_sim >= 0.7 ORDER BY id_a, id_b
+"""
+
+
+def q_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: OR-of-AND
+    (brand, quantity-band) triples over the lineitem ⋈ part join.
+    The classic pushdown test: the OR folds into one scan predicate —
+    no union-of-three-scans, no double counting; per-brand conditional
+    decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL)
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_DISJUNCT_REVENUE = """
+SELECT p.p_brand, count(*)::BIGINT AS n_lines,
+  CAST(sum(l.l_extendedprice::DECIMAL(12,2)
+    * (CAST(1 AS DECIMAL(4,2)) - l.l_discount::DECIMAL(4,2))) AS DOUBLE)
+    AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "prefix_filter_jaccard": QuerySpec(
+            q_prefix_filter_jaccard,
+            SQL_PREFIX_FILTER_JACCARD,
+            "PPJoin-style exact set-similarity join (lossless prefix)",
+        ),
+        "disjunct_revenue": QuerySpec(
+            q_disjunct_revenue,
+            SQL_DISJUNCT_REVENUE,
+            "Q19-shaped OR-of-ANDs, single-scan pushdown",
         ),
     }
 )

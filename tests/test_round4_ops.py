@@ -867,3 +867,77 @@ def test_community_modularity_two_cliques_positive(spark, tmp_path):
     r = q_community_modularity(spark, d).collect()[0]
     assert (r["n_communities"], r["n_edges"]) == (2, 6)
     assert r["modularity"] == 0.5
+
+
+def test_prefix_filter_exact_vs_bruteforce(spark):
+    """Prefix filtering is LOSSLESS: its output equals brute-force exact
+    word-set Jaccard >= t over the same docs."""
+    from itertools import combinations
+
+    from d2b_dataframework_spark.datapipe.dedup import prefix_filter_pairs
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta zeta",
+        3: "alpha beta gamma delta epsilon",
+        4: "one two three four five six",
+        5: "one two three four five seven",
+        6: "totally unrelated words here now",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+           for r in prefix_filter_pairs(docs, threshold=0.6).collect()}
+
+    def jac(a, b):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        return len(sa & sb) / len(sa | sb)
+
+    want = {(a, b): round(jac(a, b), 6)
+            for a, b in combinations(sorted(texts), 2) if jac(a, b) >= 0.6}
+    assert got == want
+
+
+def test_prefix_filter_threshold_one_only_identical(spark):
+    """t = 1.0 -> prefix length 1 (the single rarest token) still finds
+    all identical-set pairs and nothing else."""
+    from d2b_dataframework_spark.datapipe.dedup import prefix_filter_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "z y x"), (3, "x y w")], "doc_id long, text string"
+    )
+    got = [(r["id_a"], r["id_b"], r["jaccard_sim"])
+           for r in prefix_filter_pairs(docs, threshold=1.0).collect()]
+    assert got == [(1, 2, 1.0)]
+
+
+def test_disjunct_revenue_no_double_counting(spark, tmp_path):
+    """A line matching one disjunct counts once; quantity bands overlap
+    across brands but a row has ONE brand, so the OR can't double-count."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_disjunct_revenue
+
+    d = str(tmp_path)
+    ts = dt.datetime
+    spark.createDataFrame(
+        [(1, "p", "Brand#1", "T", 1, 1.0), (2, "p", "Brand#2", "T", 1, 1.0),
+         (3, "p", "Brand#9", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [  # qty 10 matches Brand#1's band [1,11] AND Brand#2's [10,20] —
+           # but each row carries one partkey/brand
+            (1, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", ts(1998, 1, 1)),
+            (1, 2, 1, 2, 10.0, 200.0, 0.5, 0.0, "N", "O", ts(1998, 1, 1)),
+            (1, 3, 1, 3, 10.0, 999.0, 0.0, 0.0, "N", "O", ts(1998, 1, 1)),
+            (1, 1, 1, 4, 50.0, 777.0, 0.0, 0.0, "N", "O", ts(1998, 1, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    got = {r["p_brand"]: (r["n_lines"], r["revenue"])
+           for r in q_disjunct_revenue(spark, d).collect()}
+    assert got == {"Brand#1": (1, 100.0), "Brand#2": (1, 100.0)}
