@@ -250,6 +250,36 @@ def _minhash_signatures_vectorized(
     return df.select(id_col, text_col).mapInPandas(compute, out_schema)
 
 
+def shingle_hash_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, token_hashes) — the distinct md5-prefix hash set of word
+    n-gram shingles, computed in ONE Arrow-batched pass with the
+    worker-level shingle→hash memo (:func:`_text_to_hashes`). The
+    declarative HOF pipeline (transform + concat_ws + md5 per gram) is
+    interpreted per element and measured ~10-20x slower on real
+    corpora; this is the shared fast path for any operator that needs
+    the raw hash sets without minhash signatures (e.g.
+    :func:`prefix_filter_pairs`)."""
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, token_hashes array<bigint>"
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            ids, hash_lists = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                hash_lists.append(_text_to_hashes(text, n).tolist())
+            yield pd.DataFrame({id_col: ids, "token_hashes": hash_lists})
+
+    return df.select(id_col, text_col).mapInPandas(compute, out_schema)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -1183,6 +1213,7 @@ def prefix_filter_pairs(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n: int = 3,
 ) -> DataFrame:
     """EXACT word-set Jaccard >= threshold pairs via prefix filtering
     (PPJoin-style set-similarity join, Chaudhuri/Xiao-Wang lineage):
@@ -1204,14 +1235,26 @@ def prefix_filter_pairs(
     double math — identical in the oracle.
 
     Returns (id_a, id_b, jaccard_sim) for pairs with J >= threshold.
+
+    ``n`` is the shingle width. n=1 (word sets) is only safe on
+    large-vocabulary corpora: on low-vocab text every doc's "rarest"
+    words are still shared by many docs, prefix buckets go hot, and the
+    candidate join degenerates — the SAME failure mode as word-set
+    MinHash (see :func:`shingles`). n>=3 makes the element space
+    |vocab|^n, so ascending-df prefixes are near-unique by
+    construction; similarity becomes shingle Jaccard (the measure the
+    MinHash path verifies, making the two directly comparable).
     """
-    toks = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.split(
-                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-            )
-        ).alias("_ts"),
+    # Operate on 28-bit md5-prefix HASHES of the shingles, not the
+    # shingle strings: every downstream stage (df agg, per-doc sort,
+    # prefix equi-join, intersect/union verify) compares int64 instead
+    # of ~20-byte strings, and the shingle+hash computation itself runs
+    # in the Arrow-batched twin (interpreted HOF md5-per-gram measured
+    # ~10x slower). Same portable hash kernel as MinHash;
+    # distinct-after-hash keeps set semantics under collisions on BOTH
+    # engines (the oracle replays list_distinct after hashing).
+    toks = shingle_hash_frame(df, text_col=text_col, id_col=id_col, n=n).select(
+        F.col(id_col), F.col("token_hashes").alias("_ts")
     )
     flat = toks.select(F.col(id_col), F.explode("_ts").alias("_t"))
     dfreq = flat.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
@@ -1228,6 +1271,7 @@ def prefix_filter_pairs(
             F.count(F.lit(1)).cast("long").alias("_sz"),
         )
     )
+    ordered = ordered.persist()
     p_len = (
         F.col("_sz")
         - F.ceil(F.lit(float(threshold)) * F.col("_sz").cast("double")).cast("long")
@@ -1261,4 +1305,4 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
     )
-    return verified
+    return cache.track(verified, ordered)

@@ -13212,18 +13212,23 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering
     (datapipe/dedup.py:prefix_filter_pairs, PPJoin lineage) over the
     mutated dup corpus: candidates come from an equi-join on each doc's
-    RAREST tokens only (ascending-df prefix of length sz-ceil(t*sz)+1 —
-    provably lossless for Jaccard >= t), so recall is exactly 1.0 with
-    no all-pairs stage and no hot frequent-token buckets. The exact
-    complement to the probabilistic MinHash-LSH path."""
+    RAREST 3-gram shingles only (ascending-df prefix of length
+    sz-ceil(t*sz)+1 — provably lossless for Jaccard >= t), so recall is
+    exactly 1.0 with no all-pairs stage; shingling keeps prefix buckets
+    near-unique even on low-vocab corpora (same reasoning as the
+    MinHash path, and the SAME similarity measure — directly
+    comparable). The exact complement to probabilistic LSH."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
     return dd.prefix_filter_pairs(corpus, threshold=0.7).orderBy("id_a", "id_b")
 
 
 SQL_PREFIX_FILTER_JACCARD = f"""
 WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
-toks AS (SELECT doc_id, list_distinct(string_split({_NORM}, ' ')) AS ts
-  FROM corpus),
+w AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
+sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM w),
+toks AS (SELECT doc_id,
+  list_distinct(list_transform(ss,
+    x -> ('0x' || substr(md5(x), 1, 7))::BIGINT)) AS ts FROM sh),
 flat AS (SELECT doc_id, unnest(ts) AS t FROM toks),
 dfreq AS (SELECT t, count(*)::BIGINT AS df FROM flat GROUP BY 1),
 ordered AS (

@@ -538,3 +538,31 @@ def test_naive_bayes_matches_pure_python_replay(spark, docs):
         if best - second < 1e-6:
             continue  # too close to assert across accumulation orders
         assert got[doc_id] == want, (doc_id, scores)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.7, 0.9, 1.0]),
+)
+@settings(**SETTINGS)
+def test_prefix_filter_lossless_vs_bruteforce(spark, docs, threshold):
+    """Prefix filtering's central claim — losslessness for J >= t — holds
+    on arbitrary tiny corpora: output == brute-force exact Jaccard."""
+    from itertools import combinations
+
+    from d2b_dataframework_spark.datapipe.dedup import prefix_filter_pairs
+
+    texts = {i: " ".join(tk) for i, tk in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in prefix_filter_pairs(df, threshold=threshold, n=1).collect()}
+
+    def jac(a, b):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        return len(sa & sb) / len(sa | sb)
+
+    want = {(a, b) for a, b in combinations(sorted(texts), 2) if round(jac(a, b), 6) >= threshold}
+    assert got == want

@@ -886,7 +886,7 @@ def test_prefix_filter_exact_vs_bruteforce(spark):
     }
     docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
     got = {(r["id_a"], r["id_b"]): r["jaccard_sim"]
-           for r in prefix_filter_pairs(docs, threshold=0.6).collect()}
+           for r in prefix_filter_pairs(docs, threshold=0.6, n=1).collect()}
 
     def jac(a, b):
         sa, sb = set(texts[a].split()), set(texts[b].split())
@@ -906,7 +906,7 @@ def test_prefix_filter_threshold_one_only_identical(spark):
         [(1, "x y z"), (2, "z y x"), (3, "x y w")], "doc_id long, text string"
     )
     got = [(r["id_a"], r["id_b"], r["jaccard_sim"])
-           for r in prefix_filter_pairs(docs, threshold=1.0).collect()]
+           for r in prefix_filter_pairs(docs, threshold=1.0, n=1).collect()]
     assert got == [(1, 2, 1.0)]
 
 

@@ -358,6 +358,12 @@ def _mi(docs):
     ).limit(30)
 
 
+def _prefix(docs):
+    from d2b_dataframework_spark.datapipe.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(docs, threshold=0.7)
+
+
 def _nb(docs):
     """Train on even docs, score odd docs — both sides grow with the
     corpus; the model join shuffles on the token key, so ~linear."""
@@ -471,6 +477,10 @@ def main() -> None:
         "label_prop_3iter": lambda d, e, m=1: _lpa(d, m),
         # MI's heavy stage (presence df counts over the growing vocab).
         "token_mi_counts": lambda d, e: _mi(d),
+        # PPJoin prefix filter: ascending-df prefixes keep candidate
+        # buckets rare-token-sized; with replica-prefixed tokens the
+        # vocab grows with the corpus, so ~linear is the contract.
+        "prefix_filter": lambda d, e: _prefix(d),
     }
 
     only = set(sys.argv[2:])  # optional op-name filter
