@@ -2172,6 +2172,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "attribution_position",
     "prefix_filter_jaccard",
     "disjunct_revenue",
+    "rfm_segments",
+    "embedding_drift",
 )
 
 
@@ -13308,6 +13310,194 @@ REGISTRY.update(
             q_disjunct_revenue,
             SQL_DISJUNCT_REVENUE,
             "Q19-shaped OR-of-ANDs, single-scan pushdown",
+        ),
+    }
+)
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, Recency (days from last
+    order to the corpus max date), Frequency (orders) and Monetary
+    (decimal revenue) roll into 1-5 quintile scores via the distributed
+    ``global_ntile`` (range repartition + broadcast offsets — never a
+    single-partition NTILE window), then the classic segment labels
+    (champions / loyal / at-risk / hibernating / other). One fact agg +
+    three dimension-sized rankings; output is the segment census."""
+    orders = _t(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("_mx"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("_mx"), F.col("o_orderdate").cast("date")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_mon"),
+        )
+    )
+    r = global_ntile(
+        per_cust, [F.col("recency_days").asc(), F.col("o_custkey").asc()], 5,
+        phase_col="r_score",
+    ).select("o_custkey", "recency_days", "frequency", "_mon", "r_score")
+    f_ = global_ntile(
+        r, [F.col("frequency").desc(), F.col("o_custkey").asc()], 5,
+        phase_col="f_score",
+    )
+    m = global_ntile(
+        f_, [F.col("_mon").desc(), F.col("o_custkey").asc()], 5, phase_col="m_score"
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champions")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("m_score") <= 2), "at_risk_big_spender")
+        .when(F.col("r_score") >= 4, "hibernating")
+        .otherwise("other")
+    )
+    return (
+        m.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("_mon").cast("double").alias("revenue"),
+            F.round(
+                F.sum(F.col("recency_days")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_recency_days"),
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH mx AS (SELECT max(o_orderdate::DATE) AS mxd FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+    min(datediff('day', o_orderdate::DATE, mx.mxd))::BIGINT AS recency_days,
+    count(*)::BIGINT AS frequency,
+    sum(o_totalprice::DECIMAL(18,2)) AS mon
+  FROM orders, mx GROUP BY o_custkey, mx.mxd),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, mon,
+    ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+    ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+    ntile(5) OVER (ORDER BY mon DESC, o_custkey ASC) AS m_score
+  FROM per_cust),
+seg AS (
+  SELECT *,
+    CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champions'
+         WHEN f_score <= 2 THEN 'loyal'
+         WHEN r_score >= 4 AND m_score <= 2 THEN 'at_risk_big_spender'
+         WHEN r_score >= 4 THEN 'hibernating'
+         ELSE 'other' END AS segment
+  FROM scored)
+SELECT segment, count(*)::BIGINT AS n_customers,
+  CAST(sum(mon) AS DOUBLE) AS revenue,
+  round(sum(recency_days)::DOUBLE / count(*)::DOUBLE, 6)
+    AS avg_recency_days
+FROM seg GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift screen between two corpus snapshots
+    (even vs odd vec_id halves stand in for week N / week N+1): per-dim
+    mean shift aggregated into L2 shift, mean per-dim variance ratio,
+    and the count of dims whose |z| of mean shift exceeds 2 — the
+    cheap must-run check before trusting an ANN index built on last
+    week's distribution. One posexplode + one (half, dim) agg; exact
+    decimal moments, closed-form z."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select("half", "dim", F.round(F.col("x"), 6).cast("decimal(18,6)").alias("x"))
+    m = d.groupBy("half", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "dim",
+        F.col("n").alias("na"),
+        F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "dim",
+        F.col("n").alias("nb"),
+        F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sxa").cast("double") / na
+    mb = F.col("sxb").cast("double") / nb
+    va = F.col("sxxa").cast("double") / na - ma * ma
+    vb = F.col("sxxb").cast("double") / nb - mb * mb
+    shift = mb - ma
+    z = shift / F.sqrt(va / na + vb / nb)
+    per_dim = a.join(b, "dim").select(
+        "dim",
+        F.round(shift * shift, 9).cast("decimal(28,9)").alias("_s2"),
+        F.round(vb / va, 9).cast("decimal(28,9)").alias("_vr"),
+        F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("_drifted"),
+    )
+    return per_dim.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(F.sqrt(F.sum("_s2").cast("double")), 6).alias("mean_shift_l2"),
+        F.round(
+            F.sum("_vr").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_var_ratio"),
+        F.sum("_drifted").cast("long").alias("n_drifted_dims"),
+    )
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+d AS (
+  SELECT (vec_id % 2)::INT AS half, u::INT AS dim,
+    CAST(round(emb[u + 1], 6) AS DECIMAL(18,6)) AS x
+  FROM e, unnest(range(len(emb))) AS t(u)),
+m AS (
+  SELECT half, dim, count(*)::BIGINT AS n, sum(x) AS sx,
+    sum(x * x) AS sxx
+  FROM d GROUP BY 1, 2),
+j AS (
+  SELECT a.dim,
+    a.n::DOUBLE AS na, b.n::DOUBLE AS nb,
+    a.sx::DOUBLE / a.n::DOUBLE AS ma, b.sx::DOUBLE / b.n::DOUBLE AS mb,
+    a.sxx::DOUBLE / a.n::DOUBLE
+      - (a.sx::DOUBLE / a.n::DOUBLE) * (a.sx::DOUBLE / a.n::DOUBLE) AS va,
+    b.sxx::DOUBLE / b.n::DOUBLE
+      - (b.sx::DOUBLE / b.n::DOUBLE) * (b.sx::DOUBLE / b.n::DOUBLE) AS vb
+  FROM m a JOIN m b ON b.dim = a.dim AND a.half = 0 AND b.half = 1),
+per_dim AS (
+  SELECT dim,
+    CAST(round((mb - ma) * (mb - ma), 9) AS DECIMAL(28,9)) AS s2,
+    CAST(round(vb / va, 9) AS DECIMAL(28,9)) AS vr,
+    CASE WHEN abs((mb - ma) / sqrt(va / na + vb / nb)) > 2.0
+      THEN 1 ELSE 0 END AS drifted
+  FROM j)
+SELECT count(*)::BIGINT AS n_dims,
+  round(sqrt(CAST(sum(s2) AS DOUBLE)), 6) AS mean_shift_l2,
+  round(CAST(sum(vr) AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_var_ratio,
+  sum(drifted)::BIGINT AS n_drifted_dims
+FROM per_dim
+"""
+
+
+REGISTRY.update(
+    {
+        "rfm_segments": QuerySpec(
+            q_rfm_segments,
+            SQL_RFM_SEGMENTS,
+            "RFM quintile segmentation via distributed ntile",
+        ),
+        "embedding_drift": QuerySpec(
+            q_embedding_drift,
+            SQL_EMBEDDING_DRIFT,
+            "per-dim mean-shift/variance drift screen between snapshots",
         ),
     }
 )

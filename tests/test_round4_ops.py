@@ -941,3 +941,52 @@ def test_disjunct_revenue_no_double_counting(spark, tmp_path):
     got = {r["p_brand"]: (r["n_lines"], r["revenue"])
            for r in q_disjunct_revenue(spark, d).collect()}
     assert got == {"Brand#1": (1, 100.0), "Brand#2": (1, 100.0)}
+
+
+def test_rfm_segments_labels(spark, tmp_path):
+    """Three customers with clearly separated R/F/M land in the expected
+    segments (ntile(5) over 3 rows gives scores 1, 2, 3)."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_rfm_segments
+
+    d = str(tmp_path)
+    ts = dt.datetime
+    rows, oid = [], 0
+    # customer c (1..5): recency rank c, frequency 6-c orders, monetary
+    # 600-100c per order -> ntile(5) over 5 rows gives scores r=f=m=c.
+    for c in range(1, 6):
+        for j in range(6 - c):
+            oid += 1
+            rows.append(
+                (oid, c, "O", float(600 - 100 * c), ts(2001, 6, 30 - 5 * c), "1")
+            )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    got = {r["segment"]: r["n_customers"] for r in q_rfm_segments(spark, d).collect()}
+    # c1, c2 -> r<=2 & f<=2 champions; c3 -> other; c4, c5 -> hibernating
+    assert got == {"champions": 2, "other": 1, "hibernating": 2}
+
+
+def test_embedding_drift_detects_shifted_half(spark, tmp_path):
+    """Odd-half vectors shifted by +1 in dim 0 only -> exactly one
+    drifted dim and L2 shift ~1."""
+    from d2b_dataframework_spark.plans.queries import q_embedding_drift
+
+    d = str(tmp_path)
+    rows = []
+    for i in range(40):
+        base = [((i * 7 + j * 13) % 11) / 11.0 for j in range(8)]
+        if i % 2 == 1:
+            base[0] += 1.0
+        rows.append((i, base, "x"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    r = q_embedding_drift(spark, d).collect()[0]
+    assert r["n_dims"] == 8
+    assert r["n_drifted_dims"] == 1
+    assert 0.9 < r["mean_shift_l2"] < 1.1
