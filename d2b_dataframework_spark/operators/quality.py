@@ -136,3 +136,77 @@ def fd_violations(df: DataFrame, lhs: list[str], rhs: str) -> DataFrame:
             F.col("violations").cast("double") / F.col("n_rows").cast("double"), 6
         ).alias("g3_error"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_identifiers: list[str], small_k: int = 5
+) -> DataFrame:
+    """k-anonymity audit for a quasi-identifier set: the dataset's k is
+    the SMALLEST equivalence-class size over the QI columns — any class
+    below ~5 makes its members re-identifiable by linkage. Returns one
+    row: k, class count, row count, and how much of the data sits in
+    small (< ``small_k``) classes — the release/suppress dial for a
+    data-sharing pipeline (complements the PII scrub/pseudonymization
+    operators, which fix VALUES while this audits STRUCTURE).
+
+    Two cascaded aggregations (QI-class sizes, then the summary) — the
+    same shuffle shape as fd_violations; no windows, no collect."""
+    cls = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return cls.agg(
+        F.lit(",".join(quasi_identifiers)).alias("quasi_identifiers"),
+        F.min("_n").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_n") < small_k, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_in_small_classes"),
+    ).select(
+        "quasi_identifiers",
+        "k",
+        "n_classes",
+        "n_rows",
+        "rows_in_small_classes",
+        F.round(
+            F.col("rows_in_small_classes").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("small_class_fraction"),
+    )
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_identifiers: list[str], sensitive: str
+) -> DataFrame:
+    """l-diversity audit: k-anonymity is not enough when every member of
+    an equivalence class shares the same SENSITIVE value (the homogeneity
+    attack) — l is the smallest number of distinct sensitive values in
+    any QI class. Returns one row: l, the count of classes with a single
+    sensitive value, and the fraction of rows exposed in them."""
+    cls = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.countDistinct(sensitive).cast("long").alias("_l"),
+    )
+    return cls.agg(
+        F.lit(",".join(quasi_identifiers)).alias("quasi_identifiers"),
+        F.lit(sensitive).alias("sensitive"),
+        F.min("_l").cast("long").alias("l"),
+        F.sum(F.when(F.col("_l") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("homogeneous_classes"),
+        F.sum(F.when(F.col("_l") == 1, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("exposed_rows"),
+        F.sum("_n").cast("long").alias("n_rows"),
+    ).select(
+        "quasi_identifiers",
+        "sensitive",
+        "l",
+        "homogeneous_classes",
+        "exposed_rows",
+        "n_rows",
+        F.round(
+            F.col("exposed_rows").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("exposed_fraction"),
+    )

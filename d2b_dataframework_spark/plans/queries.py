@@ -2174,6 +2174,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "disjunct_revenue",
     "rfm_segments",
     "embedding_drift",
+    "k_anonymity",
+    "l_diversity",
 )
 
 
@@ -13498,6 +13500,82 @@ REGISTRY.update(
             q_embedding_drift,
             SQL_EMBEDDING_DRIFT,
             "per-dim mean-shift/variance drift screen between snapshots",
+        ),
+    }
+)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customer over the (nationkey, mktsegment,
+    acctbal-band) quasi-identifier set (operators/quality.py
+    k_anonymity_report): the structural privacy check to run before any
+    data share — k = smallest equivalence class, plus how much of the
+    table sits in re-identifiable (< 5 member) classes."""
+    from d2b_dataframework_spark.operators.quality import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment", "bal_band"])
+
+
+SQL_K_ANONYMITY = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+    count(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2, 3)
+SELECT 'c_nationkey,c_mktsegment,bal_band' AS quasi_identifiers,
+  min(n)::BIGINT AS k, count(*)::BIGINT AS n_classes,
+  sum(n)::BIGINT AS n_rows,
+  sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_in_small_classes,
+  round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
+        / sum(n)::DOUBLE, 6) AS small_class_fraction
+FROM cls
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (the homogeneity-attack check k-anonymity
+    misses): over the (nationkey, mktsegment) quasi-identifiers, how
+    many classes carry a SINGLE distinct account-balance band — and how
+    many rows that exposes."""
+    from d2b_dataframework_spark.operators.quality import l_diversity_report
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return l_diversity_report(cust, ["c_nationkey", "c_mktsegment"], "bal_band")
+
+
+SQL_L_DIVERSITY = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))::BIGINT AS l
+  FROM customer GROUP BY 1, 2)
+SELECT 'c_nationkey,c_mktsegment' AS quasi_identifiers,
+  'bal_band' AS sensitive,
+  min(l)::BIGINT AS l,
+  sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)::BIGINT AS homogeneous_classes,
+  sum(CASE WHEN l = 1 THEN n ELSE 0 END)::BIGINT AS exposed_rows,
+  sum(n)::BIGINT AS n_rows,
+  round(sum(CASE WHEN l = 1 THEN n ELSE 0 END)::DOUBLE
+        / sum(n)::DOUBLE, 6) AS exposed_fraction
+FROM cls
+"""
+
+
+REGISTRY.update(
+    {
+        "k_anonymity": QuerySpec(
+            q_k_anonymity,
+            SQL_K_ANONYMITY,
+            "k-anonymity: smallest QI equivalence class + exposure",
+        ),
+        "l_diversity": QuerySpec(
+            q_l_diversity,
+            SQL_L_DIVERSITY,
+            "l-diversity: homogeneity-attack exposure audit",
         ),
     }
 )

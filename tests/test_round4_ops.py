@@ -990,3 +990,29 @@ def test_embedding_drift_detects_shifted_half(spark, tmp_path):
     assert r["n_dims"] == 8
     assert r["n_drifted_dims"] == 1
     assert 0.9 < r["mean_shift_l2"] < 1.1
+
+
+def test_k_anonymity_hand_computed(spark):
+    """Classes sized [3, 1] -> k=1; the singleton's 1 row is 25% of 4."""
+    from d2b_dataframework_spark.operators.quality import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2)], "qi1 string, qi2 long"
+    )
+    r = k_anonymity_report(df, ["qi1", "qi2"]).collect()[0]
+    assert (r["k"], r["n_classes"], r["n_rows"]) == (1, 2, 4)
+    assert (r["rows_in_small_classes"], r["small_class_fraction"]) == (4, 1.0)
+
+
+def test_l_diversity_homogeneous_class(spark):
+    """Class 'a' has one distinct sensitive value (homogeneous, 2 rows
+    exposed); class 'b' has two -> l = 1."""
+    from d2b_dataframework_spark.operators.quality import l_diversity_report
+
+    df = spark.createDataFrame(
+        [("a", "s1"), ("a", "s1"), ("b", "s1"), ("b", "s2")],
+        "qi string, sens string",
+    )
+    r = l_diversity_report(df, ["qi"], "sens").collect()[0]
+    assert (r["l"], r["homogeneous_classes"], r["exposed_rows"]) == (1, 1, 2)
+    assert r["exposed_fraction"] == 0.5
