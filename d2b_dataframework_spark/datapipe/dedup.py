@@ -1256,6 +1256,11 @@ def prefix_filter_pairs(
     toks = shingle_hash_frame(df, text_col=text_col, id_col=id_col, n=n).select(
         F.col(id_col), F.col("token_hashes").alias("_ts")
     )
+    # The hash frame feeds THREE consumers (df counts, the ordered
+    # regroup, and — via ordered — both verify sides); unpersisted, the
+    # Arrow pass re-executes once per plan subtree (8 stages in the
+    # audit, measured ~10x the persisted cost). Tracked for release.
+    toks = toks.persist()
     flat = toks.select(F.col(id_col), F.explode("_ts").alias("_t"))
     dfreq = flat.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
     ordered = (
@@ -1305,4 +1310,4 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
     )
-    return cache.track(verified, ordered)
+    return cache.track(verified, ordered, toks)
