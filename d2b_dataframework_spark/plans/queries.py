@@ -2176,6 +2176,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "embedding_drift",
     "k_anonymity",
     "l_diversity",
+    "eb_late_rate",
+    "ks_drift",
 )
 
 
@@ -13576,6 +13578,171 @@ REGISTRY.update(
             q_l_diversity,
             SQL_L_DIVERSITY,
             "l-diversity: homogeneity-attack exposure audit",
+        ),
+    }
+)
+
+
+_EB_STRENGTH = 50
+
+
+def q_eb_late_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-supplier late-
+    shipment rates: raw rates on few observations are noise, so each
+    supplier's rate shrinks toward the GLOBAL rate with pseudo-count
+    strength m=50 — shrunk = (lates + m*p0) / (n + m). The standard
+    small-sample leaderboard fix (suppliers with 10 shipments stop
+    outranking ones with 10,000). One fact agg + a 1-row broadcast
+    prior; exact integer counts, one rational double per row."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate").cast("date") > F.date_add(
+        F.col("o_orderdate").cast("date"), 60
+    )
+    base = li.join(
+        orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).select("l_suppkey", F.when(late, 1).otherwise(0).alias("_late"))
+    per_supp = base.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("_late").cast("long").alias("n_late"),
+    )
+    prior = per_supp.agg(
+        F.sum("n_late").cast("long").alias("_gl"),
+        F.sum("n_lines").cast("long").alias("_gn"),
+    )
+    m = F.lit(float(_EB_STRENGTH))
+    p0 = F.col("_gl").cast("double") / F.col("_gn").cast("double")
+    shrunk = (F.col("n_late").cast("double") + m * p0) / (
+        F.col("n_lines").cast("double") + m
+    )
+    scored = per_supp.crossJoin(F.broadcast(prior)).select(
+        F.col("l_suppkey").cast("long").alias("s_suppkey"),
+        "n_lines",
+        "n_late",
+        F.round(F.col("n_late").cast("double") / F.col("n_lines").cast("double"), 6)
+        .alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+    )
+    w = Window.orderBy(
+        F.col("shrunk_rate").desc(), F.col("n_lines").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "s_suppkey", "n_lines", "n_late", "raw_rate", "shrunk_rate")
+    )
+
+
+SQL_EB_LATE_RATE = f"""
+WITH base AS (
+  SELECT l.l_suppkey,
+    CASE WHEN l.l_shipdate::DATE > o.o_orderdate::DATE + INTERVAL 60 DAY
+      THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+per_supp AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n_lines, sum(late)::BIGINT AS n_late
+  FROM base GROUP BY 1),
+prior AS (SELECT sum(n_late)::BIGINT AS gl, sum(n_lines)::BIGINT AS gn
+  FROM per_supp),
+scored AS (
+  SELECT p.l_suppkey::BIGINT AS s_suppkey, p.n_lines, p.n_late,
+    round(p.n_late::DOUBLE / p.n_lines::DOUBLE, 6) AS raw_rate,
+    round((p.n_late::DOUBLE
+           + {_EB_STRENGTH}.0 * (r.gl::DOUBLE / r.gn::DOUBLE))
+          / (p.n_lines::DOUBLE + {_EB_STRENGTH}.0), 6) AS shrunk_rate
+  FROM per_supp p CROSS JOIN prior r)
+SELECT row_number() OVER (ORDER BY shrunk_rate DESC, n_lines DESC,
+    s_suppkey ASC)::BIGINT AS rank,
+  s_suppkey, n_lines, n_late, raw_rate, shrunk_rate
+FROM scored
+ORDER BY shrunk_rate DESC, n_lines DESC, s_suppkey ASC LIMIT 20
+"""
+
+_KS_BINS = 1000
+_KS_HI = 500000.0
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift statistic between the
+    order-value distributions of F(fulfilled) and O(open) orders:
+    D = max |CDF_a - CDF_b| over 1000 fixed-width bins. Binning makes
+    the statistic MERGEABLE (bin counts are partial-aggregable; exact
+    KS needs a global sort of raw values) with error bounded by the
+    bin width — the same contract as the histogram quantile sketch.
+    One conditional-count agg + a cumulative window over the BOUNDED
+    bin domain, never over rows."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    binned = orders.select(
+        F.least(
+            F.lit(_KS_BINS - 1),
+            F.floor(F.col("o_totalprice") * _KS_BINS / F.lit(_KS_HI)).cast("long"),
+        ).alias("bin"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("st") == "F", 1).otherwise(0)).cast("long").alias("_na"),
+        F.sum(F.when(F.col("st") == "O", 1).otherwise(0)).cast("long").alias("_nb"),
+    )
+    tot = cells.agg(
+        F.sum("_na").cast("long").alias("_ta"), F.sum("_nb").cast("long").alias("_tb")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (
+            F.sum("_na").over(w).cast("double") / F.col("_ta").cast("double")
+            - F.sum("_nb").over(w).cast("double") / F.col("_tb").cast("double")
+        ).alias("_d"),
+    )
+    return cum.agg(
+        F.round(F.max(F.abs(F.col("_d"))), 6).alias("ks_d"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_occupied"),
+    ).crossJoin(F.broadcast(tot)).select(
+        "ks_d",
+        "n_bins_occupied",
+        F.col("_ta").alias("n_a"),
+        F.col("_tb").alias("n_b"),
+    )
+
+
+SQL_KS_DRIFT = f"""
+WITH binned AS (
+  SELECT least({_KS_BINS - 1},
+    CAST(floor(o_totalprice * {_KS_BINS} / {_KS_HI!r}) AS BIGINT)) AS bin,
+    o_orderstatus AS st
+  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+cells AS (
+  SELECT bin,
+    sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END)::BIGINT AS na,
+    sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM binned GROUP BY 1),
+tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM cells),
+cum AS (
+  SELECT bin,
+    sum(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND
+      CURRENT ROW)::DOUBLE / tot.ta::DOUBLE
+    - sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND
+      CURRENT ROW)::DOUBLE / tot.tb::DOUBLE AS d
+  FROM cells, tot)
+SELECT round(max(abs(d)), 6) AS ks_d, count(*)::BIGINT AS n_bins_occupied,
+  (SELECT ta FROM tot) AS n_a, (SELECT tb FROM tot) AS n_b
+FROM cum
+"""
+
+
+REGISTRY.update(
+    {
+        "eb_late_rate": QuerySpec(
+            q_eb_late_rate,
+            SQL_EB_LATE_RATE,
+            "empirical-Bayes shrunk late-rate leaderboard",
+        ),
+        "ks_drift": QuerySpec(
+            q_ks_drift,
+            SQL_KS_DRIFT,
+            "binned two-sample KS statistic (mergeable)",
         ),
     }
 )

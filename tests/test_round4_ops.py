@@ -1016,3 +1016,75 @@ def test_l_diversity_homogeneous_class(spark):
     r = l_diversity_report(df, ["qi"], "sens").collect()[0]
     assert (r["l"], r["homogeneous_classes"], r["exposed_rows"]) == (1, 1, 2)
     assert r["exposed_fraction"] == 0.5
+
+
+def test_eb_late_rate_shrinks_small_samples(spark, tmp_path):
+    """A supplier with 1/1 late (raw 1.0) must rank BELOW one with
+    80/100 late after shrinkage toward a low global rate."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_eb_late_rate
+
+    d = str(tmp_path)
+    ts = dt.datetime
+    orows = [(1, 1, "O", 0.0, ts(2000, 1, 1), "1")]
+    lrows = []
+    ln = 0
+    # supplier 1: 1 line, late; supplier 2: 100 lines, 80 late;
+    # supplier 3: 400 lines, 0 late (keeps the global rate low)
+    def add(supp, n, n_late):
+        nonlocal ln
+        for i in range(n):
+            ln += 1
+            ship = ts(2000, 6, 1) if i < n_late else ts(2000, 1, 15)
+            lrows.append((1, 1, supp, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", ship))
+    add(1, 1, 1); add(2, 100, 80); add(3, 400, 0)
+    spark.createDataFrame(
+        orows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        lrows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    rows = q_eb_late_rate(spark, d).collect()
+    by_rank = [(r["s_suppkey"], r["raw_rate"], r["shrunk_rate"]) for r in rows]
+    assert by_rank[0][0] == 2          # big sample of lates wins
+    assert by_rank[1][0] == 1          # tiny perfect-late shrinks below it
+    assert rows[1]["shrunk_rate"] < rows[0]["shrunk_rate"]
+    assert rows[0]["raw_rate"] == 0.8 and rows[1]["raw_rate"] == 1.0
+
+
+def test_ks_drift_identical_and_disjoint(spark, tmp_path):
+    """Identical distributions -> D = 0; fully separated ones -> D = 1."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_ks_drift
+
+    ts = dt.datetime
+
+    def write(d, prices_f, prices_o):
+        rows = []
+        for i, p in enumerate(prices_f):
+            rows.append((i, 1, "F", p, ts(2000, 1, 1), "1"))
+        for i, p in enumerate(prices_o):
+            rows.append((1000 + i, 1, "O", p, ts(2000, 1, 1), "1"))
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+
+    d1 = str(tmp_path / "same")
+    write(d1, [1000.0, 2000.0, 3000.0], [1000.0, 2000.0, 3000.0])
+    r = q_ks_drift(spark, d1).collect()[0]
+    assert r["ks_d"] == 0.0
+
+    d2 = str(tmp_path / "split")
+    write(d2, [1000.0, 2000.0], [400000.0, 450000.0])
+    r = q_ks_drift(spark, d2).collect()[0]
+    assert r["ks_d"] == 1.0
