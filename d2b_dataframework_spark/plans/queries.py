@@ -2178,6 +2178,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "l_diversity",
     "eb_late_rate",
     "ks_drift",
+    "supplier_hhi",
 )
 
 
@@ -13743,6 +13744,82 @@ REGISTRY.update(
             q_ks_drift,
             SQL_KS_DRIFT,
             "binned two-sample KS statistic (mergeable)",
+        ),
+    }
+)
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per supplier
+    nation: HHI = sum over suppliers of (revenue share)^2 — ~0 is
+    perfectly competitive, 1.0 is a monopoly. The antitrust-style
+    concentration screen, dual to revenue_gini's inequality view. Two
+    cascaded aggs (supplier revenue, then per-nation concentration);
+    decimal-exact revenue, per-supplier share terms 9-dec rounded and
+    decimal-summed."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL)
+    )
+    per_supp = (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("s_suppkey"))
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    tot = per_supp.groupBy("nation").agg(F.sum("_rev").alias("_tot"))
+    share2 = (
+        per_supp.join(tot, "nation")
+        .select(
+            "nation",
+            F.round(
+                (F.col("_rev").cast("double") / F.col("_tot").cast("double"))
+                * (F.col("_rev").cast("double") / F.col("_tot").cast("double")),
+                9,
+            ).cast("decimal(28,9)").alias("_s2"),
+        )
+    )
+    return (
+        share2.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum("_s2").cast("double"), 6).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+SQL_SUPPLIER_HHI = """
+WITH per_supp AS (
+  SELECT n.n_name AS nation, s.s_suppkey,
+    sum(l.l_extendedprice::DECIMAL(12,2)
+        * (CAST(1 AS DECIMAL(4,2)) - l.l_discount::DECIMAL(4,2))) AS rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2),
+tot AS (SELECT nation, sum(rev) AS trev FROM per_supp GROUP BY 1),
+share2 AS (
+  SELECT p.nation,
+    CAST(round((CAST(p.rev AS DOUBLE) / CAST(t.trev AS DOUBLE))
+               * (CAST(p.rev AS DOUBLE) / CAST(t.trev AS DOUBLE)), 9)
+      AS DECIMAL(28,9)) AS s2
+  FROM per_supp p JOIN tot t ON t.nation = p.nation)
+SELECT nation, count(*)::BIGINT AS n_suppliers,
+  round(CAST(sum(s2) AS DOUBLE), 6) AS hhi
+FROM share2 GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "supplier_hhi": QuerySpec(
+            q_supplier_hhi,
+            SQL_SUPPLIER_HHI,
+            "Herfindahl concentration per nation (dual to Gini)",
         ),
     }
 )

@@ -1088,3 +1088,30 @@ def test_ks_drift_identical_and_disjoint(spark, tmp_path):
     write(d2, [1000.0, 2000.0], [400000.0, 450000.0])
     r = q_ks_drift(spark, d2).collect()[0]
     assert r["ks_d"] == 1.0
+
+
+def test_supplier_hhi_monopoly_and_duopoly(spark, tmp_path):
+    """One nation with a single supplier -> HHI 1.0; one with two equal
+    suppliers -> 0.5."""
+    from d2b_dataframework_spark.plans.queries import q_supplier_hhi
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "MONO", 0), (2, "DUO", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [(10, "S10", 1, 0.0), (20, "S20", 2, 0.0), (21, "S21", 2, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    ).write.parquet(f"{d}/supplier.parquet")
+    spark.createDataFrame(
+        [(1, 1, 10, 1, 1.0, 100.0, 0.0, 0.0, "N", "O"),
+         (2, 1, 20, 1, 1.0, 50.0, 0.0, 0.0, "N", "O"),
+         (3, 1, 21, 1, 1.0, 50.0, 0.0, 0.0, "N", "O")],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    got = {r["nation"]: (r["n_suppliers"], r["hhi"])
+           for r in q_supplier_hhi(spark, d).collect()}
+    assert got == {"MONO": (1, 1.0), "DUO": (2, 0.5)}
