@@ -2179,6 +2179,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "eb_late_rate",
     "ks_drift",
     "supplier_hhi",
+    "cohort_ltv",
 )
 
 
@@ -13820,6 +13821,87 @@ REGISTRY.update(
             q_supplier_hhi,
             SQL_SUPPLIER_HHI,
             "Herfindahl concentration per nation (dual to Gini)",
+        ),
+    }
+)
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users bucketed by first-active
+    MONTH; purchase revenue accumulated per (cohort, month age) plus the
+    running cumulative LTV-per-cohort-user — the growth-accounting dual
+    of cohort_retention (counts -> value). First-touch derivation is one
+    user agg joined back (no window over the event stream); the
+    cumulative sum runs over the BOUNDED (cohort, age) triangle."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.date_trunc("month", "ts")).alias("_c0"))
+    cohort_sizes = first.groupBy("_c0").agg(
+        F.count(F.lit(1)).cast("long").alias("_nu")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("month", "ts").alias("_m"),
+        F.col("value").cast("decimal(18,2)").alias("_v"),
+    )
+    cells = (
+        purchases.join(first, "user_id")
+        .groupBy(
+            "_c0",
+            (
+                (F.year("_m") - F.year("_c0")) * 12 + (F.month("_m") - F.month("_c0"))
+            ).cast("long").alias("month_age"),
+        )
+        .agg(F.sum("_v").alias("_rev"))
+    )
+    w = Window.partitionBy("_c0").orderBy("month_age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.join(cohort_sizes, "_c0")
+        .select(
+            F.date_format("_c0", "yyyy-MM").alias("cohort_month"),
+            "month_age",
+            F.col("_nu").alias("cohort_users"),
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                F.sum(F.col("_rev")).over(w).cast("double")
+                / F.col("_nu").cast("double"),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_month", "month_age")
+    )
+
+
+SQL_COHORT_LTV = """
+WITH first AS (
+  SELECT user_id, date_trunc('month', min(ts)) AS c0 FROM events GROUP BY 1),
+sizes AS (SELECT c0, count(*)::BIGINT AS nu FROM first GROUP BY 1),
+purchases AS (
+  SELECT user_id, date_trunc('month', ts) AS m, value::DECIMAL(18,2) AS v
+  FROM events WHERE event_type = 'purchase'),
+cells AS (
+  SELECT f.c0,
+    ((year(p.m) - year(f.c0)) * 12 + (month(p.m) - month(f.c0)))::BIGINT
+      AS month_age,
+    sum(p.v) AS rev
+  FROM purchases p JOIN first f USING (user_id) GROUP BY 1, 2)
+SELECT strftime(c.c0, '%Y-%m') AS cohort_month, c.month_age,
+  s.nu AS cohort_users, CAST(c.rev AS DOUBLE) AS revenue,
+  round(CAST(sum(c.rev) OVER (PARTITION BY c.c0 ORDER BY c.month_age
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / s.nu::DOUBLE, 6) AS cum_ltv_per_user
+FROM cells c JOIN sizes s ON s.c0 = c.c0
+ORDER BY cohort_month, month_age
+"""
+
+
+REGISTRY.update(
+    {
+        "cohort_ltv": QuerySpec(
+            q_cohort_ltv,
+            SQL_COHORT_LTV,
+            "cohort LTV triangle: revenue + cumulative value per user",
         ),
     }
 )

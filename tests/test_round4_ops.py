@@ -1115,3 +1115,27 @@ def test_supplier_hhi_monopoly_and_duopoly(spark, tmp_path):
     got = {r["nation"]: (r["n_suppliers"], r["hhi"])
            for r in q_supplier_hhi(spark, d).collect()}
     assert got == {"MONO": (1, 1.0), "DUO": (2, 0.5)}
+
+
+def test_cohort_ltv_cumulative_per_user(spark, tmp_path):
+    """Two users join in 2024-01; purchases of 100 (age 0) and 50
+    (age 1) give cum LTV/user 50 then 75."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_cohort_ltv
+
+    d = str(tmp_path)
+    ts = dt.datetime
+    rows = [
+        (1, 1, ts(2024, 1, 5), "view", 0.0),
+        (2, 2, ts(2024, 1, 9), "view", 0.0),
+        (3, 1, ts(2024, 1, 20), "purchase", 100.0),
+        (4, 2, ts(2024, 2, 10), "purchase", 50.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(f"{d}/events.parquet")
+    got = [(r["cohort_month"], r["month_age"], r["cohort_users"],
+            r["revenue"], r["cum_ltv_per_user"])
+           for r in q_cohort_ltv(spark, d).collect()]
+    assert got == [("2024-01", 0, 2, 100.0, 50.0), ("2024-01", 1, 2, 50.0, 75.0)]
