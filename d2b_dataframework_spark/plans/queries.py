@@ -2182,6 +2182,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "cohort_ltv",
     "zipf_fit",
     "degree_assortativity",
+    "token_burstiness",
+    "session_entry_exit",
 )
 
 
@@ -14075,6 +14077,178 @@ REGISTRY.update(
             q_degree_assortativity,
             SQL_DEGREE_ASSORTATIVITY,
             "Newman degree correlation of the co-purchase graph",
+        ),
+    }
+)
+
+
+_BURST_TOP = 50
+
+
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Fano factor) for the 50 highest-df tokens:
+    variance-to-mean ratio of PER-DOCUMENT counts — ~1 means the token
+    scatters Poisson-like (function words), >> 1 means it bursts in few
+    documents (topical words). The corpus-linguistics dial for stopword
+    vs content-word separation that df alone can't draw. Zero-count
+    docs enter the moments via the closed form (only present (doc,
+    token) cells are materialized — no dense doc x token grid); exact
+    decimal moments, one double division."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    cells = (
+        docs.select(F.col("doc_id"), F.explode(dt.tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_tok = cells.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t"),
+        F.sum("c").cast("decimal(18,0)").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(28,0)").alias("scc"),
+    )
+    top = per_tok.orderBy(F.col("df_t").desc(), F.col("t").asc()).limit(_BURST_TOP)
+    nd = F.col("_nd").cast("double")
+    mean = F.col("sc").cast("double") / nd
+    # E[c^2] over ALL docs including absent (c=0) cells = scc / n_docs
+    var = F.col("scc").cast("double") / nd - mean * mean
+    w = Window.orderBy(F.col("df_t").desc(), F.col("t").asc())
+    return (
+        top.crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            F.col("t").alias("token"),
+            "df_t",
+            F.round(mean, 6).alias("mean_per_doc"),
+            F.round(var / mean, 6).alias("fano_factor"),
+        )
+        .orderBy("rank")
+    )
+
+
+SQL_TOKEN_BURSTINESS = f"""
+WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+cells AS (
+  SELECT doc_id, t, count(*)::BIGINT AS c FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents)
+  GROUP BY 1, 2),
+per_tok AS (
+  SELECT t, count(*)::BIGINT AS df_t,
+    sum(c)::DECIMAL(18,0) AS sc, sum(c * c)::DECIMAL(28,0) AS scc
+  FROM cells GROUP BY 1),
+top AS (SELECT * FROM per_tok ORDER BY df_t DESC, t ASC LIMIT {_BURST_TOP})
+SELECT row_number() OVER (ORDER BY df_t DESC, t ASC)::BIGINT AS rank,
+  t AS token, df_t,
+  round(CAST(sc AS DOUBLE) / nd.n::DOUBLE, 6) AS mean_per_doc,
+  round((CAST(scc AS DOUBLE) / nd.n::DOUBLE
+         - (CAST(sc AS DOUBLE) / nd.n::DOUBLE)
+           * (CAST(sc AS DOUBLE) / nd.n::DOUBLE))
+        / (CAST(sc AS DOUBLE) / nd.n::DOUBLE), 6) AS fano_factor
+FROM top, nd ORDER BY rank
+"""
+
+
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit census: which event types OPEN and CLOSE
+    sessions (30-min gap), plus the bounce count (single-event
+    sessions) per type — the landing/exit-page report of clickstream
+    analytics, built on the engine's sessionizer. Per-session first/
+    last resolve as min/max of a zero-padded (ts, event_id, type)
+    composite INSIDE the session group — one agg, no second window."""
+    from d2b_dataframework_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    from d2b_dataframework_spark.functions.datetimes import as_instant
+
+    s = sessionize(ev, gap_minutes=30)
+    key = F.format_string(
+        "%020d%020d", F.unix_micros(as_instant("ts")), F.col("event_id")
+    )
+    per_session = s.groupBy("session_id").agg(
+        F.min(F.concat(key, F.col("event_type"))).alias("_first"),
+        F.max(F.concat(key, F.col("event_type"))).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    typed = per_session.select(
+        F.substring("_first", 41, 100).alias("entry_type"),
+        F.substring("_last", 41, 100).alias("exit_type"),
+        (F.col("_n") == 1).alias("_bounce"),
+    )
+    entries = typed.groupBy(F.col("entry_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_entries"),
+        F.sum(F.when(F.col("_bounce"), 1).otherwise(0)).cast("long").alias("n_bounces"),
+    )
+    exits = typed.groupBy(F.col("exit_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exits")
+    )
+    return (
+        entries.join(exits, "event_type", "full")
+        .select(
+            "event_type",
+            F.coalesce("n_entries", F.lit(0)).cast("long").alias("n_entries"),
+            F.coalesce("n_exits", F.lit(0)).cast("long").alias("n_exits"),
+            F.coalesce("n_bounces", F.lit(0)).cast("long").alias("n_bounces"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SESSION_ENTRY_EXIT = """
+WITH lagd AS (
+  SELECT user_id, event_id, ts, event_type,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_us
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN prev_us IS NULL
+      OR epoch_us(ts) - prev_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END
+      AS new_s
+  FROM lagd),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+  FROM flagged),
+per_session AS (
+  SELECT user_id || '-' || session_idx::VARCHAR AS session_id,
+    min(printf('%020d%020d', epoch_us(ts), event_id) || event_type)
+      AS first_,
+    max(printf('%020d%020d', epoch_us(ts), event_id) || event_type)
+      AS last_,
+    count(*)::BIGINT AS n
+  FROM sess GROUP BY 1),
+typed AS (
+  SELECT substr(first_, 41) AS entry_type, substr(last_, 41) AS exit_type,
+    n = 1 AS bounce
+  FROM per_session),
+entries AS (
+  SELECT entry_type AS event_type, count(*)::BIGINT AS n_entries,
+    sum(CASE WHEN bounce THEN 1 ELSE 0 END)::BIGINT AS n_bounces
+  FROM typed GROUP BY 1),
+exits AS (
+  SELECT exit_type AS event_type, count(*)::BIGINT AS n_exits
+  FROM typed GROUP BY 1)
+SELECT coalesce(en.event_type, ex.event_type) AS event_type,
+  coalesce(en.n_entries, 0)::BIGINT AS n_entries,
+  coalesce(ex.n_exits, 0)::BIGINT AS n_exits,
+  coalesce(en.n_bounces, 0)::BIGINT AS n_bounces
+FROM entries en FULL JOIN exits ex ON ex.event_type = en.event_type
+ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "token_burstiness": QuerySpec(
+            q_token_burstiness,
+            SQL_TOKEN_BURSTINESS,
+            "Fano factor of per-doc token counts (topicality dial)",
+        ),
+        "session_entry_exit": QuerySpec(
+            q_session_entry_exit,
+            SQL_SESSION_ENTRY_EXIT,
+            "session entry/exit/bounce census on the sessionizer",
         ),
     }
 )

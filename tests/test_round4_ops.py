@@ -1181,3 +1181,48 @@ def test_degree_assortativity_star_is_negative(spark, tmp_path):
     r = q_degree_assortativity(spark, d).collect()[0]
     assert r["n_edges"] == 4
     assert r["assortativity"] == -1.0
+
+
+def test_token_burstiness_bursty_vs_uniform(spark, tmp_path):
+    """'topic' appears 4x in one doc of four (bursty: Fano 3); 'the'
+    appears once in every doc (uniform: Fano 0)."""
+    from d2b_dataframework_spark.plans.queries import q_token_burstiness
+
+    d = str(tmp_path)
+    docs = [
+        (1, "the topic topic topic topic"), (2, "the filler"),
+        (3, "the filler"), (4, "the filler"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["token"]: r["fano_factor"] for r in q_token_burstiness(spark, d).collect()}
+    # 'the': counts [1,1,1,1] -> mean 1, var 0 -> Fano 0
+    assert got["the"] == 0.0
+    # 'topic': counts [4,0,0,0] -> mean 1, E[c^2]=4, var 3 -> Fano 3
+    assert got["topic"] == 3.0
+
+
+def test_session_entry_exit_bounce(spark, tmp_path):
+    """User 1: view...click in one session (entry view, exit click);
+    user 2: a lone purchase (entry = exit = purchase, bounce)."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_session_entry_exit
+
+    d = str(tmp_path)
+    ts = dt.datetime
+    rows = [
+        (1, 1, ts(2024, 1, 1, 10, 0), "view", 0.0, "{}"),
+        (2, 1, ts(2024, 1, 1, 10, 5), "click", 0.0, "{}"),
+        (3, 2, ts(2024, 1, 1, 11, 0), "purchase", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {r["event_type"]: (r["n_entries"], r["n_exits"], r["n_bounces"])
+           for r in q_session_entry_exit(spark, d).collect()}
+    assert got == {"view": (1, 0, 0), "click": (0, 1, 0), "purchase": (1, 1, 1)}
