@@ -2184,6 +2184,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "degree_assortativity",
     "token_burstiness",
     "session_entry_exit",
+    "local_clustering",
 )
 
 
@@ -14249,6 +14250,92 @@ REGISTRY.update(
             q_session_entry_exit,
             SQL_SESSION_ENTRY_EXIT,
             "session entry/exit/bounce census on the sessionizer",
+        ),
+    }
+)
+
+
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficients on the support>=2
+    co-purchase graph (datapipe/graph.py:local_clustering) — top-20
+    tightest neighborhoods, the node-level refinement of
+    triangle_stats' global coefficient. Degree-ordered orientation
+    keeps wedge volume O(E^1.5); the per-node counts come from the
+    triangle-sized triple stream, never the wedge stream."""
+    from d2b_dataframework_spark.datapipe.graph import local_clustering
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    out = local_clustering(edges, min_degree=2)
+    w = Window.orderBy(
+        F.col("lcc").desc(), F.col("degree").desc(), F.col("node").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", F.col("node").cast("long").alias("node"),
+                "degree", "n_triangles", "lcc")
+    )
+
+
+SQL_LOCAL_CLUSTERING = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT least(s, d) AS a, greatest(s, d) AS b FROM e0
+  WHERE s <> d GROUP BY 1, 2),
+deg AS (
+  SELECT n, count(*)::BIGINT AS dg FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+oriented AS (
+  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+      THEN u.a ELSE u.b END AS s,
+    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+      THEN u.b ELSE u.a END AS t
+  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+wedges AS (
+  SELECT w1.s, w1.t AS u, w2.t AS v
+  FROM oriented w1 JOIN oriented w2 ON w2.s = w1.s AND w1.t < w2.t),
+tri AS (
+  SELECT w.s, w.u, w.v FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM und e WHERE e.a = w.u AND e.b = w.v)),
+members AS (
+  SELECT s AS n FROM tri UNION ALL SELECT u FROM tri
+  UNION ALL SELECT v FROM tri),
+per_node AS (SELECT n, count(*)::BIGINT AS t FROM members GROUP BY 1),
+scored AS (
+  SELECT d.n AS node, d.dg::BIGINT AS degree,
+    coalesce(p.t, 0)::BIGINT AS n_triangles,
+    round(2.0 * coalesce(p.t, 0)::DOUBLE
+          / (d.dg::DOUBLE * (d.dg::DOUBLE - 1.0)), 6) AS lcc
+  FROM deg d LEFT JOIN per_node p ON p.n = d.n WHERE d.dg >= 2)
+SELECT row_number() OVER (ORDER BY lcc DESC, degree DESC, node ASC)
+    ::BIGINT AS rank,
+  node::BIGINT AS node, degree, n_triangles, lcc
+FROM scored
+ORDER BY lcc DESC, degree DESC, node ASC LIMIT 20
+"""
+
+
+REGISTRY.update(
+    {
+        "local_clustering": QuerySpec(
+            q_local_clustering,
+            SQL_LOCAL_CLUSTERING,
+            "per-node clustering coefficients, oriented wedge join",
         ),
     }
 )

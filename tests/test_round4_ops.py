@@ -1226,3 +1226,17 @@ def test_session_entry_exit_bounce(spark, tmp_path):
     got = {r["event_type"]: (r["n_entries"], r["n_exits"], r["n_bounces"])
            for r in q_session_entry_exit(spark, d).collect()}
     assert got == {"view": (1, 0, 0), "click": (0, 1, 0), "purchase": (1, 1, 1)}
+
+
+def test_local_clustering_triangle_plus_tail(spark):
+    """Triangle {1,2,3} + tail 3-4: nodes 1,2 have lcc 1.0; node 3 has
+    deg 3, one triangle -> lcc = 2/(3*2) = 0.333333; node 4 deg 1 is
+    below min_degree and filtered."""
+    from d2b_dataframework_spark.datapipe.graph import local_clustering
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["lcc"])
+           for r in local_clustering(edges, min_degree=2).collect()}
+    assert got == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (3, 1, 0.333333)}
