@@ -2185,6 +2185,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "token_burstiness",
     "session_entry_exit",
     "local_clustering",
+    "dedup_threshold_sweep",
 )
 
 
@@ -14336,6 +14337,76 @@ REGISTRY.update(
             q_local_clustering,
             SQL_LOCAL_CLUSTERING,
             "per-node clustering coefficients, oriented wedge join",
+        ),
+    }
+)
+
+
+_SWEEP_THRESHOLDS = [0.6, 0.7, 0.8, 0.9]
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity dial: ONE MinHash signature pass +
+    ONE banded candidate join over the mutated dup corpus, then the
+    exact Jaccard of every candidate pair is bucketed against four
+    thresholds — per threshold: surviving pairs and distinct docs
+    implicated. The operational question this answers ("how much MORE
+    would 0.6 delete than 0.9?") normally costs four pipeline runs; the
+    shared-verify shape makes it one. Candidates below the LSH band
+    sensitivity of the loosest threshold are (correctly) absent — the
+    sweep measures the deployed pipeline, not brute force."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    pairs = dd.minhash_duplicate_pairs(corpus, threshold=min(_SWEEP_THRESHOLDS))
+    t_arr = F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    exploded = pairs.select(
+        "id_a", "id_b", "jaccard_sim", F.explode(t_arr).alias("threshold")
+    ).filter(F.col("jaccard_sim") >= F.col("threshold"))
+    per_t = exploded.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct(F.col("id_a")).cast("long").alias("_da"),
+    )
+    docs_t = (
+        exploded.select("threshold", F.col("id_a").alias("d"))
+        .unionByName(exploded.select("threshold", F.col("id_b").alias("d")))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    return (
+        per_t.join(docs_t, "threshold")
+        .select(
+            F.round(F.col("threshold"), 2).alias("threshold"), "n_pairs", "n_docs"
+        )
+        .orderBy("threshold")
+    )
+
+
+def _sql_dedup_threshold_sweep() -> str:
+    base = _sql_minhash()
+    # reuse the minhash oracle's CTE chain up to `verified`, then sweep
+    prefix = base[: base.index("SELECT * FROM verified")].rstrip().rstrip(",")
+    ts = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    return f"""{prefix},
+exploded AS (
+  SELECT v.id_a, v.id_b, v.jaccard_sim, t.threshold
+  FROM verified v, (VALUES {ts}) t(threshold)
+  WHERE v.jaccard_sim >= t.threshold),
+per_t AS (
+  SELECT threshold, count(*)::BIGINT AS n_pairs FROM exploded GROUP BY 1),
+docs_t AS (
+  SELECT threshold, count(DISTINCT d)::BIGINT AS n_docs FROM (
+    SELECT threshold, id_a AS d FROM exploded
+    UNION ALL SELECT threshold, id_b FROM exploded) GROUP BY 1)
+SELECT round(p.threshold, 2) AS threshold, p.n_pairs, d.n_docs
+FROM per_t p JOIN docs_t d USING (threshold) ORDER BY threshold
+"""
+
+
+REGISTRY.update(
+    {
+        "dedup_threshold_sweep": QuerySpec(
+            q_dedup_threshold_sweep,
+            _sql_dedup_threshold_sweep(),
+            "one-pass threshold-sensitivity sweep over verified pairs",
         ),
     }
 )

@@ -1240,3 +1240,20 @@ def test_local_clustering_triangle_plus_tail(spark):
     got = {r["node"]: (r["degree"], r["n_triangles"], r["lcc"])
            for r in local_clustering(edges, min_degree=2).collect()}
     assert got == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (3, 1, 0.333333)}
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    """Pair/doc counts are non-increasing in the threshold, and the 0.6
+    row matches the loosest pipeline run."""
+    from d2b_dataframework_spark.plans.queries import q_dedup_threshold_sweep
+    from d2b_dataframework_spark.datapipe import cache
+
+    df = q_dedup_threshold_sweep(spark, sf_dir)
+    rows = df.collect()
+    cache.release(df)
+    assert [r["threshold"] for r in rows] == [0.6, 0.7, 0.8, 0.9]
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    assert pairs[0] > 0
