@@ -2186,6 +2186,8 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "session_entry_exit",
     "local_clustering",
     "dedup_threshold_sweep",
+    "activity_burstiness",
+    "pareto_revenue_share",
 )
 
 
@@ -14407,6 +14409,159 @@ REGISTRY.update(
             q_dedup_threshold_sweep,
             _sql_dedup_threshold_sweep(),
             "one-pass threshold-sensitivity sweep over verified pairs",
+        ),
+    }
+)
+
+
+def q_activity_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-activity burstiness census: per user, the coefficient of
+    variation of inter-event gaps (CV ~ 0 = metronome, ~1 = Poisson,
+    >> 1 = bursty sessions + long silences — the behavioral fingerprint
+    bots and humans differ on). One lag window per user for the gaps,
+    exact decimal moments per user, then a bounded CV-band census.
+    Gap moments use SECONDS (micros overflow the decimal square sums
+    at month-long gaps)."""
+    ev = _t(spark, sf_dir, "events")
+    from d2b_dataframework_spark.functions.datetimes import as_instant
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(as_instant("ts"))
+    gaps = (
+        ev.withColumn("_prev", F.lag(us).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "user_id",
+            ((us - F.col("_prev")) / F.lit(1_000_000))
+            .cast("decimal(18,6)")
+            .alias("_gap_s"),
+        )
+    )
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_gap_s").alias("sg"),
+        F.sum(F.col("_gap_s") * F.col("_gap_s")).alias("sgg"),
+    ).filter(F.col("n_gaps") >= 5)
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("sg").cast("double") / n
+    var = F.col("sgg").cast("double") / n - mean * mean
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mean
+    band = (
+        F.when(cv < 0.5, "metronome")
+        .when(cv < 1.0, "regular")
+        .when(cv < 2.0, "poisson_like")
+        .otherwise("bursty")
+    )
+    return (
+        m.select(band.alias("cv_band"))
+        .groupBy("cv_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("cv_band")
+    )
+
+
+SQL_ACTIVITY_BURSTINESS = """
+WITH lagd AS (
+  SELECT user_id,
+    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_us,
+    epoch_us(ts) AS us
+  FROM events),
+gaps AS (
+  SELECT user_id,
+    CAST((us - prev_us) / 1000000 AS DECIMAL(18,6)) AS gap_s
+  FROM lagd WHERE prev_us IS NOT NULL),
+m AS (
+  SELECT user_id, count(*)::BIGINT AS n_gaps, sum(gap_s) AS sg,
+    sum(CAST(gap_s AS DECIMAL(30,6)) * CAST(gap_s AS DECIMAL(30,6))) AS sgg
+  FROM gaps GROUP BY 1 HAVING count(*) >= 5),
+cvb AS (
+  SELECT CASE
+    WHEN sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps::DOUBLE
+        - (CAST(sg AS DOUBLE) / n_gaps::DOUBLE)
+          * (CAST(sg AS DOUBLE) / n_gaps::DOUBLE), 0.0))
+      / (CAST(sg AS DOUBLE) / n_gaps::DOUBLE) < 0.5 THEN 'metronome'
+    WHEN sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps::DOUBLE
+        - (CAST(sg AS DOUBLE) / n_gaps::DOUBLE)
+          * (CAST(sg AS DOUBLE) / n_gaps::DOUBLE), 0.0))
+      / (CAST(sg AS DOUBLE) / n_gaps::DOUBLE) < 1.0 THEN 'regular'
+    WHEN sqrt(greatest(CAST(sgg AS DOUBLE) / n_gaps::DOUBLE
+        - (CAST(sg AS DOUBLE) / n_gaps::DOUBLE)
+          * (CAST(sg AS DOUBLE) / n_gaps::DOUBLE), 0.0))
+      / (CAST(sg AS DOUBLE) / n_gaps::DOUBLE) < 2.0 THEN 'poisson_like'
+    ELSE 'bursty' END AS cv_band
+  FROM m)
+SELECT cv_band, count(*)::BIGINT AS n_users
+FROM cvb GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 check: what share of total revenue comes from each
+    customer-revenue QUINTILE (tile 1 = top spenders)? Per-customer
+    decimal revenue -> distributed ntile(5) (range repartition +
+    broadcast offsets, never a single-partition window) -> per-tile
+    share. The concentration view that revenue_gini summarizes into
+    one number, kept as the full curve."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev")
+    )
+    tiled = global_ntile(
+        per_cust, [F.col("_rev").desc(), F.col("o_custkey").asc()], 5,
+        phase_col="quintile",
+    )
+    tot = per_cust.agg(F.sum("_rev").alias("_tot"))
+    out = (
+        tiled.groupBy("quintile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("_rev").alias("_qrev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "quintile",
+            "n_customers",
+            F.col("_qrev").cast("double").alias("revenue"),
+            F.round(
+                F.col("_qrev").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("quintile")
+    )
+    from d2b_dataframework_spark.datapipe import cache
+
+    return cache.track(out, *getattr(tiled, "_d2b_persisted", ()))
+
+
+SQL_PARETO_REVENUE_SHARE = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1),
+tiled AS (
+  SELECT o_custkey, rev,
+    ntile(5) OVER (ORDER BY rev DESC, o_custkey ASC) AS quintile
+  FROM per_cust),
+tot AS (SELECT sum(rev) AS trev FROM per_cust)
+SELECT quintile::BIGINT AS quintile, count(*)::BIGINT AS n_customers,
+  CAST(sum(rev) AS DOUBLE) AS revenue,
+  round(CAST(sum(rev) AS DOUBLE) / CAST(tot.trev AS DOUBLE), 6)
+    AS revenue_share
+FROM tiled, tot GROUP BY quintile, tot.trev ORDER BY quintile
+"""
+
+
+REGISTRY.update(
+    {
+        "activity_burstiness": QuerySpec(
+            q_activity_burstiness,
+            SQL_ACTIVITY_BURSTINESS,
+            "inter-event gap CV census (bot/human fingerprint)",
+        ),
+        "pareto_revenue_share": QuerySpec(
+            q_pareto_revenue_share,
+            SQL_PARETO_REVENUE_SHARE,
+            "revenue share per customer quintile (80/20 curve)",
         ),
     }
 )

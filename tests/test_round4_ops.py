@@ -1257,3 +1257,48 @@ def test_dedup_threshold_sweep_monotone(spark, sf_dir):
     assert pairs == sorted(pairs, reverse=True)
     assert docs == sorted(docs, reverse=True)
     assert pairs[0] > 0
+
+
+def test_activity_burstiness_metronome_vs_bursty(spark, tmp_path):
+    """User 1 fires every 60s exactly (CV 0 -> metronome); user 2
+    alternates 1s bursts with hour silences (CV > 2 -> bursty)."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_activity_burstiness
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows, eid = [], 0
+    for i in range(7):
+        eid += 1
+        rows.append((eid, 1, base + dt.timedelta(seconds=60 * i), "view", 0.0, "{}"))
+    # five 1s gaps then one 10h silence: CV ~ 2.2 (alternating gaps
+    # would cap CV near 1 and land in 'regular')
+    t = base
+    for i in range(7):
+        t = t + dt.timedelta(seconds=36000 if i == 6 else 1)
+        eid += 1
+        rows.append((eid, 2, t, "view", 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {r["cv_band"]: r["n_users"] for r in q_activity_burstiness(spark, d).collect()}
+    assert got.get("metronome") == 1
+    assert got.get("bursty") == 1
+
+
+def test_pareto_revenue_share_sums_to_one(spark, sf_dir):
+    """Quintile shares are a partition of total revenue: monotone
+    non-increasing and summing to ~1."""
+    from d2b_dataframework_spark.plans.queries import q_pareto_revenue_share
+    from d2b_dataframework_spark.datapipe import cache
+
+    df = q_pareto_revenue_share(spark, sf_dir)
+    rows = df.collect()
+    cache.release(df)
+    shares = [r["revenue_share"] for r in rows]
+    assert len(shares) == 5
+    assert shares == sorted(shares, reverse=True)
+    assert abs(sum(shares) - 1.0) < 1e-4
