@@ -2188,6 +2188,7 @@ _NEWEST_FIRST: tuple[str, ...] = (
     "dedup_threshold_sweep",
     "activity_burstiness",
     "pareto_revenue_share",
+    "shingle_novelty",
 )
 
 
@@ -14562,6 +14563,74 @@ REGISTRY.update(
             q_pareto_revenue_share,
             SQL_PARETO_REVENUE_SHARE,
             "revenue share per customer quintile (80/20 curve)",
+        ),
+    }
+)
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's 3-gram shingles
+    that appear in NO other document — the memorization-risk /
+    templated-content dial (novelty ~ 0 means the doc is assembled from
+    corpus-common fragments; decontaminate/containment catch COPIES,
+    this scores originality). One Arrow shingle-hash pass (shared
+    dedup.shingle_hash_frame fast path), one vocab-sized df agg, one
+    explode+join; output is the novelty-decile census."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = dd.shingle_hash_frame(docs, n=3).select(
+        "doc_id", F.col("token_hashes").alias("_ts")
+    )
+    toks = toks.persist()
+    flat = toks.select("doc_id", F.explode("_ts").alias("_h"))
+    dfreq = flat.groupBy("_h").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    per_doc = (
+        flat.join(dfreq, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    novelty = F.col("n_unique").cast("double") / F.col("n_shingles").cast("double")
+    decile = F.least(F.lit(9), F.floor(novelty * 10).cast("long"))
+    out = (
+        per_doc.select(decile.alias("novelty_decile"))
+        .groupBy("novelty_decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("novelty_decile")
+    )
+    from d2b_dataframework_spark.datapipe import cache
+
+    return cache.track(out, toks)
+
+
+SQL_SHINGLE_NOVELTY = f"""
+WITH w AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM w),
+toks AS (SELECT doc_id,
+  list_distinct(list_transform(ss,
+    x -> ('0x' || substr(md5(x), 1, 7))::BIGINT)) AS ts FROM sh),
+flat AS (SELECT doc_id, unnest(ts) AS h FROM toks),
+dfreq AS (SELECT h, count(*)::BIGINT AS df FROM flat GROUP BY 1),
+per_doc AS (
+  SELECT f.doc_id, count(*)::BIGINT AS n_shingles,
+    sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+  FROM flat f JOIN dfreq d ON d.h = f.h GROUP BY 1)
+SELECT least(9, CAST(floor(n_unique::DOUBLE / n_shingles::DOUBLE * 10)
+    AS BIGINT)) AS novelty_decile,
+  count(*)::BIGINT AS n_docs
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY.update(
+    {
+        "shingle_novelty": QuerySpec(
+            q_shingle_novelty,
+            SQL_SHINGLE_NOVELTY,
+            "per-doc corpus-novelty deciles (memorization-risk dial)",
         ),
     }
 )

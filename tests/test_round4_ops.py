@@ -1302,3 +1302,22 @@ def test_pareto_revenue_share_sums_to_one(spark, sf_dir):
     assert len(shares) == 5
     assert shares == sorted(shares, reverse=True)
     assert abs(sum(shares) - 1.0) < 1e-4
+
+
+def test_shingle_novelty_copies_vs_original(spark, tmp_path):
+    """Two identical docs share every shingle (novelty 0 -> decile 0);
+    a third unrelated doc is fully novel (decile 9)."""
+    from d2b_dataframework_spark.plans.queries import q_shingle_novelty
+    from d2b_dataframework_spark.datapipe import cache
+
+    d = str(tmp_path)
+    same = "alpha beta gamma delta epsilon zeta"
+    docs = [(1, same), (2, same), (3, "one two three four five six seven")]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    df = q_shingle_novelty(spark, d)
+    got = {r["novelty_decile"]: r["n_docs"] for r in df.collect()}
+    cache.release(df)
+    assert got == {0: 2, 9: 1}
