@@ -1168,7 +1168,12 @@ def lsh_recall_eval(
     b = hashes.select(
         F.col(id_col).alias("id_b"),
         F.col("token_hashes").alias("_hb"),
-        (F.col(id_col) % grid).cast("int").alias("_g"),
+        # bucket on a portable hash of the id so STRING ids bucket too
+        # (id % 16 silently yields NULL for strings and the equi-join
+        # would then match nothing — a misleading n_true=0 audit)
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(grid))
+        .cast("int")
+        .alias("_g"),
     )
     truth = (
         a.join(b, "_g")

@@ -119,18 +119,22 @@ def bloom_prune(
 ) -> DataFrame:
     """Drop probe rows whose key cannot exist on the build side: build
     the filter from ``build_keys`` and keep only probe rows whose key
-    might be present. The pass-set join is a broadcast when the
-    surviving key set is small; rows dropped here never reach the real
-    join's shuffle. No false negatives — the pruned result joined to the
-    build side equals the unpruned join."""
+    might be present. The surviving key set is unbounded (near-total
+    when most probe keys exist on the build side), so the pass-set join
+    carries no broadcast hint — AQE picks broadcast at runtime iff the
+    set turns out small. Rows dropped here never reach the real join's
+    shuffle. No false negatives — the pruned result joined to the build
+    side equals the unpruned join."""
     bloom = bloom_build(build_keys, build_key or probe_key, n_bits, k, salt)
     passing = bloom_might_contain(probe, bloom, probe_key, n_bits, k, salt)
-    # the verdict keys are strings (hash input form) — join on the cast
-    # so the probe keeps its original key type
+    # the verdict keys are strings (hash input form) — semi-join on the
+    # cast so the probe keeps its original key type; `passing` is one
+    # row per distinct key, so semi ≡ the previous inner-join+drop
     keep = passing.filter("might_contain").select(
         F.col(probe_key).alias("_bloom_pass_key")
     )
     return probe.join(
-        F.broadcast(keep),
+        keep,
         F.col(probe_key).cast("string") == F.col("_bloom_pass_key"),
-    ).drop("_bloom_pass_key")
+        "left_semi",
+    )

@@ -289,6 +289,10 @@ def poisson_bootstrap_means(
     # SQL string is one round-trip.
     n_digests = (n_reps + 3) // 4
     n_convs = (n_reps + 1) // 2
+    # NULL values drop out of sum(w * _v) but would still count into
+    # n_eff = sum(w); exclude them up front so both terms see the same
+    # row set (a NULL measurement is "not observed", not "observed 0").
+    df = df.filter(F.col(value_col).isNotNull())
     digs = df.select(
         group_col,
         (F.col(value_col).cast("decimal(18,2)") * 100).cast("long").alias("_v"),

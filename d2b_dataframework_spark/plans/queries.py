@@ -2100,17 +2100,33 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "rolling_active_hll", "rolling_median", "salted_event_sums",
         "segment_dedup", "soft_dedup_weights", "table_stats_approx",
         "triangle_stats", "video_duration", "vocab_coverage",
+        # r4 (CORRECTNESS_r04.json, all 50 green)
+        "ab_test_summary", "attribution_last_touch",
+        "attribution_time_decay", "audio_chunks", "chain_components",
+        "chi_square_independence", "cluster_profile", "cohort_retention",
+        "containment_dedup", "copurchase_pairs", "daily_anomalies",
+        "daily_ohlc", "data_quality", "dau_wau_stickiness",
+        "event_transitions", "events_cube", "forecast_backtest",
+        "fuzzy_part_names", "gap_fill_daily", "grouped_topk_orders",
+        "hierarchy_paths", "incremental_ingest", "key_skew_stats",
+        "linear_quality", "lm_bigram_score", "metric_correlations",
+        "mv_incremental", "pagerank", "priority_sample",
+        "pseudonymized_activity", "purchase_intervals",
+        "quantile_normalize", "retrieval_topk", "salted_join_revenue",
+        "scd2_asof", "scd2_merge", "small_quantity_revenue",
+        "snapshot_diff", "source_kl_divergence", "spatial_neighbors",
+        "table_stats", "temperature_mixture", "time_to_convert",
+        "unpivot_event_values", "user_set_ops", "video_frame_sample",
+        "weekly_seasonality", "winsorized_values", "zorder_layout",
+        "zscore_features",
     }
 )
 
 
-# Queries added THIS round (round 4) — never checked by ANY gate yet, so
-# they go behind the round-2/3 backlog this round: the judge's round-3
-# directive is that the sampled window covers the 71 queries that have
-# never appeared in a driver artifact.  New additions are still covered
-# by the full local gate (tools/check_correctness.py runs all entries)
-# and rotate into the driver window next round.
-_NEWEST_FIRST: tuple[str, ...] = (
+# Round-4 additions that have not yet appeared in a driver artifact —
+# they queue behind the older backlog (oldest verification debt first)
+# but AHEAD of the already-verified block.
+_UNVERIFIED_R4: tuple[str, ...] = (
     "png_pixel_stats",
     "wav_sample_stats",
     "image_dhash",
@@ -2192,6 +2208,17 @@ _NEWEST_FIRST: tuple[str, ...] = (
 )
 
 
+# Queries added THIS round (round 5).  Per the round-4 advisor finding,
+# brand-new queries are no longer fully deferred behind the backlog:
+# _gate_order riffles one round-5 name after every
+# ``_RIFFLE_SHARE - 1`` round-4 leftovers, so a deterministic share of
+# this round's riskiest new code lands inside the driver's ~50-entry
+# sampled window instead of waiting a full round for independent
+# verification.  (All entries are always covered by the full local
+# gate — tools/check_correctness.py runs every registry name.)
+_NEWEST_R5: tuple[str, ...] = ()
+
+
 # Deterministic rotation seed for the verified re-check slice: derived
 # from |_DRIVER_VERIFIED|, which grows every round a correctness
 # artifact lands, so the selected slice shifts round-over-round with NO
@@ -2202,25 +2229,50 @@ _GATE_ROUND: int = len(_DRIVER_VERIFIED)
 # once the unverified backlog no longer fills it (sampled window ≈ 50).
 _RECHECK_SLOTS: int = 8
 _GATE_WINDOW: int = 50
+# In the unverified block, one brand-new (this-round) query is placed
+# after every _RIFFLE_SHARE - 1 older unverified queries.
+_RIFFLE_SHARE: int = 4
+
+
+def _riffle(older: list[str], newer: list[str], share: int) -> list[str]:
+    """Interleave one ``newer`` name after every ``share - 1`` ``older``
+    names; leftovers of either list append at the end."""
+    out: list[str] = []
+    i = j = 0
+    while i < len(older) or j < len(newer):
+        for _ in range(share - 1):
+            if i < len(older):
+                out.append(older[i])
+                i += 1
+        if j < len(newer):
+            out.append(newer[j])
+            j += 1
+        elif i >= len(older):
+            break
+    return out
 
 
 def _gate_order() -> list[str]:
     """Registry names ordered for the external correctness gate.
 
-    Never-driver-checked queries first (backlog before this round's
-    brand-new entries), then the already-verified ones.  When the
-    unverified block is smaller than the sampled window, a rotating
-    slice of verified names is promoted to the front of the verified
-    block so the sampler re-checks ``_RECHECK_SLOTS`` old queries per
-    round instead of never seeing them again.
+    Never-driver-checked queries first — oldest backlog, then round-4
+    leftovers riffled with this round's brand-new entries (so new code
+    gets a deterministic share of the sampled window) — then the
+    already-verified ones.  When the unverified block is smaller than
+    the sampled window, a rotating slice of verified names is promoted
+    to the front of the verified block so the sampler re-checks
+    ``_RECHECK_SLOTS`` old queries per round instead of never seeing
+    them again.
     """
     names = list(REGISTRY)
-    newest = [n for n in _NEWEST_FIRST if n in REGISTRY]
+    r4 = [n for n in _UNVERIFIED_R4 if n in REGISTRY and n not in _DRIVER_VERIFIED]
+    r5 = [n for n in _NEWEST_R5 if n in REGISTRY and n not in _DRIVER_VERIFIED]
+    staged = set(_UNVERIFIED_R4) | set(_NEWEST_R5)
     backlog = [
-        n for n in names if n not in _DRIVER_VERIFIED and n not in _NEWEST_FIRST
+        n for n in names if n not in _DRIVER_VERIFIED and n not in staged
     ]
     verified = [n for n in names if n in _DRIVER_VERIFIED]
-    unverified = backlog + newest
+    unverified = backlog + _riffle(r4, r5, _RIFFLE_SHARE)
     if len(unverified) < _GATE_WINDOW and verified:
         # Rotate a deterministic slice of verified names into the window.
         start = (_GATE_ROUND * _RECHECK_SLOTS) % len(verified)
@@ -9515,7 +9567,12 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d2b_dataframework_spark.datapipe.cache import track
 
     out = wide.crossJoin(union_est)
-    inter = F.col("ndv_view") + F.col("ndv_purchase") - F.col("ndv_union")
+    # inclusion–exclusion over HLL ESTIMATES can go negative for
+    # near-disjoint sets — clamp at 0 (a cardinality can't be negative)
+    inter = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("ndv_view") + F.col("ndv_purchase") - F.col("ndv_union"),
+    )
     final = out.select(
         "ndv_view",
         "ndv_purchase",
@@ -9558,9 +9615,10 @@ wide AS (
       AS ndv_purchase
   FROM per_type)
 SELECT w.ndv_view, w.ndv_purchase, u.ndv_approx AS ndv_union,
-  (w.ndv_view + w.ndv_purchase - u.ndv_approx) AS ndv_intersection,
+  greatest(0, w.ndv_view + w.ndv_purchase - u.ndv_approx)
+    AS ndv_intersection,
   CASE WHEN u.ndv_approx > 0 THEN
-    round((w.ndv_view + w.ndv_purchase - u.ndv_approx)::DOUBLE
+    round(greatest(0, w.ndv_view + w.ndv_purchase - u.ndv_approx)::DOUBLE
           / u.ndv_approx::DOUBLE, 6)
   END AS jaccard
 FROM wide w, uni u
@@ -11905,12 +11963,17 @@ def q_brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(
+    # limit-then-rank (TakeOrderedAndProject) so the single-partition
+    # rank window only ever sees <= 50 rows — identical result because
+    # (lift desc, antecedent, consequent) is a total order over rules
+    order = [
         F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc()
-    )
+    ]
+    w = Window.orderBy(*order)
     return (
-        enriched.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
+        enriched.orderBy(*order)
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "antecedent", "consequent", "s_ab", "confidence", "lift")
     )
 

@@ -93,6 +93,7 @@ class TikTokReader(DataSourceReader):
             "end_date", _dt.date.today().isoformat()
         )
         self.filtering: list[dict] = []
+        self.contradictory_ids = False
 
     # -- planner integration -------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -129,8 +130,15 @@ class TikTokReader(DataSourceReader):
                 id_values.setdefault(attr, []).append(str(f.value))
                 continue
             yield f  # unsupported — Spark re-applies it post-scan
+        # Conjunctive EqualTo on one id dimension with two DISTINCT
+        # values (id='a' AND id='b') is a contradiction — an IN entry
+        # would flip it to OR semantics, so mark the scan empty instead
+        # (same treatment as a contradictory stat_time_day range).
+        self.contradictory_ids = any(
+            len(set(vs)) > 1 for vs in id_values.values()
+        )
         self.filtering = [
-            {"field_name": k, "filter_type": "IN", "filter_value": sorted(vs)}
+            {"field_name": k, "filter_type": "IN", "filter_value": sorted(set(vs))}
             for k, vs in sorted(id_values.items())
         ]
 
@@ -142,6 +150,7 @@ class TikTokReader(DataSourceReader):
             ) < _dt.date.fromisoformat(self.start_date)
         except ValueError:
             contradictory = False
+        contradictory = contradictory or self.contradictory_ids
         if contradictory:  # e.g. stat_time_day = x AND stat_time_day = y
             return [_WindowPartition("", "")]
         if "stat_time_day" in self.dimensions:

@@ -403,6 +403,35 @@ def test_tiktok_contradictory_dates_yield_empty(tiktok):
     assert df.collect() == []
 
 
+def test_tiktok_contradictory_id_equalities_yield_empty(tiktok):
+    """campaign_id='a' AND campaign_id='b' is a contradiction — an IN
+    filtering entry would flip it to OR semantics and return BOTH ids'
+    rows, so the scan must plan an empty partition instead."""
+    df = tiktok.load().filter(
+        (F.col("stat_time_day") == "2025-03-05")
+        & (F.col("campaign_id") == "c-77")
+        & (F.col("campaign_id") == "c-88")
+    )
+    assert df.collect() == []
+
+
+def test_tiktok_duplicate_id_equality_dedupes_not_empty(tiktok):
+    """The SAME value twice is not contradictory — one IN entry with
+    one deduplicated value."""
+    df = tiktok.load().filter(
+        (F.col("stat_time_day") == "2025-03-05")
+        & (F.col("campaign_id") == "c-77")
+        & (F.col("campaign_id") == "c-77")
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    body = json.loads(rows[0]["spend"])
+    assert body["filtering"] == [
+        {"field_name": "campaign_id", "filter_type": "IN",
+         "filter_value": ["c-77"]}
+    ]
+
+
 def test_tiktok_page_loop_until_total_page(spark):
     """47 rows at page_size 10 → 5 pages walked inside one partition."""
     from d2b_dataframework_spark.sources.dsv2 import tiktok as tk

@@ -580,6 +580,41 @@ def test_lsh_recall_eval_no_true_pairs_null_recall(spark):
     assert (r["n_true"], r["n_hit"], r["recall"]) == (0, 0, None)
 
 
+def test_lsh_recall_eval_string_ids(spark):
+    """STRING doc ids must bucket too (the audit grid hashes the id; a
+    numeric `id % 16` would NULL out and silently report n_true=0)."""
+    from d2b_dataframework_spark.datapipe.dedup import lsh_recall_eval
+
+    docs = spark.createDataFrame(
+        [("doc-a", "the quick brown fox jumps over the lazy dog again and again"),
+         ("doc-b", "the quick brown fox jumps over the lazy dog again and again"),
+         ("doc-c", "completely different words that share nothing with the pair above at all")],
+        "doc_id string, text string",
+    )
+    r = lsh_recall_eval(docs, threshold=0.7).collect()[0]
+    assert (r["n_true"], r["n_hit"], r["recall"]) == (1, 1, 1.0)
+
+
+def test_poisson_bootstrap_null_values_excluded(spark):
+    """A NULL measurement is 'not observed': it must drop out of BOTH
+    the weighted sum and n_eff, so a group of {10.0, NULL} replays
+    exactly like a group of {10.0} alone."""
+    from d2b_dataframework_spark.operators.stats import poisson_bootstrap_means
+
+    with_null = spark.createDataFrame(
+        [("g", 42, 10.0), ("g", 99, None)], "grp string, id long, v double"
+    )
+    without = spark.createDataFrame(
+        [("g", 42, 10.0)], "grp string, id long, v double"
+    )
+    def run(df):
+        return {
+            r["rep"]: (r["rep_mean"], r["n_eff"])
+            for r in poisson_bootstrap_means(df, "grp", "v", "id", n_reps=4).collect()
+        }
+    assert run(with_null) == run(without)
+
+
 def test_shipping_priority_filters_and_revenue(spark, tmp_path):
     """One BUILDING order before the cutoff with one line shipping after
     it: revenue = 100 * (1 - 0.1) = 90. The non-BUILDING order and the
