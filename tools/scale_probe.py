@@ -364,6 +364,46 @@ def _prefix(docs):
     return prefix_filter_pairs(docs, threshold=0.7)
 
 
+def _codec(docs):
+    """PNG encode -> inflate/unfilter decode -> dHash round-trip (the
+    registry's image_dhash pipeline, queries.py:q_image_dhash): two
+    Arrow stages of pure per-row work, zero joins / zero shuffles —
+    cost must track the row count, so r10 ~ 10 is the contract (the
+    probe exists because this was the one heavy family without
+    empirical evidence; see VERDICT r4 'What's missing' #4)."""
+    import pandas as pd
+
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+    from d2b_dataframework_spark.datapipe.codecs import encode_png
+
+    base = docs.select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "modality": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, ch = 12 + d % 6, 10 + d % 5, 3
+                px = bytes(
+                    (d + 7 * y + 3 * x + 11 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                rows["asset_id"].append(str(d))
+                rows["modality"].append("image")
+                rows["content"].append(
+                    encode_png(w, h, ch, px,
+                               filter_for_row=lambda y, d=d: (d + y) % 5)
+                )
+            yield pd.DataFrame(rows)
+
+    assets = base.mapInPandas(
+        enc, "asset_id string, modality string, content binary"
+    )
+    return mm.image_dhash(assets, grid=8)
+
+
 def _nb(docs):
     """Train on even docs, score odd docs — both sides grow with the
     corpus; the model join shuffles on the token key, so ~linear."""
@@ -477,6 +517,9 @@ def main() -> None:
         "label_prop_3iter": lambda d, e, m=1: _lpa(d, m),
         # MI's heavy stage (presence df counts over the growing vocab).
         "token_mi_counts": lambda d, e: _mi(d),
+        # Round-5: codec family (PNG encode+decode+dHash) — per-row
+        # Arrow work, no joins; must grow ~linearly with the corpus.
+        "png_dhash_roundtrip": lambda d, e: _codec(d),
         # PPJoin prefix filter: ascending-df prefixes keep candidate
         # buckets rare-token-sized; with replica-prefixed tokens the
         # vocab grows with the corpus, so ~linear is the contract.
