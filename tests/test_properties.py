@@ -566,3 +566,94 @@ def test_prefix_filter_lossless_vs_bruteforce(spark, docs, threshold):
 
     want = {(a, b) for a, b in combinations(sorted(texts), 2) if round(jac(a, b), 6) >= threshold}
     assert got == want
+
+
+# -- graph family: random <=12-node graphs vs pure-Python replay ------------
+# These oracles (kcore_filter / bfs_hops / label_propagation) replay the
+# same unrolled algorithm in SQL, so — like the recurrence family — a
+# property sweep against an INDEPENDENT in-memory replay is the only
+# check that isn't the algorithm testing itself.
+
+_GRAPH_EDGES = st.sets(
+    st.tuples(st.integers(0, 11), st.integers(0, 11))
+    .filter(lambda p: p[0] != p[1])
+    .map(lambda p: (min(p), max(p))),
+    min_size=1,
+    max_size=22,
+)
+_GRAPH_SETTINGS = {**SETTINGS, "max_examples": 10}
+
+
+def _adj(edges):
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+@given(edges=_GRAPH_EDGES, k=st.integers(1, 3), iters=st.integers(1, 3))
+@settings(**_GRAPH_SETTINGS)
+def test_kcore_matches_replay(spark, edges, k, iters):
+    """Fixed-iteration peel == in-memory replay: alive' = {n : |adj(n) ∩
+    alive| >= k}; output degrees measured in the FINAL alive subgraph,
+    nodes with 0 surviving peers absent (no incidence rows survive)."""
+    from d2b_dataframework_spark.datapipe.graph import kcore_filter
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["degree"] for r in kcore_filter(df, k=k, iterations=iters).collect()}
+
+    adj = _adj(edges)
+    alive = set(adj)
+    for _ in range(iters):
+        alive = {n for n in alive if len(adj[n] & alive) >= k}
+    want = {n: len(adj[n] & alive) for n in alive if adj[n] & alive}
+    assert got == want
+
+
+@given(edges=_GRAPH_EDGES, seeds=st.sets(st.integers(0, 13), min_size=1, max_size=4),
+       hops=st.integers(1, 3))
+@settings(**_GRAPH_SETTINGS)
+def test_bfs_hops_matches_replay(spark, edges, seeds, hops):
+    """Multi-source BFS == min-hop-from-any-seed replay, capped at
+    max_hops; seeds outside the graph still appear at hop 0."""
+    from d2b_dataframework_spark.datapipe.graph import bfs_hops
+
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in sorted(seeds)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, s, max_hops=hops).collect()}
+
+    adj = _adj(edges)
+    dist = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for h in range(1, hops + 1):
+        frontier = {
+            p for n in frontier for p in adj.get(n, ()) if p not in dist
+        }
+        for p in frontier:
+            dist[p] = h
+    assert got == dist
+
+
+@given(edges=_GRAPH_EDGES, iters=st.integers(1, 3))
+@settings(**_GRAPH_SETTINGS)
+def test_label_propagation_matches_replay(spark, edges, iters):
+    """Synchronous LPA == replay: every node relabels from the PREVIOUS
+    iteration's labels to the most frequent neighbor label, ties to the
+    smallest label."""
+    from collections import Counter
+
+    from d2b_dataframework_spark.datapipe.graph import label_propagation
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=iters).collect()}
+
+    adj = _adj(edges)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        labels = {
+            n: min(Counter(labels[p] for p in adj[n]).items(),
+                   key=lambda kv: (-kv[1], kv[0]))[0]
+            for n in adj
+        }
+    assert got == labels
