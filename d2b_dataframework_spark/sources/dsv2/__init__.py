@@ -8,12 +8,13 @@ request body (``startDate``/``endDate``/``dimensionFilterGroups``), and
 the pushed filters disappear from the post-scan plan — pushdown you can
 assert from ``explain()``, not just from connector options.
 
-Four integration shapes live here: ``gsc`` (batch READER with filter
+Five integration shapes live here: ``gsc`` (batch READER with filter
 pushdown + per-day InputPartitions), ``tiktok`` (batch READER with
-window/``filtering`` pushdown + per-chunk InputPartitions), ``sheets``
-(batch WRITER under the V2 commit protocol), and ``ga4_stream``
-(STREAMING reader — offset-managed snapshot polling with deterministic
-replay for recovery).
+window/``filtering`` pushdown + per-chunk InputPartitions), ``shopify``
+(batch READER with date-window + status-param pushdown, one parallel
+Link-chain walk per day), ``sheets`` (batch WRITER under the V2 commit
+protocol), and ``ga4_stream`` (STREAMING reader — offset-managed
+snapshot polling with deterministic replay for recovery).
 """
 
 from d2b_dataframework_spark.sources.dsv2.ga4_stream import (  # noqa: F401
@@ -26,19 +27,24 @@ from d2b_dataframework_spark.sources.dsv2.gsc import (  # noqa: F401
 from d2b_dataframework_spark.sources.dsv2.sheets import (  # noqa: F401
     SheetsRestDataSource,
 )
+from d2b_dataframework_spark.sources.dsv2.shopify import (  # noqa: F401
+    ShopifyOrdersDataSource,
+)
 from d2b_dataframework_spark.sources.dsv2.tiktok import (  # noqa: F401
     TikTokReportDataSource,
 )
 
 
 def register_all(spark) -> None:
-    """Register every DSv2 format on the session: ``gsc_rest`` and
-    ``tiktok_rest`` (batch readers w/ pushdown), ``sheets_rest`` (batch
-    writer), and ``ga4_realtime`` (streaming reader)."""
+    """Register every DSv2 format on the session: ``gsc_rest``,
+    ``tiktok_rest`` and ``shopify_rest`` (batch readers w/ pushdown),
+    ``sheets_rest`` (batch writer), and ``ga4_realtime`` (streaming
+    reader)."""
     from d2b_dataframework_spark.sources.dsv2 import (
         ga4_stream,
         gsc,
         sheets,
+        shopify,
         tiktok,
     )
 
@@ -46,3 +52,4 @@ def register_all(spark) -> None:
     sheets.register(spark)
     ga4_stream.register(spark)
     tiktok.register(spark)
+    shopify.register(spark)

@@ -186,3 +186,50 @@ class TikTokEchoTransport:
             "code": 0,
             "data": {"list": rows, "page_info": {"total_page": total_page}},
         }
+
+
+class ShopifyEchoTransport:
+    """Echo double for the shopify_rest reader: pretends the store holds
+    ``echo_total_orders`` orders per requested window (option, default 1)
+    and serves them honoring ``limit`` + RFC-5988 Link pagination — the
+    Link walk is exercised for real (the "next" URL is an opaque token
+    encoding the original params + offset, exactly the opacity contract
+    of a real Link header). Field encoding: ``customer_email`` carries
+    the JSON request params, ``financial_status``/``fulfillment_status``
+    carry the literal ``"echo"``, ``total_price`` carries the order's
+    global 1-based position in the window."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("echo_total_orders", 1))
+
+    def get(self, path_or_url: str, params: dict | None) -> dict:
+        if params is None:  # a Link "next" URL — decode the token
+            state = json.loads(path_or_url)
+            params, start = state["params"], state["offset"]
+        else:
+            start = 0
+        limit = int(params["limit"])
+        n = max(0, min(limit, self.total - start))
+        orders = [
+            {
+                "id": start + i + 1,
+                "order_number": 1000 + start + i + 1,
+                "created_at": f"{params['created_at_min'][:10]}T12:00:00",
+                "email": json.dumps(params, sort_keys=True),
+                "financial_status": "echo",
+                "fulfillment_status": "echo",
+                "currency": "USD",
+                "total_price": float(start + i + 1),
+                "subtotal_price": 10.0,
+                "total_discounts": 1.0,
+                "total_tax": 2.0,
+                "refunds": [],
+            }
+            for i in range(n)
+        ]
+        link_next = (
+            json.dumps({"params": params, "offset": start + n})
+            if start + n < self.total and n == limit
+            else None
+        )
+        return {"orders": orders, "link_next": link_next}

@@ -453,3 +453,109 @@ def test_tiktok_page_loop_until_total_page(spark):
     assert len(rows) == 47
     positions = sorted(int(r["impressions"]) for r in rows)
     assert positions == list(range(1, 48))
+
+
+# ---------------------------------------------------------------------------
+# shopify_rest: date-window + status-param pushdown, parallel Link walks
+# (reference request builder d2b_data/shopify_api.py:30-95)
+# ---------------------------------------------------------------------------
+
+SHOPIFY_ECHO = "d2b_dataframework_spark.sources.dsv2.testing:ShopifyEchoTransport"
+
+
+@pytest.fixture(scope="module")
+def shopify(spark):
+    from d2b_dataframework_spark.sources.dsv2 import shopify as sp
+
+    sp.register(spark)
+    return (
+        spark.read.format("shopify_rest")
+        .option("transport", SHOPIFY_ECHO)
+    )
+
+
+def test_shopify_date_range_pushdown_fans_out_days(shopify):
+    """A pushed 3-day created_date range plans 3 day-partitions whose
+    request params carry that day's inclusive timestamp bounds; the
+    absorbed predicates leave NO post-scan Filter node."""
+    df = shopify.load().filter(
+        (F.col("created_date") >= "2025-03-01")
+        & (F.col("created_date") <= "2025-03-03")
+    )
+    rows = df.collect()
+    days = sorted(r["created_date"] for r in rows)
+    assert days == ["2025-03-01", "2025-03-02", "2025-03-03"]
+    for r in rows:
+        params = json.loads(r["customer_email"])
+        assert params["created_at_min"] == f"{r['created_date']}T00:00:00"
+        assert params["created_at_max"] == f"{r['created_date']}T23:59:59"
+        assert params["status"] == "any"
+        assert params["order"] == "created_at asc"
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bFilter\b", plan)
+
+
+def test_shopify_status_equality_pushdown_reaches_params(shopify):
+    """financial_status = 'refunded' becomes a request param and is
+    REMOVED post-scan: the echo row carries financial_status='echo' and
+    still survives."""
+    df = shopify.load().filter(
+        (F.col("created_date") == "2025-04-01")
+        & (F.col("financial_status") == "refunded")
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    params = json.loads(rows[0]["customer_email"])
+    assert params["financial_status"] == "refunded"
+    assert rows[0]["financial_status"] == "echo"
+
+
+def test_shopify_contradictory_status_yields_empty(shopify):
+    """financial_status='a' AND ='b' can't be one request param — the
+    scan must plan empty, never IN/OR semantics."""
+    df = shopify.load().filter(
+        (F.col("created_date") == "2025-04-01")
+        & (F.col("financial_status") == "refunded")
+        & (F.col("financial_status") == "paid")
+    )
+    assert df.collect() == []
+
+
+def test_shopify_contradictory_dates_yield_empty(shopify):
+    df = shopify.load().filter(
+        (F.col("created_date") >= "2025-05-02")
+        & (F.col("created_date") <= "2025-05-01")
+    )
+    assert df.collect() == []
+
+
+def test_shopify_unsupported_predicate_stays_post_scan(shopify):
+    """total_price > 5 is not API-expressible — it returns to Spark and
+    is evaluated post-scan (echo emits total_price = position)."""
+    df = shopify.load().filter(
+        (F.col("created_date") == "2025-04-02") & (F.col("total_price") > 5.0)
+    )
+    assert df.collect() == []  # echo emits total_price=1.0 at total=1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "total_price" in plan.split("Scan")[0]
+
+
+def test_shopify_link_walk_loops_until_no_next(spark):
+    """8 orders at limit 3 → Link pages of 3,3,2 walked inside ONE
+    day-partition task."""
+    from d2b_dataframework_spark.sources.dsv2 import shopify as sp
+
+    sp.register(spark)
+    df = (
+        spark.read.format("shopify_rest")
+        .option("transport", SHOPIFY_ECHO)
+        .option("limit", 3)
+        .option("echo_total_orders", 8)
+        .load()
+        .filter(F.col("created_date") == "2025-06-01")
+    )
+    rows = df.collect()
+    assert sorted(r["total_price"] for r in rows) == [float(i) for i in range(1, 9)]
+    assert sorted({r["order_id"] for r in rows}) == list(range(1, 9))
