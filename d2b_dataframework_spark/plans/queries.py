@@ -2216,7 +2216,13 @@ _UNVERIFIED_R4: tuple[str, ...] = (
 # sampled window instead of waiting a full round for independent
 # verification.  (All entries are always covered by the full local
 # gate — tools/check_correctness.py runs every registry name.)
-_NEWEST_R5: tuple[str, ...] = ()
+_NEWEST_R5: tuple[str, ...] = (
+    "returned_items_report",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "nation_profit",
+    "supplier_diversity",
+)
 
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -14694,6 +14700,284 @@ REGISTRY.update(
             q_shingle_novelty,
             SQL_SHINGLE_NOVELTY,
             "per-doc corpus-novelty deciles (memorization-risk dial)",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the remaining TPC-H classics (Q10/Q13/Q15 direct; Q9/Q16
+# reshaped — the testdata has no partsupp table, so supply cost / the
+# supplier-part relation are derived from part.p_retailprice and the
+# lineitem shipping relation; each deviation is documented inline)
+# ---------------------------------------------------------------------------
+
+
+def q_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the 20 customers who cost
+    the most revenue in returns (l_returnflag = 'R') for orders placed
+    in 1996H1, with their nation. Plan shape: lineitem⋈orders shuffle
+    join with both date/return filters PUSHED to the scans, customer is
+    a keyed shuffle join (at 100 TB customer is data-sized — never
+    broadcast), nation broadcasts (25 rows), top-20 is
+    TakeOrderedAndProject (no global sort materialization)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    one = F.lit(1).cast(DEC_SMALL)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(ep * (one - disc)).cast("double").alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(l_extendedprice::DECIMAL(12,2)
+      * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))) AS DOUBLE)
+    AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k qualifying orders (k = 0 included — the
+    LEFT join is the point of Q13; the qualifying predicate lives in
+    the JOIN CONDITION, not a post-join filter, so non-qualifying
+    customers still count at k = 0). Qualifying = not 1-URGENT (the
+    testdata's analog of Q13's comment NOT LIKE scrub). Two-level agg:
+    count per customer (shuffle on c_custkey), then the k-histogram —
+    second shuffle is |distinct k| sized."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_CUSTOMER_ORDER_DIST = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose 1997Q1
+    shipped revenue equals the maximum over all suppliers. Revenue
+    routes through DECIMAL so the max-equality join is exact (double
+    sums would flake the tie comparison). The max is a 1-row frame
+    cross-joined (broadcast) back onto the per-supplier revenue — the
+    decorrelated scalar-subquery shape (same idiom as Q17's
+    small_quantity_revenue); supplier joins AFTER the filter, when at
+    most a handful of rows remain."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    one = F.lit(1).cast(DEC_SMALL)
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(ep * (one - disc)).alias("_rev_dec")
+    )
+    mx = rev.agg(F.max("_rev_dec").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev._rev_dec == mx._mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+    SUM(l_extendedprice::DECIMAL(12,2)
+        * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-profit decomposition per supplier nation
+    per order year, for one part family (p_name contains 'red').
+    RESHAPED: the testdata has no partsupp, so supply cost is the
+    retail-cost proxy ``0.20 * p_retailprice * l_quantity`` — the join
+    graph (lineitem⋈orders⋈supplier⋈nation⋈part) and the
+    profit-decomposition semantics are Q9's. All money stays DECIMAL
+    until the final cast; part/supplier/nation broadcast (dimension
+    sides), lineitem⋈orders is the one data-sized shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    one = F.lit(1).cast(DEC_SMALL)
+    cost = (
+        F.col("p_retailprice").cast(DEC)
+        * F.col("l_quantity").cast(DEC)
+        * F.lit(0.20).cast(DEC_SMALL)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(ep * (one - disc) - cost).cast("double").alias("profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+SQL_NATION_PROFIT = """
+SELECT n_name AS nation,
+  EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+  CAST(SUM(l_extendedprice::DECIMAL(12,2)
+        * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))
+      - p_retailprice::DECIMAL(12,2) * l_quantity::DECIMAL(12,2)
+        * 0.20::DECIMAL(4,2)) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-diversity census: how many DISTINCT
+    suppliers actually shipped each (brand, type, size) part bucket,
+    excluding one brand, one type family, and "complaint" suppliers.
+    RESHAPED: the part↔supplier relation comes from lineitem shipments
+    (no partsupp table) and the complaint scrub is s_acctbal < 0 (no
+    comment column). Plan: the bad-supplier set is a tiny broadcast
+    LEFT ANTI join BEFORE the part join; distinct-supplier counting is
+    a two-level agg (dedup on the full key, then count) so the wide
+    distinct never rides a single reducer."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").startswith("PROMO"))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+SQL_SUPPLIER_DIVERSITY = """
+SELECT p_brand, p_type, p_size,
+  COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+REGISTRY.update(
+    {
+        "returned_items_report": QuerySpec(
+            q_returned_items_report,
+            SQL_RETURNED_ITEMS,
+            "Q10-shaped: top-20 customers by returned revenue",
+        ),
+        "customer_order_distribution": QuerySpec(
+            q_customer_order_distribution,
+            SQL_CUSTOMER_ORDER_DIST,
+            "Q13-shaped: LEFT-join order-count histogram incl. zero",
+        ),
+        "top_supplier_revenue": QuerySpec(
+            q_top_supplier_revenue,
+            SQL_TOP_SUPPLIER,
+            "Q15-shaped: decimal-exact max-revenue supplier",
+        ),
+        "nation_profit": QuerySpec(
+            q_nation_profit,
+            SQL_NATION_PROFIT,
+            "Q9-shaped: profit decomposition, retail-cost proxy",
+        ),
+        "supplier_diversity": QuerySpec(
+            q_supplier_diversity,
+            SQL_SUPPLIER_DIVERSITY,
+            "Q16-shaped: distinct-supplier census with anti-join scrub",
         ),
     }
 )
