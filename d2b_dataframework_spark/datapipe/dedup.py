@@ -1316,3 +1316,36 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
     )
     return cache.track(verified, ordered, toks)
+
+
+def lsh_design_table(
+    spark,
+    n_perm: int = N_HASHES,
+    s_grid: tuple[float, ...] = (0.5, 0.6, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95),
+):
+    """The MinHash-LSH parameter planner: for every (bands, rows) split
+    of an ``n_perm``-permutation signature, the candidate probability
+    ``P(pair surfaces | jaccard = s) = 1 - (1 - s^r)^b`` across the
+    ``s_grid``, plus the S-curve's 50% point ``(1/b)^(1/r)`` — the
+    table you read BEFORE running minhash_duplicate_pairs to pick the
+    banding for a target threshold (false-positive mass below the
+    target = verify-stage cost; false-negative mass above = missed
+    dups). Pure closed-form over a |divisors(n_perm)| x |s_grid|
+    literal grid — no data scan; the planning twin of the empirical
+    lsh_recall_eval audit."""
+    combos = [(b, n_perm // b) for b in range(1, n_perm + 1) if n_perm % b == 0]
+    grid = spark.createDataFrame(
+        [(b, r, s) for b, r in combos for s in s_grid],
+        "bands int, rows_per_band int, s double",
+    )
+    b = F.col("bands").cast("double")
+    r = F.col("rows_per_band").cast("double")
+    return grid.select(
+        F.col("bands").cast("long").alias("bands"),
+        F.col("rows_per_band").cast("long").alias("rows_per_band"),
+        "s",
+        F.round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("s"), r), b), 6
+        ).alias("p_candidate"),
+        F.round(F.pow(F.lit(1.0) / b, F.lit(1.0) / r), 6).alias("threshold_est"),
+    ).orderBy("bands", "s")

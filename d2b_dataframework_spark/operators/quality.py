@@ -210,3 +210,76 @@ def l_diversity_report(
             F.col("exposed_rows").cast("double") / F.col("n_rows").cast("double"), 6
         ).alias("exposed_fraction"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    bucket_col: str,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), completing the release trio
+    with k_anonymity_report / l_diversity_report: l-diversity is not
+    enough when a class's sensitive values are diverse but SKEWED
+    relative to the table (the skewness attack) — t is the largest
+    Earth Mover's Distance between any QI class's sensitive-value
+    distribution and the global one. For an ORDERED sensitive attribute
+    bucketed into m values, EMD = (1/(m-1)) * sum_i |cumsum_i(p - q)|.
+
+    Scale shape: one (QI, bucket) count agg, one m-row global-
+    distribution frame (broadcast), a QI-class x m grid fill (classes x
+    m rows — the grid is broadcast-joined, never a window over rows),
+    and a per-class window over the m ordered buckets — bounded frames
+    (m is the bucket count, a constant). Returns one row: t, the
+    worst class count above ``threshold``, and the exposed-row mass.
+    """
+    from pyspark.sql import Window
+
+    qi = F.struct(*[F.col(c) for c in quasi_identifiers]).alias("_qi")
+    counts = df.select(qi, F.col(bucket_col).alias("_b")).groupBy(
+        "_qi", "_b"
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    buckets = counts.groupBy("_b").agg(F.sum("_n").alias("_gn"))
+    total = counts.agg(F.sum("_n").alias("_tot"))
+    glob = buckets.crossJoin(F.broadcast(total)).select(
+        "_b", (F.col("_gn").cast("double") / F.col("_tot").cast("double")).alias("_q")
+    )
+    cls_tot = counts.groupBy("_qi").agg(F.sum("_n").cast("long").alias("_cn"))
+    # class x bucket grid (fill absent buckets with 0) — glob is m rows
+    grid = cls_tot.crossJoin(F.broadcast(glob))
+    filled = grid.join(counts, ["_qi", "_b"], "left").select(
+        "_qi",
+        "_b",
+        "_cn",
+        "_q",
+        (F.coalesce(F.col("_n"), F.lit(0)).cast("double") / F.col("_cn").cast("double")).alias("_p"),
+    )
+    w = Window.partitionBy("_qi").orderBy("_b")  # bounded: m buckets/class
+    cum = filled.withColumn("_cum", F.sum(F.col("_p") - F.col("_q")).over(w))
+    per_class = cum.groupBy("_qi", "_cn").agg(
+        (F.sum(F.abs("_cum")) / (F.count(F.lit(1)) - 1).cast("double")).alias("_emd")
+    )
+    return per_class.agg(
+        F.lit(",".join(quasi_identifiers)).alias("quasi_identifiers"),
+        F.lit(bucket_col).alias("sensitive_bucket"),
+        F.round(F.max("_emd"), 6).alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("_emd") > threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_above_threshold"),
+        F.sum(F.when(F.col("_emd") > threshold, F.col("_cn")).otherwise(0))
+        .cast("long")
+        .alias("exposed_rows"),
+        F.sum("_cn").cast("long").alias("n_rows"),
+    ).select(
+        "quasi_identifiers",
+        "sensitive_bucket",
+        "t",
+        "n_classes",
+        "classes_above_threshold",
+        "exposed_rows",
+        "n_rows",
+        F.round(
+            F.col("exposed_rows").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("exposed_fraction"),
+    )

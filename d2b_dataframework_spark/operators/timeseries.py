@@ -51,3 +51,81 @@ def resample_daily_ffill(
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
         F.col(value_col).isNull().alias("was_filled"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Retrospective single-changepoint detection per key: the split
+    index k maximizing the centered CUSUM statistic
+    ``|S_k - (k/n) * S_n|`` (S_k = prefix sum of values in order) — the
+    binary-segmentation step every offline level-shift hunt starts from.
+    Complements operators/recurrence.cusum_alerts, which is SEQUENTIAL
+    (alert when drift accumulates); this is the batch "where did the
+    level change" question, answered in one pass.
+
+    Scale shape: one window over (key, order) for the prefix sum — per-
+    key frames, fully parallel, the same boundedness contract as the
+    recurrence family (one row per observation, e.g. per day) — then an
+    argmax-by-struct aggregation (map-side combinable; ties break to the
+    EARLIEST split). Interior splits only (k < n): the k = n term is
+    identically 0 and would win every all-equal group with a misleading
+    "change at the end".
+
+    Returns one row per key: n, the change point's order value, the max
+    statistic (rounded), and the before/after means.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("_o")
+    cum = df.select(
+        *key_cols,
+        F.col(order_col).alias("_o"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).withColumns(
+        {
+            "_k": F.row_number().over(w).cast("long"),
+            "_sk": F.sum("_v").over(w),
+        }
+    )
+    tot = cum.groupBy(*key_cols).agg(
+        F.max("_k").alias("_n"), F.sum("_v").alias("_sn")
+    )
+    scored = cum.join(tot, key_cols).filter(F.col("_k") < F.col("_n")).select(
+        *key_cols,
+        "_o",
+        "_k",
+        "_n",
+        "_sk",
+        "_sn",
+        F.abs(
+            F.col("_sk")
+            - F.col("_k").cast("double") / F.col("_n").cast("double") * F.col("_sn")
+        ).alias("_stat"),
+    )
+    best = scored.groupBy(*key_cols).agg(
+        F.max(
+            F.struct(
+                F.col("_stat").alias("s"),
+                (-F.col("_k")).alias("nk"),  # tie -> earliest split
+                F.col("_o").alias("o"),
+                F.col("_k").alias("k"),
+                F.col("_sk").alias("sk"),
+                F.col("_n").alias("n"),
+                F.col("_sn").alias("sn"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        *key_cols,
+        F.col("_b.n").cast("long").alias("n_points"),
+        F.col("_b.o").alias("change_at"),
+        F.round(F.col("_b.s"), 6).alias("cusum_stat"),
+        F.round(F.col("_b.sk") / F.col("_b.k").cast("double"), 6).alias("mean_before"),
+        F.round(
+            (F.col("_b.sn") - F.col("_b.sk"))
+            / (F.col("_b.n") - F.col("_b.k")).cast("double"),
+            6,
+        ).alias("mean_after"),
+    )

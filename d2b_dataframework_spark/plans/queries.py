@@ -2222,6 +2222,11 @@ _NEWEST_R5: tuple[str, ...] = (
     "top_supplier_revenue",
     "nation_profit",
     "supplier_diversity",
+    "minhash_param_planner",
+    "t_closeness",
+    "changepoint_detection",
+    "interval_conflicts",
+    "tokenizer_fertility",
 )
 
 
@@ -14978,6 +14983,296 @@ REGISTRY.update(
             q_supplier_diversity,
             SQL_SUPPLIER_DIVERSITY,
             "Q16-shaped: distinct-supplier census with anti-join scrub",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: pipeline-design + audit operators (LSH planning, privacy trio
+# completion, retrospective changepoints, interval conflicts, tokenizer
+# fertility)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH design table (dedup.lsh_design_table): candidate probability
+    1-(1-s^r)^b for every (bands, rows) split of the 16-permutation
+    signature across a jaccard grid, plus each banding's S-curve 50%
+    point — the planning step before minhash_lsh_dedup. Closed-form
+    literal grid; the oracle replays the same formula."""
+    return dd.lsh_design_table(spark)
+
+
+SQL_MINHASH_PLANNER = """
+SELECT b.bands::BIGINT AS bands,
+  (16 // b.bands)::BIGINT AS rows_per_band,
+  g.s,
+  round(1.0 - pow(1.0 - pow(g.s, (16 // b.bands)::DOUBLE), b.bands::DOUBLE), 6)
+    AS p_candidate,
+  round(pow(1.0 / b.bands::DOUBLE, 1.0 / (16 // b.bands)::DOUBLE), 6)
+    AS threshold_est
+FROM (VALUES (1), (2), (4), (8), (16)) b(bands)
+CROSS JOIN (
+  SELECT unnest([0.5, 0.6, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS s) g
+ORDER BY bands, s
+"""
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (quality.t_closeness_report) over the release
+    trio's QI set: class = (mktsegment, nation-bucket), ordered
+    sensitive attribute = account-balance band. EMD via per-class
+    cumulative distribution deltas — windows bounded by the band count,
+    the grid broadcast-joined; completes k_anonymity / l_diversity."""
+    from d2b_dataframework_spark.operators.quality import t_closeness_report
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.pmod(F.col("c_nationkey"), F.lit(5)).cast("long").alias("nation_bucket"),
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    )
+    return t_closeness_report(
+        cust, ["c_mktsegment", "nation_bucket"], "bal_band", threshold=0.2
+    )
+
+
+SQL_T_CLOSENESS = """
+WITH base AS (
+  SELECT c_mktsegment, (c_nationkey % 5)::BIGINT AS nation_bucket,
+    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+  FROM customer),
+counts AS (
+  SELECT c_mktsegment, nation_bucket, bal_band, count(*)::BIGINT AS n
+  FROM base GROUP BY 1, 2, 3),
+gdist AS (
+  SELECT bal_band, sum(n)::DOUBLE / (SELECT sum(n) FROM counts)::DOUBLE AS q
+  FROM counts GROUP BY 1),
+cls AS (
+  SELECT c_mktsegment, nation_bucket, sum(n)::BIGINT AS cn
+  FROM counts GROUP BY 1, 2),
+grid AS (
+  SELECT c.c_mktsegment, c.nation_bucket, c.cn, g.bal_band, g.q,
+    COALESCE(x.n, 0)::DOUBLE / c.cn::DOUBLE AS p
+  FROM cls c CROSS JOIN gdist g
+  LEFT JOIN counts x ON x.c_mktsegment = c.c_mktsegment
+    AND x.nation_bucket = c.nation_bucket AND x.bal_band = g.bal_band),
+cum AS (
+  SELECT c_mktsegment, nation_bucket, cn,
+    sum(p - q) OVER (PARTITION BY c_mktsegment, nation_bucket
+                     ORDER BY bal_band) AS c
+  FROM grid),
+emd AS (
+  SELECT c_mktsegment, nation_bucket, cn,
+    sum(abs(c)) / (count(*) - 1)::DOUBLE AS emd
+  FROM cum GROUP BY 1, 2, 3)
+SELECT 'c_mktsegment,nation_bucket' AS quasi_identifiers,
+  'bal_band' AS sensitive_bucket,
+  round(max(emd), 6) AS t,
+  count(*)::BIGINT AS n_classes,
+  sum(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END)::BIGINT
+    AS classes_above_threshold,
+  sum(CASE WHEN emd > 0.2 THEN cn ELSE 0 END)::BIGINT AS exposed_rows,
+  sum(cn)::BIGINT AS n_rows,
+  round(sum(CASE WHEN emd > 0.2 THEN cn ELSE 0 END)::DOUBLE
+        / sum(cn)::DOUBLE, 6) AS exposed_fraction
+FROM emd
+"""
+
+
+def q_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective level-shift hunt (timeseries.cusum_changepoint):
+    per event type, the day k maximizing |S_k - (k/n)S_n| over the
+    daily event-count series — the batch complement of the sequential
+    cusum_alerts. Window frames are |days| per type (bounded by the
+    calendar); the argmax is one struct-max agg, ties to the earliest
+    split."""
+    from d2b_dataframework_spark.operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    out = cusum_changepoint(daily, ["event_type"], "day", "n")
+    return out.select(
+        "event_type",
+        "n_points",
+        F.col("change_at").cast("string").alias("change_day"),
+        "cusum_stat",
+        "mean_before",
+        "mean_after",
+    ).orderBy("event_type")
+
+
+SQL_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+    count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, day, n,
+    row_number() OVER w AS k,
+    sum(n) OVER w AS sk
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+tot AS (
+  SELECT event_type, max(k)::BIGINT AS nn, sum(n) AS sn
+  FROM cum GROUP BY 1),
+scored AS (
+  SELECT c.event_type, c.day, c.k, c.sk, t.nn, t.sn,
+    abs(c.sk - c.k::DOUBLE / t.nn::DOUBLE * t.sn) AS stat
+  FROM cum c JOIN tot t ON c.event_type = t.event_type
+  WHERE c.k < t.nn),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+    ORDER BY stat DESC, k ASC) AS rk
+  FROM scored)
+SELECT event_type, nn AS n_points, day AS change_day,
+  round(stat, 6) AS cusum_stat,
+  round(sk / k::DOUBLE, 6) AS mean_before,
+  round((sn - sk) / (nn - k)::DOUBLE, 6) AS mean_after
+FROM best WHERE rk = 1 ORDER BY event_type
+"""
+
+
+def q_interval_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap PAIR join (intervals.interval_overlap_pairs):
+    per customer, colliding 7-day order-activity windows — the
+    double-booking question as pairs, not counts (concurrent_orders is
+    the sweep-line census twin). Keyed self-join blocked on c_custkey
+    (pairs ~ orders-per-customer squared, the copurchase bound); output
+    is the top-100 most conflicted customers."""
+    from d2b_dataframework_spark.operators.intervals import interval_overlap_pairs
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("_start"),
+        F.date_add(F.to_date("o_orderdate"), 7).alias("_end"),
+    )
+    pairs = interval_overlap_pairs(
+        orders, ["o_custkey"], "o_orderkey", "_start", "_end"
+    )
+    return (
+        pairs.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conflicts"),
+            F.sum(
+                F.datediff(F.col("overlap_end"), F.col("overlap_start")).cast("long")
+            ).alias("total_overlap_days"),
+        )
+        .orderBy(
+            F.col("n_conflicts").desc(),
+            F.col("total_overlap_days").desc(),
+            F.col("o_custkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+SQL_INTERVAL_CONFLICTS = """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey,
+    CAST(o_orderdate AS DATE) AS s,
+    CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS e
+  FROM orders),
+pairs AS (
+  SELECT a.o_custkey,
+    date_diff('day', greatest(a.s, b.s), CAST(least(a.e, b.e) AS DATE))
+      ::BIGINT AS overlap_days
+  FROM iv a JOIN iv b
+    ON a.o_custkey = b.o_custkey
+   AND a.o_orderkey < b.o_orderkey
+   AND a.s <= b.e AND b.s <= a.e)
+SELECT o_custkey, count(*)::BIGINT AS n_conflicts,
+  sum(overlap_days)::BIGINT AS total_overlap_days
+FROM pairs GROUP BY o_custkey
+ORDER BY n_conflicts DESC, total_overlap_days DESC, o_custkey ASC
+LIMIT 100
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility screen: per language, whitespace words vs
+    fixed-width (<=4 char) subword chunks — fertility = subwords/word
+    and chars/subword, the two dials a tokenizer budget plan needs
+    before packing sequences. One scan, JVM higher-order functions (no
+    Python in the hot path), one 5-group agg."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = dt.tokens("text")
+    words = F.size(toks).cast("long")
+    subwords = F.aggregate(
+        F.transform(toks, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.select("lang", words.alias("_w"), subwords.alias("_sw"), chars.alias("_c"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("n_words"),
+            F.sum("_sw").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("_sw").cast("double") / F.sum("_w").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("_c").cast("double") / F.sum("_sw").cast("double"), 6
+            ).alias("chars_per_subword"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH per_doc AS (
+  SELECT lang,
+    len({_RAW_TOKS})::BIGINT AS w,
+    list_sum(list_transform({_RAW_TOKS},
+      t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))::BIGINT AS sw,
+    list_sum(list_transform({_RAW_TOKS},
+      t -> length(t)::BIGINT))::BIGINT AS c
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+  sum(w)::BIGINT AS n_words,
+  sum(sw)::BIGINT AS n_subwords,
+  round(sum(sw)::DOUBLE / sum(w)::DOUBLE, 6) AS fertility,
+  round(sum(c)::DOUBLE / sum(sw)::DOUBLE, 6) AS chars_per_subword
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+REGISTRY.update(
+    {
+        "minhash_param_planner": QuerySpec(
+            q_minhash_param_planner,
+            SQL_MINHASH_PLANNER,
+            "LSH (bands,rows) S-curve design table",
+        ),
+        "t_closeness": QuerySpec(
+            q_t_closeness,
+            SQL_T_CLOSENESS,
+            "t-closeness EMD audit (privacy trio completion)",
+        ),
+        "changepoint_detection": QuerySpec(
+            q_changepoint_detection,
+            SQL_CHANGEPOINT,
+            "retrospective CUSUM-argmax level shift per key",
+        ),
+        "interval_conflicts": QuerySpec(
+            q_interval_conflicts,
+            SQL_INTERVAL_CONFLICTS,
+            "keyed interval-overlap pair join census",
+        ),
+        "tokenizer_fertility": QuerySpec(
+            q_tokenizer_fertility,
+            SQL_TOKENIZER_FERTILITY,
+            "subword fertility / compression per language",
         ),
     }
 )

@@ -1,0 +1,128 @@
+"""Round-5 operators: privacy trio completion, changepoints, interval
+joins, LSH planning."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_t_closeness_hand_computed(spark):
+    """Two classes over two ordered buckets: global q = (0.5, 0.5);
+    class A = (1, 0) -> EMD = |0.5| / 1 = 0.5; class B mirrors. t=0.5,
+    both classes above threshold 0.2."""
+    from d2b_dataframework_spark.operators.quality import t_closeness_report
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 1), ("b", 1)], "qi string, band long"
+    )
+    r = t_closeness_report(df, ["qi"], "band", threshold=0.2).collect()[0]
+    assert r["t"] == 0.5
+    assert r["n_classes"] == 2
+    assert r["classes_above_threshold"] == 2
+    assert r["exposed_rows"] == 4
+    assert r["exposed_fraction"] == 1.0
+
+
+def test_t_closeness_identical_distributions_zero(spark):
+    from d2b_dataframework_spark.operators.quality import t_closeness_report
+
+    rows = [(q, b) for q in ("a", "b") for b in (0, 1, 2)]
+    df = spark.createDataFrame(rows, "qi string, band long")
+    r = t_closeness_report(df, ["qi"], "band").collect()[0]
+    assert r["t"] == 0.0 and r["classes_above_threshold"] == 0
+
+
+def test_cusum_changepoint_obvious_shift(spark):
+    """Series 0,0,0,10,10,10: the split after k=3 maximizes
+    |S_k - (k/n)S_n| = |0 - 15| = 15; means 0 before, 10 after."""
+    from d2b_dataframework_spark.operators.timeseries import cusum_changepoint
+
+    rows = [("a", i, 0.0 if i < 3 else 10.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    r = cusum_changepoint(df, ["k"], "i", "v").collect()[0]
+    assert r["n_points"] == 6
+    assert r["change_at"] == 2  # last index of the low regime (k=3 rows)
+    assert r["cusum_stat"] == 15.0
+    assert (r["mean_before"], r["mean_after"]) == (0.0, 10.0)
+
+
+def test_cusum_changepoint_all_equal_ties_earliest(spark):
+    """A flat series has stat 0 everywhere — the tie must break to the
+    EARLIEST interior split, never the end (k=n is excluded)."""
+    from d2b_dataframework_spark.operators.timeseries import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(4)], "k string, i long, v double"
+    )
+    r = cusum_changepoint(df, ["k"], "i", "v").collect()[0]
+    assert r["change_at"] == 0 and r["cusum_stat"] == 0.0
+
+
+def test_interval_overlap_pairs_basic(spark):
+    """[0,5] x [3,8] overlap at [3,5]; [0,5] x [6,9] do not (closed
+    intervals touch only when end == start)."""
+    from d2b_dataframework_spark.operators.intervals import interval_overlap_pairs
+
+    df = spark.createDataFrame(
+        [("k", 1, 0, 5), ("k", 2, 3, 8), ("k", 3, 6, 9)],
+        "g string, id long, s long, e long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["overlap_start"], r["overlap_end"])
+        for r in interval_overlap_pairs(df, ["g"], "id", "s", "e").collect()
+    }
+    assert got == {(1, 2): (3, 5), (2, 3): (6, 8)}
+
+
+def test_interval_overlap_touching_endpoints_collide(spark):
+    from d2b_dataframework_spark.operators.intervals import interval_overlap_pairs
+
+    df = spark.createDataFrame(
+        [("k", 1, 0, 5), ("k", 2, 5, 9)], "g string, id long, s long, e long"
+    )
+    rows = interval_overlap_pairs(df, ["g"], "id", "s", "e").collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["overlap_start"] == 5
+
+
+def test_interval_overlap_keys_isolate(spark):
+    from d2b_dataframework_spark.operators.intervals import interval_overlap_pairs
+
+    df = spark.createDataFrame(
+        [("k1", 1, 0, 9), ("k2", 2, 0, 9)], "g string, id long, s long, e long"
+    )
+    assert interval_overlap_pairs(df, ["g"], "id", "s", "e").collect() == []
+
+
+def test_interval_overlap_max_group_size_drops_hot_key(spark):
+    from d2b_dataframework_spark.operators.intervals import interval_overlap_pairs
+
+    rows = [("hot", i, 0, 100) for i in range(5)] + [
+        ("cold", 10, 0, 5),
+        ("cold", 11, 3, 8),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, s long, e long")
+    got = interval_overlap_pairs(
+        df, ["g"], "id", "s", "e", max_group_size=3
+    ).collect()
+    assert [(r["g"], r["id_a"], r["id_b"]) for r in got] == [("cold", 10, 11)]
+
+
+def test_lsh_design_table_closed_form(spark):
+    """Every row must equal the closed form; the (16,1) banding's 50%
+    point is 1/16 and the (1,16) banding's is 1."""
+    from d2b_dataframework_spark.datapipe.dedup import lsh_design_table
+
+    rows = lsh_design_table(spark).collect()
+    assert len(rows) == 5 * 8  # divisors of 16 x s grid
+    for r in rows:
+        b, rr, s = r["bands"], r["rows_per_band"], r["s"]
+        assert b * rr == 16
+        assert r["p_candidate"] == round(1.0 - (1.0 - s**rr) ** b, 6)
+        assert r["threshold_est"] == round((1.0 / b) ** (1.0 / rr), 6)
+    t = {(r["bands"], r["rows_per_band"]): r["threshold_est"] for r in rows}
+    assert t[(16, 1)] == round(1.0 / 16, 6)
+    assert t[(1, 16)] == 1.0
