@@ -251,3 +251,83 @@ def decision_stump(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "threshold", "n_left", "n_right", "weighted_gini"
     )
+
+
+def logistic_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Logistic regression by FIXED-iteration full-batch gradient
+    descent — the third learner, completing the counting pair above
+    with the simplest gradient model. Deliberately breaks this module's
+    "no loops" rule the way clustering.kmeans does: the driver loop
+    carries only the (k+1)-scalar weight vector (one 1-row collect per
+    iteration — never data-sized), while every gradient is one
+    aggregation pass over the distributed frame.
+
+    Engine-exactness (the recipe that makes a GD loop hash-matchable,
+    same playbook as the Naive Bayes log terms): per-row gradient
+    terms ``(sigmoid(w.x) - y) * x_j`` are rounded to 9 decimals —
+    absorbing last-ulp ``exp`` divergence across libm builds — then
+    accumulated in DECIMAL (order-independent), so the weight vector
+    after every iteration is IDENTICAL in any engine replaying the
+    same unrolled steps. Inputs must already be cross-engine-exact
+    (standardize from decimal moments).
+
+    Returns one row: n, w0 (bias), w1..wk, train accuracy and mean
+    log-loss (both from 9-rounded scores).
+    """
+    feats = [F.col(c).cast("double").alias(f"_x{j + 1}") for j, c in enumerate(feature_cols)]
+    data = df.select(F.col(label_col).cast("double").alias("_y"), *feats)
+    k = len(feature_cols)
+    w = [0.0] * (k + 1)
+
+    def _sig():
+        z = F.lit(w[0])
+        for j in range(k):
+            z = z + F.lit(w[j + 1]) * F.col(f"_x{j + 1}")
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    for _ in range(int(iterations)):
+        sig = _sig()
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        aggs.append(F.sum(F.round(sig - F.col("_y"), 9).cast(_DEC9)).alias("_g0"))
+        for j in range(k):
+            aggs.append(
+                F.sum(
+                    F.round((sig - F.col("_y")) * F.col(f"_x{j + 1}"), 9).cast(_DEC9)
+                ).alias(f"_g{j + 1}")
+            )
+        row = data.agg(*aggs).collect()[0]
+        n = row["_n"]
+        for j in range(k + 1):
+            w[j] = w[j] - lr * (float(row[f"_g{j}"]) / n)
+    sig = F.round(_sig(), 9)
+    loss = F.round(
+        -(
+            F.col("_y") * F.log(sig)
+            + (F.lit(1.0) - F.col("_y")) * F.log(F.lit(1.0) - sig)
+        ),
+        9,
+    ).cast(_DEC9)
+    hit = (
+        ((sig > 0.5) & (F.col("_y") == 1.0))
+        | ((sig <= 0.5) & (F.col("_y") == 0.0))
+    ).cast("long")
+    out_cols = [F.count(F.lit(1)).cast("long").alias("n")]
+    for j in range(k + 1):
+        out_cols.append(F.round(F.lit(w[j]), 6).alias(f"w{j}"))
+    out_cols.append(
+        F.round(F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "accuracy"
+        )
+    )
+    out_cols.append(
+        F.round(
+            F.sum(loss).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("log_loss")
+    )
+    return data.agg(*out_cols)

@@ -168,3 +168,73 @@ def holt_smoothing(
         )
 
     return df.groupBy(key_col).applyInPandas(run, schema)
+
+
+def croston_forecast(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    demand_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key Croston intermittent-demand smoothing (Croston 1972) over
+    an ordered, zero-inflated demand series — the forecasting method for
+    series where MOST periods are zero (spare parts, long-tail SKUs),
+    where plain exponential smoothing decays toward zero between
+    demands. State: ``z`` (demand-size level) and ``p`` (inter-demand
+    interval level) update only on demand periods; zero periods grow the
+    interval counter ``q``::
+
+        demand x > 0, first:  z = x;              p = q;               q = 1
+        demand x > 0, later:  z = a*x + (1-a)*z;  p = a*q + (1-a)*p;   q = 1
+        demand x == 0:        (z, p unchanged)                         q += 1
+
+    Forecast per period = ``z / p``. The coupled conditional state is a
+    non-linear recurrence — same ``applyInPandas`` contract (and the
+    same recursive-CTE-oracle determinism) as the rest of this module.
+
+    Returns one row per key: (key: long, n_periods, n_demand_periods,
+    z, p, forecast); keys with NO demand return null z/p and forecast
+    0.0. ``key_col`` must be integral.
+    """
+    schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n_periods", LongType()),
+            StructField("n_demand_periods", LongType()),
+            StructField("z", DoubleType()),
+            StructField("p", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+    a = float(alpha)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        z = p = None
+        q, n_demand = 1, 0
+        for x in pdf[demand_col]:
+            x = float(x)
+            if x > 0.0:
+                n_demand += 1
+                if z is None:
+                    z, p = x, float(q)
+                else:
+                    z = a * x + (1.0 - a) * z
+                    p = a * q + (1.0 - a) * p
+                q = 1
+            else:
+                q += 1
+        fc = (z / p) if z is not None else 0.0
+        return pd.DataFrame(
+            {
+                "key": [int(pdf[key_col].iloc[0])],
+                "n_periods": [len(pdf)],
+                "n_demand_periods": [n_demand],
+                "z": [z],
+                "p": [p],
+                "forecast": [fc],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(run, schema)

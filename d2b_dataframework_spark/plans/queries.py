@@ -2227,6 +2227,9 @@ _NEWEST_R5: tuple[str, ...] = (
     "changepoint_detection",
     "interval_conflicts",
     "tokenizer_fertility",
+    "logistic_priority_gd",
+    "croston_intermittent",
+    "calibration_bins",
 )
 
 
@@ -15273,6 +15276,289 @@ REGISTRY.update(
             q_tokenizer_fertility,
             SQL_TOKENIZER_FERTILITY,
             "subword fertility / compression per language",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 5 batch 2: gradient learner, intermittent-demand recurrence,
+# calibration audit
+# ---------------------------------------------------------------------------
+
+
+def q_logistic_priority_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression by 3 unrolled full-batch GD steps
+    (classify.logistic_gd): predict urgent priority from standardized
+    (totalprice, order month). The driver loop carries 3 scalar weights
+    (one 1-row collect per step — never data-sized); per-row gradient
+    terms round to 9 decimals and accumulate in DECIMAL, so the weight
+    trajectory is engine-exact and the oracle replays the identical
+    unrolled steps (the Naive Bayes ln-term playbook applied to exp).
+    Features standardize from decimal moments — order-independent."""
+    from d2b_dataframework_spark.datapipe.classify import logistic_gd
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("double").alias("y"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
+        F.month("o_orderdate").cast("decimal(18,2)").alias("mo"),
+    )
+    st = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("tp").alias("stp"),
+        F.sum(F.col("tp") * F.col("tp")).alias("stp2"),
+        F.sum("mo").alias("smo"),
+        F.sum(F.col("mo") * F.col("mo")).alias("smo2"),
+    )
+
+    def _scale(v, s1, s2):
+        n = F.col("n").cast("double")
+        mean = F.col(s1).cast("double") / n
+        sd = F.sqrt(F.col(s2).cast("double") / n - mean * mean)
+        return (v.cast("double") - mean) / sd
+
+    scaled = base.crossJoin(F.broadcast(st)).select(
+        "y",
+        _scale(F.col("tp"), "stp", "stp2").alias("x1"),
+        _scale(F.col("mo"), "smo", "smo2").alias("x2"),
+    )
+    return logistic_gd(scaled, ["x1", "x2"], "y", iterations=3, lr=1.0)
+
+
+def _sql_logistic() -> str:
+    z = "(w.b + w.w1 * x1 + w.w2 * x2)"
+    sig = f"1.0 / (1.0 + exp(-{z}))"
+    ctes = [
+        """base AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+    o_totalprice::DECIMAL(18,2) AS tp,
+    EXTRACT(month FROM o_orderdate)::DECIMAL(18,2) AS mo
+  FROM orders)""",
+        """st AS (
+  SELECT count(*)::BIGINT AS n, sum(tp) AS stp, sum(tp * tp) AS stp2,
+    sum(mo) AS smo, sum(mo * mo) AS smo2 FROM base)""",
+        """sc AS (
+  SELECT y,
+    (CAST(tp AS DOUBLE) - CAST(stp AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(stp2 AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(stp AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(stp AS DOUBLE) / CAST(n AS DOUBLE))) AS x1,
+    (CAST(mo AS DOUBLE) - CAST(smo AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(smo2 AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(smo AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(smo AS DOUBLE) / CAST(n AS DOUBLE))) AS x2
+  FROM base CROSS JOIN st)""",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for i in range(3):
+        ctes.append(
+            f"""g{i + 1} AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(round({sig} - y, 9)::DECIMAL(28,9)) AS g0,
+    sum(round(({sig} - y) * x1, 9)::DECIMAL(28,9)) AS gx1,
+    sum(round(({sig} - y) * x2, 9)::DECIMAL(28,9)) AS gx2
+  FROM sc CROSS JOIN w{i} w)"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS (
+  SELECT w.b - 1.0 * (CAST(g.g0 AS DOUBLE) / g.n) AS b,
+    w.w1 - 1.0 * (CAST(g.gx1 AS DOUBLE) / g.n) AS w1,
+    w.w2 - 1.0 * (CAST(g.gx2 AS DOUBLE) / g.n) AS w2
+  FROM w{i} w CROSS JOIN g{i + 1} g)"""
+        )
+    sig9 = f"round({sig}, 9)"
+    return f"""
+WITH {", ".join(ctes)}
+SELECT count(*)::BIGINT AS n,
+  round(any_value(w.b), 6) AS w0,
+  round(any_value(w.w1), 6) AS w1,
+  round(any_value(w.w2), 6) AS w2,
+  round(sum(CASE WHEN ({sig9} > 0.5 AND y = 1.0)
+      OR ({sig9} <= 0.5 AND y = 0.0) THEN 1 ELSE 0 END)::DOUBLE
+    / count(*)::DOUBLE, 6) AS accuracy,
+  round(CAST(sum(round(-(y * ln({sig9})
+      + (1.0 - y) * ln(1.0 - {sig9})), 9)::DECIMAL(28,9)) AS DOUBLE)
+    / count(*)::DOUBLE, 6) AS log_loss
+FROM sc CROSS JOIN w3 w
+"""
+
+
+def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast
+    (recurrence.croston_forecast) over rare parts' monthly demand
+    (zero-filled on the global month calendar): z/p exponential state
+    updating only on demand months — the spare-parts twin of the Holt
+    query, same applyInPandas-vs-recursive-CTE contract. The dense grid
+    is |rare parts| x |months| (dimension-sized, built by a broadcast
+    cross join — the fact table never rides a window)."""
+    from d2b_dataframework_spark.operators.recurrence import croston_forecast
+
+    li = _t(spark, sf_dir, "lineitem")
+    rare = li.filter(F.col("l_partkey") % 997 < 8)
+    month = F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("month")
+    cal = li.select(month).distinct()
+    parts = rare.select("l_partkey").distinct()
+    demand = rare.groupBy("l_partkey", month).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("d")
+    )
+    grid = (
+        parts.crossJoin(F.broadcast(cal))
+        .join(demand, ["l_partkey", "month"], "left")
+        .select("l_partkey", "month", F.coalesce("d", F.lit(0.0)).alias("v"))
+    )
+    out = croston_forecast(grid, "l_partkey", ["month"], "v", alpha=0.3)
+    return out.select(
+        F.col("key").alias("l_partkey"),
+        "n_periods",
+        "n_demand_periods",
+        F.round("z", 6).alias("z"),
+        F.round("p", 6).alias("p"),
+        F.round("forecast", 6).alias("forecast"),
+    ).orderBy("l_partkey")
+
+
+SQL_CROSTON = """
+WITH RECURSIVE cal AS (
+  SELECT DISTINCT CAST(date_trunc('month', l_shipdate) AS DATE) AS month
+  FROM lineitem),
+parts AS (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 997 < 8),
+demand AS (
+  SELECT l_partkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+    CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS d
+  FROM lineitem WHERE l_partkey % 997 < 8 GROUP BY 1, 2),
+grid AS (
+  SELECT p.l_partkey, c.month, COALESCE(dm.d, 0.0) AS v
+  FROM parts p CROSS JOIN cal c
+  LEFT JOIN demand dm ON dm.l_partkey = p.l_partkey AND dm.month = c.month),
+seq AS (
+  SELECT l_partkey, v,
+    row_number() OVER (PARTITION BY l_partkey ORDER BY month) AS rn
+  FROM grid),
+counts AS (
+  SELECT l_partkey, max(rn) AS mx,
+    sum(CASE WHEN v > 0 THEN 1 ELSE 0 END)::BIGINT AS nd
+  FROM seq GROUP BY 1),
+walk AS (
+  -- every constant is ::DOUBLE: a bare 0.3/1.0 is DECIMAL in DuckDB,
+  -- which would (a) type the whole recursive column DECIMAL(2,1) from
+  -- the anchor and (b) compute 0.3*q EXACTLY before converting --
+  -- both diverge from the engine's IEEE recurrence
+  SELECT l_partkey, 1 AS rn,
+    CASE WHEN v > 0 THEN v END AS z,
+    CASE WHEN v > 0 THEN 1.0::DOUBLE END AS p,
+    CASE WHEN v > 0 THEN 1 ELSE 2 END AS q
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT w.l_partkey, w.rn + 1,
+    CASE WHEN s.v > 0 AND w.z IS NULL THEN s.v
+         WHEN s.v > 0 THEN 0.3::DOUBLE * s.v
+           + (1.0::DOUBLE - 0.3::DOUBLE) * w.z
+         ELSE w.z END,
+    CASE WHEN s.v > 0 AND w.z IS NULL THEN w.q::DOUBLE
+         WHEN s.v > 0 THEN 0.3::DOUBLE * w.q::DOUBLE
+           + (1.0::DOUBLE - 0.3::DOUBLE) * w.p
+         ELSE w.p END,
+    CASE WHEN s.v > 0 THEN 1 ELSE w.q + 1 END
+  FROM walk w JOIN seq s ON s.l_partkey = w.l_partkey AND s.rn = w.rn + 1)
+SELECT w.l_partkey, c.mx::BIGINT AS n_periods, c.nd AS n_demand_periods,
+  round(w.z, 6) AS z, round(w.p, 6) AS p,
+  round(COALESCE(w.z / w.p, 0.0), 6) AS forecast
+FROM walk w JOIN counts c ON w.l_partkey = c.l_partkey AND w.rn = c.mx
+ORDER BY w.l_partkey
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration audit (reliability diagram): bin the
+    language-ID confidence (best stopword-marker score) into 0.05-wide
+    bins and compare mean confidence to observed accuracy against the
+    stored label — the is-my-cheap-labeler-trustworthy check run before
+    using model scores as mixture weights. Confidence sums ride DECIMAL
+    (order-independent); the gap is computed from the already-rounded
+    bin aggregates on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = dt.language_scores(docs)
+    langs = sorted(dt.STOPWORDS)
+    joined = docs.select("doc_id", "lang").join(scored, "doc_id")
+    conf = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    agg = (
+        joined.select(
+            F.least(F.lit(9), F.floor(conf * 20).cast("long")).alias("bin"),
+            conf.cast("decimal(10,6)").alias("_c"),
+            (F.col("lang_pred") == F.col("lang")).cast("long").alias("_ok"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("_c").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_confidence"),
+            F.round(
+                F.sum("_ok").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("accuracy"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "avg_confidence",
+        "accuracy",
+        F.round(F.abs(F.col("accuracy") - F.col("avg_confidence")), 6).alias(
+            "calibration_gap"
+        ),
+    ).orderBy("bin")
+
+
+def _sql_calibration() -> str:
+    langs = sorted(dt.STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        lst = "['" + "', '".join(dt.STOPWORDS[lang]) + "']"
+        score_exprs.append(
+            f"round(len(list_filter({_RAW_TOKS}, t -> list_contains({lst}, t)))::DOUBLE"
+            f" / len({_RAW_TOKS})::DOUBLE, 6) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {", ".join(score_exprs)} FROM documents),
+rows_ AS (
+  SELECT least(9, CAST(floor({best} * 20) AS BIGINT)) AS bin,
+    {best}::DECIMAL(10,6) AS c,
+    CASE WHEN ({pred}) = lang THEN 1 ELSE 0 END AS ok
+  FROM scored),
+agg AS (
+  SELECT bin, count(*)::BIGINT AS n_docs,
+    round(CAST(sum(c) AS DOUBLE) / count(*)::DOUBLE, 6) AS avg_confidence,
+    round(sum(ok)::DOUBLE / count(*)::DOUBLE, 6) AS accuracy
+  FROM rows_ GROUP BY bin)
+SELECT bin, n_docs, avg_confidence, accuracy,
+  round(abs(accuracy - avg_confidence), 6) AS calibration_gap
+FROM agg ORDER BY bin
+"""
+
+
+REGISTRY.update(
+    {
+        "logistic_priority_gd": QuerySpec(
+            q_logistic_priority_gd,
+            _sql_logistic(),
+            "3-step logistic GD, decimal-exact gradient trajectory",
+        ),
+        "croston_intermittent": QuerySpec(
+            q_croston_intermittent,
+            SQL_CROSTON,
+            "Croston z/p recurrence: applyInPandas vs recursive CTE",
+        ),
+        "calibration_bins": QuerySpec(
+            q_calibration_bins,
+            _sql_calibration(),
+            "reliability-diagram bins for the cheap labeler",
         ),
     }
 )

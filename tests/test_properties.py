@@ -657,3 +657,42 @@ def test_label_propagation_matches_replay(spark, edges, iters):
             for n in adj
         }
     assert got == labels
+
+
+@given(
+    groups=st.dictionaries(
+        st.integers(min_value=0, max_value=5),
+        st.lists(st.sampled_from([0.0, 0.0, 1.0, 2.5, 7.0]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+    alpha=st.sampled_from([0.1, 0.3, 0.5]),
+)
+@settings(**SETTINGS)
+def test_croston_matches_replay(spark, groups, alpha):
+    """Croston z/p state == in-memory replay for arbitrary zero-inflated
+    series (the recurrence-family sweep, extended to the new member)."""
+    from d2b_dataframework_spark.operators.recurrence import croston_forecast
+
+    rows = [(k, i, v) for k, vs in groups.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "key long, i long, v double")
+    got = {
+        r["key"]: (r["n_periods"], r["n_demand_periods"], r["z"], r["p"], r["forecast"])
+        for r in croston_forecast(df, "key", ["i"], "v", alpha=alpha).collect()
+    }
+    for k, vs in groups.items():
+        z = p = None
+        q, nd = 1, 0
+        for x in vs:
+            if x > 0.0:
+                nd += 1
+                if z is None:
+                    z, p = x, float(q)
+                else:
+                    z = alpha * x + (1.0 - alpha) * z
+                    p = alpha * q + (1.0 - alpha) * p
+                q = 1
+            else:
+                q += 1
+        fc = (z / p) if z is not None else 0.0
+        assert got[k] == (len(vs), nd, z, p, fc), f"key {k}"

@@ -126,3 +126,55 @@ def test_lsh_design_table_closed_form(spark):
     t = {(r["bands"], r["rows_per_band"]): r["threshold_est"] for r in rows}
     assert t[(16, 1)] == round(1.0 / 16, 6)
     assert t[(1, 16)] == 1.0
+
+
+def test_croston_hand_computed(spark):
+    """Series 0,2,0,0,3: first demand at q=2 seeds z=2, p=2; next demand
+    after q=3 zeros-gap -> z=0.3*3+0.7*2=2.3, p=0.3*3+0.7*2=2.3."""
+    from d2b_dataframework_spark.operators.recurrence import croston_forecast
+
+    rows = [(7, i, v) for i, v in enumerate([0.0, 2.0, 0.0, 0.0, 3.0])]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    r = croston_forecast(df, "k", ["i"], "v", alpha=0.3).collect()[0]
+    assert (r["n_periods"], r["n_demand_periods"]) == (5, 2)
+    assert r["z"] == 0.3 * 3.0 + 0.7 * 2.0
+    assert r["p"] == 0.3 * 3.0 + 0.7 * 2.0
+    assert r["forecast"] == r["z"] / r["p"]
+
+
+def test_croston_all_zero_demand(spark):
+    from d2b_dataframework_spark.operators.recurrence import croston_forecast
+
+    df = spark.createDataFrame(
+        [(1, i, 0.0) for i in range(4)], "k long, i long, v double"
+    )
+    r = croston_forecast(df, "k", ["i"], "v").collect()[0]
+    assert (r["z"], r["p"], r["forecast"]) == (None, None, 0.0)
+
+
+def test_logistic_gd_matches_numpy_replay(spark):
+    """3 GD steps on a tiny separable set == a NumPy replay of the same
+    rounded-gradient updates (the engine rounds per-row terms at 9; the
+    replay does too)."""
+    import numpy as np
+
+    from d2b_dataframework_spark.datapipe.classify import logistic_gd
+
+    xs = [(-2.0, 0.0), (-1.0, 0.0), (1.0, 1.0), (2.0, 1.0), (0.5, 1.0), (-0.5, 0.0)]
+    df = spark.createDataFrame(xs, "x1 double, y double")
+    r = logistic_gd(df, ["x1"], "y", iterations=3, lr=1.0).collect()[0]
+
+    x = np.array([v[0] for v in xs])
+    y = np.array([v[1] for v in xs])
+    w = np.zeros(2)
+    for _ in range(3):
+        sig = 1.0 / (1.0 + np.exp(-(w[0] + w[1] * x)))
+        g0 = np.sum(np.round(sig - y, 9)) / len(x)
+        g1 = np.sum(np.round((sig - y) * x, 9)) / len(x)
+        w[0] -= 1.0 * g0
+        w[1] -= 1.0 * g1
+    sig = np.round(1.0 / (1.0 + np.exp(-(w[0] + w[1] * x))), 9)
+    acc = np.mean((sig > 0.5) == (y == 1.0))
+    assert (r["w0"], r["w1"]) == (round(w[0], 6), round(w[1], 6))
+    assert r["accuracy"] == round(float(acc), 6)
+    assert r["n"] == 6
