@@ -260,3 +260,150 @@ def position_attribution(
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.round(F.sum("_credit").cast("double"), 6).alias("attributed_value"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov journey transitions for removal-effect
+    attribution: per user, the touch sequence (every non-conversion
+    event strictly BEFORE the first conversion; all events when the
+    user never converts) becomes ``start -> t1 -> ... -> tn -> conv|
+    null``; converted users with no prior touch contribute ``start ->
+    conv``. Returns (from_state, to_state, n, p) with p = n / outgoing
+    total — the matrix every Markov attribution solve starts from.
+
+    Scale shape: one per-user min-ts aggregate, one per-user window
+    (lead over the user's own touches — millions of partitions, fully
+    parallel), one (state, state) count agg whose output is bounded by
+    (|channels| + 2)^2 regardless of corpus size."""
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    conv = (
+        ev.filter(F.col("_t") == conversion_type)
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_cts"))
+    )
+    touches = (
+        ev.filter(F.col("_t") != conversion_type)
+        .join(conv, "_u", "left")
+        .filter(F.col("_cts").isNull() | (F.col("_ts") < F.col("_cts")))
+    )
+    w = Window.partitionBy("_u").orderBy("_ts", "_tb")
+    ordered = touches.select(
+        "_u",
+        "_t",
+        "_cts",
+        F.row_number().over(w).alias("_rn"),
+        F.lead("_t").over(w).alias("_nxt"),
+    )
+    first = ordered.filter(F.col("_rn") == 1).select(
+        F.lit("start").alias("from_state"), F.col("_t").alias("to_state")
+    )
+    steps = ordered.select(
+        F.col("_t").alias("from_state"),
+        F.coalesce(
+            "_nxt",
+            F.when(F.col("_cts").isNotNull(), F.lit("conv")).otherwise(
+                F.lit("null")
+            ),
+        ).alias("to_state"),
+    )
+    bare = (
+        conv.join(touches.select("_u").distinct(), "_u", "left_anti")
+        .select(F.lit("start").alias("from_state"), F.lit("conv").alias("to_state"))
+    )
+    counts = (
+        first.unionByName(steps)
+        .unionByName(bare)
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias("p"),
+    )
+
+
+def markov_removal_attribution(
+    transitions: DataFrame,
+    channels: list[str],
+    iterations: int = 15,
+) -> DataFrame:
+    """Markov removal-effect attribution (the channel-interaction-aware
+    answer to last-touch): conversion probability from 'start' is solved
+    by FIXED-iteration value iteration ``v(s) = P(s->conv) + sum P(s->
+    s') v(s')`` on the full graph and once per channel with that channel
+    removed (its transitions deleted, the lost mass falling to
+    non-conversion — the standard removal semantics); a channel's credit
+    is its relative conversion drop, normalized into attribution shares.
+
+    The transition matrix is (|channels| + 2)^2-bounded, so the solve
+    COLLECTS it (a tiny fixed-size collect, the kmeans-centroid
+    contract) and runs the ~dozen-state iteration driver-side; every
+    iterate rounds to 9 decimals so an engine replaying the same
+    unrolled steps (the oracle's generated CTE chain) lands on identical
+    doubles despite arbitrary float-sum order. Fixed ``iterations``
+    keeps it deterministic and oracle-replayable; convergence is
+    geometric (spectral radius < 1 for any absorbing chain), so 15
+    iterations pin far more than the 6 rounded decimals reported.
+
+    Returns one row per channel: p_conv_full, p_conv_removed,
+    removal_effect, attribution_share (rounded at 6).
+    """
+    rows = transitions.collect()  # bounded by (|channels|+2)^2
+    p: dict[str, dict[str, float]] = {}
+    for r in rows:
+        p.setdefault(r["from_state"], {})[r["to_state"]] = float(r["p"])
+
+    def conv_prob(removed: str | None) -> float:
+        states = [s for s in sorted(p) if s != removed]
+        v = {s: 0.0 for s in states}
+        for _ in range(int(iterations)):
+            nv = {}
+            for s in states:
+                acc = 0.0
+                for to, pp in sorted(p[s].items()):
+                    if to == "conv":
+                        acc += pp
+                    elif to == "null" or to == removed:
+                        continue
+                    else:
+                        acc += pp * v.get(to, 0.0)
+                nv[s] = round(acc, 9)
+            v = nv
+        return v.get("start", 0.0)
+
+    full = conv_prob(None)
+    removed_p = {c: conv_prob(c) for c in channels}
+    effects = {
+        c: ((full - removed_p[c]) / full) if full > 0.0 else 0.0 for c in channels
+    }
+    tot = sum(effects[c] for c in sorted(effects))
+    out = [
+        (
+            c,
+            round(full, 6),
+            round(removed_p[c], 6),
+            round(effects[c], 6),
+            round(effects[c] / tot, 6) if tot != 0.0 else None,
+        )
+        for c in sorted(channels)
+    ]
+    return transitions.sparkSession.createDataFrame(
+        out,
+        "channel string, p_conv_full double, p_conv_removed double, "
+        "removal_effect double, attribution_share double",
+    )

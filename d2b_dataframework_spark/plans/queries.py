@@ -2230,6 +2230,7 @@ _NEWEST_R5: tuple[str, ...] = (
     "logistic_priority_gd",
     "croston_intermittent",
     "calibration_bins",
+    "markov_attribution",
 )
 
 
@@ -15559,6 +15560,120 @@ REGISTRY.update(
             q_calibration_bins,
             _sql_calibration(),
             "reliability-diagram bins for the cheap labeler",
+        ),
+    }
+)
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over user journeys
+    (attribution.markov_transitions + markov_removal_attribution): the
+    channel-interaction-aware credit split the last-touch/time-decay/
+    position trio can't express. Journeys and the transition matrix are
+    fully distributed (per-user window + a (channels+2)^2-bounded count
+    agg); the absorbing-chain solve collects that tiny matrix and runs
+    15 value-iteration steps per removal graph driver-side, every
+    iterate rounded at 9 — the oracle replays the identical unrolled
+    chains as generated CTEs."""
+    from d2b_dataframework_spark.operators.attribution import (
+        markov_removal_attribution,
+        markov_transitions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    trans = markov_transitions(
+        ev, "user_id", "ts", "event_type", "purchase", "event_id"
+    )
+    channels = [t for t in EVENT_TYPES if t != "purchase"]
+    return markov_removal_attribution(trans, channels, iterations=15).orderBy(
+        "channel"
+    )
+
+
+def _sql_markov() -> str:
+    channels = [t for t in EVENT_TYPES if t != "purchase"]
+    n_iter = 15
+    ctes = [
+        "ev AS (SELECT user_id, event_type, ts, event_id FROM events)",
+        """cv AS (
+  SELECT user_id, min(ts) AS cts FROM ev
+  WHERE event_type = 'purchase' GROUP BY 1)""",
+        """touches AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id, c.cts
+  FROM ev e LEFT JOIN cv c ON c.user_id = e.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (c.cts IS NULL OR e.ts < c.cts))""",
+        """ordered AS (
+  SELECT user_id, event_type, cts,
+    row_number() OVER w AS rn, lead(event_type) OVER w AS nxt
+  FROM touches
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""",
+        """trans_raw AS (
+  SELECT 'start' AS from_state, event_type AS to_state
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT event_type,
+    COALESCE(nxt, CASE WHEN cts IS NOT NULL THEN 'conv' ELSE 'null' END)
+  FROM ordered
+  UNION ALL
+  SELECT 'start', 'conv' FROM cv c
+  WHERE NOT EXISTS (SELECT 1 FROM touches t WHERE t.user_id = c.user_id))""",
+        """probs AS MATERIALIZED (
+  SELECT from_state, to_state,
+    count(*)::DOUBLE
+      / sum(count(*)) OVER (PARTITION BY from_state)::DOUBLE AS p
+  FROM trans_raw GROUP BY from_state, to_state)""",
+    ]
+    for g, removed in [("full", None)] + [(c, c) for c in channels]:
+        cond = "TRUE" if removed is None else f"p.from_state <> '{removed}'"
+        cond0 = "TRUE" if removed is None else f"from_state <> '{removed}'"
+        dead = "p.to_state = 'null'" + (
+            "" if removed is None else f" OR p.to_state = '{removed}'"
+        )
+        ctes.append(
+            f"""v_{g}_0 AS (
+  SELECT from_state AS state, 0.0::DOUBLE AS val
+  FROM probs WHERE {cond0} GROUP BY from_state)"""
+        )
+        for k in range(1, n_iter + 1):
+            ctes.append(
+                f"""v_{g}_{k} AS (
+  SELECT p.from_state AS state,
+    round(sum(CASE WHEN p.to_state = 'conv' THEN p.p
+                   WHEN {dead} THEN 0.0::DOUBLE
+                   ELSE p.p * COALESCE(v.val, 0.0::DOUBLE) END), 9) AS val
+  FROM probs p LEFT JOIN v_{g}_{k - 1} v ON v.state = p.to_state
+  WHERE {cond} GROUP BY p.from_state)"""
+            )
+    vals = ",\n    ".join(
+        f"('{c}', (SELECT val FROM v_{c}_{n_iter} WHERE state = 'start'))"
+        for c in channels
+    )
+    ctes.append(
+        f"""eff AS (
+  SELECT t.channel, f.val AS pf, t.p_removed,
+    (f.val - t.p_removed) / f.val AS effect
+  FROM (VALUES
+    {vals}) t(channel, p_removed)
+  CROSS JOIN (SELECT val FROM v_full_{n_iter} WHERE state = 'start') f)"""
+    )
+    ctes.append("tot AS (SELECT sum(effect) AS te FROM eff)")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT channel, round(pf, 6) AS p_conv_full,
+  round(p_removed, 6) AS p_conv_removed,
+  round(effect, 6) AS removal_effect,
+  CASE WHEN te <> 0 THEN round(effect / te, 6) END AS attribution_share
+FROM eff CROSS JOIN tot ORDER BY channel
+"""
+
+
+REGISTRY.update(
+    {
+        "markov_attribution": QuerySpec(
+            q_markov_attribution,
+            _sql_markov(),
+            "Markov removal-effect attribution (absorbing-chain solve)",
         ),
     }
 )

@@ -178,3 +178,49 @@ def test_logistic_gd_matches_numpy_replay(spark):
     assert (r["w0"], r["w1"]) == (round(w[0], 6), round(w[1], 6))
     assert r["accuracy"] == round(float(acc), 6)
     assert r["n"] == 6
+
+
+def test_markov_attribution_hand_computed(spark):
+    """3 journeys: click->purchase, view->(no conv), bare purchase.
+    P(conv) = 2/3; removing click drops it to 1/3 (effect 0.5); removing
+    view changes nothing (effect 0) -> shares 1.0 / 0.0."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.operators.attribution import (
+        markov_removal_attribution,
+        markov_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "click", 1),
+        (1, t0 + dt.timedelta(hours=1), "purchase", 2),
+        (2, t0, "view", 3),
+        (3, t0, "purchase", 4),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    trans = markov_transitions(ev, "user_id", "ts", "event_type", "purchase", "event_id")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in trans.collect()
+    }
+    third = 1.0 / 3.0
+    assert got == {
+        ("start", "click"): (1, third),
+        ("start", "view"): (1, third),
+        ("start", "conv"): (1, third),
+        ("click", "conv"): (1, 1.0),
+        ("view", "null"): (1, 1.0),
+    }
+    out = {
+        r["channel"]: r
+        for r in markov_removal_attribution(trans, ["click", "view"]).collect()
+    }
+    assert out["click"]["p_conv_full"] == round(2.0 / 3.0, 6)
+    assert out["click"]["p_conv_removed"] == round(1.0 / 3.0, 6)
+    assert out["click"]["removal_effect"] == 0.5
+    assert out["click"]["attribution_share"] == 1.0
+    assert out["view"]["removal_effect"] == 0.0
+    assert out["view"]["attribution_share"] == 0.0
