@@ -407,3 +407,121 @@ def markov_removal_attribution(
         "channel string, p_conv_full double, p_conv_removed double, "
         "removal_effect double, attribution_share double",
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    channels: list[str],
+) -> DataFrame:
+    """Shapley-value attribution over journey channel SETS — the
+    coalition-game answer (order-free) beside the Markov removal
+    effect: the coalition value v(S) counts conversions from journeys
+    that used only channels in S, and a channel's credit is its exact
+    Shapley value over that game.
+
+    Everything stays distributed AND exact-integer: journeys reduce to
+    a bitmask per user (bit_or agg), coalition values come from a
+    16-row subset join ((journey_mask & S) = journey_mask), and the
+    Shapley sum is computed scaled by n! — weights k!(n-1-k)! are
+    integer literals, so phi*n! is a LONG (no float-sum order anywhere;
+    the only doubles are the final two rounded ratios). Scale shape:
+    one per-user agg + joins over 2^n-row frames (n = |channels|, a
+    constant); the fact table is scanned once.
+
+    Returns one row per channel: phi_scaled (phi * n!, exact),
+    shapley_conversions (= phi), attribution_share.
+    """
+    import math
+
+    n = len(channels)
+    bits = {c: 1 << i for i, c in enumerate(sorted(channels))}
+    spark = events.sparkSession
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_t"),
+    )
+    conv = (
+        ev.filter(F.col("_t") == conversion_type)
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_cts"))
+    )
+    touches = (
+        ev.filter(F.col("_t") != conversion_type)
+        .join(conv, "_u", "left")
+        .filter(F.col("_cts").isNull() | (F.col("_ts") < F.col("_cts")))
+    )
+    bit_col = F.lit(0)
+    for c, b in bits.items():
+        bit_col = F.when(F.col("_t") == c, F.lit(b)).otherwise(bit_col)
+    with_touches = (
+        touches.select("_u", bit_col.alias("_bit"), "_cts")
+        .groupBy("_u")
+        .agg(
+            F.expr("bit_or(_bit)").alias("mask"),
+            F.max(F.col("_cts").isNotNull().cast("long")).alias("converted"),
+        )
+    )
+    bare = conv.join(touches.select("_u").distinct(), "_u", "left_anti").select(
+        "_u", F.lit(0).alias("mask"), F.lit(1).alias("converted")
+    )
+    journeys = (
+        with_touches.select("_u", "mask", "converted")
+        .unionByName(bare)
+        .groupBy("mask")
+        .agg(F.sum("converted").cast("long").alias("n_conv"))
+    )
+    masks = spark.range(1 << n).select(F.col("id").cast("int").alias("s"))
+    vtab = (
+        masks.join(
+            journeys,
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    coef = {k: math.factorial(k) * math.factorial(n - 1 - k) for k in range(n)}
+    coef_col = F.lit(None).cast("long")
+    for k, w in coef.items():
+        coef_col = F.when(F.bit_count(F.col("s")) == k, F.lit(w)).otherwise(coef_col)
+    chan = spark.createDataFrame(
+        sorted(bits.items()), "channel string, bit int"
+    )
+    pairs = chan.join(
+        vtab.withColumnRenamed("s", "s").withColumnRenamed("v", "v_s"),
+        F.col("s").bitwiseAND(F.col("bit")) == 0,
+    )
+    joined = pairs.join(
+        vtab.select(F.col("s").alias("s2"), F.col("v").alias("v_sc")),
+        F.col("s2") == F.col("s") + F.col("bit"),
+    )
+    phi = joined.groupBy("channel").agg(
+        F.sum(coef_col * (F.col("v_sc") - F.col("v_s"))).cast("long").alias(
+            "phi_scaled"
+        )
+    )
+    nfact = float(math.factorial(n))
+    tot = phi.agg(F.sum("phi_scaled").cast("long").alias("_tot"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "phi_scaled",
+            F.round(F.col("phi_scaled").cast("double") / F.lit(nfact), 6).alias(
+                "shapley_conversions"
+            ),
+            F.when(
+                F.col("_tot") != 0,
+                F.round(
+                    F.col("phi_scaled").cast("double") / F.col("_tot").cast("double"),
+                    6,
+                ),
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )

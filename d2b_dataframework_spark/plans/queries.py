@@ -2231,6 +2231,7 @@ _NEWEST_R5: tuple[str, ...] = (
     "croston_intermittent",
     "calibration_bins",
     "markov_attribution",
+    "shapley_attribution",
 )
 
 
@@ -15674,6 +15675,79 @@ REGISTRY.update(
             q_markov_attribution,
             _sql_markov(),
             "Markov removal-effect attribution (absorbing-chain solve)",
+        ),
+    }
+)
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution
+    (attribution.shapley_attribution): coalition value v(S) =
+    conversions from journeys touching only channels in S; credit =
+    exact Shapley value. Fully distributed AND exact-integer: journey
+    bitmasks via bit_or agg, v over a 16-row subset join, phi * n! as a
+    LONG (the only doubles are the two final rounded ratios — no
+    float-sum order anywhere)."""
+    from d2b_dataframework_spark.operators.attribution import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    channels = [t for t in EVENT_TYPES if t != "purchase"]
+    return shapley_attribution(
+        ev, "user_id", "ts", "event_type", "purchase", channels
+    )
+
+
+SQL_SHAPLEY = """
+WITH ev AS (SELECT user_id, event_type, ts FROM events),
+cv AS (
+  SELECT user_id, min(ts) AS cts FROM ev
+  WHERE event_type = 'purchase' GROUP BY 1),
+touches AS (
+  SELECT e.user_id, e.event_type, c.cts
+  FROM ev e LEFT JOIN cv c ON c.user_id = e.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (c.cts IS NULL OR e.ts < c.cts)),
+jt AS (
+  SELECT user_id,
+    bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+           WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+    max(CASE WHEN cts IS NOT NULL THEN 1 ELSE 0 END) AS converted
+  FROM touches GROUP BY user_id
+  UNION ALL
+  SELECT c.user_id, 0, 1 FROM cv c
+  WHERE NOT EXISTS (SELECT 1 FROM touches t WHERE t.user_id = c.user_id)),
+j AS (SELECT mask, sum(converted)::BIGINT AS n_conv FROM jt GROUP BY mask),
+masks AS (SELECT i::INT AS s FROM range(0, 16) r(i)),
+vt AS (
+  SELECT m.s, COALESCE(sum(j.n_conv), 0)::BIGINT AS v
+  FROM masks m LEFT JOIN j ON (j.mask & m.s) = j.mask
+  GROUP BY m.s),
+chan AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+  ('signup', 4), ('view', 8)) c(channel, bit)),
+terms AS (
+  SELECT c.channel,
+    (CASE bit_count(vs.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+      WHEN 2 THEN 2 WHEN 3 THEN 6 END)::BIGINT * (vsc.v - vs.v) AS term
+  FROM chan c
+  JOIN vt vs ON (vs.s & c.bit) = 0
+  JOIN vt vsc ON vsc.s = vs.s + c.bit),
+phi AS (SELECT channel, sum(term)::BIGINT AS phi_scaled
+  FROM terms GROUP BY channel),
+tot AS (SELECT sum(phi_scaled)::BIGINT AS t FROM phi)
+SELECT channel, phi_scaled,
+  round(phi_scaled::DOUBLE / 24.0, 6) AS shapley_conversions,
+  CASE WHEN t <> 0 THEN round(phi_scaled::DOUBLE / t::DOUBLE, 6) END
+    AS attribution_share
+FROM phi CROSS JOIN tot ORDER BY channel
+"""
+
+
+REGISTRY.update(
+    {
+        "shapley_attribution": QuerySpec(
+            q_shapley_attribution,
+            SQL_SHAPLEY,
+            "exact-integer Shapley channel attribution",
         ),
     }
 )

@@ -224,3 +224,35 @@ def test_markov_attribution_hand_computed(spark):
     assert out["click"]["attribution_share"] == 1.0
     assert out["view"]["removal_effect"] == 0.0
     assert out["view"]["attribution_share"] == 0.0
+
+
+def test_shapley_attribution_hand_computed(spark):
+    """Journeys: {click}->conv, {click,view}->conv, {view}->no conv.
+    v({click})=1, v({view})=0, v({click,view})=2, v(empty)=0.
+    phi*2! : click = 1*(1-0) + 1*(2-0) = 3; view = 1*0 + 1*(2-1) = 1."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.operators.attribution import shapley_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, t0, "click", 1), (1, t0 + h, "purchase", 2),
+        (2, t0, "click", 3), (2, t0 + h, "view", 4), (2, t0 + 2 * h, "purchase", 5),
+        (3, t0, "view", 6),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {
+        r["channel"]: r
+        for r in shapley_attribution(
+            ev, "user_id", "ts", "event_type", "purchase", ["click", "view"]
+        ).collect()
+    }
+    assert out["click"]["phi_scaled"] == 3
+    assert out["view"]["phi_scaled"] == 1
+    assert out["click"]["shapley_conversions"] == 1.5
+    assert out["view"]["shapley_conversions"] == 0.5
+    assert out["click"]["attribution_share"] == 0.75
+    assert out["view"]["attribution_share"] == 0.25
