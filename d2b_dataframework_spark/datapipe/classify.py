@@ -281,7 +281,9 @@ def logistic_gd(
     log-loss (both from 9-rounded scores).
     """
     feats = [F.col(c).cast("double").alias(f"_x{j + 1}") for j, c in enumerate(feature_cols)]
-    data = df.select(F.col(label_col).cast("double").alias("_y"), *feats)
+    # persisted: the loop scans this frame iterations + 1 times (one
+    # gradient pass each + the final metrics pass)
+    data = df.select(F.col(label_col).cast("double").alias("_y"), *feats).persist()
     k = len(feature_cols)
     w = [0.0] * (k + 1)
 
@@ -330,4 +332,6 @@ def logistic_gd(
             F.sum(loss).cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("log_loss")
     )
-    return data.agg(*out_cols)
+    from d2b_dataframework_spark.datapipe import cache
+
+    return cache.track(data.agg(*out_cols), data)

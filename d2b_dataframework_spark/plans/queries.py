@@ -14832,9 +14832,11 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ep * (one - disc)).alias("_rev_dec")
     )
     mx = rev.agg(F.max("_rev_dec").alias("_mx"))
+    winners = rev.join(F.broadcast(mx), rev._rev_dec == mx._mx)
+    # broadcast the FILTERED side (a handful of rows), never the
+    # supplier table — supplier is data-sized at 100 TB
     return (
-        rev.join(F.broadcast(mx), rev._rev_dec == mx._mx)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        supp.join(F.broadcast(winners), winners.l_suppkey == supp.s_suppkey)
         .select(
             F.col("s_suppkey"),
             F.col("s_name"),
@@ -14867,8 +14869,11 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     retail-cost proxy ``0.20 * p_retailprice * l_quantity`` — the join
     graph (lineitem⋈orders⋈supplier⋈nation⋈part) and the
     profit-decomposition semantics are Q9's. All money stays DECIMAL
-    until the final cast; part/supplier/nation broadcast (dimension
-    sides), lineitem⋈orders is the one data-sized shuffle."""
+    until the final cast; nation broadcasts (25 rows) but part and
+    supplier carry NO hint — both scale with the data (TPC-H part is
+    SF x 200k rows), so AQE picks broadcast only when the filtered side
+    actually fits; lineitem⋈orders is the one unavoidable data-sized
+    shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
@@ -14884,8 +14889,8 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -14920,10 +14925,12 @@ def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluding one brand, one type family, and "complaint" suppliers.
     RESHAPED: the part↔supplier relation comes from lineitem shipments
     (no partsupp table) and the complaint scrub is s_acctbal < 0 (no
-    comment column). Plan: the bad-supplier set is a tiny broadcast
-    LEFT ANTI join BEFORE the part join; distinct-supplier counting is
-    a two-level agg (dedup on the full key, then count) so the wide
-    distinct never rides a single reducer."""
+    comment column). Plan: the bad-supplier LEFT ANTI join runs BEFORE
+    the part join; neither part nor the scrub set carries a broadcast
+    hint (both scale with the data — AQE broadcasts iff the filtered
+    side fits); distinct-supplier counting is a two-level agg (dedup on
+    the full key, then count) so the wide distinct never rides a single
+    reducer."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & (~F.col("p_type").startswith("PROMO"))
@@ -14932,8 +14939,8 @@ def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     pairs = (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()
     )
