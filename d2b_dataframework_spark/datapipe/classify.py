@@ -335,3 +335,80 @@ def logistic_gd(
     from d2b_dataframework_spark.datapipe import cache
 
     return cache.track(data.agg(*out_cols), data)
+
+
+def quantile_regression_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    tau: float = 0.9,
+    iterations: int = 5,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Linear quantile regression (pinball loss) by fixed-iteration
+    full-batch subgradient descent — logistic_gd's sibling for the
+    "P90 of y given x" question (delivery-time SLAs, spend ceilings).
+    The pinball subgradient per row is ``(1{y < pred} - tau) * x_j`` —
+    pure comparisons and multiplies, no transcendental functions — so
+    with the module's rounded-term + DECIMAL-sum recipe the weight
+    trajectory is engine-exact, and the per-row indicator itself is
+    exact (pred is the same double in any engine).
+
+    Same driver-loop contract as logistic_gd: the loop carries k+1
+    scalars, each gradient is one aggregation pass, the frame is
+    persisted for the iterations + 1 scans. Returns one row: n, w0..wk,
+    pinball_loss (mean), coverage (fraction with y <= pred; approaches
+    tau as the fit converges).
+    """
+    feats = [
+        F.col(c).cast("double").alias(f"_x{j + 1}")
+        for j, c in enumerate(feature_cols)
+    ]
+    data = df.select(F.col(target_col).cast("double").alias("_y"), *feats).persist()
+    k = len(feature_cols)
+    w = [0.0] * (k + 1)
+    t = float(tau)
+
+    def _pred():
+        z = F.lit(w[0])
+        for j in range(k):
+            z = z + F.lit(w[j + 1]) * F.col(f"_x{j + 1}")
+        return z
+
+    for _ in range(int(iterations)):
+        ind = (F.col("_y") < _pred()).cast("double") - F.lit(t)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        aggs.append(F.sum(F.round(ind, 9).cast(_DEC9)).alias("_g0"))
+        for j in range(k):
+            aggs.append(
+                F.sum(F.round(ind * F.col(f"_x{j + 1}"), 9).cast(_DEC9)).alias(
+                    f"_g{j + 1}"
+                )
+            )
+        row = data.agg(*aggs).collect()[0]
+        n = row["_n"]
+        for j in range(k + 1):
+            w[j] = w[j] - lr * (float(row[f"_g{j}"]) / n)
+    pred = _pred()
+    u = F.col("_y") - pred
+    pinball = F.round(
+        F.when(u >= 0, F.lit(t) * u).otherwise((F.lit(t) - F.lit(1.0)) * u), 9
+    ).cast(_DEC9)
+    out_cols = [F.count(F.lit(1)).cast("long").alias("n")]
+    for j in range(k + 1):
+        out_cols.append(F.round(F.lit(w[j]), 6).alias(f"w{j}"))
+    out_cols.append(
+        F.round(
+            F.sum(pinball).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("pinball_loss")
+    )
+    out_cols.append(
+        F.round(
+            F.sum((F.col("_y") <= pred).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("coverage")
+    )
+    from d2b_dataframework_spark.datapipe import cache
+
+    return cache.track(data.agg(*out_cols), data)

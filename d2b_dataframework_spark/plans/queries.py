@@ -2232,6 +2232,9 @@ _NEWEST_R5: tuple[str, ...] = (
     "calibration_bins",
     "markov_attribution",
     "shapley_attribution",
+    "grouping_sets_report",
+    "quantile_regression_gd",
+    "skipgram_pmi",
 )
 
 
@@ -15755,6 +15758,264 @@ REGISTRY.update(
             q_shapley_attribution,
             SQL_SHAPLEY,
             "exact-integer Shapley channel attribution",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 5 batch 3: GROUPING SETS surface, quantile regression, windowed
+# skip-gram PMI
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the surface cube/rollup can't express:
+    an arbitrary set list) over orders: (priority x status), each
+    margin, and the grand total in ONE pass — Spark expands the sets
+    map-side, so the fact table is scanned once, not once per set.
+    grouping_id disambiguates real values from aggregated-out levels;
+    labels are coalesced so the output carries no NULL-ordering
+    dependence."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"],
+             ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    return out.select(
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+        "gid",
+        "n_orders",
+        "revenue",
+    ).orderBy("gid", "priority", "status")
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+  COALESCE(o_orderstatus, '(all)') AS status,
+  GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid,
+  COUNT(*)::BIGINT AS n_orders,
+  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+  (o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, priority, status
+"""
+
+
+def q_quantile_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P90 linear quantile regression by 5 unrolled subgradient steps
+    (classify.quantile_regression_gd): standardized extendedprice ~
+    quantity + discount at tau = 0.9. The pinball subgradient is pure
+    comparisons — no transcendentals — so the rounded-term DECIMAL-sum
+    recipe makes the weight trajectory engine-exact; the oracle replays
+    the identical unrolled steps. Coverage approaches tau as the fit
+    converges."""
+    from d2b_dataframework_spark.datapipe.classify import quantile_regression_gd
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("ep"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qt"),
+        F.col("l_discount").cast("decimal(18,2)").alias("dc"),
+    )
+    st = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ep").alias("sep"),
+        F.sum(F.col("ep") * F.col("ep")).alias("sep2"),
+        F.sum("qt").alias("sqt"),
+        F.sum(F.col("qt") * F.col("qt")).alias("sqt2"),
+        F.sum("dc").alias("sdc"),
+        F.sum(F.col("dc") * F.col("dc")).alias("sdc2"),
+    )
+
+    def _scale(v, s1, s2):
+        n = F.col("n").cast("double")
+        mean = F.col(s1).cast("double") / n
+        sd = F.sqrt(F.col(s2).cast("double") / n - mean * mean)
+        return (v.cast("double") - mean) / sd
+
+    scaled = base.crossJoin(F.broadcast(st)).select(
+        _scale(F.col("ep"), "sep", "sep2").alias("y"),
+        _scale(F.col("qt"), "sqt", "sqt2").alias("x1"),
+        _scale(F.col("dc"), "sdc", "sdc2").alias("x2"),
+    )
+    return quantile_regression_gd(
+        scaled, ["x1", "x2"], "y", tau=0.9, iterations=5, lr=1.0
+    )
+
+
+def _sql_quantile_gd() -> str:
+    pred = "(w.b + w.w1 * x1 + w.w2 * x2)"
+    ind = f"(CASE WHEN y < {pred} THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END - 0.9::DOUBLE)"
+    sc = """
+  SELECT
+    (CAST(ep AS DOUBLE) - CAST(sep AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(sep2 AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sep AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sep AS DOUBLE) / CAST(n AS DOUBLE))) AS y,
+    (CAST(qt AS DOUBLE) - CAST(sqt AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(sqt2 AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sqt AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sqt AS DOUBLE) / CAST(n AS DOUBLE))) AS x1,
+    (CAST(dc AS DOUBLE) - CAST(sdc AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(sdc2 AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sdc AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sdc AS DOUBLE) / CAST(n AS DOUBLE))) AS x2
+  FROM base CROSS JOIN st"""
+    ctes = [
+        """base AS (
+  SELECT l_extendedprice::DECIMAL(18,2) AS ep,
+    l_quantity::DECIMAL(18,2) AS qt,
+    l_discount::DECIMAL(18,2) AS dc
+  FROM lineitem)""",
+        """st AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(ep) AS sep, sum(ep * ep) AS sep2,
+    sum(qt) AS sqt, sum(qt * qt) AS sqt2,
+    sum(dc) AS sdc, sum(dc * dc) AS sdc2
+  FROM base)""",
+        f"sc AS ({sc})",
+        "w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2)",
+    ]
+    for i in range(5):
+        ctes.append(
+            f"""g{i + 1} AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(round({ind}, 9)::DECIMAL(28,9)) AS g0,
+    sum(round({ind} * x1, 9)::DECIMAL(28,9)) AS gx1,
+    sum(round({ind} * x2, 9)::DECIMAL(28,9)) AS gx2
+  FROM sc CROSS JOIN w{i} w)"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS (
+  SELECT w.b - 1.0 * (CAST(g.g0 AS DOUBLE) / g.n) AS b,
+    w.w1 - 1.0 * (CAST(g.gx1 AS DOUBLE) / g.n) AS w1,
+    w.w2 - 1.0 * (CAST(g.gx2 AS DOUBLE) / g.n) AS w2
+  FROM w{i} w CROSS JOIN g{i + 1} g)"""
+        )
+    u = f"(y - {pred})"
+    pin = (
+        f"CASE WHEN {u} >= 0 THEN 0.9::DOUBLE * {u}"
+        f" ELSE (0.9::DOUBLE - 1.0::DOUBLE) * {u} END"
+    )
+    return f"""
+WITH {", ".join(ctes)}
+SELECT count(*)::BIGINT AS n,
+  round(any_value(w.b), 6) AS w0,
+  round(any_value(w.w1), 6) AS w1,
+  round(any_value(w.w2), 6) AS w2,
+  round(CAST(sum(round({pin}, 9)::DECIMAL(28,9)) AS DOUBLE)
+    / count(*)::DOUBLE, 6) AS pinball_loss,
+  round(sum(CASE WHEN y <= {pred} THEN 1 ELSE 0 END)::DOUBLE
+    / count(*)::DOUBLE, 6) AS coverage
+FROM sc CROSS JOIN w5 w
+"""
+
+
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed skip-gram co-occurrence PMI (the word2vec-data
+    statistic): ordered token pairs at distances 1-2 within each doc,
+    PMI = ln(n * N / (c_left * c_right)) over exact pair counts, top-50
+    (min support 5). One scan builds both distance lists with JVM HOFs
+    (no Python, no self-join on positions); left/right marginals reuse
+    the pair-count frame, so the token stream is aggregated once."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(dt.tokens("text").alias("_t"))
+
+    def arr(d: int):
+        return F.when(
+            F.size("_t") > d,
+            F.expr(
+                f"transform(sequence(0, size(_t) - 1 - {d}),"
+                f" i -> concat(element_at(_t, i + 1), ' ',"
+                f" element_at(_t, i + 1 + {d})))"
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)"))
+
+    pairs = base.select(F.explode(F.concat(arr(1), arr(2))).alias("_pr"))
+    cnt = (
+        pairs.select(
+            F.split_part(F.col("_pr"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("_pr"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    left = cnt.groupBy("w1").agg(F.sum("n").cast("long").alias("c1"))
+    right = cnt.groupBy("w2").agg(F.sum("n").cast("long").alias("c2"))
+    tot = cnt.agg(F.sum("n").cast("long").alias("nn"))
+    pmi = F.round(
+        F.log(
+            (F.col("n").cast("double") * F.col("nn").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        cnt.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("n") >= 5) & (F.col("w1") != F.col("w2")))
+        .select("w1", "w2", "n", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("n").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+SQL_SKIPGRAM_PMI = f"""
+WITH tk AS (SELECT string_split({_NORM}, ' ') AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+    i -> t[i] || ' ' || t[i + 1])) AS pr FROM tk
+  UNION ALL
+  SELECT unnest(list_transform(range(1, len(t) - 1),
+    i -> t[i] || ' ' || t[i + 2])) AS pr FROM tk),
+cnt AS (
+  SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2,
+    count(*)::BIGINT AS n
+  FROM pairs GROUP BY 1, 2),
+l AS (SELECT w1, sum(n)::BIGINT AS c1 FROM cnt GROUP BY 1),
+r AS (SELECT w2, sum(n)::BIGINT AS c2 FROM cnt GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM cnt)
+SELECT c.w1, c.w2, c.n,
+  round(ln((c.n::DOUBLE * t.nn::DOUBLE) / (l.c1::DOUBLE * r.c2::DOUBLE)), 6)
+    AS pmi
+FROM cnt c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot t
+WHERE c.n >= 5 AND c.w1 <> c.w2
+ORDER BY pmi DESC, n DESC, w1, w2
+LIMIT 50
+"""
+
+
+REGISTRY.update(
+    {
+        "grouping_sets_report": QuerySpec(
+            q_grouping_sets_report,
+            SQL_GROUPING_SETS,
+            "arbitrary GROUPING SETS + grouping_id in one scan",
+        ),
+        "quantile_regression_gd": QuerySpec(
+            q_quantile_regression_gd,
+            _sql_quantile_gd(),
+            "P90 pinball-loss subgradient descent, engine-exact",
+        ),
+        "skipgram_pmi": QuerySpec(
+            q_skipgram_pmi,
+            SQL_SKIPGRAM_PMI,
+            "windowed skip-gram PMI over exact pair counts",
         ),
     }
 )

@@ -256,3 +256,30 @@ def test_shapley_attribution_hand_computed(spark):
     assert out["view"]["shapley_conversions"] == 0.5
     assert out["click"]["attribution_share"] == 0.75
     assert out["view"]["attribution_share"] == 0.25
+
+
+def test_quantile_regression_gd_replay(spark):
+    """5 subgradient steps == NumPy replay of the same rounded updates;
+    coverage counts y <= pred."""
+    import numpy as np
+
+    from d2b_dataframework_spark.datapipe.classify import quantile_regression_gd
+
+    xs = [(-2.0, -1.5), (-1.0, -0.5), (0.0, 0.2), (1.0, 1.1), (2.0, 2.4)]
+    df = spark.createDataFrame(xs, "x1 double, y double")
+    r = quantile_regression_gd(df, ["x1"], "y", tau=0.9, iterations=5, lr=1.0).collect()[0]
+
+    x = np.array([v[0] for v in xs])
+    y = np.array([v[1] for v in xs])
+    w = np.zeros(2)
+    for _ in range(5):
+        pred = w[0] + w[1] * x
+        ind = (y < pred).astype(float) - 0.9
+        w[0] -= np.sum(np.round(ind, 9)) / len(x)
+        w[1] -= np.sum(np.round(ind * x, 9)) / len(x)
+    pred = w[0] + w[1] * x
+    u = y - pred
+    pin = np.where(u >= 0, 0.9 * u, (0.9 - 1.0) * u)
+    assert (r["w0"], r["w1"]) == (round(w[0], 6), round(w[1], 6))
+    assert r["pinball_loss"] == round(float(np.mean(np.round(pin, 9))), 6)
+    assert r["coverage"] == round(float(np.mean(y <= pred)), 6)
