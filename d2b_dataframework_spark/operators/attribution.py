@@ -476,6 +476,8 @@ def shapley_attribution(
         .agg(F.sum("converted").cast("long").alias("n_conv"))
     )
     masks = spark.range(1 << n).select(F.col("id").cast("int").alias("s"))
+    # persisted: vtab (2^n rows) feeds BOTH sides of the marginal join —
+    # unpersisted, the whole journey pipeline would be scanned twice
     vtab = (
         masks.join(
             journeys,
@@ -484,6 +486,7 @@ def shapley_attribution(
         )
         .groupBy("s")
         .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+        .persist()
     )
     coef = {k: math.factorial(k) * math.factorial(n - 1 - k) for k in range(n)}
     coef_col = F.lit(None).cast("long")
@@ -507,7 +510,7 @@ def shapley_attribution(
     )
     nfact = float(math.factorial(n))
     tot = phi.agg(F.sum("phi_scaled").cast("long").alias("_tot"))
-    return (
+    out = (
         phi.crossJoin(F.broadcast(tot))
         .select(
             "channel",
@@ -525,3 +528,6 @@ def shapley_attribution(
         )
         .orderBy("channel")
     )
+    from d2b_dataframework_spark.datapipe import cache
+
+    return cache.track(out, vtab)
