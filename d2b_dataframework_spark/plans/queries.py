@@ -15338,6 +15338,15 @@ def q_logistic_priority_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logistic_gd(scaled, ["x1", "x2"], "y", iterations=3, lr=1.0)
 
 
+def _sql_scale9(x: str) -> str:
+    """SQL twin of classify._scale9: half-away-from-zero 9-dec rounding
+    as a scaled BIGINT — identical IEEE multiply/floor on both engines."""
+    return (
+        f"CASE WHEN {x} >= 0 THEN CAST(floor(({x}) * 1.0e9 + 0.5) AS BIGINT)"
+        f" ELSE -CAST(floor(-({x}) * 1.0e9 + 0.5) AS BIGINT) END"
+    )
+
+
 def _sql_logistic() -> str:
     z = "(w.b + w.w1 * x1 + w.w2 * x2)"
     sig = f"1.0 / (1.0 + exp(-{z}))"
@@ -15364,33 +15373,37 @@ def _sql_logistic() -> str:
         "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)",
     ]
     for i in range(3):
+        g0 = _sql_scale9(f"{sig} - y")
+        g1 = _sql_scale9(f"({sig} - y) * x1")
+        g2 = _sql_scale9(f"({sig} - y) * x2")
         ctes.append(
             f"""g{i + 1} AS (
   SELECT count(*)::BIGINT AS n,
-    sum(round({sig} - y, 9)::DECIMAL(28,9)) AS g0,
-    sum(round(({sig} - y) * x1, 9)::DECIMAL(28,9)) AS gx1,
-    sum(round(({sig} - y) * x2, 9)::DECIMAL(28,9)) AS gx2
+    sum(({g0})::DECIMAL(28,0)) AS g0,
+    sum(({g1})::DECIMAL(28,0)) AS gx1,
+    sum(({g2})::DECIMAL(28,0)) AS gx2
   FROM sc CROSS JOIN w{i} w)"""
         )
         ctes.append(
             f"""w{i + 1} AS (
-  SELECT w.b - 1.0 * (CAST(g.g0 AS DOUBLE) / g.n) AS b,
-    w.w1 - 1.0 * (CAST(g.gx1 AS DOUBLE) / g.n) AS w1,
-    w.w2 - 1.0 * (CAST(g.gx2 AS DOUBLE) / g.n) AS w2
+  SELECT w.b - 1.0 * ((CAST(g.g0 AS DOUBLE) / 1.0e9) / g.n) AS b,
+    w.w1 - 1.0 * ((CAST(g.gx1 AS DOUBLE) / 1.0e9) / g.n) AS w1,
+    w.w2 - 1.0 * ((CAST(g.gx2 AS DOUBLE) / 1.0e9) / g.n) AS w2
   FROM w{i} w CROSS JOIN g{i + 1} g)"""
         )
-    sig9 = f"round({sig}, 9)"
+    sig_l = _sql_scale9(sig)
+    sig9 = f"(CAST({sig_l} AS DOUBLE) / 1.0e9)"
+    loss_l = _sql_scale9(f"-(y * ln({sig9}) + (1.0 - y) * ln(1.0 - {sig9}))")
     return f"""
 WITH {", ".join(ctes)}
 SELECT count(*)::BIGINT AS n,
   round(any_value(w.b), 6) AS w0,
   round(any_value(w.w1), 6) AS w1,
   round(any_value(w.w2), 6) AS w2,
-  round(sum(CASE WHEN ({sig9} > 0.5 AND y = 1.0)
-      OR ({sig9} <= 0.5 AND y = 0.0) THEN 1 ELSE 0 END)::DOUBLE
+  round(sum(CASE WHEN (({sig_l}) > 500000000 AND y = 1.0)
+      OR (({sig_l}) <= 500000000 AND y = 0.0) THEN 1 ELSE 0 END)::DOUBLE
     / count(*)::DOUBLE, 6) AS accuracy,
-  round(CAST(sum(round(-(y * ln({sig9})
-      + (1.0 - y) * ln(1.0 - {sig9})), 9)::DECIMAL(28,9)) AS DOUBLE)
+  round((CAST(sum(({loss_l})::DECIMAL(28,0)) AS DOUBLE) / 1.0e9)
     / count(*)::DOUBLE, 6) AS log_loss
 FROM sc CROSS JOIN w3 w
 """
@@ -15891,19 +15904,22 @@ def _sql_quantile_gd() -> str:
         "w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2)",
     ]
     for i in range(5):
+        g0 = _sql_scale9(ind)
+        g1 = _sql_scale9(f"{ind} * x1")
+        g2 = _sql_scale9(f"{ind} * x2")
         ctes.append(
             f"""g{i + 1} AS (
   SELECT count(*)::BIGINT AS n,
-    sum(round({ind}, 9)::DECIMAL(28,9)) AS g0,
-    sum(round({ind} * x1, 9)::DECIMAL(28,9)) AS gx1,
-    sum(round({ind} * x2, 9)::DECIMAL(28,9)) AS gx2
+    sum(({g0})::DECIMAL(28,0)) AS g0,
+    sum(({g1})::DECIMAL(28,0)) AS gx1,
+    sum(({g2})::DECIMAL(28,0)) AS gx2
   FROM sc CROSS JOIN w{i} w)"""
         )
         ctes.append(
             f"""w{i + 1} AS (
-  SELECT w.b - 1.0 * (CAST(g.g0 AS DOUBLE) / g.n) AS b,
-    w.w1 - 1.0 * (CAST(g.gx1 AS DOUBLE) / g.n) AS w1,
-    w.w2 - 1.0 * (CAST(g.gx2 AS DOUBLE) / g.n) AS w2
+  SELECT w.b - 1.0 * ((CAST(g.g0 AS DOUBLE) / 1.0e9) / g.n) AS b,
+    w.w1 - 1.0 * ((CAST(g.gx1 AS DOUBLE) / 1.0e9) / g.n) AS w1,
+    w.w2 - 1.0 * ((CAST(g.gx2 AS DOUBLE) / 1.0e9) / g.n) AS w2
   FROM w{i} w CROSS JOIN g{i + 1} g)"""
         )
     u = f"(y - {pred})"
@@ -15911,13 +15927,14 @@ def _sql_quantile_gd() -> str:
         f"CASE WHEN {u} >= 0 THEN 0.9::DOUBLE * {u}"
         f" ELSE (0.9::DOUBLE - 1.0::DOUBLE) * {u} END"
     )
+    pin_l = _sql_scale9(f"({pin})")
     return f"""
 WITH {", ".join(ctes)}
 SELECT count(*)::BIGINT AS n,
   round(any_value(w.b), 6) AS w0,
   round(any_value(w.w1), 6) AS w1,
   round(any_value(w.w2), 6) AS w2,
-  round(CAST(sum(round({pin}, 9)::DECIMAL(28,9)) AS DOUBLE)
+  round((CAST(sum(({pin_l})::DECIMAL(28,0)) AS DOUBLE) / 1.0e9)
     / count(*)::DOUBLE, 6) AS pinball_loss,
   round(sum(CASE WHEN y <= {pred} THEN 1 ELSE 0 END)::DOUBLE
     / count(*)::DOUBLE, 6) AS coverage

@@ -164,17 +164,22 @@ def test_logistic_gd_matches_numpy_replay(spark):
     df = spark.createDataFrame(xs, "x1 double, y double")
     r = logistic_gd(df, ["x1"], "y", iterations=3, lr=1.0).collect()[0]
 
+    def scale9(v):
+        # the engine's half-away-from-zero scaled-long rounding
+        return np.where(v >= 0, np.floor(v * 1.0e9 + 0.5),
+                        -np.floor(-v * 1.0e9 + 0.5))
+
     x = np.array([v[0] for v in xs])
     y = np.array([v[1] for v in xs])
     w = np.zeros(2)
     for _ in range(3):
         sig = 1.0 / (1.0 + np.exp(-(w[0] + w[1] * x)))
-        g0 = np.sum(np.round(sig - y, 9)) / len(x)
-        g1 = np.sum(np.round((sig - y) * x, 9)) / len(x)
+        g0 = (np.sum(scale9(sig - y)) / 1.0e9) / len(x)
+        g1 = (np.sum(scale9((sig - y) * x)) / 1.0e9) / len(x)
         w[0] -= 1.0 * g0
         w[1] -= 1.0 * g1
-    sig = np.round(1.0 / (1.0 + np.exp(-(w[0] + w[1] * x))), 9)
-    acc = np.mean((sig > 0.5) == (y == 1.0))
+    sig_l = scale9(1.0 / (1.0 + np.exp(-(w[0] + w[1] * x))))
+    acc = np.mean((sig_l > 500000000) == (y == 1.0))
     assert (r["w0"], r["w1"]) == (round(w[0], 6), round(w[1], 6))
     assert r["accuracy"] == round(float(acc), 6)
     assert r["n"] == 6
@@ -269,17 +274,21 @@ def test_quantile_regression_gd_replay(spark):
     df = spark.createDataFrame(xs, "x1 double, y double")
     r = quantile_regression_gd(df, ["x1"], "y", tau=0.9, iterations=5, lr=1.0).collect()[0]
 
+    def scale9(v):
+        return np.where(v >= 0, np.floor(v * 1.0e9 + 0.5),
+                        -np.floor(-v * 1.0e9 + 0.5))
+
     x = np.array([v[0] for v in xs])
     y = np.array([v[1] for v in xs])
     w = np.zeros(2)
     for _ in range(5):
         pred = w[0] + w[1] * x
         ind = (y < pred).astype(float) - 0.9
-        w[0] -= np.sum(np.round(ind, 9)) / len(x)
-        w[1] -= np.sum(np.round(ind * x, 9)) / len(x)
+        w[0] -= (np.sum(scale9(ind)) / 1.0e9) / len(x)
+        w[1] -= (np.sum(scale9(ind * x)) / 1.0e9) / len(x)
     pred = w[0] + w[1] * x
     u = y - pred
     pin = np.where(u >= 0, 0.9 * u, (0.9 - 1.0) * u)
     assert (r["w0"], r["w1"]) == (round(w[0], 6), round(w[1], 6))
-    assert r["pinball_loss"] == round(float(np.mean(np.round(pin, 9))), 6)
+    assert r["pinball_loss"] == round(float(np.sum(scale9(pin)) / 1.0e9 / len(x)), 6)
     assert r["coverage"] == round(float(np.mean(y <= pred)), 6)
