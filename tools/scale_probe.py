@@ -364,6 +364,30 @@ def _prefix(docs):
     return prefix_filter_pairs(docs, threshold=0.7)
 
 
+def _intervals(docs, mult=1):
+    """Keyed interval-overlap pair join: synthetic intervals from
+    doc_id hashes, key space grows with the corpus so the per-key
+    group size stays CONSTANT — pair volume (sum of group^2) and cost
+    must grow ~linearly. A missing key-block (global interval join)
+    would blow up quadratically."""
+    from d2b_dataframework_spark.operators.intervals import interval_overlap_pairs
+
+    n_keys = 6000 * mult
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    iv = docs.select(
+        F.pmod(h("ik"), F.lit(n_keys)).alias("g"),
+        F.col("doc_id").alias("iid"),
+        F.pmod(h("is"), F.lit(10000)).alias("s"),
+    ).withColumn("e", F.col("s") + 200)
+    return interval_overlap_pairs(iv, ["g"], "iid", "s", "e")
+
+
 def _codec(docs):
     """PNG encode -> inflate/unfilter decode -> dHash round-trip (the
     registry's image_dhash pipeline, queries.py:q_image_dhash): two
@@ -520,6 +544,9 @@ def main() -> None:
         # Round-5: codec family (PNG encode+decode+dHash) — per-row
         # Arrow work, no joins; must grow ~linearly with the corpus.
         "png_dhash_roundtrip": lambda d, e: _codec(d),
+        # Round-5: keyed interval-overlap pair join — constant group
+        # size as keys grow with the corpus, so ~linear is the contract.
+        "interval_overlap": lambda d, e, m=1: _intervals(d, m),
         # PPJoin prefix filter: ascending-df prefixes keep candidate
         # buckets rare-token-sized; with replica-prefixed tokens the
         # vocab grows with the corpus, so ~linear is the contract.
