@@ -2235,6 +2235,7 @@ _NEWEST_R5: tuple[str, ...] = (
     "grouping_sets_report",
     "quantile_regression_gd",
     "skipgram_pmi",
+    "als_user_step",
 )
 
 
@@ -16033,6 +16034,124 @@ REGISTRY.update(
             q_skipgram_pmi,
             SQL_SKIPGRAM_PMI,
             "windowed skip-gram PMI over exact pair counts",
+        ),
+    }
+)
+
+
+def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS half-step (k = 2, ridge-regularized) for implicit-ish
+    ratings: with item factors FIXED (deterministic md5-uniform init —
+    the same portable-hash idiom as priority_sample, so both engines
+    hold identical factors), each user's factor pair solves the 2x2
+    normal equations over their rated items in closed form — the
+    distributed alternating-least-squares update as ONE aggregation
+    pass (six 9-dec scaled-long moments per user, order-independent)
+    plus per-row double math, the grouped-ridge recipe applied to
+    factorization. Completes the recommender family next to
+    item_item_cf (memory-based) with the model-based half."""
+    from d2b_dataframework_spark.datapipe.classify import _scale9
+
+    lam = 0.1
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("r"))
+    )
+
+    def _mdu(salt: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("item_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(1000000)).cast("double") / F.lit(1000000.0) - F.lit(0.5)
+
+    f1, f2 = _mdu("alsf1"), _mdu("alsf2")
+    dec = "decimal(28,0)"
+    m = ratings.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(_scale9(f1 * f1).cast(dec)).alias("_s11"),
+        F.sum(_scale9(f1 * f2).cast(dec)).alias("_s12"),
+        F.sum(_scale9(f2 * f2).cast(dec)).alias("_s22"),
+        F.sum(_scale9(f1 * F.col("r")).cast(dec)).alias("_s1y"),
+        F.sum(_scale9(f2 * F.col("r")).cast(dec)).alias("_s2y"),
+    )
+    s = {c: F.col(f"_{c}").cast("double") / F.lit(1.0e9) for c in
+         ("s11", "s12", "s22", "s1y", "s2y")}
+    a = s["s11"] + F.lit(lam)
+    d = s["s22"] + F.lit(lam)
+    b = s["s12"]
+    det = a * d - b * b
+    u1 = (d * s["s1y"] - b * s["s2y"]) / det
+    u2 = (a * s["s2y"] - b * s["s1y"]) / det
+    return (
+        m.filter(F.col("n_items") >= 20)
+        .select(
+            "user_id",
+            "n_items",
+            F.round(u1, 6).alias("u1"),
+            F.round(u2, 6).alias("u2"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _sql_als() -> str:
+    def mdu(salt: str) -> str:
+        return (
+            f"((('0x' || substr(md5('{salt}:' || item_id::VARCHAR), 1, 7))::BIGINT"
+            f" % 1000000) / 1000000.0 - 0.5)"
+        )
+
+    f1, f2 = mdu("alsf1"), mdu("alsf2")
+    terms = {
+        "s11": f"{f1} * {f1}",
+        "s12": f"{f1} * {f2}",
+        "s22": f"{f2} * {f2}",
+        "s1y": f"{f1} * r",
+        "s2y": f"{f2} * r",
+    }
+    sums = ",\n    ".join(
+        f"sum(({_sql_scale9(t)})::DECIMAL(28,0)) AS _{k}" for k, t in terms.items()
+    )
+    dbl = {k: f"(CAST(_{k} AS DOUBLE) / 1.0e9)" for k in terms}
+    a = f"({dbl['s11']} + 0.1)"
+    d = f"({dbl['s22']} + 0.1)"
+    b = dbl["s12"]
+    det = f"({a} * {d} - {b} * {b})"
+    u1 = f"(({d} * {dbl['s1y']} - {b} * {dbl['s2y']}) / {det})"
+    u2 = f"(({a} * {dbl['s2y']} - {b} * {dbl['s1y']}) / {det})"
+    return f"""
+WITH ratings AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+    CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+m AS (
+  SELECT user_id, count(*)::BIGINT AS n_items,
+    {sums}
+  FROM ratings GROUP BY user_id)
+SELECT user_id, n_items, round({u1}, 6) AS u1, round({u2}, 6) AS u2
+FROM m WHERE n_items >= 20 ORDER BY user_id
+"""
+
+
+REGISTRY.update(
+    {
+        "als_user_step": QuerySpec(
+            q_als_user_step,
+            _sql_als(),
+            "ALS user half-step: closed-form 2x2 solve per user",
         ),
     }
 )

@@ -292,3 +292,48 @@ def test_quantile_regression_gd_replay(spark):
     assert (r["w0"], r["w1"]) == (round(w[0], 6), round(w[1], 6))
     assert r["pinball_loss"] == round(float(np.sum(scale9(pin)) / 1.0e9 / len(x)), 6)
     assert r["coverage"] == round(float(np.mean(y <= pred)), 6)
+
+
+def test_als_user_step_solves_normal_equations(spark):
+    """The per-user factor pair must equal a NumPy 2x2 ridge solve over
+    the same md5-derived item factors."""
+    import hashlib
+
+    import numpy as np
+
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    out = {r["user_id"]: r for r in
+           REGISTRY["als_user_step"].spark(spark, "/root/testdata/sf0.001").collect()}
+    assert out  # at least one user with >= 20 rated items
+
+    def mdu(salt, item):
+        h = int(hashlib.md5(f"{salt}:{item}".encode()).hexdigest()[:7], 16)
+        return (h % 1000000) / 1000000.0 - 0.5
+
+    def scale9(v):
+        return np.where(np.asarray(v) >= 0, np.floor(np.asarray(v) * 1e9 + 0.5),
+                        -np.floor(-np.asarray(v) * 1e9 + 0.5))
+
+    # replay one user end-to-end from the raw tables via duckdb
+    import duckdb
+
+    con = duckdb.connect()
+    uid = sorted(out)[0]
+    rows = con.execute(f"""
+        SELECT l_partkey, CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE)
+        FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') li
+        JOIN read_parquet('/root/testdata/sf0.001/orders.parquet') o
+          ON l_orderkey = o_orderkey
+        WHERE o_custkey = {uid} GROUP BY 1""").fetchall()
+    f1 = np.array([mdu("alsf1", i) for i, _ in rows])
+    f2 = np.array([mdu("alsf2", i) for i, _ in rows])
+    y = np.array([r for _, r in rows])
+    s = lambda v: float(np.sum(scale9(v))) / 1e9  # noqa: E731
+    a, d, b = s(f1 * f1) + 0.1, s(f2 * f2) + 0.1, s(f1 * f2)
+    s1y, s2y = s(f1 * y), s(f2 * y)
+    det = a * d - b * b
+    u1 = (d * s1y - b * s2y) / det
+    u2 = (a * s2y - b * s1y) / det
+    assert out[uid]["n_items"] == len(rows)
+    assert (out[uid]["u1"], out[uid]["u2"]) == (round(u1, 6), round(u2, 6))
