@@ -2216,26 +2216,31 @@ _UNVERIFIED_R4: tuple[str, ...] = (
 # sampled window instead of waiting a full round for independent
 # verification.  (All entries are always covered by the full local
 # gate — tools/check_correctness.py runs every registry name.)
+# Ordered riskiest-first: the riffle feeds these into the sampled
+# window in tuple order, so the novel algorithmic code (absorbing-chain
+# and coalition attribution, the gradient learners, the new recurrence)
+# gets driver verification THIS round; the low-risk TPC-H shapes queue
+# behind them.
 _NEWEST_R5: tuple[str, ...] = (
+    "markov_attribution",
+    "shapley_attribution",
+    "logistic_priority_gd",
+    "quantile_regression_gd",
+    "croston_intermittent",
+    "als_user_step",
+    "skipgram_pmi",
+    "changepoint_detection",
+    "t_closeness",
+    "interval_conflicts",
+    "minhash_param_planner",
+    "calibration_bins",
+    "tokenizer_fertility",
+    "grouping_sets_report",
     "returned_items_report",
     "customer_order_distribution",
     "top_supplier_revenue",
     "nation_profit",
     "supplier_diversity",
-    "minhash_param_planner",
-    "t_closeness",
-    "changepoint_detection",
-    "interval_conflicts",
-    "tokenizer_fertility",
-    "logistic_priority_gd",
-    "croston_intermittent",
-    "calibration_bins",
-    "markov_attribution",
-    "shapley_attribution",
-    "grouping_sets_report",
-    "quantile_regression_gd",
-    "skipgram_pmi",
-    "als_user_step",
 )
 
 
