@@ -76,3 +76,21 @@ def interval_overlap_pairs(
             F.least("end_a", "end_b").alias("overlap_end"),
         )
     )
+
+
+def interval_group_sizes(
+    df: DataFrame,
+    key_cols: list[str],
+    max_group_size: int,
+) -> DataFrame:
+    """The audit companion to :func:`interval_overlap_pairs`'s
+    ``max_group_size`` cap: the keys (with their sizes) that the cap
+    DROPS — run it alongside a capped join so skipped hot keys are
+    reported, never silently eaten. One count agg; output is bounded by
+    the number of hot keys."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") > max_group_size)
+        .orderBy(*key_cols)
+    )

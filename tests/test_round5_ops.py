@@ -337,3 +337,12 @@ def test_als_user_step_solves_normal_equations(spark):
     u2 = (a * s2y - b * s1y) / det
     assert out[uid]["n_items"] == len(rows)
     assert (out[uid]["u1"], out[uid]["u2"]) == (round(u1, 6), round(u2, 6))
+
+
+def test_interval_group_sizes_reports_capped_keys(spark):
+    from d2b_dataframework_spark.operators.intervals import interval_group_sizes
+
+    rows = [("hot", i, 0, 100) for i in range(5)] + [("cold", 10, 0, 5)]
+    df = spark.createDataFrame(rows, "g string, id long, s long, e long")
+    got = interval_group_sizes(df, ["g"], max_group_size=3).collect()
+    assert [(r["g"], r["group_size"]) for r in got] == [("hot", 5)]
