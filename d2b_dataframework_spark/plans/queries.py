@@ -2228,6 +2228,7 @@ _NEWEST_R5: tuple[str, ...] = (
     "quantile_regression_gd",
     "croston_intermittent",
     "als_user_step",
+    "conformal_interval",
     "skipgram_pmi",
     "changepoint_detection",
     "t_closeness",
@@ -16157,6 +16158,181 @@ REGISTRY.update(
             q_als_user_step,
             _sql_als(),
             "ALS user half-step: closed-form 2x2 solve per user",
+        ),
+    }
+)
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the price model: fit a
+    ridge regression (closed form from decimal moments, intercept via
+    the centered solve) on the even-orderkey half, then calibrate the
+    90% absolute-residual quantile on a FIXED-RATE deterministic sample
+    of the odd half — the distribution-free ML-deployment guarantee
+    ("the interval covers ~90% of unseen rows") computed entirely
+    in-engine. The calibration sample rate bounds the exact-percentile
+    group (PERCENTILE_CONT materializes its group — the sample, never
+    the corpus, rides the reducer); residuals are per-row doubles from
+    engine-exact coefficients, so the quantile and coverage hash-match
+    the oracle."""
+    lam = 0.1
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("x1"),
+        F.col("l_discount").cast("decimal(18,2)").alias("x2"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    train = base.filter(F.col("ok") % 2 == 0)
+    calib = base.filter(F.col("ok") % 10 == 1)  # fixed-rate disjoint sample
+    m = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    )
+    n = F.col("n").cast("double")
+    sx1, sx2, sy = (F.col(c).cast("double") for c in ("sx1", "sx2", "sy"))
+    c11 = F.col("sx1x1").cast("double") - (sx1 * sx1) / n + F.lit(lam)
+    c22 = F.col("sx2x2").cast("double") - (sx2 * sx2) / n + F.lit(lam)
+    c12 = F.col("sx1x2").cast("double") - (sx1 * sx2) / n
+    c1y = F.col("sx1y").cast("double") - (sx1 * sy) / n
+    c2y = F.col("sx2y").cast("double") - (sx2 * sy) / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    b0 = (sy - b1 * sx1 - b2 * sx2) / n
+    model = m.select(
+        F.col("n").alias("n_train"),
+        b0.alias("b0"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+    )
+    resid = calib.crossJoin(F.broadcast(model)).select(
+        "n_train",
+        "b0",
+        "b1",
+        "b2",
+        F.abs(
+            F.col("y").cast("double")
+            - (
+                F.col("b0")
+                + F.col("b1") * F.col("x1").cast("double")
+                + F.col("b2") * F.col("x2").cast("double")
+            )
+        ).alias("r"),
+    )
+    q = resid.groupBy("n_train", "b0", "b1", "b2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calib"),
+        F.round(F.percentile(F.col("r"), F.lit(0.9)), 6).alias("q_hat"),
+    )
+    cov = (
+        resid.crossJoin(
+            F.broadcast(q.select("q_hat").withColumnRenamed("q_hat", "_q"))
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("r") <= F.col("_q")).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("coverage")
+        )
+    )
+    return q.crossJoin(F.broadcast(cov)).select(
+        "n_train",
+        "n_calib",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        "q_hat",
+        "coverage",
+    )
+
+
+SQL_CONFORMAL = """
+WITH train AS (
+  SELECT l_quantity::DECIMAL(18,2) AS x1, l_discount::DECIMAL(18,2) AS x2,
+    l_extendedprice::DECIMAL(18,2) AS y
+  FROM lineitem WHERE l_orderkey % 2 = 0),
+calib AS (
+  SELECT l_quantity::DECIMAL(18,2) AS x1, l_discount::DECIMAL(18,2) AS x2,
+    l_extendedprice::DECIMAL(18,2) AS y
+  FROM lineitem WHERE l_orderkey % 10 = 1),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+    sum(x1 * x1) AS sx1x1, sum(x2 * x2) AS sx2x2, sum(x1 * x2) AS sx1x2,
+    sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y
+  FROM train),
+model AS (
+  SELECT n AS n_train,
+    (CAST(sy AS DOUBLE)
+      - ((CAST(sx2x2 AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+          * (CAST(sx1y AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+        - (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))
+          * (CAST(sx2y AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE)))
+        / ((CAST(sx1x1 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+          * (CAST(sx2x2 AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+          - (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))
+            * (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        * CAST(sx1 AS DOUBLE)
+      - ((CAST(sx1x1 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+          * (CAST(sx2y AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+        - (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))
+          * (CAST(sx1y AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE)))
+        / ((CAST(sx1x1 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+          * (CAST(sx2x2 AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+          - (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))
+            * (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE)))
+        * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) AS b0,
+    ((CAST(sx2x2 AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+        * (CAST(sx1y AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+      - (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))
+        * (CAST(sx2y AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE)))
+      / ((CAST(sx1x1 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+        * (CAST(sx2x2 AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+        - (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))
+          * (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))) AS b1,
+    ((CAST(sx1x1 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+        * (CAST(sx2y AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+      - (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))
+        * (CAST(sx1y AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE)))
+      / ((CAST(sx1x1 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+        * (CAST(sx2x2 AS DOUBLE) - (CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE) + 0.1)
+        - (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))
+          * (CAST(sx1x2 AS DOUBLE) - (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / CAST(n AS DOUBLE))) AS b2
+  FROM m),
+resid AS (
+  SELECT md.n_train, md.b0, md.b1, md.b2,
+    abs(CAST(c.y AS DOUBLE)
+      - (md.b0 + md.b1 * CAST(c.x1 AS DOUBLE) + md.b2 * CAST(c.x2 AS DOUBLE)))
+      AS r
+  FROM calib c CROSS JOIN model md),
+q AS (
+  SELECT n_train, b0, b1, b2, count(*)::BIGINT AS n_calib,
+    round(quantile_cont(r, 0.9), 6) AS q_hat
+  FROM resid GROUP BY 1, 2, 3, 4),
+cov AS (
+  SELECT round(sum(CASE WHEN resid.r <= q.q_hat THEN 1 ELSE 0 END)::DOUBLE
+    / count(*)::DOUBLE, 6) AS coverage
+  FROM resid CROSS JOIN q)
+SELECT n_train, n_calib, round(b0, 6) AS b0, round(b1, 6) AS b1,
+  round(b2, 6) AS b2, q_hat, coverage
+FROM q CROSS JOIN cov
+"""
+
+
+REGISTRY.update(
+    {
+        "conformal_interval": QuerySpec(
+            q_conformal_interval,
+            SQL_CONFORMAL,
+            "split-conformal 90% interval: ridge fit + residual quantile",
         ),
     }
 )
