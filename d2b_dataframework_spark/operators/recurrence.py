@@ -238,3 +238,67 @@ def croston_forecast(
         )
 
     return df.groupBy(key_col).applyInPandas(run, schema)
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    period: int = 7,
+) -> DataFrame:
+    """Per-key additive Holt-Winters (triple exponential smoothing,
+    online zero-init form): level/trend as in :func:`holt_smoothing`
+    plus ``period`` seasonal indices updated in rotation::
+
+        level = a*(x - s[idx]) + (1-a)*(level + trend)
+        trend = b*(level - prev_level) + (1-b)*trend
+        s[idx] = g*(x - level) + (1-g)*s[idx]      idx = t % period
+
+    seeded level = first value, trend = 0, all seasonal indices 0 (the
+    indices are LEARNED through the gamma updates — deterministic, no
+    pre-period averaging pass, so the oracle's unrolled recursion can
+    replay byte-identically). Same ``applyInPandas`` contract as the
+    rest of the module. Returns one row per key: (key: string, level,
+    trend, season_next, forecast_next = level + trend + season_next),
+    where season_next is the index the NEXT observation would use.
+    """
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("season_next", DoubleType()),
+            StructField("forecast_next", DoubleType()),
+        ]
+    )
+    a, b, g, m = float(alpha), float(beta), float(gamma), int(period)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vs = [float(v) for v in pdf[value_col]]
+        level, trend = vs[0], 0.0
+        s = [0.0] * m
+        for t in range(1, len(vs)):
+            x, idx = vs[t], t % m
+            prev = level
+            level = a * (x - s[idx]) + (1.0 - a) * (level + trend)
+            trend = b * (level - prev) + (1.0 - b) * trend
+            s[idx] = g * (x - level) + (1.0 - g) * s[idx]
+        nxt = s[len(vs) % m]
+        return pd.DataFrame(
+            {
+                "key": [str(pdf[key_col].iloc[0])],
+                "level": [level],
+                "trend": [trend],
+                "season_next": [nxt],
+                "forecast_next": [level + trend + nxt],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(run, schema)

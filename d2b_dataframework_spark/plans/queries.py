@@ -2229,6 +2229,7 @@ _NEWEST_R5: tuple[str, ...] = (
     "croston_intermittent",
     "als_user_step",
     "conformal_interval",
+    "holt_winters",
     "skipgram_pmi",
     "changepoint_detection",
     "t_closeness",
@@ -16333,6 +16334,95 @@ REGISTRY.update(
             q_conformal_interval,
             SQL_CONFORMAL,
             "split-conformal 90% interval: ridge fit + residual quantile",
+        ),
+    }
+)
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters over each type's daily event counts
+    (recurrence.holt_winters, period = 7): level/trend/7-slot seasonal
+    state — the triple-exponential completion of the Holt query, same
+    applyInPandas-vs-recursive-CTE contract (the oracle's recursion
+    carries the seven seasonal slots as columns, every constant
+    ::DOUBLE per the croston anchor-typing lesson)."""
+    from d2b_dataframework_spark.operators.recurrence import holt_winters
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    out = holt_winters(
+        daily, "event_type", ["day"], "v", alpha=0.5, beta=0.3, gamma=0.3, period=7
+    )
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("season_next", 6).alias("season_next"),
+        F.round("forecast_next", 6).alias("forecast_next"),
+    ).orderBy("event_type")
+
+
+def _sql_holt_winters() -> str:
+    m, slots = 7, range(7)
+    idx = "((s.rn - 1) % 7)"
+    s_old = (
+        "CASE " + " ".join(f"WHEN {idx} = {k} THEN w.s{k}" for k in slots) + " END"
+    )
+    lvl = (
+        f"0.5::DOUBLE * (s.v - ({s_old}))"
+        f" + (1.0::DOUBLE - 0.5::DOUBLE) * (w.level + w.trend)"
+    )
+    trd = (
+        f"0.3::DOUBLE * (({lvl}) - w.level)"
+        f" + (1.0::DOUBLE - 0.3::DOUBLE) * w.trend"
+    )
+    s_new = ",\n    ".join(
+        f"CASE WHEN {idx} = {k} THEN 0.3::DOUBLE * (s.v - ({lvl}))"
+        f" + (1.0::DOUBLE - 0.3::DOUBLE) * w.s{k} ELSE w.s{k} END"
+        for k in slots
+    )
+    s_anchor = ", ".join(f"0.0::DOUBLE AS s{k}" for k in slots)
+    s_next = (
+        "CASE " + " ".join(f"WHEN (c.mx % 7) = {k} THEN w.s{k}" for k in slots)
+        + " END"
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*)::DOUBLE AS v
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT event_type, v,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily),
+counts AS (SELECT event_type, max(rn) AS mx FROM seq GROUP BY 1),
+walk AS (
+  SELECT event_type, 1 AS rn, v::DOUBLE AS level, 0.0::DOUBLE AS trend,
+    {s_anchor}
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT w.event_type, w.rn + 1,
+    {lvl},
+    {trd},
+    {s_new}
+  FROM walk w JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn + 1)
+SELECT w.event_type,
+  round(w.level, 6) AS level,
+  round(w.trend, 6) AS trend,
+  round({s_next}, 6) AS season_next,
+  round(w.level + w.trend + ({s_next}), 6) AS forecast_next
+FROM walk w JOIN counts c ON w.event_type = c.event_type AND w.rn = c.mx
+ORDER BY w.event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "holt_winters": QuerySpec(
+            q_holt_winters,
+            _sql_holt_winters(),
+            "additive Holt-Winters: 7-slot seasonal recurrence vs recursive CTE",
         ),
     }
 )

@@ -696,3 +696,38 @@ def test_croston_matches_replay(spark, groups, alpha):
                 q += 1
         fc = (z / p) if z is not None else 0.0
         assert got[k] == (len(vs), nd, z, p, fc), f"key {k}"
+
+
+@given(
+    groups=_GROUPS,
+    abg=st.sampled_from([(0.5, 0.3, 0.3), (0.2, 0.1, 0.6), (0.8, 0.0, 0.2)]),
+    period=st.sampled_from([2, 3, 7]),
+)
+@settings(**SETTINGS)
+def test_holt_winters_matches_replay(spark, groups, abg, period):
+    """Triple-exponential state == in-memory replay (the recurrence-
+    family sweep extended to the seasonal member)."""
+    from d2b_dataframework_spark.operators.recurrence import holt_winters
+
+    alpha, beta, gamma = abg
+    df = spark.createDataFrame(
+        _rows_shuffled(groups), "key long, i long, v double"
+    )
+    got = {
+        r["key"]: (r["level"], r["trend"], r["season_next"], r["forecast_next"])
+        for r in holt_winters(
+            df, "key", ["i"], "v", alpha=alpha, beta=beta, gamma=gamma,
+            period=period,
+        ).collect()
+    }
+    for k, vs in groups.items():
+        level, trend = float(vs[0]), 0.0
+        s = [0.0] * period
+        for t in range(1, len(vs)):
+            x, idx = float(vs[t]), t % period
+            prev = level
+            level = alpha * (x - s[idx]) + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1.0 - beta) * trend
+            s[idx] = gamma * (x - level) + (1.0 - gamma) * s[idx]
+        nxt = s[len(vs) % period]
+        assert got[str(k)] == (level, trend, nxt, level + trend + nxt), f"key {k}"
