@@ -2230,6 +2230,7 @@ _NEWEST_R5: tuple[str, ...] = (
     "als_user_step",
     "conformal_interval",
     "holt_winters",
+    "knn_classifier",
     "skipgram_pmi",
     "changepoint_detection",
     "t_closeness",
@@ -16423,6 +16424,94 @@ REGISTRY.update(
             q_holt_winters,
             _sql_holt_winters(),
             "additive Holt-Winters: 7-slot seasonal recurrence vs recursive CTE",
+        ),
+    }
+)
+
+
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction over embeddings (the lazy-learner baseline
+    every embedding pipeline sanity-checks against): even vec_ids are
+    the labeled corpus, 30 odd vec_ids the test set; each test point
+    takes the majority label of its 5 exact-cosine neighbors (ties to
+    the smallest label). Reuses similarity.brute_force_topk — corpus
+    scans once, queries broadcast, top-k per query — then one
+    5x|queries|-row vote agg; the label join's build side is the tiny
+    top-k frame, never the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    test = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 60))
+    topk = sim.brute_force_topk(train, test, k=5)
+    labeled = topk.join(
+        train.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    best = (
+        votes.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("_c")).alias("nc"), F.col("label").alias("l"))
+            ).alias("_b")
+        )
+        .select(
+            "query_id",
+            F.col("_b.l").cast("long").alias("predicted"),
+            (-F.col("_b.nc")).cast("long").alias("n_votes"),
+        )
+    )
+    return (
+        best.join(
+            test.select(F.col("vec_id").alias("query_id"),
+                        F.col("label").cast("long").alias("actual")),
+            "query_id",
+        )
+        .select("query_id", "actual", "predicted", "n_votes")
+        .orderBy("query_id")
+    )
+
+
+SQL_KNN_CLASSIFIER = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS actual, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 60),
+c AS (
+  SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 2 = 0),
+scored AS (
+  SELECT query_id, neighbor_id, label,
+    round(list_dot_product(qv, cv)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+      6) AS cosine_sim
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, label,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored),
+votes AS (
+  SELECT query_id, label, count(*)::BIGINT AS c
+  FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+best AS (
+  SELECT query_id, label AS predicted, c AS n_votes,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY c DESC, label ASC) AS rk
+  FROM votes)
+SELECT b.query_id, q.actual::BIGINT AS actual,
+  b.predicted::BIGINT AS predicted, b.n_votes
+FROM best b JOIN q ON q.query_id = b.query_id
+WHERE b.rk = 1 ORDER BY b.query_id
+"""
+
+
+REGISTRY.update(
+    {
+        "knn_classifier": QuerySpec(
+            q_knn_classifier,
+            SQL_KNN_CLASSIFIER,
+            "5-NN majority-vote label prediction over exact cosine",
         ),
     }
 )
