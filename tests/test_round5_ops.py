@@ -1,5 +1,8 @@
-"""Round-5 operators: privacy trio completion, changepoints, interval
-joins, LSH planning."""
+"""Round-5 operators: privacy trio completion (t-closeness), CUSUM
+changepoints, interval-overlap joins, LSH parameter planning, Croston
+intermittent demand, engine-exact gradient learners (logistic +
+quantile regression), Markov removal-effect and exact-integer Shapley
+attribution, and the ALS user half-step."""
 
 from __future__ import annotations
 
