@@ -2119,133 +2119,41 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "unpivot_event_values", "user_set_ops", "video_frame_sample",
         "weekly_seasonality", "winsorized_values", "zorder_layout",
         "zscore_features",
+        # r5 (CORRECTNESS_r05.json, all 50 green)
+        "activity_streaks", "als_user_step", "audio_signal_stats",
+        "autocorrelation", "bfs_hops", "blocklist_hits",
+        "bloom_prune_stats", "bootstrap_ci", "churn_labels",
+        "clamped_balance", "concurrent_orders", "conformal_interval",
+        "croston_intermittent", "daily_trending", "dup_rate_by_source",
+        "embedding_covariance", "entity_resolution", "event_pmi",
+        "heavy_hitters", "hll_set_ops", "holt_smoothing", "image_dhash",
+        "image_luma_histogram", "join_advice", "kcore_filter",
+        "kwic_snippets", "lang_agreement", "link_prediction",
+        "logistic_priority_gd", "mad_robust_spread", "markov_attribution",
+        "nation_trade_flows", "ndcg_eval", "nearest_poi",
+        "negative_sampling", "null_safe_join", "png_pixel_stats",
+        "psi_drift", "quantile_regression_gd", "rbo_rankings",
+        "readability", "resurrections", "revenue_decomposition",
+        "revenue_gini", "shapley_attribution", "strip_boilerplate",
+        "tfidf_cosine_pairs", "time_weighted_avg", "top_paths",
+        "wav_sample_stats",
     }
 )
 
 
-# Round-4 additions that have not yet appeared in a driver artifact —
-# they queue behind the older backlog (oldest verification debt first)
-# but AHEAD of the already-verified block.
-_UNVERIFIED_R4: tuple[str, ...] = (
-    "png_pixel_stats",
-    "wav_sample_stats",
-    "image_dhash",
-    "audio_signal_stats",
-    "strip_boilerplate",
-    "readability",
-    "bloom_prune_stats",
-    "time_weighted_avg",
-    "autocorrelation",
-    "hll_set_ops",
-    "image_luma_histogram",
-    "kcore_filter",
-    "join_advice",
-    "nation_trade_flows",
-    "ndcg_eval",
-    "rbo_rankings",
-    "tfidf_cosine_pairs",
-    "heavy_hitters",
-    "bfs_hops",
-    "link_prediction",
-    "bootstrap_ci",
-    "negative_sampling",
-    "label_weights",
-    "rake_keywords",
-    "compaction_bins",
-    "lateness_profile",
-    "survival_curve",
-    "token_entropy",
-    "rate_limit_violations",
-    "seasonal_decompose",
-    "cdc_merge_patch",
-    "mv_join_incremental",
-    "personalized_pagerank",
-    "variant_extract",
-    "hash_collision_stats",
-    "weighted_median_price",
-    # round-4 batch 5/6 (this session)
-    "large_volume_orders",
-    "idle_customer_balance",
-    "sole_late_supplier",
-    "min_cost_supplier",
-    "naive_bayes_lang",
-    "brand_association_rules",
-    "fd_audit",
-    "gini_order_stump",
-    "nb_classifier_metrics",
-    "lsh_recall_eval",
-    "zone_map_stats",
-    "shipping_priority",
-    "ridge_regression",
-    "token_mutual_info",
-    "label_propagation",
-    "item_item_cf",
-    "event_regex_match",
-    "order_priority_checking",
-    "promo_revenue_share",
-    "community_modularity",
-    "matryoshka_recall",
-    "attribution_position",
-    "prefix_filter_jaccard",
-    "disjunct_revenue",
-    "rfm_segments",
-    "embedding_drift",
-    "k_anonymity",
-    "l_diversity",
-    "eb_late_rate",
-    "ks_drift",
-    "supplier_hhi",
-    "cohort_ltv",
-    "zipf_fit",
-    "degree_assortativity",
-    "token_burstiness",
-    "session_entry_exit",
-    "local_clustering",
-    "dedup_threshold_sweep",
-    "activity_burstiness",
-    "pareto_revenue_share",
-    "shingle_novelty",
-)
+# Names the round-5 judge flagged as having missed the r5 staging tuple
+# (they landed after the r5 gate artifact was cut): guaranteed FIRST in
+# the gate order so the driver's ~50-slot sampled window verifies them
+# this round.
+_FRONTLOAD_R6: tuple[str, ...] = ("holt_winters", "knn_classifier")
 
-
-# Queries added THIS round (round 5).  Per the round-4 advisor finding,
-# brand-new queries are no longer fully deferred behind the backlog:
-# _gate_order riffles one round-5 name after every
-# ``_RIFFLE_SHARE - 1`` round-4 leftovers, so a deterministic share of
-# this round's riskiest new code lands inside the driver's ~50-entry
-# sampled window instead of waiting a full round for independent
-# verification.  (All entries are always covered by the full local
-# gate — tools/check_correctness.py runs every registry name.)
-# Ordered riskiest-first: the riffle feeds these into the sampled
-# window in tuple order, so the novel algorithmic code (absorbing-chain
-# and coalition attribution, the gradient learners, the new recurrence)
-# gets driver verification THIS round; the low-risk TPC-H shapes queue
-# behind them.
-_NEWEST_R5: tuple[str, ...] = (
-    "markov_attribution",
-    "shapley_attribution",
-    "logistic_priority_gd",
-    "quantile_regression_gd",
-    "croston_intermittent",
-    "als_user_step",
-    "conformal_interval",
-    "holt_winters",
-    "knn_classifier",
-    "skipgram_pmi",
-    "changepoint_detection",
-    "t_closeness",
-    "interval_conflicts",
-    "minhash_param_planner",
-    "calibration_bins",
-    "tokenizer_fertility",
-    "grouping_sets_report",
-    "returned_items_report",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "nation_profit",
-    "supplier_diversity",
-)
-
+# Queries added THIS round (round 6).  Per the round-5 verdict the
+# entire r6 sampled window must be never-driver-checked backlog (70
+# names deep), so brand-new round-6 entries queue BEHIND the backlog —
+# they still run through the full local gate (tools/check_correctness.py
+# covers every registry name every run) and will drain through the
+# driver window in subsequent rounds.
+_NEWEST_R6: tuple[str, ...] = ()
 
 # Deterministic rotation seed for the verified re-check slice: derived
 # from |_DRIVER_VERIFIED|, which grows every round a correctness
@@ -2257,50 +2165,37 @@ _GATE_ROUND: int = len(_DRIVER_VERIFIED)
 # once the unverified backlog no longer fills it (sampled window ≈ 50).
 _RECHECK_SLOTS: int = 8
 _GATE_WINDOW: int = 50
-# In the unverified block, one brand-new (this-round) query is placed
-# after every _RIFFLE_SHARE - 1 older unverified queries.
-_RIFFLE_SHARE: int = 4
-
-
-def _riffle(older: list[str], newer: list[str], share: int) -> list[str]:
-    """Interleave one ``newer`` name after every ``share - 1`` ``older``
-    names; leftovers of either list append at the end."""
-    out: list[str] = []
-    i = j = 0
-    while i < len(older) or j < len(newer):
-        for _ in range(share - 1):
-            if i < len(older):
-                out.append(older[i])
-                i += 1
-        if j < len(newer):
-            out.append(newer[j])
-            j += 1
-        elif i >= len(older):
-            break
-    return out
 
 
 def _gate_order() -> list[str]:
     """Registry names ordered for the external correctness gate.
 
-    Never-driver-checked queries first — oldest backlog, then round-4
-    leftovers riffled with this round's brand-new entries (so new code
-    gets a deterministic share of the sampled window) — then the
-    already-verified ones.  When the unverified block is smaller than
-    the sampled window, a rotating slice of verified names is promoted
-    to the front of the verified block so the sampler re-checks
-    ``_RECHECK_SLOTS`` old queries per round instead of never seeing
-    them again.
+    Never-driver-checked queries first — the judge-flagged frontload
+    pair, then the backlog in registry order, then this round's
+    brand-new entries — followed by the already-verified block.  When
+    the unverified block is smaller than the sampled window, a rotating
+    slice of verified names is promoted to the front of the verified
+    block so the sampler re-checks ``_RECHECK_SLOTS`` old queries per
+    round instead of never seeing them again.
+
+    Structural invariant (asserted by tests/test_round6_ops.py): every
+    registry name missing from ``_DRIVER_VERIFIED`` precedes every
+    verified name, so a new query can never silently skip the driver
+    window the way ``holt_winters``/``knn_classifier`` did in round 5.
     """
     names = list(REGISTRY)
-    r4 = [n for n in _UNVERIFIED_R4 if n in REGISTRY and n not in _DRIVER_VERIFIED]
-    r5 = [n for n in _NEWEST_R5 if n in REGISTRY and n not in _DRIVER_VERIFIED]
-    staged = set(_UNVERIFIED_R4) | set(_NEWEST_R5)
+    front = [n for n in _FRONTLOAD_R6 if n in REGISTRY and n not in _DRIVER_VERIFIED]
+    newest = [
+        n
+        for n in _NEWEST_R6
+        if n in REGISTRY and n not in _DRIVER_VERIFIED and n not in front
+    ]
+    staged = set(front) | set(newest)
     backlog = [
         n for n in names if n not in _DRIVER_VERIFIED and n not in staged
     ]
     verified = [n for n in names if n in _DRIVER_VERIFIED]
-    unverified = backlog + _riffle(r4, r5, _RIFFLE_SHARE)
+    unverified = front + backlog + newest
     if len(unverified) < _GATE_WINDOW and verified:
         # Rotate a deterministic slice of verified names into the window.
         start = (_GATE_ROUND * _RECHECK_SLOTS) % len(verified)
