@@ -332,6 +332,7 @@ def bfs_hops(
     max_hops: int = 3,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Multi-source BFS over an undirected edge list: the minimum hop
     distance from ANY seed node, capped at ``max_hops`` — the
@@ -345,7 +346,11 @@ def bfs_hops(
     work is O(E) per round and the frontier/visited frames stay
     (node: long, hop: int) narrow rows. Every round's visited set is
     persisted (the k-core lesson: both the join and the next round's
-    anti-join consume it, and round k's plan embeds rounds 0..k-1).
+    anti-join consume it, and round k's plan embeds rounds 0..k-1), and
+    every ``checkpoint_every`` hops the visited frame's LINEAGE is
+    severed with checkpoint/localCheckpoint (the pagerank pattern above)
+    — persist alone truncates execution but the analyzed plan still
+    grows per hop, so analysis time would bite at 6+ hops without it.
     Handles are tracked for :func:`datapipe.cache.release`.
 
     Deterministic: hop distances are a pure function of the graph, so
@@ -370,8 +375,20 @@ def bfs_hops(
             .join(visited, "node", "left_anti")
             .select("node", F.lit(hop).alias("hop"))
         )
-        visited = visited.unionAll(reached).persist()
-        handles.append(visited)
+        visited = visited.unionAll(reached)
+        if checkpoint_every and hop % int(checkpoint_every) == 0:
+            # sever lineage: visited is a narrow (node, hop) frame, so
+            # materializing it is cheap relative to the per-hop plan
+            # growth it prevents; reliable checkpoint() on a cluster
+            # with a checkpoint dir, localCheckpoint() otherwise
+            sc = visited.sparkSession.sparkContext
+            if sc.getCheckpointDir() is not None:
+                visited = visited.checkpoint(eager=True)
+            else:
+                visited = visited.localCheckpoint(eager=True)
+        else:
+            visited = visited.persist()
+            handles.append(visited)
         # next frontier reads back out of the PERSISTED visited frame —
         # deriving it from `reached` directly would replay this round's
         # expansion a second time inside the next round's plan

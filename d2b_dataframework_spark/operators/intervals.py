@@ -27,8 +27,9 @@ def interval_overlap_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) within a key group whose [start, end]
     intervals overlap (closed-interval semantics: touching endpoints
-    collide). Returns key cols + id_a/id_b + the overlap window and its
-    length in days (dates) or the raw unit difference (numerics).
+    collide). Returns key cols + id_a/id_b + the overlap window and an
+    ``overlap_length`` column — days for date columns, whole seconds
+    for timestamps, the raw difference for numerics.
 
     Plan shape: a keyed self-join (shuffle on the key both sides; AQE
     can broadcast a small build side), the overlap predicate and the
@@ -61,6 +62,15 @@ def interval_overlap_pairs(
         F.col("_s").alias("start_b"),
         F.col("_e").alias("end_b"),
     )
+    ov_s = F.greatest("start_a", "start_b")
+    ov_e = F.least("end_a", "end_b")
+    s_dtype = dict(df.dtypes).get(start_col, "")
+    if s_dtype == "date":
+        length = F.datediff(ov_e, ov_s).cast("long")
+    elif s_dtype.startswith("timestamp"):
+        length = (F.unix_timestamp(ov_e) - F.unix_timestamp(ov_s)).cast("long")
+    else:
+        length = ov_e - ov_s
     return (
         a.join(b, key_cols)
         .filter(
@@ -72,8 +82,9 @@ def interval_overlap_pairs(
             *key_cols,
             "id_a",
             "id_b",
-            F.greatest("start_a", "start_b").alias("overlap_start"),
-            F.least("end_a", "end_b").alias("overlap_end"),
+            ov_s.alias("overlap_start"),
+            ov_e.alias("overlap_end"),
+            length.alias("overlap_length"),
         )
     )
 

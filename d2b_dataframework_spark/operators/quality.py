@@ -256,8 +256,16 @@ def t_closeness_report(
     )
     w = Window.partitionBy("_qi").orderBy("_b")  # bounded: m buckets/class
     cum = filled.withColumn("_cum", F.sum(F.col("_p") - F.col("_q")).over(w))
+    # m = 1 (single global bucket) means every class trivially matches
+    # the global distribution: EMD is 0 by definition, and the 1/(m-1)
+    # normalizer would be 0/0 (Spark NULL vs DuckDB NaN — oracle skew)
     per_class = cum.groupBy("_qi", "_cn").agg(
-        (F.sum(F.abs("_cum")) / (F.count(F.lit(1)) - 1).cast("double")).alias("_emd")
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.sum(F.abs("_cum")) / (F.count(F.lit(1)) - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_emd")
     )
     return per_class.agg(
         F.lit(",".join(quasi_identifiers)).alias("quasi_identifiers"),

@@ -14983,7 +14983,9 @@ cum AS (
   FROM grid),
 emd AS (
   SELECT c_mktsegment, nation_bucket, cn,
-    sum(abs(c)) / (count(*) - 1)::DOUBLE AS emd
+    CASE WHEN count(*) > 1
+         THEN sum(abs(c)) / (count(*) - 1)::DOUBLE
+         ELSE 0.0 END AS emd
   FROM cum GROUP BY 1, 2, 3)
 SELECT 'c_mktsegment,nation_bucket' AS quasi_identifiers,
   'bal_band' AS sensitive_bucket,
@@ -15076,9 +15078,7 @@ def q_interval_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_conflicts"),
-            F.sum(
-                F.datediff(F.col("overlap_end"), F.col("overlap_start")).cast("long")
-            ).alias("total_overlap_days"),
+            F.sum("overlap_length").alias("total_overlap_days"),
         )
         .orderBy(
             F.col("n_conflicts").desc(),
@@ -15580,7 +15580,8 @@ def _sql_markov() -> str:
     ctes.append(
         f"""eff AS (
   SELECT t.channel, f.val AS pf, t.p_removed,
-    (f.val - t.p_removed) / f.val AS effect
+    CASE WHEN f.val > 0.0 THEN (f.val - t.p_removed) / f.val
+         ELSE 0.0::DOUBLE END AS effect
   FROM (VALUES
     {vals}) t(channel, p_removed)
   CROSS JOIN (SELECT val FROM v_full_{n_iter} WHERE state = 'start') f)"""

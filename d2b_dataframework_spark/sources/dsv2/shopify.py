@@ -21,7 +21,11 @@ semantics; this module wires them into Catalyst, the same shape as
   single param would silently drop one leg), so it plans an empty scan;
 - ``partitions`` fans the (narrowed) range out one ``InputPartition``
   per day — a year's backfill is 365 parallel executor tasks walking
-  their own Link chains, not one serial driver loop;
+  their own Link chains, not one serial driver loop. With neither a
+  ``startdate`` option nor a pushed ``created_date`` lower bound, the
+  window is capped at the trailing 90 days, so an unfiltered
+  ``.load()`` can never fan out thousands of API-hammering tasks by
+  accident;
 - each task reuses the connector's ``flatten_order`` + ``link_pages``
   loop, so pagination/flatten/money semantics are the SAME code both
   ways; unabsorbed predicates are returned to Spark for post-scan eval.
@@ -88,10 +92,20 @@ class ShopifyOrdersReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema_ = schema
         self.options = dict(options)
-        self.start_date = self.options.get("startdate", "2001-01-01")
         self.end_date = self.options.get(
             "enddate", _dt.date.today().isoformat()
         )
+        # Fan-out contract: one InputPartition (= one executor task
+        # issuing API requests) per day in [startdate, enddate].  With
+        # no startdate option and no pushed created_date lower bound an
+        # epoch default would plan ~9000 tasks all hammering the API on
+        # an unfiltered load() — so partitions() bounds an UNANCHORED
+        # window to the trailing 90 days of the (possibly narrowed)
+        # enddate (ADVICE r5); backfills opt in with an explicit
+        # startdate, and any pushed created_date =/>/>= predicate
+        # anchors the window itself.
+        self.start_date = self.options.get("startdate", "2001-01-01")
+        self._start_anchored = "startdate" in self.options
         self.status_params: dict[str, str] = {}
         self.contradictory_status = False
 
@@ -109,12 +123,15 @@ class ShopifyOrdersReader(DataSourceReader):
                     v = str(f.value)
                     self.start_date = max(self.start_date, v)
                     self.end_date = min(self.end_date, v)
+                    self._start_anchored = True
                     continue
                 if isinstance(f, GreaterThanOrEqual):
                     self.start_date = max(self.start_date, str(f.value))
+                    self._start_anchored = True
                     continue
                 if isinstance(f, GreaterThan):
                     self.start_date = max(self.start_date, _shift(str(f.value), 1))
+                    self._start_anchored = True
                     continue
                 if isinstance(f, LessThanOrEqual):
                     self.end_date = min(self.end_date, str(f.value))
@@ -148,6 +165,10 @@ class ShopifyOrdersReader(DataSourceReader):
             return [_DayPartition("")]  # one empty partition
         start = _dt.date.fromisoformat(self.start_date)
         end = _dt.date.fromisoformat(self.end_date)
+        if not self._start_anchored:
+            # nothing bounds the lower edge — cap the sweep at the
+            # trailing 90 days instead of an epoch-to-enddate fan-out
+            start = max(start, end - _dt.timedelta(days=89))
         return [
             _DayPartition((start + _dt.timedelta(days=i)).isoformat())
             for i in range((end - start).days + 1)

@@ -542,6 +542,25 @@ def test_shopify_unsupported_predicate_stays_post_scan(shopify):
     assert "total_price" in plan.split("Scan")[0]
 
 
+def test_shopify_default_window_is_bounded_90_days():
+    """With no startdate option and no pushed created_date lower bound,
+    the fan-out must default to the trailing 90 days — never an
+    epoch-to-today ~9000-task sweep hammering the API (ADVICE r5)."""
+    from d2b_dataframework_spark.sources.dsv2.shopify import (
+        ShopifyOrdersReader,
+        orders_schema,
+    )
+
+    reader = ShopifyOrdersReader(orders_schema(), {})
+    parts = reader.partitions()
+    assert len(parts) == 90
+    # explicit startdate still opts in to a longer backfill
+    reader2 = ShopifyOrdersReader(
+        orders_schema(), {"startdate": "2025-01-01", "enddate": "2025-12-31"}
+    )
+    assert len(reader2.partitions()) == 365
+
+
 def test_shopify_link_walk_loops_until_no_next(spark):
     """8 orders at limit 3 → Link pages of 3,3,2 walked inside ONE
     day-partition task."""

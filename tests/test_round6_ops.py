@@ -80,3 +80,104 @@ def test_gate_window_is_all_first_time_names_this_round():
     if len(Q.REGISTRY) - len(Q._DRIVER_VERIFIED) >= Q._GATE_WINDOW:
         assert all(n not in Q._DRIVER_VERIFIED for n in window)
         assert window[0] == "holt_winters" and window[1] == "knn_classifier"
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops lineage severing (verdict nit #1)
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_deep_walk_through_checkpoint(spark):
+    """Path 1-2-...-8 from seed {1} at 7 hops crosses the
+    checkpoint-every-3 boundary twice (hops 3 and 6).  The persist-only
+    variant (checkpoint_every=0) cannot even run at this depth — its
+    analyzed plan string OOMs the JVM heap during explainString — so
+    equality vs the persist-only path is cross-checked at 4 hops and
+    the 7-hop answer is asserted against the closed form."""
+    from d2b_dataframework_spark.datapipe.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    want = {i: i - 1 for i in range(1, 9)}
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds, max_hops=7).collect()
+    }
+    assert got == want
+    want4 = {i: i - 1 for i in range(1, 6)}
+    got_ckpt4 = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds, max_hops=4).collect()
+    }
+    got_nockpt4 = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds, max_hops=4, checkpoint_every=0).collect()
+    }
+    assert got_ckpt4 == got_nockpt4 == want4
+
+
+def test_bfs_hops_checkpoint_bounds_plan_growth(spark):
+    """The analyzed plan after a checkpoint must NOT embed every prior
+    hop: at 6 hops the checkpointed variant's plan string stays an
+    order of magnitude smaller than the persist-only variant's."""
+    from d2b_dataframework_spark.datapipe.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ckpt = bfs_hops(edges, seeds, max_hops=6, checkpoint_every=3)
+    flat = bfs_hops(edges, seeds, max_hops=6, checkpoint_every=0)
+    n_ckpt = str(ckpt._jdf.queryExecution().analyzed()).count("Join")
+    n_flat = str(flat._jdf.queryExecution().analyzed()).count("Join")
+    assert n_ckpt * 4 <= n_flat, (n_ckpt, n_flat)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 fixes
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_single_bucket_is_zero_not_null(spark):
+    """m = 1 global sensitive bucket: every class trivially matches the
+    global distribution, so EMD must be 0.0 — not NULL (Spark 0/0) or
+    NaN (DuckDB 0/0)."""
+    from d2b_dataframework_spark.operators.quality import t_closeness_report
+
+    df = spark.createDataFrame(
+        [("a", 7), ("a", 7), ("b", 7)], "qi string, band long"
+    )
+    r = t_closeness_report(df, ["qi"], "band", threshold=0.2).collect()[0]
+    assert r["t"] == 0.0
+    assert r["classes_above_threshold"] == 0
+    assert r["exposed_rows"] == 0
+
+
+def test_interval_overlap_pairs_length_column(spark):
+    """overlap_length: days for date intervals, raw difference for
+    numeric intervals (the docstring's promise, ADVICE r5)."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.operators.intervals import interval_overlap_pairs
+
+    d = dt.date
+    dates = spark.createDataFrame(
+        [
+            ("k", 1, d(2025, 1, 1), d(2025, 1, 10)),
+            ("k", 2, d(2025, 1, 7), d(2025, 1, 20)),
+        ],
+        "g string, iid long, s date, e date",
+    )
+    row = interval_overlap_pairs(dates, ["g"], "iid", "s", "e").collect()[0]
+    assert row["overlap_start"] == d(2025, 1, 7)
+    assert row["overlap_end"] == d(2025, 1, 10)
+    assert row["overlap_length"] == 3
+
+    nums = spark.createDataFrame(
+        [("k", 1, 0.0, 10.0), ("k", 2, 4.0, 20.0)],
+        "g string, iid long, s double, e double",
+    )
+    row = interval_overlap_pairs(nums, ["g"], "iid", "s", "e").collect()[0]
+    assert row["overlap_length"] == 6.0
