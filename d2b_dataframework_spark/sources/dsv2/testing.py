@@ -233,3 +233,40 @@ class ShopifyEchoTransport:
             else None
         )
         return {"orders": orders, "link_next": link_next}
+
+
+class LinkedInEchoTransport:
+    """Echo double for the linkedin_posts reader: pretends each org has
+    ``echo_total_posts`` posts (option, default 10), newest-first, one
+    per day counting BACKWARD from ``echo_anchor_day`` (default
+    2025-06-30) — the shape the early-stop contract needs. Field
+    encoding: ``commentary`` carries the page's start offset (so tests
+    can count how many pages were actually walked), ``visibility``
+    carries the JSON request params."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("echo_total_posts", 10))
+        self.anchor = options.get("echo_anchor_day", "2025-06-30")
+
+    def get(self, path: str, params: dict | None) -> dict:
+        import datetime as dt
+
+        start = int(params["start"])
+        count = int(params["count"])
+        anchor = dt.datetime.fromisoformat(self.anchor).replace(
+            tzinfo=dt.timezone.utc
+        ) + dt.timedelta(hours=12)
+        elements = [
+            {
+                "id": f"urn:li:share:{start + i + 1}",
+                "createdAt": int(
+                    (anchor - dt.timedelta(days=start + i)).timestamp() * 1000
+                ),
+                "commentary": str(start),
+                "content": {},
+                "visibility": json.dumps(params, sort_keys=True),
+                "lifecycleState": "PUBLISHED",
+            }
+            for i in range(max(0, min(count, self.total - start)))
+        ]
+        return {"elements": elements}

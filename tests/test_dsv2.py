@@ -578,3 +578,116 @@ def test_shopify_link_walk_loops_until_no_next(spark):
     rows = df.collect()
     assert sorted(r["total_price"] for r in rows) == [float(i) for i in range(1, 9)]
     assert sorted({r["order_id"] for r in rows}) == list(range(1, 9))
+
+
+# ---------------------------------------------------------------------------
+# linkedin_posts: pushed date lower bound ends the newest-first page walk
+# early (VERDICT r5 item #6; reference early-stop semantics
+# d2b_data/linkedin_organic.py:299-311)
+# ---------------------------------------------------------------------------
+
+LINKEDIN_ECHO = "d2b_dataframework_spark.sources.dsv2.testing:LinkedInEchoTransport"
+
+
+@pytest.fixture(scope="module")
+def linkedin(spark):
+    from d2b_dataframework_spark.sources.dsv2 import linkedin as li
+
+    li.register(spark)
+    return (
+        spark.read.format("linkedin_posts")
+        .option("transport", LINKEDIN_ECHO)
+        .option("orgs", "urn:li:organization:1")
+        .option("pagesize", 3)
+    )
+
+
+def test_linkedin_date_pushdown_early_stops_page_walk(linkedin):
+    """Echo org holds 10 posts, one per day newest-first from
+    2025-06-30; pagesize 3. A pushed created_date >= 2025-06-27 keeps
+    4 posts; the walk must touch only page offsets {0, 3} — the first
+    older post (06-26, inside page 2) ends the walk, pages 6 and 9 are
+    never fetched. The absorbed predicate leaves NO post-scan Filter."""
+    df = linkedin.load().filter(F.col("created_date") >= "2025-06-27")
+    rows = df.collect()
+    days = sorted(r["created_date"] for r in rows)
+    assert days == ["2025-06-27", "2025-06-28", "2025-06-29", "2025-06-30"]
+    offsets = {int(r["commentary"]) for r in rows}
+    assert offsets == {0, 3}
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bFilter\b", plan)
+
+
+def test_linkedin_upper_bound_skips_newer_but_keeps_paging(linkedin):
+    """created_date <= 2025-06-28 skips the two newer posts but must
+    NOT stop paging — the window [06-27, 06-28] yields exactly 2 posts
+    from page offsets {0, 3}."""
+    df = linkedin.load().filter(
+        (F.col("created_date") >= "2025-06-27")
+        & (F.col("created_date") <= "2025-06-28")
+    )
+    rows = df.collect()
+    assert sorted(r["created_date"] for r in rows) == ["2025-06-27", "2025-06-28"]
+
+
+def test_linkedin_org_equality_pushdown_narrows_fanout(spark):
+    """org_urn = 'B' against a 2-org estate scans only B's chain; the
+    request params echoed in visibility carry author=B."""
+    from d2b_dataframework_spark.sources.dsv2 import linkedin as li
+
+    li.register(spark)
+    df = (
+        spark.read.format("linkedin_posts")
+        .option("transport", LINKEDIN_ECHO)
+        .option("orgs", "urn:li:organization:A,urn:li:organization:B")
+        .option("pagesize", 5)
+        .load()
+        .filter(
+            (F.col("org_urn") == "urn:li:organization:B")
+            & (F.col("created_date") >= "2025-06-29")
+        )
+    )
+    rows = df.collect()
+    assert rows and all(r["org_urn"] == "urn:li:organization:B" for r in rows)
+    params = json.loads(rows[0]["visibility"])
+    assert params["author"] == "urn:li:organization:B"
+    assert params["q"] == "author"
+
+
+def test_linkedin_contradictory_orgs_yield_empty(linkedin):
+    """org_urn='A' AND org_urn='B' cannot both hold — empty scan, not a
+    silently dropped leg."""
+    df = linkedin.load().filter(
+        (F.col("org_urn") == "urn:li:organization:A")
+        & (F.col("org_urn") == "urn:li:organization:B")
+    )
+    assert df.collect() == []
+
+
+def test_linkedin_unanchored_walk_is_bounded_90_days():
+    """No startdate option, no pushed lower bound: the effective window
+    must cap at the trailing 90 days of enddate."""
+    from d2b_dataframework_spark.sources.dsv2.linkedin import (
+        LinkedInPostsReader,
+        posts_schema,
+    )
+
+    reader = LinkedInPostsReader(
+        posts_schema(),
+        {
+            "transport": LINKEDIN_ECHO,
+            "orgs": "urn:li:organization:1",
+            "enddate": "2025-06-30",
+            "echo_total_posts": "200",
+            "pagesize": "50",
+        },
+    )
+    parts = reader.partitions()
+    assert len(parts) == 1
+    rows = list(reader.read(parts[0]))
+    names = [f.name for f in posts_schema().fields]
+    days = [dict(zip(names, r))["created_date"] for r in rows]
+    assert min(days) == "2025-04-02"  # 2025-06-30 minus 89 days
+    assert len(days) == 90
