@@ -941,3 +941,93 @@ def rake_keywords(
         F.col("_score").cast("double").alias("score"),
         F.row_number().over(wrank).cast("int").alias("rank"),
     )
+
+
+def sentence_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document sentence segmentation statistics: sentence count,
+    mean/max sentence length in characters — the pre-tokenization
+    readability/packing signal (a corpus whose "sentences" average
+    thousands of chars is tables or minified markup, not prose; one
+    whose sentences average five chars is navigation boilerplate).
+
+    Segmentation is the deterministic terminal-punctuation split
+    (``[.!?]+``) with empty/whitespace-only segments dropped — simple
+    enough to replay exactly in any engine (the DuckDB oracle uses the
+    same regex), which is the point: this is a *filter signal*, not NLP.
+
+    Scale shape: pure per-row projection with higher-order functions
+    (split → filter → transform → aggregate), zero shuffles, zero
+    Python — whole-stage-codegen all the way; linear in corpus bytes.
+    """
+    segs = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    lens = F.transform(segs, lambda s: F.length(s).cast("long"))
+    n = F.size(lens).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_sentences"),
+        F.when(
+            n > 0,
+            F.round(
+                F.aggregate(
+                    lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+                ).cast("double")
+                / n.cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_sentence_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0).cast("long")).alias(
+            "max_sentence_chars"
+        ),
+    )
+
+
+def hapax_stats(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Per-group hapax legomenon share: the fraction of the group's
+    DISTINCT vocabulary that occurs exactly once in the corpus — the
+    classic lexical-richness / OCR-noise dial (natural prose sits near
+    40-60%; far above means typo/OCR noise or id-like junk inflating
+    the vocab, far below means templated or deduplicated-to-death
+    text). Complements zipf_fit (head shape) by measuring the tail.
+
+    Scale shape: one explode → (group, token) count agg (map-side
+    combine absorbs the heavy head tokens before the shuffle) → one
+    group re-agg over the VOCABULARY-sized frame, never corpus-sized.
+    """
+    tok_counts = (
+        df.select(F.col(group_col).alias("g"), tokens(text_col).alias("toks"))
+        .select("g", F.explode("toks").alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        tok_counts.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "vocab_size",
+            "n_hapax",
+            "n_tokens",
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("vocab_size").cast("double"),
+                6,
+            ).alias("hapax_share"),
+        )
+    )

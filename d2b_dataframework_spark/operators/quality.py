@@ -291,3 +291,61 @@ def t_closeness_report(
             F.col("exposed_rows").cast("double") / F.col("n_rows").cast("double"), 6
         ).alias("exposed_fraction"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private-STYLE noisy group counts: Laplace(1/ε)
+    noise added to each group's count via inverse-CDF sampling — the
+    release shape used for public aggregate dashboards (count queries
+    have sensitivity 1, so scale b = 1/ε).
+
+    The "randomness" is DETERMINISTIC by design: the uniform draw is an
+    md5 hash of (seed, group key) mapped to (-0.5, 0.5), then
+    noise = -b · sign(u) · ln(1 - 2|u|). Deterministic noise is NOT
+    private against an adversary who knows the seed — this is the
+    engine/testing shape (hash-seeded like train_split/global_shuffle);
+    swap the hash for a CSPRNG draw per release in production. The
+    virtue here is replayability: the oracle and any audit re-derive
+    the exact same release.
+
+    Scale shape: one count agg, then a pure projection — the noise is
+    computed from the group key alone, no second pass, no driver RNG.
+    """
+    b = 1.0 / float(epsilon)
+    key = F.concat_ws("\x1f", F.lit(seed), *[F.col(c).cast("string") for c in group_cols])
+    # 52 hash bits -> uniform in (0,1), then shift to (-0.5, 0.5);
+    # +0.5/2^53 keeps u strictly inside the open interval so ln(1-2|u|)
+    # is finite
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double")
+        / F.lit(float(2**52))
+        - F.lit(0.5)
+        + F.lit(0.5 / 2**53)
+    )
+    # round the draw to 9 decimals BEFORE any downstream arithmetic:
+    # absorbs last-ulp libm ln() divergence across engines so replays
+    # (and the DuckDB oracle) are bit-identical
+    noise = F.round(
+        -F.lit(b) * F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u)),
+        9,
+    ) + F.lit(0.0)
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .select(
+            *group_cols,
+            "true_count",
+            noise.alias("noise"),
+            F.greatest(
+                F.lit(0.0),
+                F.round(F.col("true_count") + noise, 6) + F.lit(0.0),
+            ).alias("noisy_count"),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
+        .orderBy(*group_cols)
+    )

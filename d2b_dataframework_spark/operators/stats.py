@@ -404,3 +404,121 @@ def bootstrap_ci(
         ).alias("mean"),
     )
     return pt.join(ci, group_col).orderBy(group_col)
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend estimator per key: the MEDIAN of all
+    pairwise slopes (y_j - y_i) / (x_j - x_i) over x_i < x_j — the
+    outlier-proof alternative to OLS slope (grouped_linreg) for noisy
+    KPI series: one anomalous day moves the OLS slope arbitrarily but
+    shifts the pairwise-slope median by at most one rank.
+
+    Scale contract: the pair join is blocked on the key columns (the
+    interval_overlap_pairs shape) — pair volume is sum over keys of
+    group², which is bounded when the per-key series is bounded (daily
+    series: |days|² per key, never corpus²). The median is Spark's
+    exact ``percentile`` (linear interpolation, matching DuckDB's
+    ``quantile_cont``), computed per key over its own pair frame.
+    """
+    base = df.select(
+        *key_cols, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    )
+    a = base.select(
+        *key_cols, F.col("_x").alias("_xa"), F.col("_y").alias("_ya")
+    )
+    b = base.select(
+        *key_cols, F.col("_x").alias("_xb"), F.col("_y").alias("_yb")
+    )
+    pairs = a.join(b, key_cols).filter(F.col("_xa") < F.col("_xb"))
+    slopes = pairs.select(
+        *key_cols,
+        (
+            (F.col("_yb") - F.col("_ya")).cast("double")
+            / (F.col("_xb") - F.col("_xa")).cast("double")
+        ).alias("_slope"),
+    )
+    return (
+        slopes.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            # + 0.0 normalizes -0.0 (IEEE: -0.0 + 0.0 = +0.0) so the
+            # cross-engine value hash agrees on flat series
+            (F.round(F.expr("percentile(_slope, 0.5)"), 6) + F.lit(0.0)).alias(
+                "sen_slope"
+            ),
+        )
+        .orderBy(*key_cols)
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    key_cols: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a frame of p-values: rank
+    the m hypotheses ascending, find the LARGEST k with
+    p_(k) <= (k/m)·alpha, and reject hypotheses 1..k — the standard
+    multiple-testing correction for metric sweeps (testing 200 segment
+    metrics at alpha=.05 uncorrected yields ~10 false alarms; BH bounds
+    the expected false-discovery fraction at alpha instead).
+
+    Scale shape: two windows over the hypothesis frame (rank, then a
+    running max of the passing rank) — the frame is |hypotheses| rows
+    (segments × metrics), never raw-data-sized, so a single-partition
+    global window is correct; ``key_cols`` partitions both windows for
+    per-family correction when given. ``tiebreak_cols`` break p-value
+    ties deterministically (equal p-values are interchangeable for the
+    BH cutoff itself, but stable ranks keep replays engine-exact).
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols or [])
+    order = [F.col(p_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(
+        *order
+    )
+    m = (
+        Window.partitionBy(*keys)
+        if keys
+        else Window.partitionBy()
+    ).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.withColumn("rank", F.row_number().over(w)).withColumn(
+        "n_tests", F.count(F.lit(1)).over(m).cast("long")
+    )
+    ranked = ranked.withColumn(
+        "bh_threshold",
+        F.round(
+            F.col("rank").cast("double")
+            / F.col("n_tests").cast("double")
+            * F.lit(float(alpha)),
+            9,
+        ),
+    ).withColumn(
+        "_pass_rank",
+        F.when(F.col(p_col) <= F.col("bh_threshold"), F.col("rank")).otherwise(
+            F.lit(0)
+        ),
+    )
+    wcut = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ranked.withColumn("_cutoff", F.max("_pass_rank").over(wcut))
+        .withColumn("rejected", F.col("rank") <= F.col("_cutoff"))
+        .drop("_pass_rank", "_cutoff")
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -2153,7 +2153,13 @@ _FRONTLOAD_R6: tuple[str, ...] = ("holt_winters", "knn_classifier")
 # they still run through the full local gate (tools/check_correctness.py
 # covers every registry name every run) and will drain through the
 # driver window in subsequent rounds.
-_NEWEST_R6: tuple[str, ...] = ()
+_NEWEST_R6: tuple[str, ...] = (
+    "theil_sen_slope",
+    "bh_fdr",
+    "dp_noisy_counts",
+    "sentence_stats",
+    "hapax_share",
+)
 
 # Deterministic rotation seed for the verified re-check slice: derived
 # from |_DRIVER_VERIFIED|, which grows every round a correctness
@@ -16408,6 +16414,323 @@ REGISTRY.update(
             q_knn_classifier,
             SQL_KNN_CLASSIFIER,
             "5-NN majority-vote label prediction over exact cosine",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: robust trend (Theil-Sen), multiple-testing control
+# (Benjamini-Hochberg over distribution-free Chebyshev tests), DP-style
+# noisy release counts, sentence segmentation stats, hapax-share lexical
+# richness.
+# ---------------------------------------------------------------------------
+
+
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-trend estimator (stats.theil_sen_slope):
+    per event type, the median pairwise slope of the daily event-count
+    series — the outlier-proof twin of grouped_linreg's OLS slope. The
+    pair join is blocked on event_type (pairs ~ |days|² per type,
+    calendar-bounded); the median is Spark's exact percentile vs
+    DuckDB's quantile_cont (both linear interpolation)."""
+    from d2b_dataframework_spark.operators.stats import theil_sen_slope
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    pts = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("2020-01-01")).cast("long").alias("x"),
+        "y",
+    )
+    return theil_sen_slope(pts, ["event_type"], "x", "y")
+
+
+SQL_THEIL_SEN = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2),
+pts AS (
+  SELECT event_type,
+    date_diff('day', DATE '2020-01-01', day)::BIGINT AS x, y
+  FROM daily),
+slopes AS (
+  SELECT a.event_type,
+    (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS s
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND a.x < b.x)
+SELECT event_type, count(*)::BIGINT AS n_pairs,
+  round(quantile_cont(s, 0.5), 6) + 0.0 AS sen_slope
+FROM slopes GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (stats.bh_fdr) over a segment
+    sweep: each (mktsegment, nation-bucket) customer cell tests whether
+    its mean account balance deviates from the global mean, with the
+    distribution-free Chebyshev p-bound p = min(1, gvar/(n·(mean-gmean)²))
+    — no CDFs, engine-exact. All moments are decimal-summed then
+    divided as doubles (module convention); p rounds to 9 before
+    ranking with a deterministic cell tie-break, so the whole rejection
+    set replays bit-identically."""
+    from d2b_dataframework_spark.operators.stats import bh_fdr
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_nationkey") % 5).cast("long").alias("nation_bucket"),
+        F.col("c_acctbal").cast("decimal(19,2)").alias("_bal"),
+    )
+    glob = cust.agg(
+        F.sum("_bal").alias("_gs"),
+        F.sum(F.col("_bal") * F.col("_bal")).alias("_gss"),
+        F.count(F.lit(1)).cast("long").alias("_gn"),
+    ).select(
+        (F.col("_gs").cast("double") / F.col("_gn").cast("double")).alias("_gmean"),
+        (
+            F.col("_gss").cast("double") / F.col("_gn").cast("double")
+            - (F.col("_gs").cast("double") / F.col("_gn").cast("double"))
+            * (F.col("_gs").cast("double") / F.col("_gn").cast("double"))
+        ).alias("_gvar"),
+    )
+    cells = cust.groupBy("c_mktsegment", "nation_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_bal").alias("_s"),
+    )
+    tests = cells.crossJoin(F.broadcast(glob)).select(
+        "c_mktsegment",
+        "nation_bucket",
+        "n",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("_gvar")
+                / (
+                    F.col("n").cast("double")
+                    * (
+                        F.col("_s").cast("double") / F.col("n").cast("double")
+                        - F.col("_gmean")
+                    )
+                    * (
+                        F.col("_s").cast("double") / F.col("n").cast("double")
+                        - F.col("_gmean")
+                    )
+                ),
+            ),
+            9,
+        ).alias("p_value"),
+    )
+    out = bh_fdr(
+        tests,
+        "p_value",
+        alpha=0.25,
+        tiebreak_cols=["c_mktsegment", "nation_bucket"],
+    )
+    return out.select(
+        "c_mktsegment",
+        "nation_bucket",
+        "n",
+        "p_value",
+        "rank",
+        "n_tests",
+        "bh_threshold",
+        "rejected",
+    ).orderBy("c_mktsegment", "nation_bucket")
+
+
+SQL_BH_FDR = """
+WITH cust AS (
+  SELECT c_mktsegment, (c_nationkey % 5)::BIGINT AS nation_bucket,
+    c_acctbal::DECIMAL(19,2) AS bal
+  FROM customer),
+gstats AS (
+  SELECT CAST(sum(bal) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gmean,
+    CAST(sum(bal * bal) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      - (CAST(sum(bal) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      * (CAST(sum(bal) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS gvar
+  FROM cust),
+cells AS (
+  SELECT c_mktsegment, nation_bucket, count(*)::BIGINT AS n,
+    sum(bal) AS s
+  FROM cust GROUP BY 1, 2),
+tests AS (
+  SELECT c_mktsegment, nation_bucket, n,
+    round(least(1.0,
+      g.gvar / (n::DOUBLE
+        * (CAST(s AS DOUBLE) / n::DOUBLE - g.gmean)
+        * (CAST(s AS DOUBLE) / n::DOUBLE - g.gmean))), 9) AS p_value
+  FROM cells CROSS JOIN gstats g),
+ranked AS (
+  SELECT *,
+    row_number() OVER (
+      ORDER BY p_value ASC, c_mktsegment ASC, nation_bucket ASC
+    )::BIGINT AS rank,
+    count(*) OVER ()::BIGINT AS n_tests
+  FROM tests),
+thresh AS (
+  SELECT *,
+    round(rank::DOUBLE / n_tests::DOUBLE * 0.25, 9) AS bh_threshold,
+    CASE WHEN p_value <= round(rank::DOUBLE / n_tests::DOUBLE * 0.25, 9)
+         THEN rank ELSE 0 END AS pass_rank
+  FROM ranked),
+cut AS (SELECT max(pass_rank) AS cutoff FROM thresh)
+SELECT c_mktsegment, nation_bucket, n, p_value, rank, n_tests,
+  bh_threshold, (rank <= cutoff) AS rejected
+FROM thresh CROSS JOIN cut
+ORDER BY c_mktsegment, nation_bucket
+"""
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-style noisy release of order-priority counts
+    (quality.dp_noisy_counts): Laplace(1/ε) noise via deterministic
+    hash-seeded inverse-CDF draws — the replayable engine shape of a
+    private aggregate release (count sensitivity 1, ε = 2)."""
+    from d2b_dataframework_spark.operators.quality import dp_noisy_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    return dp_noisy_counts(orders, ["o_orderpriority"], epsilon=2.0, seed="dp")
+
+
+SQL_DP_NOISY_COUNTS = """
+WITH counts AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS true_count
+  FROM orders GROUP BY 1),
+draw AS (
+  SELECT *,
+    ('0x' || substr(md5('dp' || chr(31) || o_orderpriority), 1, 13))
+      ::BIGINT::DOUBLE / 4503599627370496.0 - 0.5
+      + (0.5 / 9007199254740992.0) AS u
+  FROM counts),
+noised AS (
+  SELECT o_orderpriority, true_count,
+    round(-(1.0 / 2.0) * sign(u) * ln(1.0 - 2.0 * abs(u)), 9) + 0.0
+      AS noise
+  FROM draw)
+SELECT o_orderpriority, true_count, noise,
+  greatest(0.0, round(true_count::DOUBLE + noise, 6) + 0.0) AS noisy_count,
+  2.0 AS epsilon
+FROM noised ORDER BY o_orderpriority
+"""
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-segmentation corpus health (text.sentence_stats): per
+    language, document counts and the mean sentences-per-doc / mean
+    per-doc sentence length — the packing/readability signal. Per-doc
+    stats are a zero-shuffle projection (split/filter/aggregate HOFs);
+    the rollup decimal-sums the rounded per-doc means so the average is
+    order-independent."""
+    from d2b_dataframework_spark.datapipe.text import sentence_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = sentence_stats(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sentences").cast("long").alias("total_sentences"),
+            F.round(
+                F.sum("n_sentences").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_sentences_per_doc"),
+            F.round(
+                F.sum(F.col("avg_sentence_chars").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_doc_sentence_chars"),
+            F.max("max_sentence_chars").cast("long").alias("max_sentence_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SENTENCE_STATS = """
+WITH per_doc AS (
+  SELECT doc_id, lang,
+    len(segs)::BIGINT AS n_sentences,
+    CASE WHEN len(segs) > 0
+         THEN round(list_sum(list_transform(segs, s -> length(s)))::DOUBLE
+                    / len(segs)::DOUBLE, 6)
+         ELSE 0.0 END AS avg_sentence_chars,
+    coalesce(list_max(list_transform(segs, s -> length(s)::BIGINT)), 0)
+      AS max_sentence_chars
+  FROM (
+    SELECT doc_id, lang,
+      list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                 s -> trim(s)),
+                  s -> length(s) > 0) AS segs
+    FROM documents))
+SELECT lang, count(*)::BIGINT AS n_docs,
+  sum(n_sentences)::BIGINT AS total_sentences,
+  round(sum(n_sentences)::DOUBLE / count(*)::DOUBLE, 6)
+    AS avg_sentences_per_doc,
+  round(CAST(sum(avg_sentence_chars::DECIMAL(18,6)) AS DOUBLE)
+        / count(*)::DOUBLE, 6) AS mean_doc_sentence_chars,
+  max(max_sentence_chars)::BIGINT AS max_sentence_chars
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def q_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon share per language (text.hapax_stats): the
+    fraction of each language's distinct vocabulary occurring exactly
+    once — the lexical-richness / noise dial complementing zipf_fit's
+    head-shape fit. One token-count shuffle (map-side combine), one
+    vocabulary-sized re-agg."""
+    from d2b_dataframework_spark.datapipe.text import hapax_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return hapax_stats(docs).orderBy("lang")
+
+
+SQL_HAPAX_SHARE = f"""
+WITH toks AS (
+  SELECT lang, unnest({_WORDS_ORDERED}) AS tok FROM documents),
+counts AS (
+  SELECT lang, tok, count(*)::BIGINT AS n
+  FROM toks WHERE length(tok) > 0 GROUP BY 1, 2)
+SELECT lang, count(*)::BIGINT AS vocab_size,
+  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+  sum(n)::BIGINT AS n_tokens,
+  round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+        / count(*)::DOUBLE, 6) AS hapax_share
+FROM counts GROUP BY lang ORDER BY lang
+"""
+
+
+REGISTRY.update(
+    {
+        "theil_sen_slope": QuerySpec(
+            q_theil_sen_slope,
+            SQL_THEIL_SEN,
+            "Theil-Sen robust trend: median pairwise slope per event type",
+        ),
+        "bh_fdr": QuerySpec(
+            q_bh_fdr,
+            SQL_BH_FDR,
+            "Benjamini-Hochberg FDR over Chebyshev segment tests",
+        ),
+        "dp_noisy_counts": QuerySpec(
+            q_dp_noisy_counts,
+            SQL_DP_NOISY_COUNTS,
+            "deterministic Laplace noisy counts (DP release shape)",
+        ),
+        "sentence_stats": QuerySpec(
+            q_sentence_stats,
+            SQL_SENTENCE_STATS,
+            "sentence segmentation stats per language",
+        ),
+        "hapax_share": QuerySpec(
+            q_hapax_share,
+            SQL_HAPAX_SHARE,
+            "hapax-legomenon vocabulary share per language",
         ),
     }
 )

@@ -657,6 +657,30 @@ def sketch_store_quantiles(
     return sk.histogram_quantiles(hist, lo, hi, bins, qs or [0.5, 0.99], keys=["day"])
 
 
+def _fold_running_totals(prior, row_batches):
+    """The pure per-key fold behind :func:`running_totals_stream_v2`'s
+    StatefulProcessor: merge a prior ``(n, total, max)`` state tuple (or
+    None) with an iterator of pandas batches of a ``value`` column.
+
+    Module-level (not a closure) so the logic is unit-testable on
+    runtimes where the full transformWithStateInPandas leg must skip
+    (the state-v2 wire protocol needs protobuf; this sandbox lacks it —
+    see tests/test_streaming.py's importorskip leg vs the pure-fold
+    test in the same file)."""
+    n, total, mx = 0, 0.0, None
+    if prior is not None:
+        n, total, mx = int(prior[0]), float(prior[1]), prior[2]
+        mx = float(mx) if mx is not None else None
+    for pdf in row_batches:
+        vals = pdf["value"].astype(float)
+        n += int(len(vals))
+        total += float(vals.sum())
+        batch_max = float(vals.max()) if len(vals) else None
+        if batch_max is not None:
+            mx = batch_max if mx is None else max(mx, batch_max)
+    return n, total, mx
+
+
 def running_totals_stream_v2(
     events: DataFrame,
     key_col: str = "user_id",
@@ -720,19 +744,8 @@ def running_totals_stream_v2(
             self._agg = handle.getValueState("agg", state_schema)
 
         def handleInputRows(self, key, rows, timer_values):
-            n, total, mx = 0, 0.0, None
-            if self._agg.exists():
-                got = self._agg.get()
-                if got is not None:
-                    n, total, mx = int(got[0]), float(got[1]), got[2]
-                    mx = float(mx) if mx is not None else None
-            for pdf in rows:
-                vals = pdf["value"].astype(float)
-                n += int(len(vals))
-                total += float(vals.sum())
-                batch_max = float(vals.max()) if len(vals) else None
-                if batch_max is not None:
-                    mx = batch_max if mx is None else max(mx, batch_max)
+            prior = self._agg.get() if self._agg.exists() else None
+            n, total, mx = _fold_running_totals(prior, rows)
             self._agg.update((n, total, mx))
             yield pd.DataFrame(
                 {

@@ -181,3 +181,117 @@ def test_interval_overlap_pairs_length_column(spark):
     )
     row = interval_overlap_pairs(nums, ["g"], "iid", "s", "e").collect()[0]
     assert row["overlap_length"] == 6.0
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_slope_hand_computed(spark):
+    """Points (0,0),(1,1),(2,10): pairwise slopes {1, 5, 9} -> median 5.
+    The outlier (2,10) would drag an OLS slope to 5 too, but adding a
+    4th point shows robustness: (0,0),(1,1),(2,2),(3,100) has slopes
+    {1,1,33,1,49.5,98} -> median 17 vs OLS ~31."""
+    from d2b_dataframework_spark.operators.stats import theil_sen_slope
+
+    df = spark.createDataFrame(
+        [("k", 0, 0), ("k", 1, 1), ("k", 2, 10)], "g string, x long, y long"
+    )
+    r = theil_sen_slope(df, ["g"], "x", "y").collect()[0]
+    assert (r["n_pairs"], r["sen_slope"]) == (3, 5.0)
+
+
+def test_theil_sen_slope_flat_series_is_plus_zero(spark):
+    """A flat series has every slope 0; the +0.0 normalizer must keep
+    the median at +0.0, never -0.0."""
+    import math
+
+    from d2b_dataframework_spark.operators.stats import theil_sen_slope
+
+    df = spark.createDataFrame(
+        [("k", i, 7) for i in range(4)], "g string, x long, y long"
+    )
+    r = theil_sen_slope(df, ["g"], "x", "y").collect()[0]
+    assert r["sen_slope"] == 0.0 and math.copysign(1.0, r["sen_slope"]) == 1.0
+
+
+def test_bh_fdr_textbook_example(spark):
+    """p = (.01, .02, .03, .5) at alpha=.1: thresholds (k/4)*.1 =
+    (.025, .05, .075, .1); largest passing k is 3, so exactly the first
+    three hypotheses are rejected."""
+    from d2b_dataframework_spark.operators.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.5)],
+        "h string, p double",
+    )
+    rows = {r["h"]: r for r in bh_fdr(df, "p", alpha=0.1).collect()}
+    assert [rows[h]["rejected"] for h in "abcd"] == [True, True, True, False]
+    assert rows["a"]["n_tests"] == 4 and rows["c"]["rank"] == 3
+
+
+def test_bh_fdr_gap_rejects_through_largest_passing_rank(spark):
+    """BH rejects 1..k for the LARGEST passing k even when a smaller
+    rank fails its own threshold: p = (.01, .06, .07) at alpha=.3 has
+    thresholds (.1, .2, .3); rank 2 fails? no — .06 <= .2 passes and
+    .07 <= .3 passes, so use p=(.01, .25, .07): sorted (.01,.07,.25),
+    thresholds (.1,.2,.3) -> .25<=.3 passes at rank 3, so ALL are
+    rejected including rank 2's .07 (which also passes) — and crucially
+    a failing middle rank would still be rejected."""
+    from d2b_dataframework_spark.operators.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.25), ("c", 0.07)], "h string, p double"
+    )
+    rows = {r["h"]: r for r in bh_fdr(df, "p", alpha=0.3).collect()}
+    assert all(rows[h]["rejected"] for h in "abc")
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    from d2b_dataframework_spark.operators.quality import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 3, "g string"
+    )
+    r1 = {r["g"]: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    r2 = {r["g"]: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    assert r1.keys() == r2.keys()
+    for g in r1:
+        assert r1[g]["noise"] == r2[g]["noise"]  # hash-seeded: replayable
+        assert r1[g]["noisy_count"] == r2[g]["noisy_count"]
+        assert r1[g]["noisy_count"] >= 0.0
+        assert abs(r1[g]["noisy_count"] - r1[g]["true_count"] - r1[g]["noise"]) < 1e-5
+    assert r1["x"]["true_count"] == 5 and r1["y"]["true_count"] == 3
+    # different seeds draw different noise
+    r3 = {r["g"]: r for r in dp_noisy_counts(df, ["g"], seed="other").collect()}
+    assert any(r3[g]["noise"] != r1[g]["noise"] for g in r1)
+
+
+def test_sentence_stats_hand_computed(spark):
+    from d2b_dataframework_spark.datapipe.text import sentence_stats
+
+    df = spark.createDataFrame(
+        [(1, "Hi there. Bye! Ok?"), (2, ""), (3, "no terminal punctuation")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in sentence_stats(df).collect()}
+    assert rows[1]["n_sentences"] == 3
+    assert rows[1]["avg_sentence_chars"] == round((8 + 3 + 2) / 3, 6)
+    assert rows[1]["max_sentence_chars"] == 8
+    assert rows[2]["n_sentences"] == 0 and rows[2]["avg_sentence_chars"] == 0.0
+    assert rows[3]["n_sentences"] == 1
+
+
+def test_hapax_stats_hand_computed(spark):
+    from d2b_dataframework_spark.datapipe.text import hapax_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "c", "en"), (3, "x y", "es")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["lang"]: r for r in hapax_stats(df).collect()}
+    assert (rows["en"]["vocab_size"], rows["en"]["n_hapax"]) == (3, 2)
+    assert rows["en"]["n_tokens"] == 4
+    assert rows["en"]["hapax_share"] == round(2 / 3, 6)
+    assert (rows["es"]["vocab_size"], rows["es"]["n_hapax"]) == (2, 2)

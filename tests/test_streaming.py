@@ -636,3 +636,34 @@ def test_classify_stream_matches_batch_scorer(spark, tmp_path):
     model.unpersist(), stats.unpersist()
     assert got == want
     assert got[10][0] == "en" and got[11][0] == "es" and got[12][0] == "en"
+
+
+def test_running_totals_v2_fold_logic_without_runtime(spark):
+    """The transformWithState migration leg, runnable on THIS runtime:
+    the processor's per-key fold (_fold_running_totals) is exercised
+    directly — no protobuf, no RocksDB provider — so the v2 operator's
+    logic is verified even where the full streaming leg must skip.
+    Replays the exact batch sequence of the integration test and must
+    produce the same (n, total, max) trajectory."""
+    import pandas as pd
+
+    from d2b_dataframework_spark.streaming.microbatch import _fold_running_totals
+
+    # key 1: batch 1 = [10.0, 5.0], batch 2 = [1.0]
+    s1 = _fold_running_totals(None, [pd.DataFrame({"value": [10.0, 5.0]})])
+    assert s1 == (2, 15.0, 10.0)
+    s2 = _fold_running_totals(s1, [pd.DataFrame({"value": [1.0]})])
+    assert s2 == (3, 16.0, 10.0)
+    # key 2: batch 1 = [7.0], batch 2 = [100.0] — max advances
+    t1 = _fold_running_totals(None, [pd.DataFrame({"value": [7.0]})])
+    t2 = _fold_running_totals(t1, [pd.DataFrame({"value": [100.0]})])
+    assert t2 == (2, 107.0, 100.0)
+    # empty batch: state passes through unchanged (no None poisoning)
+    s3 = _fold_running_totals(s2, [pd.DataFrame({"value": []})])
+    assert s3 == (3, 16.0, 10.0)
+    # multiple pandas chunks in one micro-batch fold as one batch
+    u = _fold_running_totals(
+        None,
+        [pd.DataFrame({"value": [1.0, 2.0]}), pd.DataFrame({"value": [3.0]})],
+    )
+    assert u == (3, 6.0, 3.0)

@@ -388,6 +388,51 @@ def _intervals(docs, mult=1):
     return interval_overlap_pairs(iv, ["g"], "iid", "s", "e")
 
 
+def _intervals_hot(docs, mult=1, cap=None):
+    """Pathological-corpus probe for interval_overlap_pairs'
+    max_group_size cap (the containment_capped shape): HALF the
+    intervals land on ONE hot key that grows with the corpus — its pair
+    volume grows quadratically — while the other half spread over a
+    corpus-proportional key space (constant group size, linear pair
+    volume). Uncapped growth must therefore blow past linear; with the
+    cap the hot key is dropped before the self-join (REPORTED by
+    interval_group_sizes, not silent) and growth must stay ~linear."""
+    from d2b_dataframework_spark.operators.intervals import interval_overlap_pairs
+
+    n_keys = 6000 * mult
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    iv = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(h("ik"), F.lit(n_keys)) + 1)
+        .alias("g"),
+        F.col("doc_id").alias("iid"),
+        F.pmod(h("is"), F.lit(10000)).alias("s"),
+    ).withColumn("e", F.col("s") + 200)
+    return interval_overlap_pairs(iv, ["g"], "iid", "s", "e", max_group_size=cap)
+
+
+def _bfs6(docs, mult=1):
+    # 6 hops crosses the checkpoint-every-3 boundary twice: per-hop
+    # cost must stay flat (~2x the 3-hop probe), proving the severed
+    # lineage keeps analysis time out of the walk (VERDICT r5 nit #1).
+    from d2b_dataframework_spark.datapipe.graph import bfs_hops
+
+    edges = _graph_edges(docs, mult)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 100 == 0)
+    )
+    return bfs_hops(edges, seeds, max_hops=6)
+
+
 def _codec(docs):
     """PNG encode -> inflate/unfilter decode -> dHash round-trip (the
     registry's image_dhash pipeline, queries.py:q_image_dhash): two
@@ -547,6 +592,14 @@ def main() -> None:
         # Round-5: keyed interval-overlap pair join — constant group
         # size as keys grow with the corpus, so ~linear is the contract.
         "interval_overlap": lambda d, e, m=1: _intervals(d, m),
+        # Round-6: the capped-vs-uncapped pair on a hot-key corpus
+        # (VERDICT r5 item #5) — uncapped grows super-linearly (the
+        # hot key's group^2), capped must stay ~linear.
+        "interval_hot_uncapped": lambda d, e, m=1: _intervals_hot(d, m),
+        "interval_hot_capped": lambda d, e, m=1: _intervals_hot(d, m, cap=2000),
+        # Round-6: 6-hop BFS through two checkpoint boundaries — per-hop
+        # cost flat vs bfs_3hops proves lineage severing works.
+        "bfs_6hops": lambda d, e, m=1: _bfs6(d, m),
         # PPJoin prefix filter: ascending-df prefixes keep candidate
         # buckets rare-token-sized; with replica-prefixed tokens the
         # vocab grows with the corpus, so ~linear is the contract.
