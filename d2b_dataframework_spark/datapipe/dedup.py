@@ -1349,3 +1349,61 @@ def lsh_design_table(
         ).alias("p_candidate"),
         F.round(F.pow(F.lit(1.0) / b, F.lit(1.0) / r), 6).alias("threshold_est"),
     ).orderBy("bands", "s")
+
+
+def shingle_dup_mass(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Corpus-level duplicate-shingle pressure per group: of all
+    (document, distinct n-gram) incidences, how much mass sits on
+    shingles shared by MORE than one document — the single dial that
+    says "this slice needs near-dedup before training" (decontaminate
+    answers cross-corpus overlap; segment_dup_stats scores documents;
+    this scores the CORPUS). Counts are document frequencies (each doc
+    contributes a shingle once, so a doc repeating its own boilerplate
+    doesn't masquerade as cross-doc duplication).
+
+    Scale shape: the word-count shape end to end — explode per-doc
+    distinct shingle hashes, one (group, gram) count shuffle with
+    map-side combine (the duplicated grams ARE the heavy keys partial
+    aggregation absorbs), one group re-agg over the gram-vocabulary
+    frame. Linear in corpus bytes.
+    """
+    grams = df.select(
+        F.col(group_col).alias("g"),
+        tokens(text_col).alias("toks"),
+    ).select(
+        "g", F.explode(shingle_hashes("toks", n, pre_tokenized=True)).alias("gram")
+    )
+    gram_df = grams.groupBy("g", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return (
+        gram_df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+            F.sum("df").cast("long").alias("total_incidences"),
+            F.sum(F.when(F.col("df") > 1, F.col("df")).otherwise(0))
+            .cast("long")
+            .alias("shared_incidences"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_grams",
+            "n_shared_grams",
+            "total_incidences",
+            "shared_incidences",
+            F.round(
+                F.col("shared_incidences").cast("double")
+                / F.col("total_incidences").cast("double"),
+                6,
+            ).alias("dup_mass_share"),
+        )
+    )

@@ -1112,3 +1112,60 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def power_iteration_top_eigvec(
+    cells: DataFrame,
+    iters: int = 8,
+) -> DataFrame:
+    """Top eigenvector of a small symmetric matrix by fixed-count power
+    iteration — the PCA direction of an embedding covariance (the
+    spectral step after embedding_covariance's moment pass): start from
+    the all-ones vector, repeat v <- normalize(C·v) ``iters`` times,
+    report the final components and the eigenvalue estimate ||C·v||.
+
+    ``cells`` is the (i, j, c) matrix frame — dims² rows (64 for an
+    8-dim covariance), so every join here is on broadcast-sized state;
+    the corpus was already reduced by the moment pass. Engine-exact by
+    the gradient-learner convention: every per-term product rounds to 9
+    decimals and accumulates in DECIMAL(28,9) (order-free), the norm
+    uses IEEE-correctly-rounded sqrt, and each iterate rounds to 9 — so
+    a DuckDB replay of the same unrolled steps hash-matches the whole
+    trajectory.
+    """
+    spark = cells.sparkSession
+    dims = cells.select(F.col("i")).distinct()
+    v = dims.select(F.col("i").alias("j"), F.lit(1.0).alias("v"))
+    lam = None
+    for _ in range(int(iters)):
+        w = (
+            cells.join(v, "j")
+            .select("i", F.round(F.col("c") * F.col("v"), 9).alias("t"))
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("t").cast("decimal(28,9)")).cast("double").alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,9)"))
+                .cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("j"),
+                F.round(F.col("w") / F.col("nrm"), 9).alias("v"),
+            )
+        )
+        lam = nrm
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").cast("long").alias("dim"),
+            (F.round(F.col("v"), 6) + F.lit(0.0)).alias("component"),
+            (F.round(F.col("nrm"), 6) + F.lit(0.0)).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )

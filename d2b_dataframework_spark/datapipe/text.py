@@ -1031,3 +1031,70 @@ def hapax_stats(
             ).alias("hapax_share"),
         )
     )
+
+
+def coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    targets: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Vocabulary coverage curve: how many top-frequency tokens cover
+    50/90/99% of the corpus token MASS — the tokenizer-budget question
+    (vocab_coverage scores docs against a fixed top-k; this finds the k
+    itself). Natural corpora need a few hundred tokens for half the
+    mass and a long tail for the last percent; a flat curve means
+    id-like junk is flooding the vocabulary.
+
+    Scale shape: one explode → token-count shuffle (map-side combine),
+    then rank/cumsum windows over the VOCABULARY-sized count frame
+    (never corpus-sized), one final single-row agg. The global window
+    sorts only the vocabulary — same contract as the top-k vocab cut in
+    vocab_coverage; a range-partitioned sort (global_ntile's shape)
+    replaces it if the vocabulary itself stops fitting a partition.
+    Returns one row: vocab_size, total_tokens, k_at_<pct> per target,
+    plus the top token and its mass share.
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = counts.select(
+        "tok",
+        "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    joined = ranked.crossJoin(F.broadcast(total))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.max("total").cast("long").alias("total_tokens"),
+    ]
+    for t in targets:
+        pct = str(int(round(t * 100)))
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum").cast("double")
+                    >= F.lit(float(t)) * F.col("total").cast("double"),
+                    F.col("rank"),
+                )
+            )
+            .cast("long")
+            .alias(f"k_at_{pct}")
+        )
+    aggs += [
+        F.min(F.when(F.col("rank") == 1, F.col("tok"))).alias("top_token"),
+        F.round(
+            F.max(F.when(F.col("rank") == 1, F.col("n"))).cast("double")
+            / F.max("total").cast("double"),
+            6,
+        ).alias("top_share"),
+    ]
+    return joined.agg(*aggs)

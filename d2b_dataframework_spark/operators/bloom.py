@@ -138,3 +138,49 @@ def bloom_prune(
         F.col(probe_key).cast("string") == F.col("_bloom_pass_key"),
         "left_semi",
     )
+
+
+def bloom_design_table(
+    df: DataFrame,
+    key_col: str,
+    bits_per_key: tuple[int, ...] = (8, 12, 16, 20),
+) -> DataFrame:
+    """Bloom-filter capacity planning against the ACTUAL key
+    cardinality: for each bits-per-key budget b, the filter size
+    m = n·b, the optimal hash count k = round(b·ln 2), and the
+    resulting false-positive rate (1 - e^(-k/b))^k — the sizing step
+    before bloom_prune_join, the same planner shape as
+    minhash_param_planner (which sizes LSH bands) and
+    join_size_estimate (which sizes the join itself).
+
+    Scale shape: one exact distinct-count aggregation over the key
+    column, then a |bits_per_key|-row literal grid cross-joined against
+    the single-row count — all the trigonometry happens on a handful of
+    rows. Every constant (ln 2 included) is computed IN-ENGINE so the
+    DuckDB oracle replays the identical doubles.
+    """
+    n = df.agg(F.count_distinct(F.col(key_col)).cast("long").alias("n_keys"))
+    grid = None
+    for b in bits_per_key:
+        row = n.sparkSession.range(1).select(
+            F.lit(int(b)).cast("long").alias("bits_per_key")
+        )
+        grid = row if grid is None else grid.unionAll(row)
+    joined = grid.crossJoin(F.broadcast(n))
+    b = F.col("bits_per_key").cast("double")
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.round(b * F.log(F.lit(2.0)), 0).cast("long"),
+    )
+    kd = k.cast("double")
+    fpr = F.pow(F.lit(1.0) - F.exp(-kd / b), kd)
+    return (
+        joined.select(
+            "bits_per_key",
+            "n_keys",
+            (F.col("bits_per_key") * F.col("n_keys")).cast("long").alias("m_bits"),
+            k.alias("k_hashes"),
+            (F.round(fpr, 6) + F.lit(0.0)).alias("fpr"),
+        )
+        .orderBy("bits_per_key")
+    )

@@ -522,3 +522,70 @@ def bh_fdr(
         .drop("_pass_rank", "_cutoff")
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def moments_profile(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    decimals: int = 2,
+) -> DataFrame:
+    """Four-moment distribution profile per key: mean, population
+    variance, skewness and excess kurtosis from exact power sums — the
+    shape screen that catches what mean/std monitoring misses (a metric
+    whose skew flips sign changed distribution even if the mean held).
+
+    Engine-exact by the scaled-long convention (the GD-learner trick):
+    values quantize to integers at 10^decimals, the four power sums
+    accumulate in DECIMAL(38,0) (exact, order-free — w^4 for a 6-digit
+    w still fits 38 digits), and the moment algebra runs ONCE on the
+    final sums in fixed-parenthesization double math, so a DuckDB
+    replay matches bit-for-bit. One aggregation pass with map-side
+    partials; output is |keys| rows.
+    """
+    keys = list(key_cols or [])
+    scale = float(10 ** int(decimals))
+    w = F.round(F.col(value_col).cast("double") * F.lit(scale), 0).cast(
+        "decimal(19,0)"
+    )
+    w2 = (w * w).cast("decimal(19,0)")
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    sums = grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(w).cast("double").alias("_s1"),
+        F.sum(w * w).cast("double").alias("_s2"),
+        F.sum(w2 * w).cast("double").alias("_s3"),
+        F.sum(w2 * w2).cast("double").alias("_s4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s1") / n / F.lit(scale)
+    r2 = F.col("_s2") / n / F.lit(scale * scale)
+    r3 = F.col("_s3") / n / F.lit(scale * scale * scale)
+    r4 = F.col("_s4") / n / F.lit(scale * scale * scale * scale)
+    m2 = r2 - mean * mean
+    m3 = r3 - F.lit(3.0) * mean * r2 + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        r4
+        - F.lit(4.0) * mean * r3
+        + F.lit(6.0) * mean * mean * r2
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    out = sums.select(
+        *keys,
+        "n",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean"),
+        (F.round(m2, 6) + F.lit(0.0)).alias("variance"),
+        F.when(
+            m2 > 0,
+            F.round(m3 / F.pow(F.sqrt(m2), F.lit(3.0)), 6) + F.lit(0.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("skewness"),
+        F.when(
+            m2 > 0,
+            F.round(m4 / (m2 * m2) - F.lit(3.0), 6) + F.lit(0.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("excess_kurtosis"),
+    )
+    return out.orderBy(*keys) if keys else out

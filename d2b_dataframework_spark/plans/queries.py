@@ -2159,6 +2159,12 @@ _NEWEST_R6: tuple[str, ...] = (
     "dp_noisy_counts",
     "sentence_stats",
     "hapax_share",
+    "vocab_coverage_curve",
+    "shingle_dup_mass",
+    "bloom_param_planner",
+    "pca_power_iteration",
+    "mutual_best_match",
+    "value_moments",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -16731,6 +16737,300 @@ REGISTRY.update(
             q_hapax_share,
             SQL_HAPAX_SHARE,
             "hapax-legomenon vocabulary share per language",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: vocabulary coverage curve, corpus duplicate-shingle
+# mass, bloom capacity planning, PCA top eigenvector by power iteration.
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (text.coverage_curve): the k such that
+    the top-k tokens cover 50/90/99% of corpus token mass — the
+    tokenizer-budget dial next to vocab_coverage's per-doc OOV score.
+    One token-count shuffle, rank/cumsum windows over the
+    vocabulary-sized frame, one single-row agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return dt.coverage_curve(docs)
+
+
+SQL_VOCAB_COVERAGE_CURVE = f"""
+WITH toks AS (
+  SELECT unnest({_WORDS_ORDERED}) AS tok FROM documents),
+counts AS (
+  SELECT tok, count(*)::BIGINT AS n
+  FROM toks WHERE length(tok) > 0 GROUP BY tok),
+ranked AS (
+  SELECT tok, n,
+    row_number() OVER (ORDER BY n DESC, tok ASC)::BIGINT AS rank,
+    sum(n) OVER (ORDER BY n DESC, tok ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      AS cum
+  FROM counts),
+tot AS (SELECT sum(n)::BIGINT AS total FROM counts)
+SELECT count(*)::BIGINT AS vocab_size,
+  max(total)::BIGINT AS total_tokens,
+  min(CASE WHEN cum::DOUBLE >= 0.5 * total::DOUBLE THEN rank END)::BIGINT
+    AS k_at_50,
+  min(CASE WHEN cum::DOUBLE >= 0.9 * total::DOUBLE THEN rank END)::BIGINT
+    AS k_at_90,
+  min(CASE WHEN cum::DOUBLE >= 0.99 * total::DOUBLE THEN rank END)::BIGINT
+    AS k_at_99,
+  min(CASE WHEN rank = 1 THEN tok END) AS top_token,
+  round(max(CASE WHEN rank = 1 THEN n END)::DOUBLE
+        / max(total)::DOUBLE, 6) AS top_share
+FROM ranked CROSS JOIN tot
+"""
+
+
+def q_shingle_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplicate-shingle pressure per language
+    (dedup.shingle_dup_mass): the share of (doc, distinct 3-gram)
+    incidences sitting on shingles shared by more than one document —
+    the needs-dedup-before-training dial. Word-count shape end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.shingle_dup_mass(docs).orderBy("lang")
+
+
+SQL_SHINGLE_DUP_MASS = f"""
+WITH base AS (SELECT lang, {_WORDS_ORDERED} AS words FROM documents),
+sh AS (SELECT lang,
+  list_distinct(list_transform({_SHINGLES},
+    g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)) AS gs
+  FROM base),
+grams AS (SELECT lang, unnest(gs) AS gram FROM sh),
+gdf AS (
+  SELECT lang, gram, count(*)::BIGINT AS df
+  FROM grams GROUP BY 1, 2)
+SELECT lang, count(*)::BIGINT AS n_grams,
+  sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared_grams,
+  sum(df)::BIGINT AS total_incidences,
+  sum(CASE WHEN df > 1 THEN df ELSE 0 END)::BIGINT AS shared_incidences,
+  round(sum(CASE WHEN df > 1 THEN df ELSE 0 END)::DOUBLE
+        / sum(df)::DOUBLE, 6) AS dup_mass_share
+FROM gdf GROUP BY lang ORDER BY lang
+"""
+
+
+def q_bloom_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter capacity planning (bloom.bloom_design_table) against
+    the event stream's distinct-user cardinality: filter size, optimal
+    k, and false-positive rate for four bits-per-key budgets — the
+    sizing step before bloom_prune_join, the planner-family twin of
+    minhash_param_planner. One distinct-count agg + a 4-row grid."""
+    from d2b_dataframework_spark.operators.bloom import bloom_design_table
+
+    ev = _t(spark, sf_dir, "events")
+    return bloom_design_table(ev, "user_id")
+
+
+SQL_BLOOM_PLANNER = """
+WITH n AS (SELECT count(DISTINCT user_id)::BIGINT AS n_keys FROM events),
+grid AS (SELECT unnest([8, 12, 16, 20]) AS bpk),
+sized AS (
+  SELECT bpk::BIGINT AS bits_per_key, n_keys,
+    greatest(1, round(bpk::DOUBLE * ln(2.0), 0)::BIGINT) AS k_hashes
+  FROM grid CROSS JOIN n)
+SELECT bits_per_key, n_keys,
+  (bits_per_key * n_keys)::BIGINT AS m_bits,
+  k_hashes,
+  round(pow(1.0 - exp(-(k_hashes::DOUBLE) / bits_per_key::DOUBLE),
+            k_hashes::DOUBLE), 6) + 0.0 AS fpr
+FROM sized ORDER BY bits_per_key
+"""
+
+
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the 8-dim embedding covariance by
+    8-step power iteration (similarity.power_iteration_top_eigvec) —
+    the spectral follow-on to embedding_covariance: the corpus reduces
+    to a 64-cell moment frame once, then every iteration is a join+agg
+    over dims²-row state. Engine-exact by the gradient-learner
+    convention (9-decimal terms, DECIMAL accumulation, IEEE sqrt), so
+    the DuckDB oracle replays the unrolled trajectory bit-identically."""
+    from d2b_dataframework_spark.datapipe.similarity import (
+        power_iteration_top_eigvec,
+    )
+
+    cov = q_embedding_covariance(spark, sf_dir).select(
+        "i", "j", F.col("cov").alias("c")
+    )
+    return power_iteration_top_eigvec(cov, iters=8)
+
+
+def _sql_pca_power(iters: int = 8) -> str:
+    ctes = [
+        f"cov AS MATERIALIZED (SELECT i, j, cov AS c FROM ({SQL_EMBEDDING_COVARIANCE}))",
+        "v_0 AS (SELECT DISTINCT i AS j, 1.0::DOUBLE AS v FROM cov)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""w_{k} AS (
+  SELECT c.i,
+    CAST(sum(CAST(round(c.c * v.v, 9) AS DECIMAL(28,9))) AS DOUBLE) AS w
+  FROM cov c JOIN v_{k - 1} v ON v.j = c.j GROUP BY c.i)"""
+        )
+        ctes.append(
+            f"""n_{k} AS (
+  SELECT sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE))
+    AS nrm
+  FROM w_{k})"""
+        )
+        ctes.append(
+            f"""v_{k} AS (
+  SELECT w_{k}.i AS j, round(w / nrm, 9) AS v
+  FROM w_{k} CROSS JOIN n_{k})"""
+        )
+    return f"""
+WITH {", ".join(ctes)}
+SELECT v.j::BIGINT AS dim,
+  round(v.v, 6) + 0.0 AS component,
+  round(n_{iters}.nrm, 6) + 0.0 AS eigenvalue
+FROM v_{iters} v CROSS JOIN n_{iters}
+ORDER BY dim
+"""
+
+
+REGISTRY.update(
+    {
+        "vocab_coverage_curve": QuerySpec(
+            q_vocab_coverage_curve,
+            SQL_VOCAB_COVERAGE_CURVE,
+            "top-k vocabulary mass coverage (k at 50/90/99%)",
+        ),
+        "shingle_dup_mass": QuerySpec(
+            q_shingle_dup_mass,
+            SQL_SHINGLE_DUP_MASS,
+            "corpus duplicate-shingle mass share per language",
+        ),
+        "bloom_param_planner": QuerySpec(
+            q_bloom_param_planner,
+            SQL_BLOOM_PLANNER,
+            "bloom filter sizing: optimal k + FPR vs actual NDV",
+        ),
+        "pca_power_iteration": QuerySpec(
+            q_pca_power_iteration,
+            _sql_pca_power(),
+            "top covariance eigenvector by engine-exact power iteration",
+        ),
+    }
+)
+
+
+def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-best-match entity pairing (fuzzy.mutual_nearest_pairs):
+    customers and suppliers in the same nation matched by account-
+    balance proximity, kept only when each is the other's closest — the
+    high-precision resolution rule that kills many-to-one hub chains.
+    Candidates are nation-blocked (never all-pairs); the filter is two
+    row_number windows over the candidate frame."""
+    from d2b_dataframework_spark.operators.fuzzy import mutual_nearest_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    pairs = cust.join(
+        supp, cust["c_nationkey"] == supp["s_nationkey"]
+    ).select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "c_custkey",
+        "s_suppkey",
+        F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias("dist"),
+    )
+    return mutual_nearest_pairs(
+        pairs, "c_custkey", "s_suppkey", "dist"
+    ).orderBy("c_custkey")
+
+
+SQL_MUTUAL_BEST_MATCH = """
+WITH pairs AS (
+  SELECT c_nationkey::BIGINT AS nationkey, c_custkey, s_suppkey,
+    round(abs(c_acctbal - s_acctbal), 2) AS dist
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+rl AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_custkey
+    ORDER BY dist ASC, s_suppkey ASC, c_custkey ASC) AS rl
+  FROM pairs),
+rr AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY s_suppkey
+    ORDER BY dist ASC, s_suppkey ASC, c_custkey ASC) AS rr
+  FROM rl)
+SELECT nationkey, c_custkey, s_suppkey, dist
+FROM rr WHERE rl = 1 AND rr = 1 ORDER BY c_custkey
+"""
+
+
+def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-moment value profile per event type
+    (stats.moments_profile): mean / variance / skewness / excess
+    kurtosis from exact scaled-long power sums — the distribution-shape
+    monitor beside metric_correlations and psi_drift. One aggregation
+    pass; the moment algebra runs once per group on the final sums."""
+    from d2b_dataframework_spark.operators.stats import moments_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return moments_profile(ev, "value", ["event_type"])
+
+
+SQL_VALUE_MOMENTS = """
+WITH w AS (
+  SELECT event_type, round(value * 100.0, 0)::DECIMAL(19,0) AS w
+  FROM events),
+sums AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+    CAST(sum(w) AS DOUBLE) AS s1,
+    CAST(sum(w * w) AS DOUBLE) AS s2,
+    CAST(sum((w * w)::DECIMAL(19,0) * w) AS DOUBLE) AS s3,
+    CAST(sum((w * w)::DECIMAL(19,0) * (w * w)::DECIMAL(19,0)) AS DOUBLE)
+      AS s4
+  FROM w GROUP BY 1),
+m AS (
+  SELECT event_type, n,
+    s1 / n::DOUBLE / 100.0 AS mean,
+    s2 / n::DOUBLE / 10000.0 AS r2,
+    s3 / n::DOUBLE / 1000000.0 AS r3,
+    s4 / n::DOUBLE / 100000000.0 AS r4
+  FROM sums),
+c AS (
+  SELECT event_type, n, mean,
+    r2 - mean * mean AS m2,
+    r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+    r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+      - 3.0 * mean * mean * mean * mean AS m4
+  FROM m)
+SELECT event_type, n,
+  round(mean, 6) + 0.0 AS mean,
+  round(m2, 6) + 0.0 AS variance,
+  CASE WHEN m2 > 0
+       THEN round(m3 / pow(sqrt(m2), 3.0), 6) + 0.0 ELSE 0.0 END
+    AS skewness,
+  CASE WHEN m2 > 0
+       THEN round(m4 / (m2 * m2) - 3.0, 6) + 0.0 ELSE 0.0 END
+    AS excess_kurtosis
+FROM c ORDER BY event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "mutual_best_match": QuerySpec(
+            q_mutual_best_match,
+            SQL_MUTUAL_BEST_MATCH,
+            "mutual nearest-neighbor entity pairing, nation-blocked",
+        ),
+        "value_moments": QuerySpec(
+            q_value_moments,
+            SQL_VALUE_MOMENTS,
+            "mean/variance/skew/kurtosis from exact scaled-long sums",
         ),
     }
 )

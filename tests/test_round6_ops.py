@@ -295,3 +295,116 @@ def test_hapax_stats_hand_computed(spark):
     assert rows["en"]["n_tokens"] == 4
     assert rows["en"]["hapax_share"] == round(2 / 3, 6)
     assert (rows["es"]["vocab_size"], rows["es"]["n_hapax"]) == (2, 2)
+
+
+def test_coverage_curve_hand_computed(spark):
+    """Corpus 'a a a b c': total mass 5; ranks a(3), b(1), c(1) with
+    cums 3,4,5 -> k50=1 (3 >= 2.5), k90=3 (first cum >= 4.5 is rank 3),
+    k99=3."""
+    from d2b_dataframework_spark.datapipe.text import coverage_curve
+
+    df = spark.createDataFrame([(1, "a a a b c")], "doc_id long, text string")
+    r = coverage_curve(df).collect()[0]
+    assert (r["vocab_size"], r["total_tokens"]) == (3, 5)
+    assert (r["k_at_50"], r["k_at_90"], r["k_at_99"]) == (1, 3, 3)
+    assert r["top_token"] == "a" and r["top_share"] == 0.6
+
+
+def test_shingle_dup_mass_hand_computed(spark):
+    """Two identical 3-token docs + one unique doc: 2 distinct grams,
+    the shared one carries df=2 of 3 total incidences."""
+    from d2b_dataframework_spark.datapipe.dedup import shingle_dup_mass
+
+    df = spark.createDataFrame(
+        [(1, "x y z", "en"), (2, "x y z", "en"), (3, "p q r", "en")],
+        "doc_id long, text string, lang string",
+    )
+    r = shingle_dup_mass(df).collect()[0]
+    assert (r["n_grams"], r["n_shared_grams"]) == (2, 1)
+    assert (r["total_incidences"], r["shared_incidences"]) == (3, 2)
+    assert r["dup_mass_share"] == round(2 / 3, 6)
+
+
+def test_bloom_design_table_matches_closed_form(spark):
+    import math
+
+    from d2b_dataframework_spark.operators.bloom import bloom_design_table
+
+    df = spark.createDataFrame([(i % 10,) for i in range(40)], "k long")
+    rows = {r["bits_per_key"]: r for r in bloom_design_table(df, "k").collect()}
+    assert set(rows) == {8, 12, 16, 20}
+    for b, r in rows.items():
+        assert r["n_keys"] == 10 and r["m_bits"] == b * 10
+        k = max(1, round(b * math.log(2.0)))
+        assert r["k_hashes"] == k
+        want = (1.0 - math.exp(-k / b)) ** k
+        assert abs(r["fpr"] - want) < 1e-6
+
+
+def test_power_iteration_diag_matrix_converges(spark):
+    """diag(2, 1): the top eigenvector is e1 with eigenvalue 2; from
+    v0=(1,1) eight iterations shrink the e2 component by 2^-8."""
+    from d2b_dataframework_spark.datapipe.similarity import (
+        power_iteration_top_eigvec,
+    )
+
+    cells = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 0.0), (2, 1, 0.0), (2, 2, 1.0)],
+        "i long, j long, c double",
+    )
+    rows = {r["dim"]: r for r in power_iteration_top_eigvec(cells, iters=8).collect()}
+    assert rows[1]["component"] > 0.999
+    assert 0.0 <= rows[2]["component"] < 0.01
+    assert abs(rows[1]["eigenvalue"] - 2.0) < 1e-3
+    # hash-seeded determinism: a second run is bit-identical
+    again = {
+        r["dim"]: r for r in power_iteration_top_eigvec(cells, iters=8).collect()
+    }
+    assert all(
+        (rows[d]["component"], rows[d]["eigenvalue"])
+        == (again[d]["component"], again[d]["eigenvalue"])
+        for d in rows
+    )
+
+
+def test_mutual_nearest_pairs_kills_hub_chain(spark):
+    """A-X is mutual (1.0 best for both). B also prefers X (3.0) but X
+    prefers A, so B stays unmatched — no many-to-one chain."""
+    from d2b_dataframework_spark.operators.fuzzy import mutual_nearest_pairs
+
+    scored = spark.createDataFrame(
+        [("A", "X", 1.0), ("A", "Y", 2.0), ("B", "X", 3.0), ("B", "Y", 4.0)],
+        "l string, r string, dist double",
+    )
+    rows = mutual_nearest_pairs(scored, "l", "r", "dist").collect()
+    assert [(r["l"], r["r"]) for r in rows] == [("A", "X")]
+    # similarity mode (bigger is better) inverts the choice
+    rows = mutual_nearest_pairs(scored, "l", "r", "dist", ascending=False).collect()
+    assert sorted((r["l"], r["r"]) for r in rows) == [("B", "Y")]
+
+
+def test_moments_profile_hand_computed(spark):
+    """Values 1..4: mean 2.5, population variance 1.25, skewness 0
+    (symmetric; must be +0.0, not -0.0), excess kurtosis
+    m4/m2^2 - 3 = 2.5625/1.5625 - 3 = -1.36."""
+    import math
+
+    from d2b_dataframework_spark.operators.stats import moments_profile
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4)], "k string, v double"
+    )
+    r = moments_profile(df, "v", ["k"]).collect()[0]
+    assert (r["n"], r["mean"], r["variance"]) == (4, 2.5, 1.25)
+    assert r["skewness"] == 0.0
+    assert math.copysign(1.0, r["skewness"]) == 1.0
+    assert r["excess_kurtosis"] == -1.36
+
+
+def test_moments_profile_constant_series_zero_guards(spark):
+    from d2b_dataframework_spark.operators.stats import moments_profile
+
+    df = spark.createDataFrame([("g", 5.0)] * 3, "k string, v double")
+    r = moments_profile(df, "v", ["k"]).collect()[0]
+    assert (r["mean"], r["variance"]) == (5.0, 0.0)
+    assert (r["skewness"], r["excess_kurtosis"]) == (0.0, 0.0)
