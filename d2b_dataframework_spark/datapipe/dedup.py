@@ -280,24 +280,11 @@ def shingle_hash_frame(
     return df.select(id_col, text_col).mapInPandas(compute, out_schema)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
-) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding.
-
-    Explode each doc into N_BANDS (band_id, band_key) rows, self-join on
-    the band bucket, keep id_a < id_b. The join key is (band_id, band_key)
-    so a bucket never crosses bands; shuffle partitions by bucket —
-    linear in corpus size for non-degenerate data.
-
-    ``max_bucket_size``: optional hot-bucket guard for degenerate data
-    (a family of thousands of identical/near-identical docs collapses
-    into one bucket per band and the join goes quadratic in the family
-    size — see SCALING.md). Over-cap buckets are dropped before the
-    join; such families should be collapsed by exact dedup first.
-    Default None preserves exact banded semantics (the oracle contract).
-    """
-    bands = signatures.select(
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_id, band_key) rows from a minhash-signature frame — the
+    banding step shared by :func:`lsh_candidate_pairs` (which self-joins
+    the buckets) and the band-skew audit (which only counts them)."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -317,6 +304,64 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
+
+
+def lsh_band_stats(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-band LSH bucket-skew audit: bucket count, the largest bucket,
+    how many buckets actually collide (>1 member), and the candidate
+    pairs each band would emit (sum of s·(s-1)/2) — the observable
+    behind the hot-bucket caps: a band whose max bucket tracks the
+    corpus is the quadratic corner SCALING.md documents, and this is
+    the report that catches it BEFORE the candidate join runs.
+
+    One groupBy over the (id × bands) frame then an N_BANDS-row re-agg;
+    never forms a pair."""
+    sizes = lsh_bands(signatures, id_col).groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    return (
+        sizes.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("s").cast("long").alias("n_docs"),
+            F.max("s").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("s") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_colliding_buckets"),
+            (F.sum(F.col("s") * (F.col("s") - 1)) / F.lit(2))
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .select(
+            F.col("band_id").cast("long").alias("band_id"),
+            "n_buckets",
+            "n_docs",
+            "max_bucket",
+            "n_colliding_buckets",
+            "candidate_pairs",
+        )
+        .orderBy("band_id")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Explode each doc into N_BANDS (band_id, band_key) rows, self-join on
+    the band bucket, keep id_a < id_b. The join key is (band_id, band_key)
+    so a bucket never crosses bands; shuffle partitions by bucket —
+    linear in corpus size for non-degenerate data.
+
+    ``max_bucket_size``: optional hot-bucket guard for degenerate data
+    (a family of thousands of identical/near-identical docs collapses
+    into one bucket per band and the join goes quadratic in the family
+    size — see SCALING.md). Over-cap buckets are dropped before the
+    join; such families should be collapsed by exact dedup first.
+    Default None preserves exact banded semantics (the oracle contract).
+    """
+    bands = lsh_bands(signatures, id_col)
     if max_bucket_size is not None:
         sizes = bands.groupBy("band_id", "band_key").agg(
             F.count(F.lit(1)).alias("_bn")

@@ -1132,13 +1132,28 @@ def power_iteration_top_eigvec(
     uses IEEE-correctly-rounded sqrt, and each iterate rounds to 9 — so
     a DuckDB replay of the same unrolled steps hash-matches the whole
     trajectory.
+
+    Lineage discipline (the iterative-plan-doubling lesson — pagerank /
+    GD learners): ``w`` feeds BOTH the norm and the update, so without
+    severing, each iteration doubles the plan and the upstream moment
+    pass re-executes 2^iters times (~100 s measured at 8 iterations).
+    The cells frame is localCheckpointed ONCE (materializing dims² rows
+    cuts the corpus-scan lineage), and each iterate materializes to a
+    leaf the same way — every iteration is then a join of two tiny
+    leaves, constant cost.
     """
-    spark = cells.sparkSession
+    sc = cells.sparkSession.sparkContext
+    def _leaf(df: DataFrame) -> DataFrame:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    cells = _leaf(cells)
     dims = cells.select(F.col("i")).distinct()
     v = dims.select(F.col("i").alias("j"), F.lit(1.0).alias("v"))
     lam = None
     for _ in range(int(iters)):
-        w = (
+        w = _leaf(
             cells.join(v, "j")
             .select("i", F.round(F.col("c") * F.col("v"), 9).alias("t"))
             .groupBy("i")

@@ -2165,6 +2165,9 @@ _NEWEST_R6: tuple[str, ...] = (
     "pca_power_iteration",
     "mutual_best_match",
     "value_moments",
+    "lsh_band_stats",
+    "semi_additive_totals",
+    "window_funnel",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -17031,6 +17034,177 @@ REGISTRY.update(
             q_value_moments,
             SQL_VALUE_MOMENTS,
             "mean/variance/skew/kurtosis from exact scaled-long sums",
+        ),
+    }
+)
+
+
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-skew audit (dedup.lsh_band_stats) over the mutated dup
+    corpus's minhash signatures: per band, bucket counts / max bucket /
+    colliding buckets / would-be candidate pairs — the observable
+    behind the hot-bucket caps, caught BEFORE any candidate join."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    sigs = dd.minhash_signatures(corpus)
+    return dd.lsh_band_stats(sigs)
+
+
+def _sql_lsh_band_stats() -> str:
+    base = _sql_minhash()
+    prefix = base[: base.index("cands AS")].rstrip().rstrip(",")
+    return f"""{prefix},
+sizes AS (
+  SELECT band_id, band_key, count(*)::BIGINT AS s
+  FROM bands GROUP BY 1, 2)
+SELECT band_id::BIGINT AS band_id,
+  count(*)::BIGINT AS n_buckets,
+  sum(s)::BIGINT AS n_docs,
+  max(s)::BIGINT AS max_bucket,
+  sum(CASE WHEN s > 1 THEN 1 ELSE 0 END)::BIGINT AS n_colliding_buckets,
+  (sum(s * (s - 1)) / 2)::BIGINT AS candidate_pairs
+FROM sizes GROUP BY band_id ORDER BY band_id
+"""
+
+
+def q_semi_additive_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure rollup: the classic balance-style metric
+    that sums ACROSS accounts but takes the LAST value WITHIN time —
+    per user and month keep the final event value (ts desc, event_id
+    desc tie-break), then sum per month. One window over (user, month)
+    partitions + one agg; the BI shape plain SUM gets silently wrong."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "month").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.trunc(F.to_date("ts"), "month").alias("month"),
+            F.col("value").cast("decimal(18,2)").alias("_v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        last.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("_v").cast("double").alias("eom_balance_sum"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_SEMI_ADDITIVE = """
+WITH last AS (
+  SELECT user_id, strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+    value::DECIMAL(18,2) AS v,
+    row_number() OVER (
+      PARTITION BY user_id, date_trunc('month', ts)
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT month, count(*)::BIGINT AS n_users,
+  CAST(sum(v) AS DOUBLE) AS eom_balance_sum
+FROM last WHERE rn = 1 GROUP BY month ORDER BY month
+"""
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window funnel (the ClickHouse windowFunnel shape): first
+    view → first click within 7 days of it → first purchase after the
+    click but still inside the view's 7-day window, per user; one
+    summary row with step counts and conversion rates. Three
+    aggregations chained on user_id — funnel_conversion's unbounded
+    twin gains the time bound every activation analysis actually
+    uses."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    deadline = F.col("t_view") + F.expr("INTERVAL 7 DAYS")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter((F.col("ts") >= F.col("t_view")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.min(deadline).alias("_dl"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter((F.col("ts") >= F.col("t_click")) & (F.col("ts") <= F.col("_dl")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = views.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = clicks.agg(F.count(F.lit(1)).cast("long").alias("n_click_7d"))
+    np_ = purchases.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_7d"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_7d",
+            "n_purchase_7d",
+            F.round(
+                F.col("n_click_7d").cast("double") / F.col("n_view").cast("double"),
+                6,
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase_7d").cast("double")
+                / F.col("n_click_7d").cast("double"),
+                6,
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+SQL_WINDOW_FUNNEL = """
+WITH views AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+clicks AS (
+  SELECT e.user_id, min(e.ts) AS t_click,
+    min(v.t_view + INTERVAL 7 DAY) AS dl
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts >= v.t_view AND e.ts <= v.t_view + INTERVAL 7 DAY
+  GROUP BY e.user_id),
+purchases AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= c.t_click AND e.ts <= c.dl
+  GROUP BY e.user_id),
+n AS (
+  SELECT (SELECT count(*) FROM views)::BIGINT AS n_view,
+    (SELECT count(*) FROM clicks)::BIGINT AS n_click_7d,
+    (SELECT count(*) FROM purchases)::BIGINT AS n_purchase_7d)
+SELECT n_view, n_click_7d, n_purchase_7d,
+  round(n_click_7d::DOUBLE / n_view::DOUBLE, 6) AS view_to_click,
+  round(n_purchase_7d::DOUBLE / n_click_7d::DOUBLE, 6) AS click_to_purchase
+FROM n
+"""
+
+
+REGISTRY.update(
+    {
+        "lsh_band_stats": QuerySpec(
+            q_lsh_band_stats,
+            _sql_lsh_band_stats(),
+            "per-band LSH bucket-skew audit (pre-join hot-bucket report)",
+        ),
+        "semi_additive_totals": QuerySpec(
+            q_semi_additive_totals,
+            SQL_SEMI_ADDITIVE,
+            "last-value-within-month, summed-across-users balance rollup",
+        ),
+        "window_funnel": QuerySpec(
+            q_window_funnel,
+            SQL_WINDOW_FUNNEL,
+            "7-day bounded funnel with step conversion rates",
         ),
     }
 )

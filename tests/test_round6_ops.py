@@ -408,3 +408,93 @@ def test_moments_profile_constant_series_zero_guards(spark):
     r = moments_profile(df, "v", ["k"]).collect()[0]
     assert (r["mean"], r["variance"]) == (5.0, 0.0)
     assert (r["skewness"], r["excess_kurtosis"]) == (0.0, 0.0)
+
+
+def test_lsh_band_stats_counts_buckets_not_pairs(spark):
+    """Three identical docs + one distinct: every band has one 3-doc
+    bucket (3 candidate pairs) and one singleton; the audit never forms
+    a pair frame."""
+    from d2b_dataframework_spark.datapipe import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "aa bb cc dd"),
+         (4, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    sigs = dd.minhash_signatures(docs)
+    rows = dd.lsh_band_stats(sigs).collect()
+    assert len(rows) == dd.N_BANDS
+    for r in rows:
+        assert r["n_docs"] == 4
+        assert r["max_bucket"] == 3
+        assert r["n_buckets"] == 2
+        assert r["n_colliding_buckets"] == 1
+        assert r["candidate_pairs"] == 3
+
+
+def test_lsh_candidate_pairs_unchanged_by_bands_refactor(spark):
+    """lsh_candidate_pairs must still find the identical-doc family
+    after the shared lsh_bands extraction."""
+    from d2b_dataframework_spark.datapipe import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(docs)).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_semi_additive_last_value_per_month_summed(spark):
+    """User 1 ends Jan at 30 (not 10+30), user 2 at 5; Feb only user 1
+    with 7. Sum-across-users, last-within-month."""
+    import datetime as dt
+
+    from d2b_dataframework_spark.plans.queries import q_semi_additive_totals
+
+    # build a tiny parquet dir shaped like the events table
+    import tempfile
+
+    rows = [
+        (1, dt.datetime(2024, 1, 5, 10), 1, "view", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 20, 10), 1, "view", 30.0, "{}"),
+        (3, dt.datetime(2024, 1, 7, 10), 2, "view", 5.0, "{}"),
+        (4, dt.datetime(2024, 2, 2, 10), 1, "view", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            str(r["month"]): (r["n_users"], r["eom_balance_sum"])
+            for r in q_semi_additive_totals(spark, d).collect()
+        }
+    assert got == {"2024-01-01": (2, 35.0), "2024-02-01": (1, 7.0)}
+
+
+def test_window_funnel_enforces_deadline(spark):
+    """User 1 converts inside 7 days; user 2 clicks on day 8 — outside
+    the window, so the click (and its purchase) must NOT count."""
+    import datetime as dt
+    import tempfile
+
+    from d2b_dataframework_spark.plans.queries import q_window_funnel
+
+    t0 = dt.datetime(2024, 1, 1, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(days=2), 1, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(days=3), 1, "purchase", 0.0, "{}"),
+        (4, t0, 2, "view", 0.0, "{}"),
+        (5, t0 + dt.timedelta(days=8), 2, "click", 0.0, "{}"),
+        (6, t0 + dt.timedelta(days=9), 2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        r = q_window_funnel(spark, d).collect()[0]
+    assert (r["n_view"], r["n_click_7d"], r["n_purchase_7d"]) == (2, 1, 1)
+    assert r["view_to_click"] == 0.5 and r["click_to_purchase"] == 1.0
