@@ -1171,7 +1171,14 @@ def power_iteration_top_eigvec(
             w.crossJoin(F.broadcast(nrm))
             .select(
                 F.col("i").alias("j"),
-                F.round(F.col("w") / F.col("nrm"), 9).alias("v"),
+                # zero-matrix guard: ||Cv|| = 0 must yield 0.0 in both
+                # engines (Spark NULL vs DuckDB nan otherwise)
+                F.when(
+                    F.col("nrm") > 0,
+                    F.round(F.col("w") / F.col("nrm"), 9),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("v"),
             )
         )
         lam = nrm

@@ -16885,7 +16885,8 @@ def _sql_pca_power(iters: int = 8) -> str:
         )
         ctes.append(
             f"""v_{k} AS (
-  SELECT w_{k}.i AS j, round(w / nrm, 9) AS v
+  SELECT w_{k}.i AS j,
+    CASE WHEN nrm > 0 THEN round(w / nrm, 9) ELSE 0.0 END AS v
   FROM w_{k} CROSS JOIN n_{k})"""
         )
     return f"""
@@ -17148,15 +17149,29 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click_7d",
             "n_purchase_7d",
-            F.round(
-                F.col("n_click_7d").cast("double") / F.col("n_view").cast("double"),
-                6,
-            ).alias("view_to_click"),
-            F.round(
-                F.col("n_purchase_7d").cast("double")
-                / F.col("n_click_7d").cast("double"),
-                6,
-            ).alias("click_to_purchase"),
+            # zero-step guards: an empty step must yield 0.0 in BOTH
+            # engines (Spark NULL vs DuckDB inf otherwise — the r5
+            # markov/t-closeness ADVICE class)
+            F.when(
+                F.col("n_view") > 0,
+                F.round(
+                    F.col("n_click_7d").cast("double")
+                    / F.col("n_view").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("view_to_click"),
+            F.when(
+                F.col("n_click_7d") > 0,
+                F.round(
+                    F.col("n_purchase_7d").cast("double")
+                    / F.col("n_click_7d").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("click_to_purchase"),
         )
     )
 
@@ -17183,8 +17198,12 @@ n AS (
     (SELECT count(*) FROM clicks)::BIGINT AS n_click_7d,
     (SELECT count(*) FROM purchases)::BIGINT AS n_purchase_7d)
 SELECT n_view, n_click_7d, n_purchase_7d,
-  round(n_click_7d::DOUBLE / n_view::DOUBLE, 6) AS view_to_click,
-  round(n_purchase_7d::DOUBLE / n_click_7d::DOUBLE, 6) AS click_to_purchase
+  CASE WHEN n_view > 0
+       THEN round(n_click_7d::DOUBLE / n_view::DOUBLE, 6)
+       ELSE 0.0 END AS view_to_click,
+  CASE WHEN n_click_7d > 0
+       THEN round(n_purchase_7d::DOUBLE / n_click_7d::DOUBLE, 6)
+       ELSE 0.0 END AS click_to_purchase
 FROM n
 """
 
