@@ -392,11 +392,16 @@ def _intervals_hot(docs, mult=1, cap=None):
     """Pathological-corpus probe for interval_overlap_pairs'
     max_group_size cap (the containment_capped shape): HALF the
     intervals land on ONE hot key that grows with the corpus — its pair
-    volume grows quadratically — while the other half spread over a
-    corpus-proportional key space (constant group size, linear pair
-    volume). Uncapped growth must therefore blow past linear; with the
-    cap the hot key is dropped before the self-join (REPORTED by
-    interval_group_sizes, not silent) and growth must stay ~linear."""
+    volume grows quadratically (2.5k docs -> 3.1M pairs at 1x, 25k ->
+    312M at 10x) — while the rest spread over a corpus-proportional
+    key space (constant group size, linear pair volume). Uncapped
+    growth must therefore blow up quadratically; with the cap (2000,
+    below the hot group at EVERY scale) the hot key is dropped before
+    the self-join (REPORTED by interval_group_sizes, not silent) and
+    growth must stay ~linear. Intervals span the whole key range so
+    every same-key pair OVERLAPS — the probe measures emitted-pair
+    volume (the real quadratic cost), not just join-predicate
+    evaluation."""
     from d2b_dataframework_spark.operators.intervals import interval_overlap_pairs
 
     n_keys = 6000 * mult
@@ -413,7 +418,7 @@ def _intervals_hot(docs, mult=1, cap=None):
         .alias("g"),
         F.col("doc_id").alias("iid"),
         F.pmod(h("is"), F.lit(10000)).alias("s"),
-    ).withColumn("e", F.col("s") + 200)
+    ).withColumn("e", F.col("s") + 10000)
     return interval_overlap_pairs(iv, ["g"], "iid", "s", "e", max_group_size=cap)
 
 
