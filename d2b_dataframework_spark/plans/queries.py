@@ -2168,6 +2168,8 @@ _NEWEST_R6: tuple[str, ...] = (
     "lsh_band_stats",
     "semi_additive_totals",
     "window_funnel",
+    "user_behavior_entropy",
+    "temporal_split_leakage",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -17224,6 +17226,165 @@ REGISTRY.update(
             q_window_funnel,
             SQL_WINDOW_FUNNEL,
             "7-day bounded funnel with step conversion rates",
+        ),
+    }
+)
+
+
+def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Shannon entropy (bits) of each
+    user's event-type mix, rolled into a half-bit histogram — bots sit
+    at the extremes (all one action, or uniform over everything) while
+    organic users spread between; the user-level twin of token_entropy.
+    Two cascaded aggs to per-user entropy (9-decimal log terms decimal-
+    summed, so the histogram bucketing replays exactly), then the
+    bounded histogram re-agg."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    tot = per.groupBy("user_id").agg(F.sum("_n").cast("long").alias("_t"))
+    ent = (
+        per.join(tot, "user_id")
+        .select(
+            "user_id",
+            F.round(
+                -(F.col("_n").cast("double") / F.col("_t").cast("double"))
+                * F.log2(F.col("_n").cast("double") / F.col("_t").cast("double")),
+                9,
+            ).cast("decimal(28,9)").alias("_term"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("_term").cast("double").alias("_h"))
+    )
+    return (
+        ent.select(F.floor(F.col("_h") * 2).cast("long").alias("entropy_halfbit"))
+        .groupBy("entropy_halfbit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("entropy_halfbit")
+    )
+
+
+SQL_USER_BEHAVIOR_ENTROPY = """
+WITH per AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT user_id, sum(n)::BIGINT AS t FROM per GROUP BY 1),
+ent AS (
+  SELECT p.user_id,
+    CAST(sum(CAST(round(-(p.n::DOUBLE / t.t::DOUBLE)
+      * log2(p.n::DOUBLE / t.t::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)
+      AS h
+  FROM per p JOIN tot t ON p.user_id = t.user_id
+  GROUP BY p.user_id)
+SELECT floor(h * 2)::BIGINT AS entropy_halfbit,
+  count(*)::BIGINT AS n_users
+FROM ent GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/val/test split audit: events split at the 60th
+    and 80th exact time percentiles, with per-split row/user counts AND
+    the cross-split user overlaps — the leakage report every temporal
+    model split needs (a user appearing in both train and test leaks
+    identity-level signal even when time is respected). One percentile
+    agg (broadcast), a map-side split label, one rollup, plus
+    bounded user-set intersections via distinct semi-joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("_ts")
+    )
+    cuts = ev.agg(
+        F.expr("percentile(unix_micros(_ts), 0.6)").alias("_c1"),
+        F.expr("percentile(unix_micros(_ts), 0.8)").alias("_c2"),
+    )
+    labeled = ev.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        F.when(F.unix_micros(F.col("_ts")) <= F.col("_c1"), F.lit("train"))
+        .when(F.unix_micros(F.col("_ts")) <= F.col("_c2"), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    rows = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    order_idx = (
+        F.when(F.col("split") == "train", 0)
+        .when(F.col("split") == "val", 1)
+        .otherwise(2)
+    )
+    users = (
+        labeled.select("split", "user_id")
+        .distinct()
+        .withColumn("_ord", order_idx)
+    )
+    overlaps = (
+        users.alias("a")
+        .join(
+            users.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a._ord") < F.col("b._ord")),  # TEMPORAL order, not lexicographic
+        )
+        .groupBy(F.col("a.split").alias("split"))
+        .agg(F.countDistinct("a.user_id").cast("long").alias("_ov"))
+    )
+    return (
+        rows.join(overlaps, "split", "left")
+        .select(
+            "split",
+            "n_rows",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.coalesce(F.col("_ov"), F.lit(0)).cast("long").alias(
+                "users_shared_with_later_split"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_TEMPORAL_SPLIT_LEAKAGE = """
+WITH ev AS (SELECT user_id, epoch_us(ts)::BIGINT AS us FROM events),
+cuts AS (
+  SELECT quantile_cont(us, 0.6) AS c1, quantile_cont(us, 0.8) AS c2
+  FROM ev),
+labeled AS (
+  SELECT user_id,
+    CASE WHEN us <= c1 THEN 'train'
+         WHEN us <= c2 THEN 'val'
+         ELSE 'test' END AS split
+  FROM ev CROSS JOIN cuts),
+rows_ AS (
+  SELECT split, count(*)::BIGINT AS n_rows,
+    count(DISTINCT user_id)::BIGINT AS n_users
+  FROM labeled GROUP BY 1),
+users AS (
+  SELECT DISTINCT split, user_id,
+    CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS ord
+  FROM labeled),
+ov AS (
+  SELECT a.split, count(DISTINCT a.user_id)::BIGINT AS ov
+  FROM users a JOIN users b
+    ON a.user_id = b.user_id AND a.ord < b.ord
+  GROUP BY 1)
+SELECT r.split, r.n_rows, r.n_users,
+  coalesce(o.ov, 0)::BIGINT AS users_shared_with_later_split
+FROM rows_ r LEFT JOIN ov o ON r.split = o.split
+ORDER BY r.split
+"""
+
+
+REGISTRY.update(
+    {
+        "user_behavior_entropy": QuerySpec(
+            q_user_behavior_entropy,
+            SQL_USER_BEHAVIOR_ENTROPY,
+            "per-user event-mix Shannon entropy histogram",
+        ),
+        "temporal_split_leakage": QuerySpec(
+            q_temporal_split_leakage,
+            SQL_TEMPORAL_SPLIT_LEAKAGE,
+            "time-percentile train/val/test split + user-leakage audit",
         ),
     }
 )

@@ -498,3 +498,61 @@ def test_window_funnel_enforces_deadline(spark):
         r = q_window_funnel(spark, d).collect()[0]
     assert (r["n_view"], r["n_click_7d"], r["n_purchase_7d"]) == (2, 1, 1)
     assert r["view_to_click"] == 0.5 and r["click_to_purchase"] == 1.0
+
+
+def test_user_behavior_entropy_buckets(spark):
+    """User 1: 4 uniform types -> H = 2 bits -> half-bit bucket 4.
+    User 2: one type -> H = 0 -> bucket 0."""
+    import datetime as dt
+    import tempfile
+
+    from d2b_dataframework_spark.plans.queries import q_user_behavior_entropy
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, t, 1, et, 0.0, "{}") for i, et in enumerate(["a", "b", "c", "d"])]
+    rows += [(10 + i, t, 2, "a", 0.0, "{}") for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["entropy_halfbit"]: r["n_users"]
+            for r in q_user_behavior_entropy(spark, d).collect()
+        }
+    assert got == {0: 1, 4: 1}
+
+
+def test_temporal_split_leakage_orders_temporally(spark):
+    """Users: u1 spans all three splits; u2 train-only. The overlap
+    column must follow TEMPORAL order (train<val<test), not the
+    lexicographic accident ('test'<'train'<'val')."""
+    import datetime as dt
+    import tempfile
+
+    from d2b_dataframework_spark.plans.queries import q_temporal_split_leakage
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 10 events: 6 train (u1 x3, u2 x3), 2 val (u1), 2 test (u1)
+    for i in range(3):
+        rows.append((i, t0 + dt.timedelta(hours=i), 1, "view", 0.0, "{}"))
+        rows.append((10 + i, t0 + dt.timedelta(hours=i), 2, "view", 0.0, "{}"))
+    rows.append((20, t0 + dt.timedelta(days=1), 1, "view", 0.0, "{}"))
+    rows.append((21, t0 + dt.timedelta(days=1, hours=1), 1, "view", 0.0, "{}"))
+    rows.append((22, t0 + dt.timedelta(days=2), 1, "view", 0.0, "{}"))
+    rows.append((23, t0 + dt.timedelta(days=2, hours=1), 1, "view", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r["split"]: (
+                r["n_rows"], r["n_users"], r["users_shared_with_later_split"]
+            )
+            for r in q_temporal_split_leakage(spark, d).collect()
+        }
+    assert got["train"][2] == 1  # u1 leaks forward; u2 does not
+    assert got["val"][2] == 1    # u1 also appears in test
+    assert got["test"][2] == 0   # nothing is later than test
