@@ -2170,6 +2170,8 @@ _NEWEST_R6: tuple[str, ...] = (
     "window_funnel",
     "user_behavior_entropy",
     "temporal_split_leakage",
+    "dbscan_core_points",
+    "als_item_step",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -17385,6 +17387,191 @@ REGISTRY.update(
             q_temporal_split_leakage,
             SQL_TEMPORAL_SPLIT_LEAKAGE,
             "time-percentile train/val/test split + user-leakage audit",
+        ),
+    }
+)
+
+
+def q_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN point classification (eps = 5 km, min_pts = 3) over the
+    grid-blocked customer coordinates: core (>= min_pts neighbors),
+    border (non-core adjacent to a core), noise (the rest) — the
+    density-clustering census whose cluster-assignment step is the
+    existing chain_components CC. Candidates come from the same 3x3
+    grid join as spatial_neighbors (never all-pairs); degrees are one
+    count agg over the pair frame; border detection is one semi-join
+    against the (small) core set."""
+    pairs = q_spatial_neighbors(spark, sf_dir).select("id_a", "id_b")
+    neigh = pairs.select(
+        F.col("id_a").alias("cid"), F.col("id_b").alias("peer")
+    ).unionAll(pairs.select(F.col("id_b").alias("cid"), F.col("id_a").alias("peer")))
+    deg = neigh.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_nb"))
+    core = deg.filter(F.col("n_nb") >= 3).select("cid")
+    border = (
+        neigh.join(core.withColumnRenamed("cid", "peer"), "peer", "left_semi")
+        .select("cid")
+        .distinct()
+        .join(core, "cid", "left_anti")
+    )
+    total = _t(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    nc = core.agg(F.count(F.lit(1)).cast("long").alias("n_core"))
+    nb = border.agg(F.count(F.lit(1)).cast("long").alias("n_border"))
+    return (
+        total.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_points",
+            "n_core",
+            "n_border",
+            (F.col("n_points") - F.col("n_core") - F.col("n_border"))
+            .cast("long")
+            .alias("n_noise"),
+            F.round(
+                F.col("n_core").cast("double") / F.col("n_points").cast("double"), 6
+            ).alias("core_fraction"),
+        )
+    )
+
+
+def _sql_dbscan() -> str:
+    return f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({SQL_SPATIAL_NEIGHBORS})),
+neigh AS (
+  SELECT id_a AS cid, id_b AS peer FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT cid, count(*)::BIGINT AS n_nb FROM neigh GROUP BY 1),
+core AS (SELECT cid FROM deg WHERE n_nb >= 3),
+border AS (
+  SELECT DISTINCT n.cid FROM neigh n
+  WHERE n.peer IN (SELECT cid FROM core)
+    AND n.cid NOT IN (SELECT cid FROM core)),
+n AS (
+  SELECT (SELECT count(*) FROM customer)::BIGINT AS n_points,
+    (SELECT count(*) FROM core)::BIGINT AS n_core,
+    (SELECT count(*) FROM border)::BIGINT AS n_border)
+SELECT n_points, n_core, n_border,
+  (n_points - n_core - n_border)::BIGINT AS n_noise,
+  round(n_core::DOUBLE / n_points::DOUBLE, 6) AS core_fraction
+FROM n
+"""
+
+
+def q_als_item_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER ALS half-step (k = 2, ridge-regularized): with USER
+    factors fixed (deterministic md5-uniform init over user ids), each
+    item's factor pair solves the 2x2 normal equations over the users
+    who bought it — together with als_user_step this is one full
+    alternating round, same scaled-long moment discipline (six
+    order-free 9-dec sums per item, closed-form double solve)."""
+    from d2b_dataframework_spark.datapipe.classify import _scale9
+
+    lam = 0.1
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("r"))
+    )
+
+    def _mdu(salt: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("user_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(1000000)).cast("double") / F.lit(1000000.0) - F.lit(0.5)
+
+    f1, f2 = _mdu("alsg1"), _mdu("alsg2")
+    dec = "decimal(28,0)"
+    m = ratings.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(_scale9(f1 * f1).cast(dec)).alias("_s11"),
+        F.sum(_scale9(f1 * f2).cast(dec)).alias("_s12"),
+        F.sum(_scale9(f2 * f2).cast(dec)).alias("_s22"),
+        F.sum(_scale9(f1 * F.col("r")).cast(dec)).alias("_s1y"),
+        F.sum(_scale9(f2 * F.col("r")).cast(dec)).alias("_s2y"),
+    )
+    s = {c: F.col(f"_{c}").cast("double") / F.lit(1.0e9) for c in
+         ("s11", "s12", "s22", "s1y", "s2y")}
+    a = s["s11"] + F.lit(lam)
+    d = s["s22"] + F.lit(lam)
+    b = s["s12"]
+    det = a * d - b * b
+    v1 = (d * s["s1y"] - b * s["s2y"]) / det
+    v2 = (a * s["s2y"] - b * s["s1y"]) / det
+    return (
+        m.filter(F.col("n_users") >= 8)
+        .select(
+            "item_id",
+            "n_users",
+            F.round(v1, 6).alias("v1"),
+            F.round(v2, 6).alias("v2"),
+        )
+        .orderBy("item_id")
+    )
+
+
+def _sql_als_item() -> str:
+    def mdu(salt: str) -> str:
+        return (
+            f"((('0x' || substr(md5('{salt}:' || user_id::VARCHAR), 1, 7))::BIGINT"
+            f" % 1000000) / 1000000.0 - 0.5)"
+        )
+
+    f1, f2 = mdu("alsg1"), mdu("alsg2")
+    terms = {
+        "s11": f"{f1} * {f1}",
+        "s12": f"{f1} * {f2}",
+        "s22": f"{f2} * {f2}",
+        "s1y": f"{f1} * r",
+        "s2y": f"{f2} * r",
+    }
+    sums = ",\n    ".join(
+        f"sum(({_sql_scale9(t)})::DECIMAL(28,0)) AS _{k}" for k, t in terms.items()
+    )
+    dbl = {k: f"(CAST(_{k} AS DOUBLE) / 1.0e9)" for k in terms}
+    a = f"({dbl['s11']} + 0.1)"
+    d = f"({dbl['s22']} + 0.1)"
+    b = dbl["s12"]
+    det = f"({a} * {d} - {b} * {b})"
+    v1 = f"(({d} * {dbl['s1y']} - {b} * {dbl['s2y']}) / {det})"
+    v2 = f"(({a} * {dbl['s2y']} - {b} * {dbl['s1y']}) / {det})"
+    return f"""
+WITH ratings AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+    CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+m AS (
+  SELECT item_id, count(*)::BIGINT AS n_users,
+    {sums}
+  FROM ratings GROUP BY item_id)
+SELECT item_id, n_users, round({v1}, 6) AS v1, round({v2}, 6) AS v2
+FROM m WHERE n_users >= 8 ORDER BY item_id
+"""
+
+
+REGISTRY.update(
+    {
+        "dbscan_core_points": QuerySpec(
+            q_dbscan_core_points,
+            _sql_dbscan(),
+            "DBSCAN core/border/noise census over grid-blocked points",
+        ),
+        "als_item_step": QuerySpec(
+            q_als_item_step,
+            _sql_als_item(),
+            "ALS item half-step: closed-form 2x2 solve per item",
         ),
     }
 )

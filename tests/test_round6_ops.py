@@ -556,3 +556,77 @@ def test_temporal_split_leakage_orders_temporally(spark):
     assert got["train"][2] == 1  # u1 leaks forward; u2 does not
     assert got["val"][2] == 1    # u1 also appears in test
     assert got["test"][2] == 0   # nothing is later than test
+
+
+def test_dbscan_census_partitions_points(spark):
+    """core + border + noise must partition the point set, and every
+    core point has >= min_pts neighbors in the pair frame."""
+    from d2b_dataframework_spark.plans.queries import (
+        q_dbscan_core_points,
+        q_spatial_neighbors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = q_dbscan_core_points(spark, sf).collect()[0]
+    assert r["n_core"] + r["n_border"] + r["n_noise"] == r["n_points"]
+    assert 0.0 <= r["core_fraction"] <= 1.0
+    pairs = q_spatial_neighbors(spark, sf).select("id_a", "id_b")
+    from pyspark.sql import functions as F2
+
+    deg = (
+        pairs.select(F2.col("id_a").alias("cid"))
+        .unionAll(pairs.select(F2.col("id_b").alias("cid")))
+        .groupBy("cid")
+        .count()
+    )
+    n_core_direct = deg.filter(F2.col("count") >= 3).count()
+    assert n_core_direct == r["n_core"]
+
+
+def test_als_item_step_solves_normal_equations(spark):
+    """For one item, the 2x2 closed form recomputed in Python from the
+    SAME md5 factor init must match the engine's (v1, v2)."""
+    import hashlib
+
+    from d2b_dataframework_spark.plans.queries import q_als_item_step
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_als_item_step(spark, sf).collect()
+    assert rows, "expected at least one item with >= 8 raters"
+    target = rows[0]["item_id"]
+
+    from pyspark.sql import functions as F2
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F2.col("l_partkey") == target)
+        .groupBy(F2.col("o_custkey").alias("user_id"))
+        .agg(
+            F2.sum(F2.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+        .collect()
+    )
+
+    def mdu(salt, uid):
+        h = int(hashlib.md5(f"{salt}:{uid}".encode()).hexdigest()[:7], 16)
+        return (h % 1000000) / 1000000.0 - 0.5
+
+    s11 = s12 = s22 = s1y = s2y = 0
+    for row in ratings:
+        f1, f2 = mdu("alsg1", row["user_id"]), mdu("alsg2", row["user_id"])
+        s11 += round(f1 * f1 * 1e9)
+        s12 += round(f1 * f2 * 1e9)
+        s22 += round(f2 * f2 * 1e9)
+        s1y += round(f1 * row["r"] * 1e9)
+        s2y += round(f2 * row["r"] * 1e9)
+    a, d, b = s11 / 1e9 + 0.1, s22 / 1e9 + 0.1, s12 / 1e9
+    det = a * d - b * b
+    want_v1 = round((d * (s1y / 1e9) - b * (s2y / 1e9)) / det, 6)
+    want_v2 = round((a * (s2y / 1e9) - b * (s1y / 1e9)) / det, 6)
+    got = next(r for r in rows if r["item_id"] == target)
+    assert (got["v1"], got["v2"]) == (want_v1, want_v2)
+    assert got["n_users"] == len(ratings)
