@@ -408,3 +408,36 @@ def label_weights(
         )
         .orderBy(label_col)
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    stratum_col: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "skf",
+) -> DataFrame:
+    """Exactly-balanced stratified k-fold assignment: within each
+    stratum, rows are ranked by a deterministic id hash and dealt
+    round-robin into folds — every fold holds ±1 of each stratum's
+    share (group_kfold keeps correlated GROUPS intact across folds;
+    this keeps class/language PROPORTIONS intact, the complement every
+    classifier evaluation needs).
+
+    One window per stratum partition (hash order, id tie-break) — the
+    shuffle is on the stratum key; assignment is a pure projection
+    after the rank. Hash-deterministic: any engine re-deals the same
+    folds."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("long")
+    )

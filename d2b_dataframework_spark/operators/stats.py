@@ -589,3 +589,74 @@ def moments_profile(
         .alias("excess_kurtosis"),
     )
     return out.orderBy(*keys) if keys else out
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups — the
+    nonparametric complement to the Welch t (ab_test_summary): no
+    normality assumption, robust to the heavy-tailed revenue
+    distributions A/B metrics actually have. Returns U for group A, its
+    null mean/sd (tie-corrected), and the z statistic.
+
+    Engine-exact: values quantize to ``decimals`` (exact grouping), the
+    rank algebra runs on VALUE-level counts — avg rank of a tied value
+    is (2·cum_below + cnt + 1)/2, so 2R_A = Σ n_a(v)·(2·cum + cnt + 1)
+    is an exact integer sum — and the only irrational step is one final
+    sqrt (IEEE correctly rounded). The windows run over the DISTINCT-
+    value frame, never raw rows."""
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col).cast("double"), decimals)
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    per_val = base.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("_na_v"),
+    )
+    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_val.withColumn(
+        "_cum_below", (F.sum("_cnt").over(w) - F.col("_cnt")).cast("long")
+    )
+    sums = ranked.agg(
+        F.sum("_na_v").cast("long").alias("n_a"),
+        (F.sum("_cnt") - F.sum("_na_v")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("_na_v") * (F.lit(2) * F.col("_cum_below") + F.col("_cnt") + 1)
+        )
+        .cast("long")
+        .alias("_r2a"),
+        F.sum(F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt"))
+        .cast("long")
+        .alias("_tie3"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = (F.col("_r2a").cast("double") - na * (na + F.lit(1.0))) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma = F.sqrt(
+        na * nb / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("_tie3").cast("double") / (nn * (nn - F.lit(1.0))))
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        mu.alias("mu_u"),
+        (F.round(sigma, 6) + F.lit(0.0)).alias("sigma_u"),
+        F.when(sigma > 0, F.round((u_a - mu) / sigma, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )

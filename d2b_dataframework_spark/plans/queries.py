@@ -2172,6 +2172,10 @@ _NEWEST_R6: tuple[str, ...] = (
     "temporal_split_leakage",
     "dbscan_core_points",
     "als_item_step",
+    "hll_precision_planner",
+    "quantile_treatment_effect",
+    "mann_whitney",
+    "stratified_kfold",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -17572,6 +17576,251 @@ REGISTRY.update(
             q_als_item_step,
             _sql_als_item(),
             "ALS item half-step: closed-form 2x2 solve per item",
+        ),
+    }
+)
+
+
+def q_hll_precision_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog precision planning against the actual user NDV: for
+    each register-precision p, the register count m = 2^p, the standard
+    relative error 1.04/sqrt(m), and the resulting ±count band at THIS
+    cardinality — the sizing step before daily_active_hll's sketches,
+    completing the planner family (minhash bands, bloom bits, join
+    sizes). One exact distinct-count agg + a 4-row literal grid; every
+    constant computed in-engine."""
+    ev = _t(spark, sf_dir, "events")
+    n = ev.agg(F.count_distinct("user_id").cast("long").alias("n_keys"))
+    grid = None
+    for p in (10, 12, 14, 16):
+        row = spark.range(1).select(F.lit(p).cast("long").alias("precision"))
+        grid = row if grid is None else grid.unionAll(row)
+    m = F.pow(F.lit(2.0), F.col("precision").cast("double"))
+    rse = F.lit(1.04) / F.sqrt(m)
+    return (
+        grid.crossJoin(F.broadcast(n))
+        .select(
+            "precision",
+            m.cast("long").alias("m_registers"),
+            "n_keys",
+            (F.round(rse, 6) + F.lit(0.0)).alias("rel_std_error"),
+            (F.round(rse * F.col("n_keys").cast("double"), 2) + F.lit(0.0)).alias(
+                "abs_error_band"
+            ),
+        )
+        .orderBy("precision")
+    )
+
+
+SQL_HLL_PLANNER = """
+WITH n AS (SELECT count(DISTINCT user_id)::BIGINT AS n_keys FROM events),
+grid AS (SELECT unnest([10, 12, 14, 16]) AS p)
+SELECT p::BIGINT AS precision,
+  pow(2.0, p::DOUBLE)::BIGINT AS m_registers,
+  n_keys,
+  round(1.04 / sqrt(pow(2.0, p::DOUBLE)), 6) + 0.0 AS rel_std_error,
+  round(1.04 / sqrt(pow(2.0, p::DOUBLE)) * n_keys::DOUBLE, 2) + 0.0
+    AS abs_error_band
+FROM grid CROSS JOIN n ORDER BY precision
+"""
+
+
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects for the hash-assigned experiment
+    (ab_test_summary's arms): the A-vs-B difference at the 25/50/75/90th
+    exact percentiles of per-user purchase totals — mean lifts hide
+    distributional shifts; QTE shows WHERE the distribution moved. One
+    user-level agg, one two-row percentile agg (exact percentile groups
+    are the two arms' user frames), a 4-row unpivot."""
+    from d2b_dataframework_spark.datapipe.splits import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+        .select(
+            F.when(hash_bucket("user_id", "exp1", 2) == 0, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "v",
+        )
+    )
+    qs = [0.25, 0.5, 0.75, 0.9]
+    aggs = [
+        F.round(F.expr(f"percentile(v, {q})"), 6).alias(f"_q{int(q * 100)}")
+        for q in qs
+    ]
+    arms = per_user.groupBy("arm").agg(*aggs)
+    stack = F.stack(
+        F.lit(len(qs)),
+        *[x for q in qs for x in (F.lit(q), F.col(f"_q{int(q * 100)}"))],
+    ).alias("quantile", "value")
+    long = arms.select("arm", stack)
+    a = long.filter(F.col("arm") == "A").select(
+        "quantile", F.col("value").alias("arm_a")
+    )
+    b = long.filter(F.col("arm") == "B").select(
+        "quantile", F.col("value").alias("arm_b")
+    )
+    return (
+        a.join(b, "quantile")
+        .select(
+            "quantile",
+            "arm_a",
+            "arm_b",
+            (F.round(F.col("arm_b") - F.col("arm_a"), 6) + F.lit(0.0)).alias(
+                "effect"
+            ),
+        )
+        .orderBy("quantile")
+    )
+
+
+SQL_QTE = """
+WITH per_user AS (
+  SELECT CASE WHEN (('0x' || substr(md5('exp1:' || user_id::VARCHAR), 1, 7))
+                    ::BIGINT % 2) = 0 THEN 'A' ELSE 'B' END AS arm,
+    CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+arms AS (
+  SELECT arm,
+    round(quantile_cont(v, 0.25), 6) AS q25,
+    round(quantile_cont(v, 0.5), 6) AS q50,
+    round(quantile_cont(v, 0.75), 6) AS q75,
+    round(quantile_cont(v, 0.9), 6) AS q90
+  FROM per_user GROUP BY arm),
+long AS (
+  SELECT arm, q.quantile, CASE q.quantile
+      WHEN 0.25 THEN q25 WHEN 0.5 THEN q50
+      WHEN 0.75 THEN q75 ELSE q90 END AS value
+  FROM arms, (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS quantile) q)
+SELECT a.quantile, a.value AS arm_a, b.value AS arm_b,
+  round(b.value - a.value, 6) + 0.0 AS effect
+FROM long a JOIN long b ON a.quantile = b.quantile
+WHERE a.arm = 'A' AND b.arm = 'B'
+ORDER BY a.quantile
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the experiment arms
+    (stats.mann_whitney_u): the nonparametric twin of ab_test_summary's
+    Welch t — rank algebra on value-level counts (exact integer 2R_A,
+    tie-corrected sigma), windows over the distinct-value frame only."""
+    from d2b_dataframework_spark.datapipe.splits import hash_bucket
+    from d2b_dataframework_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+        .select(
+            F.when(hash_bucket("user_id", "exp1", 2) == 0, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "v",
+        )
+    )
+    return mann_whitney_u(per_user, "arm", "v", "A", "B")
+
+
+SQL_MANN_WHITNEY = """
+WITH per_user AS (
+  SELECT CASE WHEN (('0x' || substr(md5('exp1:' || user_id::VARCHAR), 1, 7))
+                    ::BIGINT % 2) = 0 THEN 'A' ELSE 'B' END AS arm,
+    CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+per_val AS (
+  SELECT round(v, 2) AS val, count(*)::BIGINT AS cnt,
+    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na_v
+  FROM per_user GROUP BY 1),
+ranked AS (
+  SELECT *, (sum(cnt) OVER (ORDER BY val ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - cnt)::BIGINT AS cum_below
+  FROM per_val),
+sums AS (
+  SELECT sum(na_v)::BIGINT AS n_a,
+    (sum(cnt) - sum(na_v))::BIGINT AS n_b,
+    sum(na_v * (2 * cum_below + cnt + 1))::BIGINT AS r2a,
+    sum(cnt * cnt * cnt - cnt)::BIGINT AS tie3
+  FROM ranked)
+SELECT n_a, n_b,
+  (r2a::DOUBLE - n_a::DOUBLE * (n_a::DOUBLE + 1.0)) / 2.0 AS u_a,
+  n_a::DOUBLE * n_b::DOUBLE / 2.0 AS mu_u,
+  round(sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+    * ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
+       - tie3::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+                         * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))), 6) + 0.0
+    AS sigma_u,
+  CASE WHEN sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+    * ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
+       - tie3::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+                         * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))) > 0
+    THEN round(((r2a::DOUBLE - n_a::DOUBLE * (n_a::DOUBLE + 1.0)) / 2.0
+                - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+               / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                 * ((n_a::DOUBLE + n_b::DOUBLE + 1.0)
+                    - tie3::DOUBLE / ((n_a::DOUBLE + n_b::DOUBLE)
+                      * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))), 6) + 0.0
+    ELSE 0.0 END AS z
+FROM sums
+"""
+
+
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-balanced stratified 5-fold audit
+    (splits.stratified_kfold): documents dealt round-robin within each
+    language by hash order, reported as fold x language counts — every
+    fold holds ±1 of each language's share (group_kfold keeps SOURCES
+    intact; this keeps PROPORTIONS intact)."""
+    from d2b_dataframework_spark.datapipe.splits import stratified_kfold
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_kfold(docs, "lang", k=5)
+    return (
+        out.groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("fold", "lang")
+    )
+
+
+SQL_STRATIFIED_KFOLD = """
+WITH ranked AS (
+  SELECT lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY ('0x' || substr(md5('skf:' || doc_id::VARCHAR), 1, 7))::BIGINT
+               ASC, doc_id ASC) AS rn
+  FROM documents)
+SELECT ((rn - 1) % 5)::BIGINT AS fold, lang, count(*)::BIGINT AS n_docs
+FROM ranked GROUP BY 1, 2 ORDER BY fold, lang
+"""
+
+
+REGISTRY.update(
+    {
+        "hll_precision_planner": QuerySpec(
+            q_hll_precision_planner,
+            SQL_HLL_PLANNER,
+            "HLL precision sizing: registers / rel error vs actual NDV",
+        ),
+        "quantile_treatment_effect": QuerySpec(
+            q_quantile_treatment_effect,
+            SQL_QTE,
+            "A/B effect at exact 25/50/75/90th percentiles",
+        ),
+        "mann_whitney": QuerySpec(
+            q_mann_whitney,
+            SQL_MANN_WHITNEY,
+            "tie-corrected Mann-Whitney U between experiment arms",
+        ),
+        "stratified_kfold": QuerySpec(
+            q_stratified_kfold,
+            SQL_STRATIFIED_KFOLD,
+            "exactly-balanced per-stratum round-robin 5-fold audit",
         ),
     }
 )

@@ -630,3 +630,61 @@ def test_als_item_step_solves_normal_equations(spark):
     got = next(r for r in rows if r["item_id"] == target)
     assert (got["v1"], got["v2"]) == (want_v1, want_v2)
     assert got["n_users"] == len(ratings)
+
+
+def test_mann_whitney_hand_computed(spark):
+    """A = (1, 2), B = (3, 4): no ties, all B above all A -> R_A = 1+2,
+    U_A = 3 - 2*3/2 = 0; mu = 2, sigma = sqrt(4*5/12) ~ 1.290994,
+    z = -1.549193."""
+    from d2b_dataframework_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)],
+        "g string, v double",
+    )
+    r = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["u_a"] == 0.0 and r["mu_u"] == 2.0
+    assert r["sigma_u"] == round((4 * 5 / 12) ** 0.5, 6)
+    assert r["z"] == round((0.0 - 2.0) / ((4 * 5 / 12) ** 0.5), 6)
+
+
+def test_mann_whitney_ties_average_ranks(spark):
+    """A = (1, 2), B = (2, 3): the tied 2s share rank 2.5 ->
+    R_A = 1 + 2.5 = 3.5, U_A = 3.5 - 3 = 0.5; tie correction uses
+    sum(t^3 - t) = 6."""
+    from d2b_dataframework_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)],
+        "g string, v double",
+    )
+    r = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    assert r["u_a"] == 0.5
+    import math
+
+    want_sigma = math.sqrt(2 * 2 / 12 * ((4 + 1) - 6 / (4 * 3)))
+    assert r["sigma_u"] == round(want_sigma, 6)
+
+
+def test_stratified_kfold_exact_balance(spark):
+    """10 docs in lang en, 7 in es, k=3: en folds sized (4,3,3), es
+    (3,2,2) — every fold within ±1 of its stratum share."""
+    from d2b_dataframework_spark.datapipe.splits import stratified_kfold
+
+    rows = [(i, "x", "en") for i in range(10)] + [
+        (100 + i, "x", "es") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = stratified_kfold(df, "lang", k=3)
+    sizes = {
+        (r["lang"], r["fold"]): r["n"]
+        for r in out.groupBy("lang", "fold").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sorted(v for (lg, _), v in sizes.items() if lg == "en") == [3, 3, 4]
+    assert sorted(v for (lg, _), v in sizes.items() if lg == "es") == [2, 2, 3]
+    # deterministic: re-running deals identical folds
+    again = stratified_kfold(df, "lang", k=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
