@@ -433,3 +433,90 @@ def quantile_regression_gd(
     from d2b_dataframework_spark.datapipe import cache
 
     return cache.track(data.agg(*out_cols), data)
+
+
+def huber_regression_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    delta: float = 1.0,
+    iterations: int = 5,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Linear Huber regression by fixed-iteration full-batch gradient
+    descent — the third engine-exact learner beside logistic_gd and
+    quantile_regression_gd: quadratic loss near zero (efficient on
+    clean rows), linear beyond ``delta`` (bounded influence, so a few
+    corrupted rows cannot drag the fit the way OLS lets them). The
+    gradient per row is ``-clip(y - pred, ±delta) · x_j`` — pure
+    comparisons and multiplies, no transcendentals — so the module's
+    rounded-term + DECIMAL-sum recipe makes the whole weight trajectory
+    engine-exact and the DuckDB oracle replays the identical unrolled
+    steps.
+
+    Same driver-loop contract as the siblings: the loop carries k+1
+    scalars, each gradient is one aggregation pass over the persisted
+    frame. Returns one row: n, w0..wk, huber_loss (mean), mae.
+    """
+    feats = [
+        F.col(c).cast("double").alias(f"_x{j + 1}")
+        for j, c in enumerate(feature_cols)
+    ]
+    data = df.select(F.col(target_col).cast("double").alias("_y"), *feats).persist()
+    k = len(feature_cols)
+    w = [0.0] * (k + 1)
+    d = float(delta)
+
+    def _pred():
+        z = F.lit(w[0])
+        for j in range(k):
+            z = z + F.lit(w[j + 1]) * F.col(f"_x{j + 1}")
+        return z
+
+    for _ in range(int(iterations)):
+        r = F.col("_y") - _pred()
+        clip = (
+            F.when(r > F.lit(d), F.lit(d))
+            .when(r < F.lit(-d), F.lit(-d))
+            .otherwise(r)
+        )
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        aggs.append(F.sum(_scale9(clip).cast(_DEC28)).alias("_g0"))
+        for j in range(k):
+            aggs.append(
+                F.sum(_scale9(clip * F.col(f"_x{j + 1}")).cast(_DEC28)).alias(
+                    f"_g{j + 1}"
+                )
+            )
+        row = data.agg(*aggs).collect()[0]
+        n = row["_n"]
+        for j in range(k + 1):
+            w[j] = w[j] + lr * ((float(row[f"_g{j}"]) / 1.0e9) / n)
+    pred = _pred()
+    r = F.col("_y") - pred
+    a = F.abs(r)
+    hub = _scale9(
+        F.when(a <= F.lit(d), F.lit(0.5) * r * r)
+        .otherwise(F.lit(d) * (a - F.lit(0.5) * F.lit(d)))
+    ).cast(_DEC28)
+    mae = _scale9(a).cast(_DEC28)
+    out_cols = [F.count(F.lit(1)).cast("long").alias("n")]
+    for j in range(k + 1):
+        out_cols.append(F.round(F.lit(w[j]), 6).alias(f"w{j}"))
+    out_cols.append(
+        F.round(
+            (F.sum(hub).cast("double") / F.lit(1.0e9))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("huber_loss")
+    )
+    out_cols.append(
+        F.round(
+            (F.sum(mae).cast("double") / F.lit(1.0e9))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mae")
+    )
+    from d2b_dataframework_spark.datapipe import cache
+
+    return cache.track(data.agg(*out_cols), data)

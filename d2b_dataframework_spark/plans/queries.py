@@ -2176,6 +2176,7 @@ _NEWEST_R6: tuple[str, ...] = (
     "quantile_treatment_effect",
     "mann_whitney",
     "stratified_kfold",
+    "huber_regression_gd",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -17821,6 +17822,137 @@ REGISTRY.update(
             q_stratified_kfold,
             SQL_STRATIFIED_KFOLD,
             "exactly-balanced per-stratum round-robin 5-fold audit",
+        ),
+    }
+)
+
+
+def q_huber_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust linear regression by 5 unrolled Huber gradient steps
+    (classify.huber_regression_gd): standardized extendedprice ~
+    quantity + discount at delta = 1. The clipped-residual gradient is
+    pure comparisons — no transcendentals — so the rounded-term
+    DECIMAL-sum recipe makes the weight trajectory engine-exact; the
+    oracle replays the identical unrolled steps. Completes the learner
+    trio (logistic, quantile, Huber): OLS-efficient near zero, bounded
+    influence in the tails."""
+    from d2b_dataframework_spark.datapipe.classify import huber_regression_gd
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("ep"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qt"),
+        F.col("l_discount").cast("decimal(18,2)").alias("dc"),
+    )
+    st = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ep").alias("sep"),
+        F.sum(F.col("ep") * F.col("ep")).alias("sep2"),
+        F.sum("qt").alias("sqt"),
+        F.sum(F.col("qt") * F.col("qt")).alias("sqt2"),
+        F.sum("dc").alias("sdc"),
+        F.sum(F.col("dc") * F.col("dc")).alias("sdc2"),
+    )
+
+    def _scale(v, s1, s2):
+        n = F.col("n").cast("double")
+        mean = F.col(s1).cast("double") / n
+        sd = F.sqrt(F.col(s2).cast("double") / n - mean * mean)
+        return (v.cast("double") - mean) / sd
+
+    scaled = base.crossJoin(F.broadcast(st)).select(
+        _scale(F.col("ep"), "sep", "sep2").alias("y"),
+        _scale(F.col("qt"), "sqt", "sqt2").alias("x1"),
+        _scale(F.col("dc"), "sdc", "sdc2").alias("x2"),
+    )
+    return huber_regression_gd(
+        scaled, ["x1", "x2"], "y", delta=1.0, iterations=5, lr=0.5
+    )
+
+
+def _sql_huber_gd() -> str:
+    pred = "(w.b + w.w1 * x1 + w.w2 * x2)"
+    r = f"(y - {pred})"
+    clip = (
+        f"(CASE WHEN {r} > 1.0::DOUBLE THEN 1.0::DOUBLE"
+        f" WHEN {r} < -1.0::DOUBLE THEN -1.0::DOUBLE ELSE {r} END)"
+    )
+    sc = """
+  SELECT
+    (CAST(ep AS DOUBLE) - CAST(sep AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(sep2 AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sep AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sep AS DOUBLE) / CAST(n AS DOUBLE))) AS y,
+    (CAST(qt AS DOUBLE) - CAST(sqt AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(sqt2 AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sqt AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sqt AS DOUBLE) / CAST(n AS DOUBLE))) AS x1,
+    (CAST(dc AS DOUBLE) - CAST(sdc AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(sdc2 AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sdc AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sdc AS DOUBLE) / CAST(n AS DOUBLE))) AS x2
+  FROM base CROSS JOIN st"""
+    ctes = [
+        """base AS (
+  SELECT l_extendedprice::DECIMAL(18,2) AS ep,
+    l_quantity::DECIMAL(18,2) AS qt,
+    l_discount::DECIMAL(18,2) AS dc
+  FROM lineitem)""",
+        """st AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(ep) AS sep, sum(ep * ep) AS sep2,
+    sum(qt) AS sqt, sum(qt * qt) AS sqt2,
+    sum(dc) AS sdc, sum(dc * dc) AS sdc2
+  FROM base)""",
+        f"sc AS ({sc})",
+        "w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2)",
+    ]
+    for i in range(5):
+        g0 = _sql_scale9(clip)
+        g1 = _sql_scale9(f"{clip} * x1")
+        g2 = _sql_scale9(f"{clip} * x2")
+        ctes.append(
+            f"""g{i + 1} AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(({g0})::DECIMAL(28,0)) AS g0,
+    sum(({g1})::DECIMAL(28,0)) AS gx1,
+    sum(({g2})::DECIMAL(28,0)) AS gx2
+  FROM sc CROSS JOIN w{i} w)"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS (
+  SELECT w.b + 0.5 * ((CAST(g.g0 AS DOUBLE) / 1.0e9) / g.n) AS b,
+    w.w1 + 0.5 * ((CAST(g.gx1 AS DOUBLE) / 1.0e9) / g.n) AS w1,
+    w.w2 + 0.5 * ((CAST(g.gx2 AS DOUBLE) / 1.0e9) / g.n) AS w2
+  FROM w{i} w CROSS JOIN g{i + 1} g)"""
+        )
+    a = f"abs({r})"
+    hub = (
+        f"(CASE WHEN {a} <= 1.0::DOUBLE THEN 0.5::DOUBLE * {r} * {r}"
+        f" ELSE 1.0::DOUBLE * ({a} - 0.5::DOUBLE * 1.0::DOUBLE) END)"
+    )
+    hub_l = _sql_scale9(f"({hub})")
+    mae_l = _sql_scale9(f"({a})")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT count(*)::BIGINT AS n,
+  round(any_value(w.b), 6) AS w0,
+  round(any_value(w.w1), 6) AS w1,
+  round(any_value(w.w2), 6) AS w2,
+  round((CAST(sum(({hub_l})::DECIMAL(28,0)) AS DOUBLE) / 1.0e9)
+    / count(*)::DOUBLE, 6) AS huber_loss,
+  round((CAST(sum(({mae_l})::DECIMAL(28,0)) AS DOUBLE) / 1.0e9)
+    / count(*)::DOUBLE, 6) AS mae
+FROM sc CROSS JOIN w5 w
+"""
+
+
+REGISTRY.update(
+    {
+        "huber_regression_gd": QuerySpec(
+            q_huber_regression_gd,
+            _sql_huber_gd(),
+            "robust Huber regression: 5 engine-exact gradient steps",
         ),
     }
 )

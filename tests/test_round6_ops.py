@@ -688,3 +688,39 @@ def test_stratified_kfold_exact_balance(spark):
     # deterministic: re-running deals identical folds
     again = stratified_kfold(df, "lang", k=3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_huber_gd_replay(spark):
+    """Replay the unrolled Huber steps in Python over a 4-point set and
+    assert the engine's trajectory matches term-for-term (the
+    logistic/quantile GD testing shape); the big residual (outlier at
+    y=10) must hit the clip."""
+    from d2b_dataframework_spark.datapipe.classify import huber_regression_gd
+
+    pts = [(-1.0, -1.0), (0.0, 0.0), (1.0, 1.0), (0.5, 10.0)]  # (x, y)
+    df = spark.createDataFrame(pts, "x1 double, y double")
+    got = huber_regression_gd(df, ["x1"], "y", delta=1.0, iterations=3, lr=0.5).collect()[0]
+
+    w = [0.0, 0.0]
+    n = len(pts)
+    for _ in range(3):
+        g0 = g1 = 0
+        for x, y in pts:
+            r = y - (w[0] + w[1] * x)
+            c = max(-1.0, min(1.0, r))
+            g0 += round(c * 1e9)
+            g1 += round(c * x * 1e9)
+        w[0] += 0.5 * ((g0 / 1e9) / n)
+        w[1] += 0.5 * ((g1 / 1e9) / n)
+    assert (got["w0"], got["w1"]) == (round(w[0], 6), round(w[1], 6))
+    hub = mae = 0
+    for x, y in pts:
+        r = y - (w[0] + w[1] * x)
+        a = abs(r)
+        hub += round((0.5 * r * r if a <= 1.0 else a - 0.5) * 1e9)
+        mae += round(a * 1e9)
+    assert got["huber_loss"] == round((hub / 1e9) / n, 6)
+    assert got["mae"] == round((mae / 1e9) / n, 6)
+    # the outlier's residual exceeded delta on every step -> bounded
+    # influence: the slope stays far below the OLS slope (~3.2)
+    assert got["w1"] < 2.0
