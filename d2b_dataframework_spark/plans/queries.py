@@ -2177,6 +2177,7 @@ _NEWEST_R6: tuple[str, ...] = (
     "mann_whitney",
     "stratified_kfold",
     "huber_regression_gd",
+    "iqr_outlier_census",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -17953,6 +17954,93 @@ REGISTRY.update(
             q_huber_regression_gd,
             _sql_huber_gd(),
             "robust Huber regression: 5 engine-exact gradient steps",
+        ),
+    }
+)
+
+
+def q_iqr_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type: exact Q1/Q3, the
+    1.5·IQR fences, and how many rows (and how much value mass) sit
+    outside — the box-plot screen that feeds winsorization (the
+    fences here are DERIVED per group, where winsorized_values takes
+    fixed percentile caps). One exact-percentile agg per group (the
+    group frame rides the reducer), one broadcast-back pass for the
+    census — no window over raw rows."""
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type", F.round(F.col("value").cast("double"), 2).alias("v")
+    )
+    q = vals.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.25)").alias("_q1"),
+        F.expr("percentile(v, 0.75)").alias("_q3"),
+    )
+    fenced = vals.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "v",
+        (F.col("_q1") - F.lit(1.5) * (F.col("_q3") - F.col("_q1"))).alias("_lo"),
+        (F.col("_q3") + F.lit(1.5) * (F.col("_q3") - F.col("_q1"))).alias("_hi"),
+        "_q1",
+        "_q3",
+    )
+    return (
+        fenced.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("_q1"), 6).alias("q1"),
+            F.round(F.min("_q3"), 6).alias("q3"),
+            F.round(F.min("_lo"), 6).alias("lower_fence"),
+            F.round(F.min("_hi"), 6).alias("upper_fence"),
+            F.sum(
+                F.when((F.col("v") < F.col("_lo")) | (F.col("v") > F.col("_hi")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("v") < F.col("_lo")) | (F.col("v") > F.col("_hi")),
+                        F.col("v").cast("decimal(18,2)"),
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double"),
+                2,
+            ).alias("outlier_value_mass"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_IQR_OUTLIERS = """
+WITH vals AS (
+  SELECT event_type, round(value, 2) AS v FROM events),
+q AS (
+  SELECT event_type,
+    quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM vals GROUP BY 1),
+fenced AS (
+  SELECT vals.event_type, v,
+    q.q1 - 1.5 * (q.q3 - q.q1) AS lo,
+    q.q3 + 1.5 * (q.q3 - q.q1) AS hi,
+    q.q1, q.q3
+  FROM vals JOIN q ON vals.event_type = q.event_type)
+SELECT event_type, count(*)::BIGINT AS n_rows,
+  round(min(q1), 6) AS q1, round(min(q3), 6) AS q3,
+  round(min(lo), 6) AS lower_fence, round(min(hi), 6) AS upper_fence,
+  sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+  round(CAST(sum(CASE WHEN v < lo OR v > hi
+                 THEN v::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END)
+        AS DOUBLE), 2) AS outlier_value_mass
+FROM fenced GROUP BY event_type ORDER BY event_type
+"""
+
+
+REGISTRY.update(
+    {
+        "iqr_outlier_census": QuerySpec(
+            q_iqr_outlier_census,
+            SQL_IQR_OUTLIERS,
+            "Tukey-fence outlier counts and value mass per event type",
         ),
     }
 )

@@ -724,3 +724,26 @@ def test_huber_gd_replay(spark):
     # the outlier's residual exceeded delta on every step -> bounded
     # influence: the slope stays far below the OLS slope (~3.2)
     assert got["w1"] < 2.0
+
+
+def test_iqr_outlier_census_hand_computed(spark):
+    """Values 1..8 plus 100 for one type: over 9 sorted points Q1/Q3
+    land exactly on ranks 3 and 7 (values 3.0 and 7.0), IQR 4, fences
+    -3.0 / 13.0; only 100 is outside."""
+    import datetime as dt
+    import tempfile
+
+    from d2b_dataframework_spark.plans.queries import q_iqr_outlier_census
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, t, 1, "view", float(v), "{}") for i, v in enumerate(range(1, 9))]
+    rows.append((9, t, 1, "view", 100.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        r = q_iqr_outlier_census(spark, d).collect()[0]
+    assert (r["q1"], r["q3"]) == (3.0, 7.0)
+    assert (r["lower_fence"], r["upper_fence"]) == (-3.0, 13.0)
+    assert r["n_outliers"] == 1 and r["outlier_value_mass"] == 100.0
