@@ -2178,6 +2178,8 @@ _NEWEST_R6: tuple[str, ...] = (
     "stratified_kfold",
     "huber_regression_gd",
     "iqr_outlier_census",
+    "feature_drift_ranking",
+    "brand_price_elasticity",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -18041,6 +18043,207 @@ REGISTRY.update(
             q_iqr_outlier_census,
             SQL_IQR_OUTLIERS,
             "Tukey-fence outlier counts and value mass per event type",
+        ),
+    }
+)
+
+
+def q_feature_drift_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked multi-feature PSI drift report — the model-monitoring
+    dashboard staple generalizing psi_drift's single metric: each
+    lineitem feature (quantity, discount, extendedprice) is bucketed by
+    its REFERENCE deciles (ship dates before 1998 — frozen edges), PSI
+    against the current slice is summed from 9-decimal decimal terms
+    (1e-4 share floor on both sides, the standard zero-bucket guard),
+    and features rank worst-first. One stacked scan, one decile agg per
+    feature, a features x 10 grid fill — no window over raw rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.to_date("l_shipdate").alias("_d"),
+        F.stack(
+            F.lit(3),
+            F.lit("quantity"), F.col("l_quantity").cast("double"),
+            F.lit("discount"), F.col("l_discount").cast("double"),
+            F.lit("extendedprice"), F.col("l_extendedprice").cast("double"),
+        ).alias("feature", "v"),
+    )
+    cutoff = F.lit("1998-01-01").cast("date")
+    ref = stacked.filter(F.col("_d") < cutoff)
+    cur = stacked.filter(F.col("_d") >= cutoff)
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = ref.groupBy("feature").agg(
+        F.transform(
+            F.expr(f"percentile(v, array({', '.join(str(q) for q in qs)}))"),
+            lambda e: F.round(e, 6),
+        ).alias("_edges")
+    )
+
+    def bucketed(df):
+        return (
+            df.join(F.broadcast(edges), "feature")
+            .select(
+                "feature",
+                F.aggregate(
+                    "_edges",
+                    F.lit(0),
+                    lambda acc, e: acc + (F.col("v") > e).cast("int"),
+                ).alias("bucket"),
+            )
+            .groupBy("feature", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        )
+
+    grid = edges.select("feature").crossJoin(
+        spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    )
+
+    def shares(df, name):
+        tot = df.groupBy("feature").agg(F.sum("_n").alias("_t"))
+        return (
+            grid.join(df, ["feature", "bucket"], "left")
+            .join(tot, "feature")
+            .select(
+                "feature",
+                "bucket",
+                F.greatest(
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+                    / F.col("_t").cast("double"),
+                    F.lit(1.0e-4),
+                ).alias(name),
+            )
+        )
+
+    r = shares(bucketed(ref), "r")
+    c = shares(bucketed(cur), "c")
+    psi = (
+        r.join(c, ["feature", "bucket"])
+        .select(
+            "feature",
+            F.round(
+                (F.col("c") - F.col("r")) * F.log(F.col("c") / F.col("r")), 9
+            ).cast("decimal(28,9)").alias("_term"),
+        )
+        .groupBy("feature")
+        .agg(F.round(F.sum("_term").cast("double"), 6).alias("psi"))
+    )
+    w = Window.orderBy(F.col("psi").desc(), F.col("feature").asc())
+    return psi.select(
+        "feature", "psi", F.row_number().over(w).cast("long").alias("drift_rank")
+    ).orderBy("drift_rank")
+
+
+SQL_FEATURE_DRIFT = """
+WITH stacked AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, f.feature,
+    CASE f.feature WHEN 'quantity' THEN l_quantity
+         WHEN 'discount' THEN l_discount
+         ELSE l_extendedprice END AS v
+  FROM lineitem,
+    (SELECT unnest(['quantity', 'discount', 'extendedprice']) AS feature) f),
+edges AS (
+  SELECT feature,
+    list_transform(
+      quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+      e -> round(e, 6)) AS es
+  FROM stacked WHERE d < DATE '1998-01-01' GROUP BY feature),
+bucketed AS (
+  SELECT s.feature, (d >= DATE '1998-01-01') AS is_cur,
+    len(list_filter(e.es, x -> s.v > x)) AS bucket
+  FROM stacked s JOIN edges e ON s.feature = e.feature),
+counts AS (
+  SELECT feature, is_cur, bucket, count(*)::BIGINT AS n
+  FROM bucketed GROUP BY 1, 2, 3),
+grid AS (
+  SELECT e.feature, sides.is_cur, b.bucket
+  FROM edges e,
+    (SELECT unnest([false, true]) AS is_cur) sides,
+    (SELECT unnest(range(0, 10)) AS bucket) b),
+tots AS (
+  SELECT feature, is_cur, sum(n)::BIGINT AS t FROM counts GROUP BY 1, 2),
+shares AS (
+  SELECT g.feature, g.is_cur, g.bucket,
+    greatest(coalesce(c.n, 0)::DOUBLE / t.t::DOUBLE, 1.0e-4) AS share
+  FROM grid g
+  LEFT JOIN counts c
+    ON c.feature = g.feature AND c.is_cur = g.is_cur AND c.bucket = g.bucket
+  JOIN tots t ON t.feature = g.feature AND t.is_cur = g.is_cur),
+psi AS (
+  SELECT r.feature,
+    round(CAST(sum(CAST(round((c.share - r.share) * ln(c.share / r.share), 9)
+      AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+  FROM shares r JOIN shares c
+    ON r.feature = c.feature AND r.bucket = c.bucket
+   AND r.is_cur = false AND c.is_cur = true
+  GROUP BY r.feature)
+SELECT feature, psi,
+  row_number() OVER (ORDER BY psi DESC, feature ASC)::BIGINT AS drift_rank
+FROM psi ORDER BY drift_rank
+"""
+
+
+def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price-elasticity proxy per brand: OLS slope of
+    ln(quantity) on ln(unit price) over the brand's line items
+    (grouped_linreg's decimal-moment engine on 4-decimal-rounded log
+    features — coarse rounding keeps cross-engine libm ln parity).
+    Economically: slope ~ %dQ / %dP; steeper-negative brands are more
+    price-sensitive. One join + one moment agg per brand."""
+    from d2b_dataframework_spark.operators.stats import grouped_linreg
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")), 4
+        ).alias("ln_price"),
+        F.round(F.log(F.col("l_quantity")), 4).alias("ln_qty"),
+    )
+    return grouped_linreg(base, ["p_brand"], "ln_price", "ln_qty").orderBy(
+        "p_brand"
+    )
+
+
+SQL_BRAND_ELASTICITY = """
+WITH base AS (
+  SELECT p_brand,
+    CAST(round(ln(l_extendedprice / l_quantity), 4) AS DECIMAL(18,4)) AS x,
+    CAST(round(ln(l_quantity), 4) AS DECIMAL(18,4)) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+m AS (
+  SELECT p_brand, count(*)::DOUBLE AS n,
+    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS DOUBLE)
+      AS sxy,
+    CAST(sum(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4))) AS DOUBLE)
+      AS sxx,
+    CAST(sum(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS DOUBLE)
+      AS syy
+  FROM base GROUP BY p_brand)
+SELECT p_brand, n::BIGINT AS n_rows,
+  CASE WHEN (n * sxx - sx * sx) > 0
+    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+  CASE WHEN (n * sxx - sx * sx) > 0
+    THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    END AS intercept,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    THEN round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
+FROM m ORDER BY p_brand
+"""
+
+
+REGISTRY.update(
+    {
+        "feature_drift_ranking": QuerySpec(
+            q_feature_drift_ranking,
+            SQL_FEATURE_DRIFT,
+            "ranked multi-feature PSI drift with frozen reference deciles",
+        ),
+        "brand_price_elasticity": QuerySpec(
+            q_brand_price_elasticity,
+            SQL_BRAND_ELASTICITY,
+            "log-log OLS price-elasticity proxy per brand",
         ),
     }
 )

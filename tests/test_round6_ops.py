@@ -747,3 +747,35 @@ def test_iqr_outlier_census_hand_computed(spark):
     assert (r["q1"], r["q3"]) == (3.0, 7.0)
     assert (r["lower_fence"], r["upper_fence"]) == (-3.0, 13.0)
     assert r["n_outliers"] == 1 and r["outlier_value_mass"] == 100.0
+
+
+def test_feature_drift_ranking_ranks_worst_first(spark):
+    """All three features present, PSI >= 0, ranks 1..3 follow psi desc
+    (feature-name tiebreak)."""
+    from d2b_dataframework_spark.plans.queries import q_feature_drift_ranking
+
+    rows = q_feature_drift_ranking(spark, "/root/testdata/sf0.001").collect()
+    assert [r["drift_rank"] for r in rows] == [1, 2, 3]
+    assert {r["feature"] for r in rows} == {
+        "quantity", "discount", "extendedprice"
+    }
+    psis = [r["psi"] for r in rows]
+    assert all(p >= 0 for p in psis)
+    assert psis == sorted(psis, reverse=True)
+
+
+def test_brand_elasticity_slope_sign_on_synthetic(spark):
+    """grouped_linreg over log features: on a clean Q = P^-2 synthetic
+    relation the recovered slope is -2."""
+    from d2b_dataframework_spark.operators.stats import grouped_linreg
+
+    rows = []
+    for p in (1.0, 2.0, 4.0, 8.0):
+        import math
+
+        rows.append(
+            ("B", round(math.log(p), 4), round(math.log(p ** -2), 4))
+        )
+    df = spark.createDataFrame(rows, "b string, ln_price double, ln_qty double")
+    r = grouped_linreg(df, ["b"], "ln_price", "ln_qty").collect()[0]
+    assert abs(r["slope"] + 2.0) < 1e-3 and r["r2"] > 0.9999
