@@ -2180,6 +2180,8 @@ _NEWEST_R6: tuple[str, ...] = (
     "iqr_outlier_census",
     "feature_drift_ranking",
     "brand_price_elasticity",
+    "decayed_leaderboard",
+    "ucb_arm_selection",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -18244,6 +18246,160 @@ REGISTRY.update(
             q_brand_price_elasticity,
             SQL_BRAND_ELASTICITY,
             "log-log OLS price-elasticity proxy per brand",
+        ),
+    }
+)
+
+
+def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed leaderboard — the "trending now"
+    ranking where yesterday counts e^-lambda of today: per user,
+    score = sum(value · e^(-0.1 · age_days)) over purchase events,
+    top 20. Decay terms round to 9 decimals and accumulate in DECIMAL
+    (order-free — the exp() ulp and float-sum-order hazards both die
+    at intake), so the ranking replays engine-exactly; one agg + a
+    limit-then-rank top-k (TakeOrderedAndProject, never a global
+    sort)."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("_a"))
+    scored = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.round(
+                F.col("value").cast("double")
+                * F.exp(
+                    F.lit(-0.1)
+                    * F.datediff(F.col("_a"), F.to_date("ts")).cast("double")
+                ),
+                9,
+            ).cast("decimal(28,9)").alias("_term"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("_term").cast("double"), 6).alias("decayed_score"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("decayed_score").desc(), F.col("user_id").asc()
+    ).limit(20)
+    w = Window.orderBy(F.col("decayed_score").desc(), F.col("user_id").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "user_id",
+        "n_purchases",
+        "decayed_score",
+    ).orderBy("rank")
+
+
+SQL_DECAYED_LEADERBOARD = """
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+scored AS (
+  SELECT user_id, count(*)::BIGINT AS n_purchases,
+    round(CAST(sum(CAST(round(value * exp(-0.1 *
+      date_diff('day', CAST(ts AS DATE), a)::DOUBLE), 9)
+      AS DECIMAL(28,9))) AS DOUBLE), 6) AS decayed_score
+  FROM events CROSS JOIN anchor
+  WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT row_number() OVER (ORDER BY decayed_score DESC, user_id ASC)::BIGINT
+    AS rank,
+  user_id, n_purchases, decayed_score
+FROM scored ORDER BY decayed_score DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_ucb_arm_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit state over four hash-assigned arms: per arm, trials
+    (views), successes (purchases), the empirical rate, and the UCB1
+    index rate + sqrt(2·ln(T)/n) — the exploration bonus that picks the
+    next arm; also the Beta posterior (alpha, beta) a Thompson sampler
+    would draw from. Everything from two conditional sums per arm —
+    one aggregation pass, four output rows, all math elementary and
+    in-engine."""
+    from d2b_dataframework_spark.datapipe.splits import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.filter(
+        F.col("event_type").isin(["view", "purchase"])
+    ).select(
+        F.concat(F.lit("arm_"), hash_bucket("user_id", "bandit", 4).cast("string"))
+        .alias("arm"),
+        "event_type",
+    )
+    per = arms.groupBy("arm").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("trials"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("successes"),
+    )
+    tot = per.agg(F.sum("trials").cast("long").alias("_t"))
+    n = F.col("trials").cast("double")
+    s = F.col("successes").cast("double")
+    rate = s / n
+    bonus = F.sqrt(F.lit(2.0) * F.log(F.col("_t").cast("double")) / n)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "trials",
+            "successes",
+            F.when(F.col("trials") > 0, F.round(rate, 6))
+            .otherwise(F.lit(0.0))
+            .alias("rate"),
+            F.when(F.col("trials") > 0, F.round(rate + bonus, 6))
+            .otherwise(F.lit(1.0e9))
+            .alias("ucb1_index"),
+            (F.col("successes") + 1).cast("long").alias("posterior_alpha"),
+            (F.col("trials") - F.col("successes") + 1)
+            .cast("long")
+            .alias("posterior_beta"),
+        )
+        .orderBy("arm")
+    )
+
+
+SQL_UCB_ARMS = """
+WITH arms AS (
+  SELECT 'arm_' || ((('0x' || substr(md5('bandit:' || user_id::VARCHAR),
+                      1, 7))::BIGINT % 4))::VARCHAR AS arm,
+    event_type
+  FROM events WHERE event_type IN ('view', 'purchase')),
+per AS (
+  SELECT arm,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS trials,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+      AS successes
+  FROM arms GROUP BY arm),
+tot AS (SELECT sum(trials)::BIGINT AS t FROM per)
+SELECT arm, trials, successes,
+  CASE WHEN trials > 0
+       THEN round(successes::DOUBLE / trials::DOUBLE, 6) ELSE 0.0 END
+    AS rate,
+  CASE WHEN trials > 0
+       THEN round(successes::DOUBLE / trials::DOUBLE
+                  + sqrt(2.0 * ln(t::DOUBLE) / trials::DOUBLE), 6)
+       ELSE 1.0e9 END AS ucb1_index,
+  (successes + 1)::BIGINT AS posterior_alpha,
+  (trials - successes + 1)::BIGINT AS posterior_beta
+FROM per CROSS JOIN tot ORDER BY arm
+"""
+
+
+REGISTRY.update(
+    {
+        "decayed_leaderboard": QuerySpec(
+            q_decayed_leaderboard,
+            SQL_DECAYED_LEADERBOARD,
+            "exponentially time-decayed top-20 purchase leaderboard",
+        ),
+        "ucb_arm_selection": QuerySpec(
+            q_ucb_arm_selection,
+            SQL_UCB_ARMS,
+            "UCB1 index + Beta posterior per hash-assigned bandit arm",
         ),
     }
 )

@@ -779,3 +779,48 @@ def test_brand_elasticity_slope_sign_on_synthetic(spark):
     df = spark.createDataFrame(rows, "b string, ln_price double, ln_qty double")
     r = grouped_linreg(df, ["b"], "ln_price", "ln_qty").collect()[0]
     assert abs(r["slope"] + 2.0) < 1e-3 and r["r2"] > 0.9999
+
+
+def test_decayed_leaderboard_orders_by_decayed_mass(spark):
+    """User 2's 10.0 from 7 days ago decays to ~4.97 < user 1's fresh
+    5.0 — recency wins; exact scores match the closed form."""
+    import datetime as dt
+    import math
+    import tempfile
+
+    from d2b_dataframework_spark.plans.queries import q_decayed_leaderboard
+
+    t0 = dt.datetime(2024, 1, 8)
+    rows = [
+        (1, t0, 1, "purchase", 5.0, "{}"),
+        (2, t0 - dt.timedelta(days=7), 2, "purchase", 10.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = q_decayed_leaderboard(spark, d).collect()
+    assert [(r["rank"], r["user_id"]) for r in got] == [(1, 1), (2, 2)]
+    assert got[0]["decayed_score"] == 5.0
+    assert got[1]["decayed_score"] == round(round(10.0 * math.exp(-0.7), 9), 6)
+
+
+def test_ucb_arm_selection_index_math(spark):
+    """UCB1 index equals rate + sqrt(2 ln T / n) with T summed across
+    arms; posterior is Beta(successes+1, failures+1)."""
+    import math
+
+    from d2b_dataframework_spark.plans.queries import q_ucb_arm_selection
+
+    rows = q_ucb_arm_selection(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 4
+    T = sum(r["trials"] for r in rows)
+    for r in rows:
+        if r["trials"] == 0:
+            continue
+        rate = r["successes"] / r["trials"]
+        want = round(rate + math.sqrt(2 * math.log(T) / r["trials"]), 6)
+        assert r["ucb1_index"] == want
+        assert r["posterior_alpha"] == r["successes"] + 1
+        assert r["posterior_beta"] == r["trials"] - r["successes"] + 1
