@@ -386,6 +386,11 @@ def bfs_hops(
                 visited = visited.checkpoint(eager=True)
             else:
                 visited = visited.localCheckpoint(eager=True)
+            # localCheckpoint(eager=True) materializes RDD blocks that
+            # only unpersist() releases — track the frame exactly like
+            # the persist branch or long-lived sessions leak storage
+            # (reliable checkpoint(): unpersist is a harmless no-op).
+            handles.append(visited)
         else:
             visited = visited.persist()
             handles.append(visited)

@@ -541,17 +541,26 @@ def moments_profile(
     w still fits 38 digits), and the moment algebra runs ONCE on the
     final sums in fixed-parenthesization double math, so a DuckDB
     replay matches bit-for-bit. One aggregation pass with map-side
-    partials; output is |keys| rows.
+    partials; output is |keys| rows. Domain: |value|·10^decimals must
+    stay ≤ ~3.16e9 and n·w⁴ ≤ 10³⁸ per group — enforced with a runtime
+    assert_true so an out-of-domain input FAILS instead of silently
+    nulling (or silently dropping terms from) the high moments while
+    the oracle errors.
     """
     keys = list(key_cols or [])
     scale = float(10 ** int(decimals))
     w = F.round(F.col(value_col).cast("double") * F.lit(scale), 0).cast(
         "decimal(19,0)"
     )
-    w2 = (w * w).cast("decimal(19,0)")
+    # w² accumulates in DECIMAL(38,0): at decimals=2 a value past ~3.1e7
+    # makes w² exceed DECIMAL(19,0), which Spark (non-ANSI) nulls
+    # SILENTLY while the DuckDB oracle errors. 38 digits absorbs w²
+    # exactly; the remaining bound is w⁴ ≤ 10³⁸, asserted loudly below.
+    w2 = (w * w).cast("decimal(38,0)")
     grouped = df.groupBy(*keys) if keys else df.groupBy()
     sums = grouped.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.abs(w)).alias("_wmax"),
         F.sum(w).cast("double").alias("_s1"),
         F.sum(w * w).cast("double").alias("_s2"),
         F.sum(w2 * w).cast("double").alias("_s3"),
@@ -570,10 +579,33 @@ def moments_profile(
         + F.lit(6.0) * mean * mean * r2
         - F.lit(3.0) * mean * mean * mean * mean
     )
+    # Overflow is LOUD, never a silent null: (a) |w| ≤ 3162277660 ⇔ a
+    # single w⁴ fits DECIMAL(38,0) — past it the per-row product nulls
+    # and sum() would silently DROP that row's term; (b) the decimal
+    # sums themselves must be non-null — n·w⁴ past 10³⁸ nulls the whole
+    # sum under non-ANSI while the DuckDB oracle errors. assert_true is
+    # NULL on pass, so `+ _ok` is a no-op on every in-domain group.
+    _ok = F.coalesce(
+        F.assert_true(
+            F.col("_wmax").isNull()
+            | (
+                (F.col("_wmax") <= F.lit(3162277660))
+                & F.col("_s2").isNotNull()
+                & F.col("_s3").isNotNull()
+                & F.col("_s4").isNotNull()
+            ),
+            F.lit(
+                "moments_profile: power sums overflow DECIMAL(38,0) "
+                "(|value|*10^decimals must stay <= ~3.16e9 and "
+                "n*w^4 <= 1e38) — reduce `decimals` or pre-scale"
+            ),
+        ).cast("double"),
+        F.lit(0.0),
+    )
     out = sums.select(
         *keys,
         "n",
-        (F.round(mean, 6) + F.lit(0.0)).alias("mean"),
+        (F.round(mean, 6) + _ok).alias("mean"),
         (F.round(m2, 6) + F.lit(0.0)).alias("variance"),
         F.when(
             m2 > 0,

@@ -2137,6 +2137,25 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "revenue_gini", "shapley_attribution", "strip_boilerplate",
         "tfidf_cosine_pairs", "time_weighted_avg", "top_paths",
         "wav_sample_stats",
+        # r6 (CORRECTNESS_r06.json, all 50 green)
+        "attribution_position", "brand_association_rules",
+        "cdc_merge_patch", "cohort_ltv", "community_modularity",
+        "compaction_bins", "degree_assortativity", "disjunct_revenue",
+        "eb_late_rate", "embedding_drift", "event_regex_match",
+        "fd_audit", "gini_order_stump", "hash_collision_stats",
+        "holt_winters", "idle_customer_balance", "item_item_cf",
+        "k_anonymity", "knn_classifier", "ks_drift", "l_diversity",
+        "label_propagation", "label_weights", "large_volume_orders",
+        "lateness_profile", "lsh_recall_eval", "matryoshka_recall",
+        "min_cost_supplier", "mv_join_incremental", "naive_bayes_lang",
+        "nb_classifier_metrics", "order_priority_checking",
+        "personalized_pagerank", "prefix_filter_jaccard",
+        "promo_revenue_share", "rake_keywords", "rate_limit_violations",
+        "rfm_segments", "ridge_regression", "seasonal_decompose",
+        "shipping_priority", "sole_late_supplier", "supplier_hhi",
+        "survival_curve", "token_entropy", "token_mutual_info",
+        "variant_extract", "weighted_median_price", "zipf_fit",
+        "zone_map_stats",
     }
 )
 
@@ -16522,26 +16541,25 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("_bal").alias("_s"),
     )
+    # Zero-deviation guard: a cell whose mean equals the global mean
+    # would divide by zero — Spark returns NULL while DuckDB yields
+    # inf/NULL depending on ieee_floating_point_ops (the t_closeness /
+    # window_funnel NULL-vs-skew class). Zero deviation is "no
+    # evidence", i.e. p = 1, on both legs.
+    _dev_sq = (
+        F.col("n").cast("double")
+        * (F.col("_s").cast("double") / F.col("n").cast("double") - F.col("_gmean"))
+        * (F.col("_s").cast("double") / F.col("n").cast("double") - F.col("_gmean"))
+    )
     tests = cells.crossJoin(F.broadcast(glob)).select(
         "c_mktsegment",
         "nation_bucket",
         "n",
         F.round(
-            F.least(
-                F.lit(1.0),
-                F.col("_gvar")
-                / (
-                    F.col("n").cast("double")
-                    * (
-                        F.col("_s").cast("double") / F.col("n").cast("double")
-                        - F.col("_gmean")
-                    )
-                    * (
-                        F.col("_s").cast("double") / F.col("n").cast("double")
-                        - F.col("_gmean")
-                    )
-                ),
-            ),
+            F.when(
+                _dev_sq > F.lit(0.0),
+                F.least(F.lit(1.0), F.col("_gvar") / _dev_sq),
+            ).otherwise(F.lit(1.0)),
             9,
         ).alias("p_value"),
     )
@@ -16580,10 +16598,14 @@ cells AS (
   FROM cust GROUP BY 1, 2),
 tests AS (
   SELECT c_mktsegment, nation_bucket, n,
-    round(least(1.0,
-      g.gvar / (n::DOUBLE
+    round(CASE WHEN n::DOUBLE
         * (CAST(s AS DOUBLE) / n::DOUBLE - g.gmean)
-        * (CAST(s AS DOUBLE) / n::DOUBLE - g.gmean))), 9) AS p_value
+        * (CAST(s AS DOUBLE) / n::DOUBLE - g.gmean) > 0.0
+      THEN least(1.0,
+        g.gvar / (n::DOUBLE
+          * (CAST(s AS DOUBLE) / n::DOUBLE - g.gmean)
+          * (CAST(s AS DOUBLE) / n::DOUBLE - g.gmean)))
+      ELSE 1.0 END, 9) AS p_value
   FROM cells CROSS JOIN gstats g),
 ranked AS (
   SELECT *,

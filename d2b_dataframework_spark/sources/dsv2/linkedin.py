@@ -141,7 +141,15 @@ class LinkedInPostsReader(DataSourceReader):
         # param per request) — plan an empty scan, never drop a leg.
         self.contradictory_org = len(set(org_values)) > 1
         if len(set(org_values)) == 1:
-            self.orgs = [org_values[0]]
+            # A pushed equality may only NARROW the configured estate:
+            # the base relation contains rows for self.orgs only, so a
+            # filter on an org outside that set selects zero rows — it
+            # must never broaden the scan into an unconfigured org.
+            pushed = org_values[0]
+            if pushed in self.orgs or not self.orgs:
+                self.orgs = [pushed]
+            else:
+                self.contradictory_org = True
 
     # -- execution -----------------------------------------------------------
     def partitions(self) -> list[InputPartition]:

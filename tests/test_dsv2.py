@@ -691,3 +691,46 @@ def test_linkedin_unanchored_walk_is_bounded_90_days():
     days = [dict(zip(names, r))["created_date"] for r in rows]
     assert min(days) == "2025-04-02"  # 2025-06-30 minus 89 days
     assert len(days) == 90
+
+
+def test_linkedin_pushed_org_outside_estate_yields_empty(spark):
+    """A pushed org_urn equality may only NARROW the configured estate:
+    filtering org_urn='C' on an orgs='A,B' estate selects rows the base
+    relation never contains, so the scan must be EMPTY — not a page
+    walk of C's chain via the API (ADVICE r6: pushdown must never
+    broaden the scan into an unconfigured org)."""
+    from d2b_dataframework_spark.sources.dsv2 import linkedin as li
+
+    li.register(spark)
+    df = (
+        spark.read.format("linkedin_posts")
+        .option("transport", LINKEDIN_ECHO)
+        .option("orgs", "urn:li:organization:A,urn:li:organization:B")
+        .option("pagesize", 5)
+        .load()
+        .filter(F.col("org_urn") == "urn:li:organization:C")
+    )
+    assert df.collect() == []
+
+
+def test_linkedin_pushed_org_in_estate_still_narrows(spark):
+    """The intersect guard must not break the legitimate case: a pushed
+    org that IS configured keeps exactly that org's chain."""
+    from d2b_dataframework_spark.sources.dsv2.linkedin import (
+        LinkedInPostsReader,
+        posts_schema,
+    )
+
+    reader = LinkedInPostsReader(
+        posts_schema(),
+        {
+            "transport": LINKEDIN_ECHO,
+            "orgs": "urn:li:organization:A,urn:li:organization:B",
+        },
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    leftover = list(reader.pushFilters([EqualTo(("org_urn",), "urn:li:organization:A")]))
+    assert leftover == []
+    assert reader.orgs == ["urn:li:organization:A"]
+    assert not reader.contradictory_org
