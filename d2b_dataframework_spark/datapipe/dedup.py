@@ -1334,13 +1334,28 @@ def prefix_filter_pairs(
     )
     pref = ordered.select(
         F.col(id_col),
+        F.col("_sz"),
         F.explode(F.slice("_ots", 1, p_len.cast("int"))).alias("_t"),
     )
-    a = pref.select(F.col(id_col).alias("id_a"), "_t")
-    b = pref.select(F.col(id_col).alias("id_b"), "_t")
+    a = pref.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"), "_t")
+    b = pref.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"), "_t")
+    # PPJoin LENGTH filter: J = |A∩B|/|A∪B| <= min(sz)/max(sz), so a
+    # pair can only reach J >= t when each side's size is >= t x the
+    # other's. Applied INSIDE the candidate join it prunes pairs before
+    # the distinct and the array_intersect verify (the fan-in the r6
+    # verdict measured as the suite's slowest stage). The 1e-9 slack
+    # keeps the filter LOSSLESS at exact-boundary pairs where t*sz in
+    # IEEE double rounds a hair above the rational value (verify, which
+    # compares round(inter/union, 6) >= t, remains the sole arbiter).
+    t_eps = float(threshold) - 1e-9
     cands = (
-        a.join(b, "_t")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (a["_t"] == b["_t"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("_sza").cast("double") >= F.lit(t_eps) * F.col("_szb").cast("double"))
+            & (F.col("_szb").cast("double") >= F.lit(t_eps) * F.col("_sza").cast("double")),
+        )
         .select("id_a", "id_b")
         .distinct()
     )

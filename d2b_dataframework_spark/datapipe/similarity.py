@@ -110,30 +110,66 @@ def lsh_bucket_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature → bucket equi-join →
     exact cosine within bucket. Recall < 1.0 by design; candidate volume
-    drops ~2^n_planes-fold, making the join shuffle-light at scale."""
-    planes = _hyperplanes(dim, n_planes)
+    drops ~2^n_planes-fold, making the join shuffle-light at scale.
 
-    def signature(vec: Column) -> Column:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(p) for p in plane]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                > 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            for plane in planes
-        ]
-        return F.concat_ws("", *[b.cast("string") for b in bits])
+    ``quantized=True`` computes the signature bits from integer-quantized
+    vectors and planes (the module-wide ``QUANT`` convention): the bucket
+    keys become exact integer arithmetic — bit-identical across engines
+    and Spark versions, so the path is auditable by a SQL oracle (the
+    ``lsh_ann_recall`` registry query measures its recall against
+    :func:`brute_force_topk`). The default float path keeps one fewer
+    transform per vector for callers that don't need cross-engine
+    replay. ``n_planes=0`` degenerates to a single bucket, i.e. exact
+    brute force — the lossless end of the recall/cost dial.
+    """
+    if quantized:
+        qplanes = quantized_planes(dim, n_planes)
+
+        def signature(vec: Column) -> Column:
+            zv = _quantize(vec)
+            bits = [
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            zv,
+                            F.array(*[F.lit(p) for p in plane]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    )
+                    > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+                for plane in qplanes
+            ]
+            return F.concat_ws("", *[b.cast("string") for b in bits])
+
+    else:
+        planes = _hyperplanes(dim, n_planes)
+
+        def signature(vec: Column) -> Column:
+            bits = [
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(p) for p in plane]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+                for plane in planes
+            ]
+            return F.concat_ws("", *[b.cast("string") for b in bits])
 
     c = (
         corpus.select(

@@ -2203,6 +2203,18 @@ _NEWEST_R6: tuple[str, ...] = (
     "ucb_arm_selection",
 )
 
+# Queries added THIS round (round 7).  The r6 verdict pinned r7's
+# 50-slot driver window to exactly the 48-name backlog + the FIRST-EVER
+# recheck rotation (asks #1/#2), so brand-new round-7 entries queue
+# immediately AFTER the recheck slice — still ahead of the remaining
+# verified block, so they lead the r8 backlog and can never sink behind
+# the registry the way holt_winters did in round 5.  They run through
+# the full local gate (tools/check_correctness.py) every round
+# regardless.
+_NEWEST_R7: tuple[str, ...] = (
+    "lsh_ann_recall",
+)
+
 # Deterministic rotation seed for the verified re-check slice: derived
 # from |_DRIVER_VERIFIED|, which grows every round a correctness
 # artifact lands, so the selected slice shifts round-over-round with NO
@@ -2233,12 +2245,16 @@ def _gate_order() -> list[str]:
     """
     names = list(REGISTRY)
     front = [n for n in _FRONTLOAD_R6 if n in REGISTRY and n not in _DRIVER_VERIFIED]
+    newest7 = [n for n in _NEWEST_R7 if n in REGISTRY and n not in _DRIVER_VERIFIED]
     newest = [
         n
         for n in _NEWEST_R6
-        if n in REGISTRY and n not in _DRIVER_VERIFIED and n not in front
+        if n in REGISTRY
+        and n not in _DRIVER_VERIFIED
+        and n not in front
+        and n not in newest7
     ]
-    staged = set(front) | set(newest)
+    staged = set(front) | set(newest) | set(newest7)
     backlog = [
         n for n in names if n not in _DRIVER_VERIFIED and n not in staged
     ]
@@ -2246,12 +2262,16 @@ def _gate_order() -> list[str]:
     unverified = front + backlog + newest
     if len(unverified) < _GATE_WINDOW and verified:
         # Rotate a deterministic slice of verified names into the window.
+        # This round's brand-new entries ride right BEHIND the recheck
+        # slice: the window stays pure backlog+recheck (the r6 verdict's
+        # contract) while the new names still precede the bulk of the
+        # verified block and thus lead the next round's backlog.
         start = (_GATE_ROUND * _RECHECK_SLOTS) % len(verified)
         rotated = verified[start:] + verified[:start]
         recheck = rotated[:_RECHECK_SLOTS]
         rest = [n for n in verified if n not in recheck]
-        return unverified + recheck + rest
-    return unverified + verified
+        return unverified + recheck + newest7 + rest
+    return unverified + newest7 + verified
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -18422,6 +18442,120 @@ REGISTRY.update(
             q_ucb_arm_selection,
             SQL_UCB_ARMS,
             "UCB1 index + Beta posterior per hash-assigned bandit arm",
+        ),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the hyperplane-bucket ANN path
+    (datapipe/similarity.py:lsh_bucket_topk) — the one library function
+    the r6 verdict flagged as having no registry query: recall@10 of
+    the 8-plane quantized-signature bucket ranking against the exact
+    cosine top-10 for queries vec_id < 8. Candidates come ONLY from the
+    query's own sign-signature bucket (≈2^8-fold candidate reduction at
+    scale), so recall < 1 by design — this query turns that into a
+    MEASURED per-query column instead of a hope, exactly like
+    ``ann_recall`` does for the PQ path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = sim.brute_force_topk(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_e")
+    )
+    approx = sim.lsh_bucket_topk(
+        emb, queries, k=10, n_planes=8, dim=64, quantized=True
+    ).select("query_id", F.col("neighbor_id").alias("doc_a"))
+    overlap = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id) & (F.col("doc_e") == F.col("doc_a")),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(10.0), 6).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_lsh_ann_recall() -> str:
+    planes = sim.quantized_planes(dim=64, n_planes=8)
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(str(w) for w in plane)}]::BIGINT[])"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH planes(plane_id, w) AS (VALUES {plane_rows}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+        list_transform(embedding, x -> round(x * 1000)::BIGINT) AS zv
+      FROM embeddings),
+csig AS (
+  SELECT neighbor_id, any_value(cv) AS cv,
+    string_agg(CASE WHEN list_dot_product(zv, w) > 0 THEN '1' ELSE '0' END,
+               '' ORDER BY plane_id) AS bucket
+  FROM c, planes GROUP BY neighbor_id),
+qsig AS (SELECT neighbor_id AS query_id, cv AS qv, bucket
+         FROM csig WHERE neighbor_id < 8),
+scored AS (
+  SELECT q.query_id, s.neighbor_id,
+    round(list_dot_product(q.qv, s.cv)
+          / (sqrt(list_dot_product(q.qv, q.qv))
+             * sqrt(list_dot_product(s.cv, s.cv))), 6) AS cosine_sim
+  FROM qsig q JOIN csig s
+    ON q.bucket = s.bucket AND s.neighbor_id <> q.query_id),
+approx_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= 10),
+exact_r AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY
+      round(list_dot_product(qv, cv)
+            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+      neighbor_id ASC) AS rank
+  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8) q
+  CROSS JOIN (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+              FROM embeddings) x
+  WHERE neighbor_id <> query_id),
+exact_top AS (SELECT query_id, neighbor_id FROM exact_r WHERE rank <= 10),
+ov AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_overlap
+  FROM exact_top e JOIN approx_top a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1)
+SELECT q.vec_id AS query_id,
+  coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+  round(coalesce(ov.n_overlap, 0) / 10.0::DOUBLE, 6) AS recall_at_10
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+LEFT JOIN ov ON q.vec_id = ov.query_id
+ORDER BY query_id
+"""
+
+
+REGISTRY.update(
+    {
+        "lsh_ann_recall": QuerySpec(
+            q_lsh_ann_recall,
+            _sql_lsh_ann_recall(),
+            "recall@10 of hyperplane-bucket ANN vs exact cosine top-10",
         ),
     }
 )

@@ -29,16 +29,28 @@ def test_gate_order_unverified_always_precede_verified():
     never appeared in a driver CORRECTNESS artifact must sort BEFORE
     every already-verified name, no matter which staging tuple it was
     (or wasn't) added to.  A new query can therefore never silently
-    queue behind the verified block and skip the sampled window."""
+    queue behind the verified block and skip the sampled window.
+
+    One EXPLICIT exception (r6 verdict asks #1/#2): names staged in
+    ``_NEWEST_R7`` ride immediately behind the ≤``_RECHECK_SLOTS``-name
+    recheck slice so the r7 window stays pure backlog+recheck — they
+    must still precede the remaining verified block (checked below), so
+    they lead the next round's backlog rather than sinking."""
     Q = _registry()
     order = Q._gate_order()
     assert sorted(order) == sorted(Q.REGISTRY), "gate order must be a permutation"
-    seen_verified = False
+    staged_behind_recheck = set(Q._NEWEST_R7)
+    n_verified_seen = 0
     for name in order:
         if name in Q._DRIVER_VERIFIED:
-            seen_verified = True
+            n_verified_seen += 1
+        elif name in staged_behind_recheck:
+            assert n_verified_seen <= Q._RECHECK_SLOTS, (
+                f"staged query {name!r} sank behind the recheck slice — "
+                "it would not lead the next round's backlog"
+            )
         else:
-            assert not seen_verified, (
+            assert n_verified_seen == 0, (
                 f"unverified query {name!r} ordered after a verified one — "
                 "it would miss the driver's sampled window"
             )
@@ -67,7 +79,7 @@ def test_gate_order_staged_names_exist():
     """Frontload/newest tuples must reference real registry entries —
     a typo would silently drop the guarantee they encode."""
     Q = _registry()
-    for name in Q._FRONTLOAD_R6 + Q._NEWEST_R6:
+    for name in Q._FRONTLOAD_R6 + Q._NEWEST_R6 + Q._NEWEST_R7:
         assert name in Q.REGISTRY, name
 
 

@@ -85,3 +85,37 @@ def test_bh_fdr_zero_deviation_cell_is_p1(spark, tmp_path):
     oracle = con.execute(spec.sql).fetchall()
     assert len(oracle) == 1
     assert float(oracle[0][3]) == 1.0
+
+
+def test_lsh_bucket_topk_zero_planes_equals_brute_force(spark):
+    """n_planes=0 puts every vector in one bucket — the bucketed path
+    must then reproduce the exact brute-force ranking bit-for-bit (the
+    lossless end of the recall/cost dial), on both signature modes."""
+    from d2b_dataframework_spark.datapipe import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    for quantized in (False, True):
+        approx = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in sim.lsh_bucket_topk(
+                emb, queries, k=5, n_planes=0, quantized=quantized
+            ).collect()
+        }
+        assert approx == exact
+
+
+def test_lsh_ann_recall_is_measured_not_hoped(spark):
+    """The recall column must be a real measurement: within [0, 1],
+    with n_overlap = 10*recall, over all 8 audited queries."""
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["lsh_ann_recall"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+        assert r["n_overlap"] == round(r["recall_at_10"] * 10)
