@@ -5842,24 +5842,49 @@ SELECT rank::BIGINT AS rank, path, n_users FROM top WHERE rank <= 10 ORDER BY ra
 """
 
 
-def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_psi_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    approx_edges: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
     """Population-stability-index drift monitor: event values from the
     first 15 days (reference) vs the rest (current), bucketed by the
     REFERENCE deciles (exact percentiles, rounded — the frozen bin
     edges a deployed monitor stores), PSI summed from decimal terms.
-    The standard score: <0.1 stable, >0.25 drifted."""
+    The standard score: <0.1 stable, >0.25 drifted.
+
+    ``approx_edges=True`` is the 100 TB path (module convention,
+    operators/aggregates.py): exact ``percentile`` is an
+    all-values-per-group reducer, while ``percentile_approx`` keeps a
+    bounded KLL-style sketch per partition — edge placement shifts by
+    at most ~1/accuracy of rank, and since PSI only READS the edges to
+    form deciles, the score moves O(that shift) (asserted within
+    tolerance at sf0.01 by tests/test_round7_ops.py). The exact default
+    stays the oracle leg."""
     ev = _t(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), F.col("value").cast("double").alias("v")
     )
     cutoff = F.lit("2024-01-15").cast("date")
     ref = ev.filter(F.col("day") <= cutoff)
     cur = ev.filter(F.col("day") > cutoff)
-    edges_row = ref.agg(
-        *[
-            F.round(F.percentile(F.col("v"), F.lit(q / 10.0)), 6).alias(f"_e{q}")
-            for q in range(1, 10)
-        ]
-    )
+    if approx_edges:
+        edges_row = ref.agg(
+            *[
+                F.round(
+                    F.percentile_approx(F.col("v"), F.lit(q / 10.0), F.lit(accuracy)),
+                    6,
+                ).alias(f"_e{q}")
+                for q in range(1, 10)
+            ]
+        )
+    else:
+        edges_row = ref.agg(
+            *[
+                F.round(F.percentile(F.col("v"), F.lit(q / 10.0)), 6).alias(f"_e{q}")
+                for q in range(1, 10)
+            ]
+        )
 
     def bucketize(df):
         b = F.lit(0)
@@ -18092,7 +18117,12 @@ REGISTRY.update(
 )
 
 
-def q_feature_drift_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_feature_drift_ranking(
+    spark: SparkSession,
+    sf_dir: str,
+    approx_edges: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
     """Ranked multi-feature PSI drift report — the model-monitoring
     dashboard staple generalizing psi_drift's single metric: each
     lineitem feature (quantity, discount, extendedprice) is bucketed by
@@ -18100,7 +18130,14 @@ def q_feature_drift_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the current slice is summed from 9-decimal decimal terms
     (1e-4 share floor on both sides, the standard zero-bucket guard),
     and features rank worst-first. One stacked scan, one decile agg per
-    feature, a features x 10 grid fill — no window over raw rows."""
+    feature, a features x 10 grid fill — no window over raw rows.
+
+    ``approx_edges=True`` is the 100 TB path (module convention,
+    operators/aggregates.py): the frozen-edge pass swaps exact
+    ``percentile`` — an all-values-per-group reducer — for
+    ``approx_percentile(v, qs, accuracy)``'s bounded per-partition
+    sketch; PSI shifts only O(1/accuracy) in rank terms (asserted at
+    sf0.01 by tests/test_round7_ops.py). Exact stays the oracle leg."""
     li = _t(spark, sf_dir, "lineitem")
     stacked = li.select(
         F.to_date("l_shipdate").alias("_d"),
@@ -18115,11 +18152,14 @@ def q_feature_drift_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = stacked.filter(F.col("_d") < cutoff)
     cur = stacked.filter(F.col("_d") >= cutoff)
     qs = [i / 10.0 for i in range(1, 10)]
+    qs_sql = ", ".join(str(q) for q in qs)
+    edge_expr = (
+        f"approx_percentile(v, array({qs_sql}), {int(accuracy)})"
+        if approx_edges
+        else f"percentile(v, array({qs_sql}))"
+    )
     edges = ref.groupBy("feature").agg(
-        F.transform(
-            F.expr(f"percentile(v, array({', '.join(str(q) for q in qs)}))"),
-            lambda e: F.round(e, 6),
-        ).alias("_edges")
+        F.transform(F.expr(edge_expr), lambda e: F.round(e, 6)).alias("_edges")
     )
 
     def bucketed(df):

@@ -270,3 +270,62 @@ class LinkedInEchoTransport:
             for i in range(max(0, min(count, self.total - start)))
         ]
         return {"elements": elements}
+
+
+class Ga4EchoTransport:
+    """Echo double for the ga4_report reader: pretends the property
+    holds ``echo_rows_per_day`` rows per day (option, default 3),
+    spread round-robin over countries ``c0..c{echo_countries-1}``
+    (default 3), and serves ``batchRunReports`` honoring
+    ``offset``/``limit`` plus any EXACT ``dimensionFilter`` — so the
+    offset loop AND the pushed filter are exercised for real. Field
+    encoding: the first metric carries the JSON request body (filter
+    assertions read it back), other metrics carry the row's global
+    1-based position within the day; the ``date`` dimension uses the
+    API's YYYYMMDD encoding so the reader's ISO conversion is tested."""
+
+    def __init__(self, options: dict):
+        self.per_day = int(options.get("echo_rows_per_day", 3))
+        self.n_countries = int(options.get("echo_countries", 3))
+
+    def get(self, path: str, body: dict) -> dict:
+        day = body["dateRanges"][0]["startDate"].replace("-", "")
+        dims = [d["name"] for d in body["dimensions"]]
+        mets = [m["name"] for m in body["metrics"]]
+        offset = int(body.get("offset", 0))
+        limit = int(body.get("limit", 250_000))
+        wanted: dict[str, str] = {}
+        df = body.get("dimensionFilter")
+        if df:
+            exprs = df["andGroup"]["expressions"] if "andGroup" in df else [df]
+            for e in exprs:
+                wanted[e["filter"]["fieldName"]] = e["filter"]["stringFilter"][
+                    "value"
+                ]
+        body_json = json.dumps(body, sort_keys=True)
+        all_rows = []
+        for i in range(self.per_day):
+            dim_vals = {
+                "date": day,
+                "country": f"c{i % self.n_countries}",
+            }
+            if any(dim_vals.get(k) != v for k, v in wanted.items() if k in dim_vals):
+                continue
+            all_rows.append(
+                {
+                    "dimensionValues": [
+                        {"value": dim_vals.get(d, "echo")} for d in dims
+                    ],
+                    "metricValues": [
+                        {"value": body_json if j == 0 else str(i + 1)}
+                        for j, _ in enumerate(mets)
+                    ],
+                }
+            )
+        page = all_rows[offset : offset + limit]
+        return {
+            "dimensionHeaders": [{"name": d} for d in dims],
+            "metricHeaders": [{"name": m} for m in mets],
+            "rows": page,
+            "rowCount": len(all_rows),
+        }

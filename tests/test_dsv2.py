@@ -734,3 +734,135 @@ def test_linkedin_pushed_org_in_estate_still_narrows(spark):
     assert leftover == []
     assert reader.orgs == ["urn:li:organization:A"]
     assert not reader.contradictory_org
+
+
+# ---------------------------------------------------------------------------
+# ga4_report: date-range + dimension-equality pushdown reach the request
+# body; day/page fan-out (VERDICT r6 item #8; reference day-split +
+# offset-loop semantics d2b_data/Google_GA4.py:230-317)
+# ---------------------------------------------------------------------------
+
+GA4_ECHO = "d2b_dataframework_spark.sources.dsv2.testing:Ga4EchoTransport"
+
+
+@pytest.fixture(scope="module")
+def ga4(spark):
+    from d2b_dataframework_spark.sources.dsv2 import ga4 as g4
+
+    g4.register(spark)
+    return (
+        spark.read.format("ga4_report")
+        .option("transport", GA4_ECHO)
+        .option("property", "123")
+        .option("dimensions", "country")
+        .option("metrics", "reqEcho,activeUsers")
+    )
+
+
+def test_ga4_date_pushdown_narrows_dateranges_no_postscan_filter(ga4):
+    """A pushed date window must land in the request's dateRanges (one
+    single-day range per partition) and leave NO post-scan Filter."""
+    df = ga4.load().filter(
+        (F.col("date") >= "2025-06-01") & (F.col("date") <= "2025-06-03")
+    )
+    rows = df.collect()
+    days = sorted({r["date"] for r in rows})
+    assert days == ["2025-06-01", "2025-06-02", "2025-06-03"]
+    body = json.loads(rows[0]["reqEcho"])
+    dr = body["dateRanges"][0]
+    assert dr["startDate"] == dr["endDate"] and dr["startDate"] in {
+        d for d in days
+    }
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bFilter\b", plan)
+
+
+def test_ga4_dimension_equality_reaches_dimension_filter(ga4):
+    """country='c1' must arrive as an EXACT stringFilter in the body and
+    only c1 rows come back (the echo honors the filter server-side)."""
+    df = ga4.load().filter(
+        (F.col("date") == "2025-06-01") & (F.col("country") == "c1")
+    )
+    rows = df.collect()
+    assert rows and all(r["country"] == "c1" for r in rows)
+    body = json.loads(rows[0]["reqEcho"])
+    flt = body["dimensionFilter"]["filter"]
+    assert flt["fieldName"] == "country"
+    assert flt["stringFilter"] == {"matchType": "EXACT", "value": "c1"}
+
+
+def test_ga4_contradictory_dimension_equalities_yield_empty(ga4):
+    """country='c0' AND country='c1' cannot both hold — empty scan."""
+    df = ga4.load().filter(
+        (F.col("date") == "2025-06-01")
+        & (F.col("country") == "c0")
+        & (F.col("country") == "c1")
+    )
+    assert df.collect() == []
+
+
+def test_ga4_offset_loop_walks_pages_within_day(spark):
+    """7 rows/day at pagesize 3 → offsets 0,3,6 walked inside ONE day
+    partition; all 7 distinct row positions come back."""
+    from d2b_dataframework_spark.sources.dsv2 import ga4 as g4
+
+    g4.register(spark)
+    df = (
+        spark.read.format("ga4_report")
+        .option("transport", GA4_ECHO)
+        .option("property", "123")
+        .option("dimensions", "country")
+        .option("metrics", "reqEcho,pos")
+        .option("pagesize", 3)
+        .option("echo_rows_per_day", 7)
+        .option("echo_countries", 1)
+        .load()
+        .filter(F.col("date") == "2025-06-01")
+    )
+    rows = df.collect()
+    assert sorted(int(r["pos"]) for r in rows) == list(range(1, 8))
+    offsets = {json.loads(r["reqEcho"])["offset"] for r in rows}
+    assert offsets == {0, 3, 6}
+
+
+def test_ga4_bounded_day_fans_out_offset_partitions(spark):
+    """maxrowsperday=9 at pagesize 3 → 3 offset partitions per day,
+    each pinned to ONE page (no in-task walking): a 2-day window plans
+    6 partitions."""
+    from d2b_dataframework_spark.sources.dsv2.ga4 import Ga4ReportReader, report_schema
+
+    reader = Ga4ReportReader(
+        report_schema(["country"], ["reqEcho", "pos"], False),
+        {
+            "transport": GA4_ECHO,
+            "property": "123",
+            "dimensions": "country",
+            "metrics": "reqEcho,pos",
+            "pagesize": "3",
+            "maxrowsperday": "9",
+            "startdate": "2025-06-01",
+            "enddate": "2025-06-02",
+            "echo_rows_per_day": "7",
+            "echo_countries": "1",
+        },
+    )
+    parts = reader.partitions()
+    assert len(parts) == 6
+    assert sorted({(p.day, p.offset) for p in parts}) == [
+        ("2025-06-01", 0), ("2025-06-01", 3), ("2025-06-01", 6),
+        ("2025-06-02", 0), ("2025-06-02", 3), ("2025-06-02", 6),
+    ]
+    # union of the pinned pages covers the day exactly once
+    got = [r for p in parts if p.day == "2025-06-01" for r in reader.read(p)]
+    names = [f.name for f in reader.schema_.fields]
+    poss = sorted(int(dict(zip(names, r))["pos"]) for r in got)
+    assert poss == list(range(1, 8))
+
+
+def test_ga4_yyyymmdd_converts_to_iso(ga4):
+    """The echo emits the API's YYYYMMDD date encoding; the reader must
+    surface ISO so lexicographic date predicates order correctly."""
+    rows = ga4.load().filter(F.col("date") == "2025-06-05").collect()
+    assert rows and all(r["date"] == "2025-06-05" for r in rows)

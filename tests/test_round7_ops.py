@@ -119,3 +119,33 @@ def test_lsh_ann_recall_is_measured_not_hoped(spark):
     for r in rows:
         assert 0.0 <= r["recall_at_10"] <= 1.0
         assert r["n_overlap"] == round(r["recall_at_10"] * 10)
+
+
+@pytest.mark.parametrize("name", ["psi_drift", "feature_drift_ranking"])
+def test_drift_exact_vs_approx_edges_agree(spark, name):
+    """The 100 TB swap (VERDICT r6 #5): approx_percentile frozen edges
+    must reproduce the exact-percentile PSI within tolerance at sf0.01
+    — edge placement shifts at most ~1/accuracy of rank, and PSI only
+    reads the edges."""
+    from d2b_dataframework_spark.plans.queries import (
+        q_feature_drift_ranking,
+        q_psi_drift,
+    )
+
+    fn = {"psi_drift": q_psi_drift, "feature_drift_ranking": q_feature_drift_ranking}[
+        name
+    ]
+    sf = "/root/testdata/sf0.01"
+    exact = fn(spark, sf).collect()
+    approx = fn(spark, sf, approx_edges=True, accuracy=10000).collect()
+    assert len(exact) == len(approx)
+    if name == "psi_drift":
+        assert abs(exact[0]["psi"] - approx[0]["psi"]) < 0.01
+    else:
+        e = {r["feature"]: r["psi"] for r in exact}
+        a = {r["feature"]: r["psi"] for r in approx}
+        assert set(e) == set(a)
+        for f in e:
+            assert abs(e[f] - a[f]) < 0.01, f
+        # drift ranking itself must be stable under the swap
+        assert [r["feature"] for r in exact] == [r["feature"] for r in approx]

@@ -153,6 +153,81 @@ def _spatial(docs, mult=1):
 
 
 
+def _dbscan(docs, mult=1):
+    """DBSCAN census on the growing spatial cloud (VERDICT r6 item #7):
+    grid-blocked pairs (the _spatial probe, constant density per cell →
+    ~linear pair volume), then one degree agg + one semi/anti-join pair
+    for core/border/noise counts — every post-pair stage is linear in
+    the pair frame, so r10 ~ linear is the contract."""
+    pairs = _spatial(docs, mult).select("id_a", "id_b")
+    neigh = pairs.select(
+        F.col("id_a").alias("cid"), F.col("id_b").alias("peer")
+    ).unionAll(pairs.select(F.col("id_b").alias("cid"), F.col("id_a").alias("peer")))
+    deg = neigh.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_nb"))
+    core = deg.filter(F.col("n_nb") >= 3).select("cid")
+    border = (
+        neigh.join(core.withColumnRenamed("cid", "peer"), "peer", "left_semi")
+        .select("cid")
+        .distinct()
+        .join(core, "cid", "left_anti")
+    )
+    nc = core.agg(F.count(F.lit(1)).cast("long").alias("n_core"))
+    nb = border.agg(F.count(F.lit(1)).cast("long").alias("n_border"))
+    return nc.crossJoin(nb)
+
+
+def _feature_drift(docs, approx=False):
+    """feature_drift_ranking's heavy stage on a growing corpus: three
+    stacked pseudo-features per doc, frozen decile edges per feature
+    (exact percentile by default — the all-values-per-group reducer the
+    r6 verdict flagged; approx=True swaps the documented 100TB path),
+    then the two bucket aggs. Exact percentile must still be ~linear at
+    these sizes (the reducer is single-group-bounded, not pair-shaped);
+    the approx twin should hold or beat it with a bounded sketch."""
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    stacked = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("_is_ref"),
+        F.stack(
+            F.lit(3),
+            F.lit("fa"), F.pmod(h("fa"), F.lit(10000)).cast("double"),
+            F.lit("fb"), F.pmod(h("fb"), F.lit(50000)).cast("double"),
+            F.lit("fc"), (F.pmod(h("fc"), F.lit(1000)) * F.lit(7)).cast("double"),
+        ).alias("feature", "v"),
+    )
+    ref = stacked.filter(F.col("_is_ref"))
+    cur = stacked.filter(~F.col("_is_ref"))
+    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
+    edge_expr = (
+        f"approx_percentile(v, array({qs}), 10000)" if approx else f"percentile(v, array({qs}))"
+    )
+    edges = ref.groupBy("feature").agg(
+        F.transform(F.expr(edge_expr), lambda e: F.round(e, 6)).alias("_edges")
+    )
+
+    def bucketed(df):
+        return (
+            df.join(F.broadcast(edges), "feature")
+            .select(
+                "feature",
+                F.aggregate(
+                    "_edges", F.lit(0), lambda acc, e: acc + (F.col("v") > e).cast("int")
+                ).alias("bucket"),
+            )
+            .groupBy("feature", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        )
+
+    r = bucketed(ref).withColumnRenamed("_n", "_nr")
+    c = bucketed(cur).withColumnRenamed("_n", "_nc")
+    return r.join(c, ["feature", "bucket"], "full_outer")
+
+
 def _containment_boiler(docs):
     # Pathological-corpus probe: the SAME footer appended to EVERY doc
     # (applied after replication, so the footer's shingles are held by
@@ -609,6 +684,15 @@ def main() -> None:
         # buckets rare-token-sized; with replica-prefixed tokens the
         # vocab grows with the corpus, so ~linear is the contract.
         "prefix_filter": lambda d, e: _prefix(d),
+        # Round-7 (VERDICT r6 item #7): the round-6 heavy family.
+        # DBSCAN census reuses the spatial grid join; post-pair stages
+        # are one agg + semi/anti joins — ~linear in pairs.
+        "dbscan_census": lambda d, e, m=1: _dbscan(d, m),
+        # Drift ranking's frozen-edge pass: exact percentile (3 groups,
+        # all-values reducer) vs the documented approx_percentile 100TB
+        # swap — both must stay ~linear; approx bounds reducer memory.
+        "feature_drift_exact": lambda d, e: _feature_drift(d),
+        "feature_drift_approx": lambda d, e: _feature_drift(d, approx=True),
     }
 
     only = set(sys.argv[2:])  # optional op-name filter
