@@ -23,7 +23,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from d2b_dataframework_spark.datapipe import cache
@@ -278,6 +278,144 @@ def shingle_hash_frame(
             yield pd.DataFrame({id_col: ids, "token_hashes": hash_lists})
 
     return df.select(id_col, text_col).mapInPandas(compute, out_schema)
+
+
+def _text_to_hash_seq(text: str, shingle_n: int) -> list[int]:
+    """Ordered (positional) twin of :func:`_text_to_hashes`: the hash of
+    every shingle OCCURRENCE in token order, duplicates kept — shares
+    the same normalization and the same worker-level gram→hash memo."""
+    import hashlib
+
+    cache = _text_to_hashes._cache
+    norm = _JAVA_WS_RUN.sub(" ", (text or "").lower()).strip(_SQL_TRIM_CHARS)
+    toks = norm.split(" ")
+    if len(toks) < shingle_n:
+        items = [" ".join(toks)]
+    else:
+        items = [
+            " ".join(toks[i : i + shingle_n])
+            for i in range(len(toks) - shingle_n + 1)
+        ]
+    out = []
+    for w in items:
+        h = cache.get(w)
+        if h is None:
+            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:7], 16)
+            if len(cache) < 2_000_000:
+                cache[w] = h
+        out.append(h)
+    return out
+
+
+def positional_shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, pos, gram_hash) — one row per shingle OCCURRENCE with its
+    0-based token position, order and duplicates preserved (the
+    positional input :func:`duplicate_spans` aligns on)."""
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, gram_hashes array<bigint>"
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            ids, seqs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(doc_id)
+                seqs.append(_text_to_hash_seq(text, n))
+            yield pd.DataFrame({id_col: ids, "gram_hashes": seqs})
+
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(compute, out_schema)
+        .select(id_col, F.posexplode("gram_hashes").alias("pos", "gram_hash"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    min_run: int = 5,
+    n: int = 3,
+    max_df: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated SPANS — contiguous runs of >=
+    ``min_run`` matching word n-grams between two docs, with their
+    positions: the span-level complement of the set-based dedup stack
+    (Jaccard says *how much* two docs share; this says *where*), and
+    the shape of substring-level training-data dedup / contamination
+    localization (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — re-expressed as
+    relational diagonal-run detection instead of a suffix array).
+
+    Mechanism: positional shingle hashes (same md5-prefix kernel as
+    every other dedup operator) equi-join on the gram hash across doc
+    pairs; within a (doc_a, doc_b) pair every match lies on a diagonal
+    ``diag = pos_a - pos_b``, and consecutive positions on one diagonal
+    are one copied span — detected with the standard island trick
+    (``pos_a - row_number`` constant within a run), no iteration.
+
+    ``max_df``: document-frequency cap on grams entering the join (a
+    gram held by more than this many docs is boilerplate/stop-phrase,
+    not evidence of copying — and its match volume grows ~df² per gram,
+    the hot-bucket failure every blocked join here guards against).
+    Capped grams can only SPLIT a reported run, never invent one; at
+    100 TB this cap is what keeps the join linear. ``None`` disables.
+
+    Returns (id_a, id_b, start_a, start_b, run_grams, span_tokens)
+    where span_tokens = run_grams + n - 1.
+
+    Scale shape: one Arrow pass per doc for positional hashes, one
+    vocabulary-sized df agg, one hash equi-join whose buckets are
+    df-capped, one window over matched pairs. No all-pairs stage.
+    """
+    pos = positional_shingle_frame(df, text_col=text_col, id_col=id_col, n=n)
+    pos = pos.persist()
+    if max_df is not None:
+        docfreq = pos.groupBy("gram_hash").agg(
+            F.count_distinct(F.col(id_col)).alias("_df")
+        )
+        pos = (
+            pos.join(docfreq, "gram_hash")
+            .filter(F.col("_df") <= int(max_df))
+            .drop("_df")
+        )
+    a = pos.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "gram_hash"
+    )
+    b = pos.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "gram_hash"
+    )
+    m = (
+        a.join(b, "gram_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("_island", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "_island")
+        .agg(
+            F.min("pa").cast("long").alias("start_a"),
+            F.min("pb").cast("long").alias("start_b"),
+            F.count(F.lit(1)).cast("long").alias("run_grams"),
+        )
+        .filter(F.col("run_grams") >= int(min_run))
+        .select(
+            "id_a",
+            "id_b",
+            "start_a",
+            "start_b",
+            "run_grams",
+            (F.col("run_grams") + F.lit(int(n) - 1)).cast("long").alias("span_tokens"),
+        )
+    )
+    return cache.track(runs, pos)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -379,6 +379,88 @@ def cosine_near_dup_pairs(
     return cache.track(out, base)
 
 
+def semdedup_prune(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., public
+    arXiv:2303.09540): k-means-cluster the embedding cloud, then inside
+    each cluster mark a document as PRUNED when a lower-id cluster-mate
+    sits at cosine >= ``threshold`` — the deterministic "min-id
+    representative" policy (the paper keeps one exemplar per
+    near-duplicate set; min-id makes the choice engine-replayable).
+    Complements the exact/LSH dedup stack: it removes *semantic*
+    redundancy (paraphrases, templated rewrites) that shares no
+    shingles.
+
+    Returns one row per document: (id, cluster, cluster_size,
+    max_sim_smaller, pruned). ``max_sim_smaller`` is NULL for each
+    cluster's lowest-id member.
+
+    Scale shape: clustering is the existing map-side Lloyd pass
+    (:func:`clustering.kmeans_assignments` — constant-folded centroid
+    literal, exact quantized arithmetic); pairs come from a CLUSTER
+    equi-join, never all-pairs, so cost is sum(|cluster|^2). SemDeDup's
+    own recipe keeps that bounded by using large k (clusters of ~1e2-1e4
+    at web scale); ``max_cluster_size`` is the belt-and-braces guard —
+    clusters over the cap skip pair formation entirely and their docs
+    are KEPT and reported via cluster_size (the containment-cap
+    pattern: visible, never silent).
+    """
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+
+    assign = kmeans_assignments(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    v = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    x = assign.select("vid", "cluster").join(v, "vid")
+    sizes = x.groupBy("cluster").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    x = x.join(F.broadcast(sizes), "cluster")
+    # Pair side frames carry (cluster, id, vec, norm); persisted once —
+    # both join sides and the final output read it.
+    x = x.persist()
+    pairable = (
+        x if max_cluster_size is None else x.filter(F.col("cluster_size") <= max_cluster_size)
+    )
+    a = pairable.select(
+        "cluster", F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = pairable.select(
+        "cluster", F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    best_smaller = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "_sim"
+            ),
+        )
+        .groupBy("id_b")
+        .agg(F.max("_sim").alias("max_sim_smaller"))
+    )
+    out = (
+        x.select("vid", "cluster", "cluster_size")
+        .join(best_smaller, x["vid"] == best_smaller["id_b"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            "cluster_size",
+            "max_sim_smaller",
+            F.coalesce(
+                F.col("max_sim_smaller") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("pruned"),
+        )
+    )
+    return cache.track(out, x)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2213,6 +2213,8 @@ _NEWEST_R6: tuple[str, ...] = (
 # regardless.
 _NEWEST_R7: tuple[str, ...] = (
     "lsh_ann_recall",
+    "semdedup_prune",
+    "duplicate_spans",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -18596,6 +18598,131 @@ REGISTRY.update(
             q_lsh_ann_recall,
             _sql_lsh_ann_recall(),
             "recall@10 of hyperplane-bucket ANN vs exact cosine top-10",
+        ),
+    }
+)
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (datapipe/similarity.py:semdedup_prune)
+    over the perturbed dup corpus: k-means (k=8, 2 exact quantized
+    Lloyd passes) → within-cluster cosine vs every LOWER-id cluster
+    mate → pruned when max_sim_smaller >= 0.95 (min-id representative
+    policy). The dup corpus plants a near-identical twin for every
+    vector, so each twin must prune against its original whenever the
+    clustering co-locates them — the paraphrase-redundancy remover the
+    shingle-based dedup stack cannot express."""
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    return sim.semdedup_prune(corpus, k=8, iters=2, threshold=0.95).orderBy(
+        "vec_id"
+    )
+
+
+def _sql_semdedup_prune() -> str:
+    # Splice the k-means CTE chain (x..a2) into this query's WITH list
+    # at top level, pointed at the dup corpus instead of the raw table.
+    kmeans_ctes = (
+        SQL_KMEANS.replace("FROM embeddings", "FROM corpus")
+        .replace(
+            "SELECT vec_id, cid AS cluster, round(dist, 6) AS dist\nFROM a2 ORDER BY vec_id",
+            "",
+        )
+        .replace("WITH x AS", "x AS")
+        .strip()
+        .rstrip(",")
+    )
+    return f"""
+WITH corpus AS ({_SQL_EMB_DUP_CORPUS}),
+{kmeans_ctes},
+assign AS (SELECT vec_id, cid AS cluster FROM a2),
+v AS (SELECT vec_id, embedding AS ev,
+        sqrt(list_dot_product(embedding, embedding)) AS nrm
+      FROM corpus),
+xv AS (SELECT a.vec_id, a.cluster, v.ev, v.nrm
+       FROM assign a JOIN v USING (vec_id)),
+sizes AS (SELECT cluster, count(*)::BIGINT AS cluster_size FROM xv GROUP BY 1),
+best AS (
+  SELECT b.vec_id,
+    max(round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6))
+      AS max_sim_smaller
+  FROM xv a JOIN xv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  GROUP BY 1)
+SELECT x.vec_id, x.cluster, s.cluster_size, best.max_sim_smaller,
+  coalesce(best.max_sim_smaller >= 0.95, false) AS pruned
+FROM xv x JOIN sizes s USING (cluster)
+LEFT JOIN best ON best.vec_id = x.vec_id
+ORDER BY x.vec_id
+"""
+
+
+REGISTRY.update(
+    {
+        "semdedup_prune": QuerySpec(
+            q_semdedup_prune,
+            _sql_semdedup_prune(),
+            "SemDeDup cluster-then-prune semantic dedup, min-id policy",
+        ),
+    }
+)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate localization
+    (datapipe/dedup.py:duplicate_spans): contiguous runs of >= 5
+    matching word-3-grams between doc pairs of the near-dup corpus
+    (every doc has a copy with ' zzzz' appended, so each pair must
+    report one run covering the original text), with a df<=50 gram cap
+    keeping the hash join off boilerplate grams. The substring-dedup /
+    contamination-localization primitive as pure relational
+    diagonal-run detection."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    return dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50).orderBy(
+        "id_a", "id_b", "start_a", "start_b"
+    )
+
+
+SQL_DUPLICATE_SPANS = f"""
+WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
+base AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
+glist AS (
+  SELECT doc_id,
+    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         ELSE list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END
+      AS gl
+  FROM base),
+grams0 AS (
+  SELECT doc_id, generate_subscripts(gl, 1) - 1 AS pos, unnest(gl) AS g
+  FROM glist),
+grams AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(g), 1, 7))::BIGINT AS h
+  FROM grams0),
+dfreq AS (SELECT h, count(DISTINCT doc_id) AS d FROM grams GROUP BY 1),
+g2 AS (SELECT grams.doc_id, grams.pos, grams.h
+       FROM grams JOIN dfreq USING (h) WHERE d <= 50),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+    a.pos - b.pos AS diag
+  FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id),
+islands AS (
+  SELECT id_a, id_b, diag, pa, pb,
+    pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
+      AS island
+  FROM m)
+SELECT id_a, id_b, min(pa)::BIGINT AS start_a, min(pb)::BIGINT AS start_b,
+  count(*)::BIGINT AS run_grams, (count(*) + 2)::BIGINT AS span_tokens
+FROM islands GROUP BY id_a, id_b, diag, island
+HAVING count(*) >= 5
+ORDER BY id_a, id_b, start_a, start_b
+"""
+
+
+REGISTRY.update(
+    {
+        "duplicate_spans": QuerySpec(
+            q_duplicate_spans,
+            SQL_DUPLICATE_SPANS,
+            "contiguous cross-doc duplicated n-gram runs with positions",
         ),
     }
 )

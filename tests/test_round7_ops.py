@@ -149,3 +149,98 @@ def test_drift_exact_vs_approx_edges_agree(spark, name):
             assert abs(e[f] - a[f]) < 0.01, f
         # drift ranking itself must be stable under the swap
         assert [r["feature"] for r in exact] == [r["feature"] for r in approx]
+
+
+def test_semdedup_prunes_planted_twin_keeps_original(spark):
+    """Two tight families far apart + one isolated point: family
+    members beyond the lowest id prune against it; the isolated point
+    and each family's min-id member survive."""
+    from d2b_dataframework_spark.datapipe import similarity as sim
+    from d2b_dataframework_spark.datapipe.cache import release
+
+    def vec(base, eps):
+        return [base + eps] + [base] * 63
+
+    rows = (
+        [(i, vec(1.0, 0.001 * i)) for i in range(3)]        # family A
+        + [(10 + i, vec(-1.0, 0.001 * i)) for i in range(3)]  # family B
+        + [(99, [5.0, -5.0] * 32)]                            # isolated
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semdedup_prune(df, k=3, iters=2, threshold=0.999)
+    got = {r["vec_id"]: r for r in out.collect()}
+    release(out)
+    assert not got[0]["pruned"] and not got[10]["pruned"] and not got[99]["pruned"]
+    assert got[1]["pruned"] and got[2]["pruned"]
+    assert got[11]["pruned"] and got[12]["pruned"]
+    assert got[0]["max_sim_smaller"] is None or got[0]["max_sim_smaller"] < 0.999
+    assert got[1]["max_sim_smaller"] >= 0.999
+
+
+def test_semdedup_cluster_cap_skips_pairing_visibly(spark):
+    """With max_cluster_size below a cluster's size, that cluster's
+    docs are all KEPT and their cluster_size column reports why."""
+    from d2b_dataframework_spark.datapipe import similarity as sim
+    from d2b_dataframework_spark.datapipe.cache import release
+
+    rows = [(i, [1.0 + 0.0001 * i] + [1.0] * 63) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semdedup_prune(df, k=1, iters=1, threshold=0.9, max_cluster_size=3)
+    got = out.collect()
+    release(out)
+    assert all(not r["pruned"] for r in got)
+    assert all(r["cluster_size"] == 6 for r in got)
+
+
+def test_duplicate_spans_hand_positions(spark):
+    """Doc 1: t0..t19. Doc 2: x y + t5..t14 + z. The one shared span is
+    tokens t5..t14 (10 tokens = 8 word-3-grams) at start_a=5 (doc 1
+    token position) and start_b=2 (doc 2). No other run reaches
+    min_run=3."""
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.dedup import duplicate_spans
+
+    t = [f"t{i}" for i in range(20)]
+    d1 = " ".join(t)
+    d2 = " ".join(["x", "y"] + t[5:15] + ["z"])
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    out = duplicate_spans(df, min_run=3, n=3, max_df=None)
+    rows = out.collect()
+    release(out)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"]) == (5, 2)
+    assert r["run_grams"] == 8 and r["span_tokens"] == 10
+
+
+def test_duplicate_spans_df_cap_only_splits_never_invents(spark):
+    """A gram shared by every doc (boilerplate) is capped out of the
+    join at max_df=2; the surviving spans are exactly the sub-runs on
+    each side of the capped gram — capping splits runs, never creates
+    them."""
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.dedup import duplicate_spans
+
+    # 3 docs all contain the boilerplate trigram "b b b" in the middle
+    left = "l1 l2 l3 l4".split()
+    right = "r1 r2 r3 r4".split()
+    shared = left + ["b", "b", "b"] + right
+    df = spark.createDataFrame(
+        [(1, " ".join(shared)), (2, " ".join(shared)), (3, "b b b only")],
+        "doc_id long, text string",
+    )
+    uncapped = duplicate_spans(df, min_run=2, n=3, max_df=None)
+    got_un = {(r["id_a"], r["id_b"], r["start_a"], r["run_grams"]) for r in uncapped.collect()}
+    release(uncapped)
+    # docs 1,2 identical: one full-length run of 9 grams (11 tokens)
+    assert (1, 2, 0, 9) in got_un
+    capped = duplicate_spans(df, min_run=2, n=3, max_df=2)
+    got = {(r["id_a"], r["id_b"], r["start_a"], r["run_grams"]) for r in capped.collect()}
+    release(capped)
+    # grams touching 'b b b' appear in doc 3 too (df=3 > 2)... only the
+    # pure-boilerplate gram "b b b" occurs in all 3; grams overlapping
+    # the boundary exist in docs 1 and 2 only (df=2, kept). So the
+    # doc-1/doc-2 run splits around exactly that one capped gram.
+    assert (1, 2, 0, 4) in got and (1, 2, 5, 4) in got
+    assert all(not (a == 1 and b == 3) for a, b, *_ in got)
