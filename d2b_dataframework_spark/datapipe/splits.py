@@ -441,3 +441,89 @@ def stratified_kfold(
     return df.withColumn(
         "fold", ((F.row_number().over(w) - 1) % k).cast("long")
     )
+
+
+def dsir_log_importance(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection weights (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", public
+    arXiv:2302.03169): per-doc log importance
+    ``log w(x) = Σ_b n_b(x) · [log p_tgt(b) − log p_src(b)]`` under
+    hashed-unigram bag-of-words models with Laplace-``alpha`` smoothing,
+    where the target/source models are fit on the two partitions of the
+    SAME frame selected by the boolean ``target_col`` — the raw-corpus
+    reweighting stage that upsamples documents that look like the
+    in-domain slice. Feed the result to
+    :func:`priority_sample_topk` (exponential clocks) or a Gumbel
+    key for the actual resample.
+
+    Engine-exact by the module conventions: token buckets come from the
+    portable md5-prefix hash (pure function of the token), the
+    per-bucket log ratio is computed ONCE on a ``buckets``-row frame
+    (broadcast — never per token), and per-doc terms are rounded to 9dp
+    and summed as DECIMAL so the fold is order-free; a DuckDB replay
+    hash-matches.
+
+    Scale shape: one token explode (flatMap, no shuffle), one
+    (doc, bucket) count agg, one global bucket agg (``buckets`` rows),
+    one broadcast join back, one per-doc agg. Linear end to end.
+
+    Returns (id, n_tokens, log_importance).
+    """
+    from d2b_dataframework_spark.datapipe.dedup import word_hash
+    from d2b_dataframework_spark.datapipe.text import tokens
+
+    b = int(buckets)
+    a = float(alpha)
+    tok = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("_is_tgt"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).select(
+        id_col, "_is_tgt", (word_hash(F.col("_tok")) % F.lit(b)).alias("_b")
+    )
+    doc_bucket = tok.groupBy(id_col, "_is_tgt", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    model = doc_bucket.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_tgt"), F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_tn"),
+        F.sum(F.when(~F.col("_is_tgt"), F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_sn"),
+    )
+    tot = model.agg(
+        F.sum("_tn").cast("long").alias("_tt"), F.sum("_sn").cast("long").alias("_st")
+    )
+    ratio = model.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        F.round(
+            F.log(
+                (F.col("_tn").cast("double") + F.lit(a))
+                / (F.col("_tt").cast("double") + F.lit(a * b))
+            )
+            - F.log(
+                (F.col("_sn").cast("double") + F.lit(a))
+                / (F.col("_st").cast("double") + F.lit(a * b))
+            ),
+            9,
+        ).alias("_r"),
+    )
+    terms = doc_bucket.join(F.broadcast(ratio), "_b").select(
+        F.col(id_col),
+        F.col("_n"),
+        F.round(F.col("_n").cast("double") * F.col("_r"), 9)
+        .cast("decimal(28,9)")
+        .alias("_term"),
+    )
+    return terms.groupBy(id_col).agg(
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.round(F.sum("_term").cast("double"), 6).alias("log_importance"),
+    )

@@ -2215,6 +2215,8 @@ _NEWEST_R7: tuple[str, ...] = (
     "lsh_ann_recall",
     "semdedup_prune",
     "duplicate_spans",
+    "dsir_importance",
+    "padding_waste",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -18723,6 +18725,166 @@ REGISTRY.update(
             q_duplicate_spans,
             SQL_DUPLICATE_SPANS,
             "contiguous cross-doc duplicated n-gram runs with positions",
+        ),
+    }
+)
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (datapipe/splits.py:
+    dsir_log_importance): hashed-unigram target/source models (target =
+    the src0 slice), Laplace-1 smoothing over 256 buckets, per-doc log
+    importance — then the actual resample as Gumbel-top-k: key =
+    log w + Gumbel noise from the portable md5 hash (u strictly inside
+    (0,1), so keys are finite), top 50 selected. Fully deterministic:
+    the sampled set is a pure function of the corpus and the salt,
+    replayable on any engine."""
+    from d2b_dataframework_spark.datapipe.splits import (
+        dsir_log_importance,
+        hash_bucket,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_is_tgt", F.col("source") == "src0"
+    )
+    w = dsir_log_importance(docs, "_is_tgt")
+    h = hash_bucket("doc_id", "dsir", 1 << 28)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 28))
+    key = F.round(
+        F.col("log_importance") + (-F.log(-F.log(u))), 6
+    ).alias("gumbel_key")
+    win = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+    return (
+        w.select("doc_id", "n_tokens", "log_importance", key)
+        .withColumn("rank", F.row_number().over(win).cast("long"))
+        .withColumn("selected", F.col("rank") <= 50)
+        .orderBy("doc_id")
+    )
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH docs AS (SELECT doc_id, text, source = 'src0' AS is_tgt FROM documents),
+tok AS (
+  SELECT doc_id, is_tgt,
+    ('0x' || substr(md5(t), 1, 7))::BIGINT % 256 AS b
+  FROM (SELECT doc_id, is_tgt, unnest({_RAW_TOKS}) AS t FROM docs)),
+doc_bucket AS (
+  SELECT doc_id, is_tgt, b, count(*)::BIGINT AS n
+  FROM tok GROUP BY 1, 2, 3),
+model AS (
+  SELECT b,
+    sum(CASE WHEN is_tgt THEN n ELSE 0 END)::BIGINT AS tn,
+    sum(CASE WHEN NOT is_tgt THEN n ELSE 0 END)::BIGINT AS sn
+  FROM doc_bucket GROUP BY 1),
+tot AS (SELECT sum(tn)::BIGINT AS tt, sum(sn)::BIGINT AS st FROM model),
+ratio AS (
+  SELECT b,
+    round(ln((tn::DOUBLE + 1.0) / (tt::DOUBLE + 256.0))
+          - ln((sn::DOUBLE + 1.0) / (st::DOUBLE + 256.0)), 9) AS r
+  FROM model CROSS JOIN tot),
+per_doc AS (
+  SELECT d.doc_id,
+    sum(d.n)::BIGINT AS n_tokens,
+    round(CAST(sum(CAST(round(d.n::DOUBLE * r.r, 9) AS DECIMAL(28,9)))
+          AS DOUBLE), 6) AS log_importance
+  FROM doc_bucket d JOIN ratio r USING (b) GROUP BY 1),
+keyed AS (
+  SELECT doc_id, n_tokens, log_importance,
+    round(log_importance
+      + (-ln(-ln(((('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 7))::BIGINT
+                   % 268435456)::DOUBLE + 0.5) / 268435456.0))), 6) AS gumbel_key
+  FROM per_doc)
+SELECT doc_id, n_tokens, log_importance, gumbel_key,
+  row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC)::BIGINT AS rank,
+  (row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC)) <= 50 AS selected
+FROM keyed ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "dsir_importance": QuerySpec(
+            q_dsir_importance,
+            SQL_DSIR_IMPORTANCE,
+            "DSIR hashed-ngram importance weights + Gumbel-top-k resample",
+        ),
+    }
+)
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch-planning audit: docs grouped into 32-token
+    length buckets (the dynamic-batching strategy), per-bucket padding
+    waste = 1 − real/padded tokens, PLUS each bucket's waste under
+    naive pad-to-global-max batching — the table that justifies (and
+    sizes) length bucketing for training/inference batch planning. One
+    projection + one small agg + one broadcast of the 1-row max."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.greatest(
+            F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")),
+            F.lit(1),
+        ).alias("n_tokens")
+    )
+    bucketed = toks.select(
+        "n_tokens",
+        (F.ceil(F.col("n_tokens") / F.lit(32.0)) * 32).cast("long").alias("bucket_len"),
+    )
+    per = bucketed.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    gmax = per.agg(F.max("bucket_len").alias("_gmax"))
+    return (
+        per.crossJoin(F.broadcast(gmax))
+        .select(
+            "bucket_len",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket_len")).cast("long").alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_len")).cast("double"),
+                6,
+            ).alias("waste_ratio"),
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double")
+                / (F.col("n_docs") * F.col("_gmax")).cast("double"),
+                6,
+            ).alias("naive_waste_ratio"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
+SQL_PADDING_WASTE = f"""
+WITH toks AS (
+  SELECT greatest(len({_RAW_TOKS}), 1)::BIGINT AS n_tokens FROM documents),
+bucketed AS (
+  SELECT n_tokens, (ceil(n_tokens / 32.0) * 32)::BIGINT AS bucket_len FROM toks),
+per AS (
+  SELECT bucket_len, count(*)::BIGINT AS n_docs,
+    sum(n_tokens)::BIGINT AS total_tokens
+  FROM bucketed GROUP BY 1),
+gmax AS (SELECT max(bucket_len) AS g FROM per)
+SELECT bucket_len, n_docs, total_tokens,
+  (n_docs * bucket_len)::BIGINT AS padded_tokens,
+  round(1.0 - total_tokens::DOUBLE / (n_docs * bucket_len)::DOUBLE, 6)
+    AS waste_ratio,
+  round(1.0 - total_tokens::DOUBLE / (n_docs * g)::DOUBLE, 6)
+    AS naive_waste_ratio
+FROM per CROSS JOIN gmax ORDER BY bucket_len
+"""
+
+
+REGISTRY.update(
+    {
+        "padding_waste": QuerySpec(
+            q_padding_waste,
+            SQL_PADDING_WASTE,
+            "length-bucket vs naive padding waste for batch planning",
         ),
     }
 )

@@ -244,3 +244,49 @@ def test_duplicate_spans_df_cap_only_splits_never_invents(spark):
     # doc-1/doc-2 run splits around exactly that one capped gram.
     assert (1, 2, 0, 4) in got and (1, 2, 5, 4) in got
     assert all(not (a == 1 and b == 3) for a, b, *_ in got)
+
+
+def test_dsir_importance_upweights_target_lookalikes(spark):
+    """Docs made of target-exclusive tokens must outrank docs of
+    source-exclusive tokens; mixed docs sit between."""
+    from d2b_dataframework_spark.datapipe.splits import dsir_log_importance
+
+    rows = (
+        [(i, "aa bb cc dd " * 5, True) for i in range(4)]       # target slice
+        + [(10 + i, "xx yy zz ww " * 5, False) for i in range(4)]  # source bulk
+        + [(20, "aa bb cc dd aa bb", False)]   # target-lookalike in source
+        + [(21, "xx yy zz ww xx yy", False)]   # source-typical
+        + [(22, "aa bb xx yy", False)]          # mixed
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, _is_tgt boolean")
+    got = {
+        r["doc_id"]: r["log_importance"]
+        for r in dsir_log_importance(df, "_is_tgt").collect()
+    }
+    assert got[20] > got[22] > got[21]
+
+
+def test_padding_waste_hand_computed(spark, tmp_path):
+    """3 docs of 10/30/40 tokens: buckets 32 (two docs, 40 real /64
+    padded) and 64 (one doc, 40/64); naive pads everything to 64."""
+    import os as _os
+
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["t"] * 10), "en", "src0", 1),
+            (2, " ".join(["t"] * 30), "en", "src0", 1),
+            (3, " ".join(["t"] * 40), "en", "src0", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf_pad")
+    _os.makedirs(sf, exist_ok=True)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    rows = {r["bucket_len"]: r for r in REGISTRY["padding_waste"].spark(spark, sf).collect()}
+    assert rows[32]["n_docs"] == 2 and rows[32]["total_tokens"] == 40
+    assert rows[32]["padded_tokens"] == 64
+    assert rows[32]["waste_ratio"] == round(1 - 40 / 64, 6)
+    assert rows[32]["naive_waste_ratio"] == round(1 - 40 / 128, 6)
+    assert rows[64]["n_docs"] == 1 and rows[64]["waste_ratio"] == round(1 - 40 / 64, 6)
