@@ -84,14 +84,23 @@ def test_gate_order_staged_names_exist():
 
 
 def test_gate_window_is_all_first_time_names_this_round():
-    """Round-6 contract from the verdict: with a 70-name backlog the
-    entire ~50-slot sampled window must be first-time names."""
+    """Round-7 contract from the r6 verdict (asks #1/#2): the sampled
+    window is the never-driver-checked backlog followed by recheck
+    slots; brand-new r7 queries (_NEWEST_R7) queue BEHIND the rechecks
+    so the window stays pure backlog+recheck until the backlog drains."""
     Q = _registry()
     order = Q._gate_order()
     window = order[: Q._GATE_WINDOW]
-    if len(Q.REGISTRY) - len(Q._DRIVER_VERIFIED) >= Q._GATE_WINDOW:
+    backlog = {
+        n
+        for n in Q.REGISTRY
+        if n not in Q._DRIVER_VERIFIED and n not in Q._NEWEST_R7
+    }
+    if len(backlog) >= Q._GATE_WINDOW:
         assert all(n not in Q._DRIVER_VERIFIED for n in window)
-        assert window[0] == "holt_winters" and window[1] == "knn_classifier"
+    else:
+        assert set(window[: len(backlog)]) == backlog
+        assert all(n in Q._DRIVER_VERIFIED for n in window[len(backlog) :])
 
 
 # ---------------------------------------------------------------------------
