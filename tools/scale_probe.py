@@ -228,6 +228,34 @@ def _feature_drift(docs, approx=False):
     return r.join(c, ["feature", "bucket"], "full_outer")
 
 
+def _dupspans(docs):
+    """duplicate_spans on corpus ∪ suffixed copy: every doc shares one
+    long run with its copy (planted pairs grow linearly with the
+    corpus), replicas share no grams with each other (replica-prefixed
+    tokens), and the df<=50 cap bounds any hot gram — so the hash join
+    and the window must both stay ~linear."""
+    from d2b_dataframework_spark.datapipe.dedup import duplicate_spans
+
+    copy = docs.select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copy)
+    return duplicate_spans(corpus, min_run=5, n=3, max_df=50)
+
+
+def _semdedup(emb, mult=1):
+    """semdedup_prune with k SCALED to the corpus (k = 8·mult) — the
+    SemDeDup recipe: cluster count grows with the data so cluster sizes
+    (and the within-cluster pair volume) stay constant per cluster and
+    total pair volume stays ~linear. A FIXED k on a growing corpus is
+    quadratic by construction (sum |c|² ~ n²/k) — that configuration is
+    what max_cluster_size guards, not a scaling target."""
+    from d2b_dataframework_spark.datapipe.similarity import semdedup_prune
+
+    return semdedup_prune(emb, k=8 * mult, iters=1, threshold=0.95)
+
+
 def _containment_boiler(docs):
     # Pathological-corpus probe: the SAME footer appended to EVERY doc
     # (applied after replication, so the footer's shingles are held by
@@ -693,6 +721,10 @@ def main() -> None:
         # swap — both must stay ~linear; approx bounds reducer memory.
         "feature_drift_exact": lambda d, e: _feature_drift(d),
         "feature_drift_approx": lambda d, e: _feature_drift(d, approx=True),
+        # Round-7 operators: planted span pairs grow linearly; semdedup
+        # scales k with the corpus per the SemDeDup recipe.
+        "duplicate_spans": lambda d, e: _dupspans(d),
+        "semdedup_scaled_k": lambda d, e, m=1: _semdedup(e, m),
     }
 
     only = set(sys.argv[2:])  # optional op-name filter
