@@ -1098,3 +1098,84 @@ def coverage_curve(
         ).alias("top_share"),
     ]
     return joined.agg(*aggs)
+
+
+# Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446 Table A1 —
+# public): the document-level repetition/shape screens a pretraining
+# corpus applies BEFORE model-based quality scoring.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRACTION = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_DUP_LINE_FRACTION = 0.3
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule document screens (Rae et al. 2021): word-count
+    bounds, mean word length 3-10, hash/ellipsis symbol-to-word ratio
+    < 0.1, >= 80% of words containing an alphabetic character, >= 2
+    distinct English stopwords present, and duplicate-line fraction
+    < 0.3 — each surfaced as its measured value plus the composite
+    ``passes`` flag, so a curation run can report WHY a document was
+    dropped, not just that it was.
+
+    All JVM-side expressions (lengths, replaces, HOF filters) — one
+    projection, zero shuffles, scan-speed at any size.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    nw = n_words.cast("double")
+    mean_wl = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / nw,
+        6,
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / nw, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nw, 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    ).cast("long")
+    lines = F.split(c, "\n")
+    dup_line_frac = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines).cast("double"),
+        6,
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_fraction"),
+        stop_hits.alias("stopword_hits"),
+        dup_line_frac.alias("dup_line_fraction"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_fraction") > GOPHER_MIN_ALPHA_WORD_FRACTION)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+        & (F.col("dup_line_fraction") < GOPHER_MAX_DUP_LINE_FRACTION),
+    )

@@ -842,7 +842,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dup_pairs(corpus, threshold=0.99).orderBy("id_a", "id_b")
 
 
-def _sql_embedding_near_dup() -> str:
+def _sql_near_dup_ctes() -> str:
+    """The banded-LSH near-dup CTE chain (planes..verified) over a
+    ``corpus`` CTE — shared by the embedding_near_dup oracle and the
+    contrastive-pair oracle."""
     planes = sim.quantized_planes()
     plane_rows = ", ".join(
         f"({i}, [{', '.join(str(w) for w in plane)}]::BIGINT[])"
@@ -850,9 +853,7 @@ def _sql_embedding_near_dup() -> str:
     )
     ppb = sim.PLANES_PER_BAND
     band_rows = ", ".join(f"({b})" for b in range(sim.NEAR_DUP_BANDS))
-    return f"""
-WITH corpus AS ({_SQL_EMB_DUP_CORPUS}),
-planes(plane_id, w) AS (VALUES {plane_rows}),
+    return f"""planes(plane_id, w) AS (VALUES {plane_rows}),
 qv AS (SELECT vec_id, embedding AS v,
   list_transform(embedding, x -> round(x * 1000)::BIGINT) AS q FROM corpus),
 sig AS (
@@ -875,7 +876,13 @@ verified AS (
           6) AS cosine_sim
   FROM cands c
   JOIN sig s1 ON s1.vec_id = c.id_a
-  JOIN sig s2 ON s2.vec_id = c.id_b)
+  JOIN sig s2 ON s2.vec_id = c.id_b)"""
+
+
+def _sql_embedding_near_dup() -> str:
+    return f"""
+WITH corpus AS ({_SQL_EMB_DUP_CORPUS}),
+{_sql_near_dup_ctes()}
 SELECT * FROM verified WHERE cosine_sim >= 0.99 ORDER BY id_a, id_b
 """
 
@@ -2217,6 +2224,8 @@ _NEWEST_R7: tuple[str, ...] = (
     "duplicate_spans",
     "dsir_importance",
     "padding_waste",
+    "gopher_quality",
+    "contrastive_pairs",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -18885,6 +18894,162 @@ REGISTRY.update(
             q_padding_waste,
             SQL_PADDING_WASTE,
             "length-bucket vs naive padding waste for batch planning",
+        ),
+    }
+)
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document screens (datapipe/text.py:gopher_quality_flags):
+    word-count bounds, mean word length, symbol ratio, alpha-word
+    fraction, stopword presence, duplicate-line fraction — per-doc
+    measured values + the composite pass flag, the standard pretraining
+    pre-filter reported with its reasons."""
+    return dt.gopher_quality_flags(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, {_RAW_TOKS} AS words FROM documents),
+m AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS n_words,
+    round(list_sum(list_transform(words, w -> len(w)))::DOUBLE
+          / len(words)::DOUBLE, 6) AS mean_word_len,
+    round(((len(t) - len(replace(t, '#', '')))
+           + (len(t) - len(replace(t, '...', ''))) / 3)::DOUBLE
+          / len(words)::DOUBLE, 6) AS symbol_ratio,
+    round(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+          / len(words)::DOUBLE, 6) AS alpha_word_fraction,
+    len(list_intersect(list_distinct(words),
+        ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that']))::BIGINT
+      AS stopword_hits,
+    round(1.0 - len(list_distinct(string_split(t, chr(10))))::DOUBLE
+          / len(string_split(t, chr(10)))::DOUBLE, 6) AS dup_line_fraction
+  FROM base)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_ratio < 0.1
+   AND alpha_word_fraction > 0.8
+   AND stopword_hits >= 2
+   AND dup_line_fraction < 0.3) AS passes
+FROM m ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "gopher_quality": QuerySpec(
+            q_gopher_quality,
+            SQL_GOPHER_QUALITY,
+            "Gopher-rule document screens with per-rule measured values",
+        ),
+    }
+)
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining over the perturbed dup corpus:
+    POSITIVES from the banded-LSH near-dup verify (cosine >= 0.99 —
+    planted twin per vector), HARD NEGATIVES as the two lowest-id
+    same-kmeans-cluster members that are NOT near-dup partners of the
+    anchor — semantically close (same cluster) but not duplicates, the
+    (anchor, positive, negative) triplets an embedding fine-tune or
+    reranker distillation consumes. Pure composition of two
+    oracle-verified stages; the negative rank is deterministic
+    (min-id), so the triplet set replays bit-identically."""
+    from d2b_dataframework_spark.datapipe.cache import track
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    pos = sim.cosine_near_dup_pairs(corpus, threshold=0.99).select("id_a", "id_b")
+    assign = kmeans_assignments(corpus, k=8, iters=2).select(
+        F.col("vid").alias("vec_id"), F.col("cluster")
+    )
+    partners = (
+        pos.select(F.col("id_a").alias("a"), F.col("id_b").alias("p"))
+        .unionByName(pos.select(F.col("id_b").alias("a"), F.col("id_a").alias("p")))
+        .distinct()
+    )
+    anchors = pos.select(F.col("id_a").alias("anchor")).distinct()
+    aa = anchors.join(
+        assign, anchors["anchor"] == assign["vec_id"]
+    ).select("anchor", "cluster")
+    cands = (
+        aa.join(assign, "cluster")
+        .filter(F.col("vec_id") != F.col("anchor"))
+        .select("anchor", F.col("vec_id").alias("cand"))
+    )
+    cands = cands.join(
+        partners,
+        (cands["anchor"] == partners["a"]) & (cands["cand"] == partners["p"]),
+        "left_anti",
+    )
+    wneg = Window.partitionBy("anchor").orderBy(F.col("cand").asc())
+    negs = (
+        cands.withColumn("neg_rank", F.row_number().over(wneg).cast("long"))
+        .filter(F.col("neg_rank") <= 2)
+        .select("anchor", F.col("cand").alias("negative"), "neg_rank")
+    )
+    out = (
+        pos.join(negs, pos["id_a"] == negs["anchor"])
+        .select(
+            F.col("anchor"),
+            F.col("id_b").alias("positive"),
+            "negative",
+            "neg_rank",
+        )
+        .orderBy("anchor", "positive", "neg_rank")
+    )
+    return track(out, *getattr(pos, "_d2b_persisted", ()))
+
+
+def _sql_contrastive_pairs() -> str:
+    kmeans_ctes = (
+        SQL_KMEANS.replace("FROM embeddings", "FROM corpus")
+        .replace(
+            "SELECT vec_id, cid AS cluster, round(dist, 6) AS dist\nFROM a2 ORDER BY vec_id",
+            "",
+        )
+        .replace("WITH x AS", "x AS")
+        .strip()
+        .rstrip(",")
+    )
+    return f"""
+WITH corpus AS ({_SQL_EMB_DUP_CORPUS}),
+{_sql_near_dup_ctes()},
+{kmeans_ctes},
+pos AS (SELECT id_a, id_b FROM verified WHERE cosine_sim >= 0.99),
+assign AS (SELECT vec_id, cid AS cluster FROM a2),
+partners AS (
+  SELECT id_a AS a, id_b AS p FROM pos
+  UNION SELECT id_b, id_a FROM pos),
+anchors AS (SELECT DISTINCT id_a AS anchor FROM pos),
+cand AS (
+  SELECT an.anchor, m.vec_id AS cand
+  FROM anchors an
+  JOIN assign aa ON aa.vec_id = an.anchor
+  JOIN assign m ON m.cluster = aa.cluster AND m.vec_id <> an.anchor),
+negs AS (
+  SELECT anchor, cand AS negative,
+    row_number() OVER (PARTITION BY anchor ORDER BY cand ASC)::BIGINT
+      AS neg_rank
+  FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM partners pt WHERE pt.a = c.anchor AND pt.p = c.cand))
+SELECT p.id_a AS anchor, p.id_b AS positive, n.negative, n.neg_rank
+FROM pos p JOIN negs n ON n.anchor = p.id_a AND n.neg_rank <= 2
+ORDER BY anchor, positive, neg_rank
+"""
+
+
+REGISTRY.update(
+    {
+        "contrastive_pairs": QuerySpec(
+            q_contrastive_pairs,
+            _sql_contrastive_pairs(),
+            "anchor/positive/hard-negative triplet mining for embedding training",
         ),
     }
 )

@@ -290,3 +290,42 @@ def test_padding_waste_hand_computed(spark, tmp_path):
     assert rows[32]["waste_ratio"] == round(1 - 40 / 64, 6)
     assert rows[32]["naive_waste_ratio"] == round(1 - 40 / 128, 6)
     assert rows[64]["n_docs"] == 1 and rows[64]["waste_ratio"] == round(1 - 40 / 64, 6)
+
+
+def test_gopher_flags_hand_cases(spark):
+    """Three crafted docs: a clean passing doc, a symbol-heavy doc
+    (fails symbol_ratio), and a repeated-line doc (fails
+    dup_line_fraction)."""
+    from d2b_dataframework_spark.datapipe.text import gopher_quality_flags
+
+    clean = ("the quick brown fox jumps over a lazy dog and that is fine " * 5).strip()
+    symbolic = " ".join(["###"] * 60) + " the a of and"
+    repeated = "\n".join(["the same line of and a that is here now ok"] * 10)
+    df = spark.createDataFrame(
+        [(1, clean), (2, symbolic), (3, repeated)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert got[1]["passes"]
+    assert not got[2]["passes"] and got[2]["symbol_ratio"] > 0.1
+    assert not got[3]["passes"] and got[3]["dup_line_fraction"] > 0.3
+
+
+def test_contrastive_negatives_exclude_partners_and_are_min_id(spark, tmp_path):
+    """Every triplet's negative shares the anchor's cluster, is never a
+    near-dup partner of the anchor, and neg_rank orders by ascending
+    negative id."""
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["contrastive_pairs"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_anchor = {}
+    for r in rows:
+        assert r["negative"] != r["anchor"] and r["negative"] != r["positive"]
+        by_anchor.setdefault((r["anchor"], r["positive"]), []).append(
+            (r["neg_rank"], r["negative"])
+        )
+    for negs in by_anchor.values():
+        negs.sort()
+        ids = [n for _, n in negs]
+        assert ids == sorted(ids)
+        assert [rk for rk, _ in negs] == list(range(1, len(negs) + 1))
