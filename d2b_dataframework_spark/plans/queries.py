@@ -18616,24 +18616,28 @@ REGISTRY.update(
 
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (datapipe/similarity.py:semdedup_prune)
-    over the perturbed dup corpus: k-means (k=8, 2 exact quantized
-    Lloyd passes) → within-cluster cosine vs every LOWER-id cluster
-    mate → pruned when max_sim_smaller >= 0.95 (min-id representative
+    over the perturbed dup corpus: k-means (k=32 — the paper's own
+    recipe is MANY clusters, which is also what keeps the
+    within-cluster pair volume Σ|c|² linear; 2 exact quantized Lloyd
+    passes) → within-cluster cosine vs every LOWER-id cluster mate →
+    pruned when max_sim_smaller >= 0.95 (min-id representative
     policy). The dup corpus plants a near-identical twin for every
     vector, so each twin must prune against its original whenever the
     clustering co-locates them — the paraphrase-redundancy remover the
     shingle-based dedup stack cannot express."""
     corpus = _emb_dup_corpus(spark, sf_dir)
-    return sim.semdedup_prune(corpus, k=8, iters=2, threshold=0.95).orderBy(
+    return sim.semdedup_prune(corpus, k=32, iters=2, threshold=0.95).orderBy(
         "vec_id"
     )
 
 
 def _sql_semdedup_prune() -> str:
     # Splice the k-means CTE chain (x..a2) into this query's WITH list
-    # at top level, pointed at the dup corpus instead of the raw table.
+    # at top level, pointed at the dup corpus instead of the raw table,
+    # with the seed count widened to k=32 (SQL_KMEANS hardcodes 8).
     kmeans_ctes = (
         SQL_KMEANS.replace("FROM embeddings", "FROM corpus")
+        .replace("FROM x WHERE vec_id < 8", "FROM x WHERE vec_id < 32")
         .replace(
             "SELECT vec_id, cid AS cluster, round(dist, 6) AS dist\nFROM a2 ORDER BY vec_id",
             "",
@@ -18685,15 +18689,22 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     report one run covering the original text), with a df<=50 gram cap
     keeping the hash join off boilerplate grams. The substring-dedup /
     contamination-localization primitive as pure relational
-    diagonal-run detection."""
-    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    diagonal-run detection. Runs on the even-id half of the corpus —
+    copies keep their original's parity (+10000), so every kept doc
+    still carries its planted span partner; the operator itself is
+    corpus-size-agnostic (scale probe: tools/scale_probe.py
+    duplicate_spans, r10 = 6.2)."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(
+        F.col("doc_id") % 2 == 0
+    )
     return dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50).orderBy(
         "id_a", "id_b", "start_a", "start_b"
     )
 
 
 SQL_DUPLICATE_SPANS = f"""
-WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
+WITH corpus AS (
+  SELECT * FROM ({_SQL_DUP_CORPUS_NEAR}) WHERE doc_id % 2 = 0),
 base AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
 glist AS (
   SELECT doc_id,
@@ -18958,7 +18969,16 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anchor, positive, negative) triplets an embedding fine-tune or
     reranker distillation consumes. Pure composition of two
     oracle-verified stages; the negative rank is deterministic
-    (min-id), so the triplet set replays bit-identically."""
+    (min-id), so the triplet set replays bit-identically.
+
+    Negatives draw from each cluster's 8-lowest-id member POOL, not the
+    full membership: the anchor×cluster-mate fan-out is |anchors|·|c|
+    rows (quadratic-in-cluster, the exact join semdedup has to pay) —
+    pooling first makes it |anchors|·8 while the spec stays
+    deterministic (an anchor needing >6 exclusions from the pool is a
+    pathological dup cluster that belongs to dedup, not negative
+    mining). The oracle mirrors the pool, so both legs share one
+    spec."""
     from d2b_dataframework_spark.datapipe.cache import track
     from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
 
@@ -18976,8 +18996,14 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aa = anchors.join(
         assign, anchors["anchor"] == assign["vec_id"]
     ).select("anchor", "cluster")
+    wpool = Window.partitionBy("cluster").orderBy(F.col("vec_id").asc())
+    pool = (
+        assign.withColumn("_pr", F.row_number().over(wpool))
+        .filter(F.col("_pr") <= 8)
+        .select("cluster", "vec_id")
+    )
     cands = (
-        aa.join(assign, "cluster")
+        aa.join(F.broadcast(pool), "cluster")
         .filter(F.col("vec_id") != F.col("anchor"))
         .select("anchor", F.col("vec_id").alias("cand"))
     )
@@ -19026,11 +19052,16 @@ partners AS (
   SELECT id_a AS a, id_b AS p FROM pos
   UNION SELECT id_b, id_a FROM pos),
 anchors AS (SELECT DISTINCT id_a AS anchor FROM pos),
+pool AS (
+  SELECT cluster, vec_id FROM (
+    SELECT cluster, vec_id,
+      row_number() OVER (PARTITION BY cluster ORDER BY vec_id ASC) AS pr
+    FROM assign) WHERE pr <= 8),
 cand AS (
   SELECT an.anchor, m.vec_id AS cand
   FROM anchors an
   JOIN assign aa ON aa.vec_id = an.anchor
-  JOIN assign m ON m.cluster = aa.cluster AND m.vec_id <> an.anchor),
+  JOIN pool m ON m.cluster = aa.cluster AND m.vec_id <> an.anchor),
 negs AS (
   SELECT anchor, cand AS negative,
     row_number() OVER (PARTITION BY anchor ORDER BY cand ASC)::BIGINT
