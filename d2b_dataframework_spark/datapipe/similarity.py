@@ -208,6 +208,135 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., public VLDB'07 technique): in
+    addition to a query's own sign-signature bucket, probe the
+    ``n_probes`` buckets reached by flipping the bits whose hyperplane
+    margin is SMALLEST (|dot| closest to the boundary — the bits most
+    likely to have landed on the wrong side for a true neighbor).
+    Recovers much of the recall lost to single-bucket LSH without more
+    hash tables or a bigger index: candidate volume grows by at most
+    ``1 + n_probes`` bucket loads per query while staying
+    ~2^n_planes-fold below brute force.
+
+    Quantized-signature only (the module ``QUANT`` convention): integer
+    dots make both the bucket keys AND the margin ORDER engine-exact
+    (ties broken on plane index), so the probe set — and therefore the
+    whole ranking — replays bit-identically under a SQL oracle
+    (``multiprobe_ann_recall`` measures the recall win over the
+    single-bucket path).
+    """
+    qplanes = quantized_planes(dim, n_planes)
+
+    def plane_dots(vec: Column) -> Column:
+        zv = _quantize(vec)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        zv,
+                        F.array(*[F.lit(p) for p in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for plane in qplanes
+            ]
+        )
+
+    def base_bucket(dots: Column) -> Column:
+        return F.concat_ws(
+            "",
+            F.transform(
+                dots, lambda d: F.when(d > 0, F.lit("1")).otherwise(F.lit("0"))
+            ),
+        )
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("bucket", base_bucket(plane_dots(F.col("cv"))))
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("_dots", plane_dots(F.col("qv")))
+        .withColumn("_base", base_bucket(F.col("_dots")))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    # Flip order: ascending |margin| with plane index breaking ties —
+    # the deterministic probe sequence both engines replay identically.
+    order = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at("_dots", i + 1)).alias("a"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(n_planes)
+            ]
+        )
+    )
+    q = q.withColumn("_order", order)
+
+    def flipped(idx: Column) -> Column:
+        ch = F.col("_base").substr(idx + F.lit(1), F.lit(1))
+        return F.concat(
+            F.col("_base").substr(F.lit(1), idx),
+            F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.col("_base").substr(idx + F.lit(2), F.lit(n_planes)),
+        )
+
+    buckets = F.array(
+        F.col("_base"),
+        *[flipped(F.col("_order")[j]["i"]) for j in range(min(n_probes, n_planes))],
+    )
+    # Candidates move IDS only (the cosine_near_dup_pairs discipline):
+    # distinct (query, neighbor) pairs first, vectors re-attached after.
+    qb = q.select("query_id", F.explode(buckets).alias("bucket")).distinct()
+    cand = (
+        c.select("neighbor_id", "bucket")
+        .join(qb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(q.select("query_id", "qv", "qn"), "query_id")
+        .join(c.select("neighbor_id", "cv", "cn"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup + IVF (scale paths for dedup / ANN at 100TB)
 # ---------------------------------------------------------------------------

@@ -2226,6 +2226,8 @@ _NEWEST_R7: tuple[str, ...] = (
     "padding_waste",
     "gopher_quality",
     "contrastive_pairs",
+    "multiprobe_ann_recall",
+    "dup_span_token_share",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -19081,6 +19083,247 @@ REGISTRY.update(
             q_contrastive_pairs,
             _sql_contrastive_pairs(),
             "anchor/positive/hard-negative triplet mining for embedding training",
+        ),
+    }
+)
+
+
+def q_multiprobe_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for multi-probe LSH
+    (datapipe/similarity.py:lsh_multiprobe_topk): recall@10 of the
+    8-plane signature ranking with 2 extra margin-ordered bucket probes
+    against the exact cosine top-10 for queries vec_id < 8 — the same
+    protocol as lsh_ann_recall, so the two queries read side-by-side as
+    the single-bucket vs multi-probe recall/cost dial."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = sim.brute_force_topk(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_e")
+    )
+    approx = sim.lsh_multiprobe_topk(
+        emb, queries, k=10, n_planes=8, dim=64, n_probes=2
+    ).select("query_id", F.col("neighbor_id").alias("doc_a"))
+    overlap = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id) & (F.col("doc_e") == F.col("doc_a")),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(10.0), 6).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_multiprobe_ann_recall() -> str:
+    planes = sim.quantized_planes(dim=64, n_planes=8)
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(str(w) for w in plane)}]::BIGINT[])"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH planes(plane_id, w) AS (VALUES {plane_rows}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+        list_transform(embedding, x -> round(x * 1000)::BIGINT) AS zv
+      FROM embeddings),
+dots AS (
+  SELECT vec_id, plane_id, list_dot_product(zv, w) AS d
+  FROM c, planes),
+csig AS (
+  SELECT vec_id,
+    string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY plane_id)
+      AS bucket
+  FROM dots GROUP BY vec_id),
+qbase AS (SELECT vec_id AS query_id, bucket FROM csig WHERE vec_id < 8),
+qflip AS (
+  SELECT d.vec_id AS query_id, d.plane_id,
+    row_number() OVER (PARTITION BY d.vec_id ORDER BY abs(d.d), d.plane_id)
+      AS rn
+  FROM dots d WHERE d.vec_id < 8),
+qprobe AS (
+  SELECT query_id, bucket FROM qbase
+  UNION
+  SELECT f.query_id,
+    substr(b.bucket, 1, f.plane_id)
+      || (CASE WHEN substr(b.bucket, f.plane_id + 1, 1) = '1'
+               THEN '0' ELSE '1' END)
+      || substr(b.bucket, f.plane_id + 2) AS bucket
+  FROM qflip f JOIN qbase b USING (query_id) WHERE f.rn <= 2),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM qprobe q JOIN csig s ON s.bucket = q.bucket
+  WHERE s.vec_id <> q.query_id),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+    round(list_dot_product(qc.cv, nc.cv)
+          / (sqrt(list_dot_product(qc.cv, qc.cv))
+             * sqrt(list_dot_product(nc.cv, nc.cv))), 6) AS cosine_sim
+  FROM cand cd
+  JOIN c qc ON qc.vec_id = cd.query_id
+  JOIN c nc ON nc.vec_id = cd.neighbor_id),
+approx_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= 10),
+exact_r AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY
+      round(list_dot_product(qv, cv2)
+            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv2, cv2))), 6) DESC,
+      neighbor_id ASC) AS rank
+  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8) q
+  CROSS JOIN (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv2
+              FROM embeddings) x
+  WHERE neighbor_id <> query_id),
+exact_top AS (SELECT query_id, neighbor_id FROM exact_r WHERE rank <= 10),
+ov AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_overlap
+  FROM exact_top e JOIN approx_top a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1)
+SELECT q.vec_id AS query_id,
+  coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+  round(coalesce(ov.n_overlap, 0) / 10.0::DOUBLE, 6) AS recall_at_10
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+LEFT JOIN ov ON q.vec_id = ov.query_id
+ORDER BY query_id
+"""
+
+
+REGISTRY.update(
+    {
+        "multiprobe_ann_recall": QuerySpec(
+            q_multiprobe_ann_recall,
+            _sql_multiprobe_ann_recall(),
+            "recall@10 of margin-ordered multi-probe LSH vs exact top-10",
+        ),
+    }
+)
+
+
+def q_dup_span_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication BUDGET at span granularity: per document, the
+    fraction of its tokens lying inside ANY cross-doc duplicated span
+    (duplicate_spans over the even-id near-dup corpus, min_run=5) — the
+    number a curation run reports before deciding how aggressively to
+    cut ("38% of this source's tokens are copied text"). Spans from
+    both pair sides become per-doc intervals, overlapping intervals
+    merge with the classic gaps-and-islands running-max (double
+    counting is impossible by construction), and the union length
+    divides by the doc's token count."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(F.col("doc_id") % 2 == 0)
+    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50)
+    iv = spans.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("span_tokens")).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_tokens")).alias("e"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        iv.withColumn(
+            "_new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "_island")
+        .agg((F.max("e") - F.min("s")).alias("_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("_len").cast("long").alias("dup_tokens"))
+    )
+    ntok = corpus.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")),
+            F.lit(1),
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        ntok.join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dup_span_token_share() -> str:
+    spans_cte = SQL_DUPLICATE_SPANS.strip().rstrip()
+    # reuse the whole spans query as a subselect (it ends with ORDER BY,
+    # harmless inside a CTE)
+    return f"""
+WITH spans AS ({spans_cte}),
+corpus AS (
+  SELECT * FROM ({_SQL_DUP_CORPUS_NEAR}) WHERE doc_id % 2 = 0),
+iv AS (
+  SELECT id_a AS doc_id, start_a AS s, start_a + span_tokens AS e FROM spans
+  UNION ALL
+  SELECT id_b, start_b, start_b + span_tokens FROM spans),
+marked AS (
+  SELECT doc_id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT doc_id, s, e,
+    sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked),
+merged AS (
+  SELECT doc_id, sum(len)::BIGINT AS dup_tokens FROM (
+    SELECT doc_id, island, max(e) - min(s) AS len
+    FROM islands GROUP BY doc_id, island)
+  GROUP BY doc_id),
+ntok AS (
+  SELECT doc_id, greatest(len({_RAW_TOKS}), 1)::BIGINT AS n_tokens
+  FROM corpus)
+SELECT n.doc_id, n.n_tokens,
+  coalesce(m.dup_tokens, 0)::BIGINT AS dup_tokens,
+  round(coalesce(m.dup_tokens, 0)::DOUBLE / n.n_tokens::DOUBLE, 6)
+    AS dup_share
+FROM ntok n LEFT JOIN merged m USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "dup_span_token_share": QuerySpec(
+            q_dup_span_token_share,
+            _sql_dup_span_token_share(),
+            "per-doc fraction of tokens inside merged duplicated spans",
         ),
     }
 )

@@ -329,3 +329,35 @@ def test_contrastive_negatives_exclude_partners_and_are_min_id(spark, tmp_path):
         ids = [n for _, n in negs]
         assert ids == sorted(ids)
         assert [rk for rk, _ in negs] == list(range(1, len(negs) + 1))
+
+
+def test_multiprobe_recall_not_worse_than_single_bucket(spark):
+    """2 extra margin-ordered probes must not lose recall on average vs
+    the single-bucket path (candidate superset; pointwise ties allowed)."""
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    single = {
+        r["query_id"]: r["recall_at_10"]
+        for r in REGISTRY["lsh_ann_recall"].spark(spark, sf).collect()
+    }
+    multi = {
+        r["query_id"]: r["recall_at_10"]
+        for r in REGISTRY["multiprobe_ann_recall"].spark(spark, sf).collect()
+    }
+    assert set(single) == set(multi)
+    n = len(single)
+    assert sum(multi.values()) / n >= sum(single.values()) / n
+
+
+def test_dup_span_token_share_full_copy_is_near_one(spark):
+    """In the near-dup corpus every even doc's copy shares the doc's
+    whole text, so most docs should report dup_share close to 1; no
+    share may exceed 1 (interval merge forbids double counting)."""
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["dup_span_token_share"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(0.0 <= r["dup_share"] <= 1.0 for r in rows)
+    covered = [r for r in rows if r["n_tokens"] >= 10]
+    assert covered and sum(r["dup_share"] >= 0.8 for r in covered) / len(covered) > 0.5
