@@ -1481,7 +1481,7 @@ def prefix_filter_pairs(
     # pair can only reach J >= t when each side's size is >= t x the
     # other's. Applied INSIDE the candidate join it prunes pairs before
     # the distinct and the array_intersect verify (the fan-in the r6
-    # verdict measured as the suite's slowest stage). The 1e-9 slack
+    # verdict measured as the suite's slowest stage). The 1e-9 epsilon
     # keeps the filter LOSSLESS at exact-boundary pairs where t*sz in
     # IEEE double rounds a hair above the rational value (verify, which
     # compares round(inter/union, 6) >= t, remains the sole arbiter).
