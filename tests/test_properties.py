@@ -731,3 +731,58 @@ def test_holt_winters_matches_replay(spark, groups, abg, period):
             s[idx] = gamma * (x - level) + (1.0 - gamma) * s[idx]
         nxt = s[len(vs) % period]
         assert got[str(k)] == (level, trend, nxt, level + trend + nxt), f"key {k}"
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=14),
+        min_size=2,
+        max_size=6,
+    ),
+    min_run=st.sampled_from([1, 2, 3]),
+)
+@settings(**SETTINGS)
+def test_duplicate_spans_matches_python_reference(spark, docs, min_run):
+    """Diagonal-run span detection equals an independent O(n²·L²)
+    pure-Python sweep on arbitrary tiny corpora (uncapped): every
+    maximal run of consecutive equal 3-grams between each doc pair,
+    with exact start positions and lengths. A 4-letter alphabet makes
+    repeated grams (multiple diagonals, within-doc repeats) common —
+    the cases the island trick must not merge or split wrongly."""
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.dedup import duplicate_spans
+
+    texts = {i: " ".join(tk) for i, tk in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = duplicate_spans(df, min_run=min_run, n=3, max_df=None)
+    got = {
+        (r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["run_grams"])
+        for r in out.collect()
+    }
+    release(out)
+
+    def grams(t):
+        toks = t.split(" ")
+        if len(toks) < 3:
+            return [" ".join(toks)]
+        return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+    want = set()
+    ids = sorted(texts)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ga, gb = grams(texts[a]), grams(texts[b])
+            for diag in range(-(len(gb) - 1), len(ga)):
+                run = 0
+                for pb in range(len(gb)):
+                    pa = pb + diag
+                    if 0 <= pa < len(ga) and ga[pa] == gb[pb]:
+                        run += 1
+                    else:
+                        if run >= min_run:
+                            want.add((a, b, pa - run, pb - run, run))
+                        run = 0
+                if run >= min_run:
+                    want.add((a, b, len(gb) + diag - run, len(gb) - run, run))
+    assert got == want
