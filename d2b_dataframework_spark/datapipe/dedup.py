@@ -374,14 +374,16 @@ def duplicate_spans(
     vocabulary-sized df agg, one hash equi-join whose buckets are
     df-capped, one window over matched pairs. No all-pairs stage.
     """
-    pos = positional_shingle_frame(df, text_col=text_col, id_col=id_col, n=n)
-    pos = pos.persist()
+    base = positional_shingle_frame(
+        df, text_col=text_col, id_col=id_col, n=n
+    ).persist()
+    pos = base
     if max_df is not None:
-        docfreq = pos.groupBy("gram_hash").agg(
+        docfreq = base.groupBy("gram_hash").agg(
             F.count_distinct(F.col(id_col)).alias("_df")
         )
         pos = (
-            pos.join(docfreq, "gram_hash")
+            base.join(docfreq, "gram_hash")
             .filter(F.col("_df") <= int(max_df))
             .drop("_df")
         )
@@ -415,7 +417,10 @@ def duplicate_spans(
             (F.col("run_grams") + F.lit(int(n) - 1)).cast("long").alias("span_tokens"),
         )
     )
-    return cache.track(runs, pos)
+    # Track the PERSISTED frame, not the df-capped derivation of it —
+    # releasing the derived (never-persisted) frame would no-op while
+    # the real cached blocks leaked.
+    return cache.track(runs, base)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:

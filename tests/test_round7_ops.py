@@ -361,3 +361,26 @@ def test_dup_span_token_share_full_copy_is_near_one(spark):
     assert all(0.0 <= r["dup_share"] <= 1.0 for r in rows)
     covered = [r for r in rows if r["n_tokens"] >= 10]
     assert covered and sum(r["dup_share"] >= 0.8 for r in covered) / len(covered) > 0.5
+
+
+def test_duplicate_spans_release_frees_persisted_blocks(spark):
+    """cache.release on the spans result must unpersist the ACTUAL
+    persisted positional frame — including under a df cap, where the
+    tracked handle must be the persisted base, not its capped
+    derivation (which was never persisted)."""
+    from d2b_dataframework_spark.datapipe.cache import release
+    from d2b_dataframework_spark.datapipe.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")], "doc_id long, text string"
+    )
+    out = duplicate_spans(docs, min_run=2, n=3, max_df=5)
+    out.collect()
+    handles = getattr(out, "_d2b_persisted", [])
+    assert handles and any(
+        h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles
+    )
+    release(out)
+    assert all(
+        not (h.storageLevel.useMemory or h.storageLevel.useDisk) for h in handles
+    )
