@@ -18985,7 +18985,10 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
 
     corpus = _emb_dup_corpus(spark, sf_dir)
-    pos = sim.cosine_near_dup_pairs(corpus, threshold=0.99).select("id_a", "id_b")
+    # capture the persist handles BEFORE .select() — the tracking attr
+    # lives on the returned frame, not on derivations of it
+    _pairs = sim.cosine_near_dup_pairs(corpus, threshold=0.99)
+    pos = _pairs.select("id_a", "id_b")
     assign = kmeans_assignments(corpus, k=8, iters=2).select(
         F.col("vid").alias("vec_id"), F.col("cluster")
     )
@@ -19030,7 +19033,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive", "neg_rank")
     )
-    return track(out, *getattr(pos, "_d2b_persisted", ()))
+    return track(out, *getattr(_pairs, "_d2b_persisted", ()))
 
 
 def _sql_contrastive_pairs() -> str:
