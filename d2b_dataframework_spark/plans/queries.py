@@ -19230,16 +19230,29 @@ def q_dup_span_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides by the doc's token count."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(F.col("doc_id") % 2 == 0)
     spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50)
-    iv = spans.select(
-        F.col("id_a").alias("doc_id"),
-        F.col("start_a").alias("s"),
-        (F.col("start_a") + F.col("span_tokens")).alias("e"),
-    ).unionAll(
+    # DISTINCT is load-bearing, not cosmetic: identical (s, e) rows are
+    # legal (the same span reached from two pair partners), and the
+    # island computation below runs as TWO physical window sorts (the
+    # -1-row max frame and the running sum) whose tie order over
+    # identical rows is independent — a tie ordered differently in the
+    # two passes can split one island into two and double-count.
+    # Deduplicating makes (doc_id, s, e) unique, so the orderBy is a
+    # TOTAL order and both passes agree; the interval UNION length is
+    # unchanged by construction.
+    iv = (
         spans.select(
-            F.col("id_b").alias("doc_id"),
-            F.col("start_b").alias("s"),
-            (F.col("start_b") + F.col("span_tokens")).alias("e"),
+            F.col("id_a").alias("doc_id"),
+            F.col("start_a").alias("s"),
+            (F.col("start_a") + F.col("span_tokens")).alias("e"),
         )
+        .unionAll(
+            spans.select(
+                F.col("id_b").alias("doc_id"),
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_tokens")).alias("e"),
+            )
+        )
+        .distinct()
     )
     w = Window.partitionBy("doc_id").orderBy("s", "e")
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -19288,8 +19301,10 @@ WITH spans AS ({spans_cte}),
 corpus AS (
   SELECT * FROM ({_SQL_DUP_CORPUS_NEAR}) WHERE doc_id % 2 = 0),
 iv AS (
+  -- UNION (not ALL): identical intervals must collapse so the island
+  -- window's orderBy is a total order (see the Spark leg's comment)
   SELECT id_a AS doc_id, start_a AS s, start_a + span_tokens AS e FROM spans
-  UNION ALL
+  UNION
   SELECT id_b, start_b, start_b + span_tokens FROM spans),
 marked AS (
   SELECT doc_id, s, e,
