@@ -2163,6 +2163,25 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "survival_curve", "token_entropy", "token_mutual_info",
         "variant_extract", "weighted_median_price", "zipf_fit",
         "zone_map_stats",
+        # r7 (CORRECTNESS_r07.json, all 50 green: 48 first-timers + the
+        # pricing_summary/top_revenue_orders rechecks already listed above)
+        "activity_burstiness", "als_item_step", "bh_fdr",
+        "bloom_param_planner", "brand_price_elasticity", "calibration_bins",
+        "changepoint_detection", "customer_order_distribution",
+        "dbscan_core_points", "decayed_leaderboard", "dedup_threshold_sweep",
+        "dp_noisy_counts", "feature_drift_ranking", "grouping_sets_report",
+        "hapax_share", "hll_precision_planner", "huber_regression_gd",
+        "interval_conflicts", "iqr_outlier_census", "local_clustering",
+        "lsh_band_stats", "mann_whitney", "minhash_param_planner",
+        "mutual_best_match", "nation_profit", "pareto_revenue_share",
+        "pca_power_iteration", "quantile_treatment_effect",
+        "returned_items_report", "semi_additive_totals", "sentence_stats",
+        "session_entry_exit", "shingle_dup_mass", "shingle_novelty",
+        "skipgram_pmi", "stratified_kfold", "supplier_diversity",
+        "t_closeness", "temporal_split_leakage", "theil_sen_slope",
+        "token_burstiness", "tokenizer_fertility", "top_supplier_revenue",
+        "ucb_arm_selection", "user_behavior_entropy", "value_moments",
+        "vocab_coverage_curve", "window_funnel",
     }
 )
 
@@ -2210,14 +2229,10 @@ _NEWEST_R6: tuple[str, ...] = (
     "ucb_arm_selection",
 )
 
-# Queries added THIS round (round 7).  The r6 verdict pinned r7's
-# 50-slot driver window to exactly the 48-name backlog + the FIRST-EVER
-# recheck rotation (asks #1/#2), so brand-new round-7 entries queue
-# immediately AFTER the recheck slice — still ahead of the remaining
-# verified block, so they lead the r8 backlog and can never sink behind
-# the registry the way holt_winters did in round 5.  They run through
-# the full local gate (tools/check_correctness.py) every round
-# regardless.
+# Queries added in round 7.  The pre-r7 backlog drained through the r7
+# driver window (CORRECTNESS_r07.json, folded above), so these nine are
+# now the ONLY never-driver-sampled names and lead the r8 window per
+# the r7 verdict ask #5 (9 first-timers + 41 recheck slots).
 _NEWEST_R7: tuple[str, ...] = (
     "lsh_ann_recall",
     "semdedup_prune",
@@ -2230,63 +2245,76 @@ _NEWEST_R7: tuple[str, ...] = (
     "dup_span_token_share",
 )
 
+# Queries added THIS round (round 8).  The backlog is down to the nine
+# _NEWEST_R7 names, so the r8 window per the r7 verdict is those nine +
+# a 41-slot recheck rotation; brand-new round-8 entries queue
+# immediately AFTER the recheck slice — still ahead of the remaining
+# verified block, so they lead the r9 backlog and can never sink behind
+# the registry the way holt_winters did in round 5.  They run through
+# the full local gate (tools/check_correctness.py) every round
+# regardless.
+_NEWEST_R8: tuple[str, ...] = ()
+
 # Deterministic rotation seed for the verified re-check slice: derived
 # from |_DRIVER_VERIFIED|, which grows every round a correctness
 # artifact lands, so the selected slice shifts round-over-round with NO
 # manual bump; the whole verified set is eventually re-sampled.
 _GATE_ROUND: int = len(_DRIVER_VERIFIED)
 
-# How many already-verified names to surface inside the sampled window
-# once the unverified backlog no longer fills it (sampled window ≈ 50).
+# Floor on how many already-verified names to surface inside the
+# sampled window; once the unverified backlog no longer fills the
+# window the recheck slice GROWS to fill it (window ≈ 50), so every
+# driver slot does re-verification work instead of going idle.
 _RECHECK_SLOTS: int = 8
 _GATE_WINDOW: int = 50
+
+
+def _recheck_count(n_unverified: int) -> int:
+    """Verified names rotated into the window: at least the floor, and
+    enough to fill every window slot the unverified backlog leaves
+    empty (the r7 verdict's 9-new + 41-recheck contract for round 8)."""
+    return max(_RECHECK_SLOTS, _GATE_WINDOW - n_unverified)
 
 
 def _gate_order() -> list[str]:
     """Registry names ordered for the external correctness gate.
 
     Never-driver-checked queries first — the judge-flagged frontload
-    pair, then the backlog in registry order, then this round's
-    brand-new entries — followed by the already-verified block.  When
-    the unverified block is smaller than the sampled window, a rotating
-    slice of verified names is promoted to the front of the verified
-    block so the sampler re-checks ``_RECHECK_SLOTS`` old queries per
-    round instead of never seeing them again.
+    pair, then the backlog in registry order, then the newest staged
+    names — followed by a rotating recheck slice of verified names that
+    fills the remainder of the sampled window, then this round's
+    brand-new entries (``_NEWEST_R8``), then the rest of the verified
+    block.  New entries therefore lead the next round's backlog while
+    the current window spends every slot on never-sampled or
+    re-verification work.
 
     Structural invariant (asserted by tests/test_round6_ops.py): every
     registry name missing from ``_DRIVER_VERIFIED`` precedes every
-    verified name, so a new query can never silently skip the driver
-    window the way ``holt_winters``/``knn_classifier`` did in round 5.
+    verified name except the ≤``_recheck_count``-deep recheck slice, so
+    a new query can never silently skip the driver window the way
+    ``holt_winters``/``knn_classifier`` did in round 5.
     """
     names = list(REGISTRY)
     front = [n for n in _FRONTLOAD_R6 if n in REGISTRY and n not in _DRIVER_VERIFIED]
-    newest7 = [n for n in _NEWEST_R7 if n in REGISTRY and n not in _DRIVER_VERIFIED]
-    newest = [
-        n
-        for n in _NEWEST_R6
-        if n in REGISTRY
-        and n not in _DRIVER_VERIFIED
-        and n not in front
-        and n not in newest7
-    ]
-    staged = set(front) | set(newest) | set(newest7)
+    newest8 = [n for n in _NEWEST_R8 if n in REGISTRY and n not in _DRIVER_VERIFIED]
+    staged = set(front) | set(newest8)
     backlog = [
         n for n in names if n not in _DRIVER_VERIFIED and n not in staged
     ]
     verified = [n for n in names if n in _DRIVER_VERIFIED]
-    unverified = front + backlog + newest
+    unverified = front + backlog
     if len(unverified) < _GATE_WINDOW and verified:
         # Rotate a deterministic slice of verified names into the window.
         # This round's brand-new entries ride right BEHIND the recheck
-        # slice: the window stays pure backlog+recheck (the r6 verdict's
-        # contract) while the new names still precede the bulk of the
-        # verified block and thus lead the next round's backlog.
+        # slice: the window stays pure backlog+recheck while the new
+        # names still precede the bulk of the verified block and thus
+        # lead the next round's backlog.
         start = (_GATE_ROUND * _RECHECK_SLOTS) % len(verified)
         rotated = verified[start:] + verified[:start]
-        recheck = rotated[:_RECHECK_SLOTS]
+        recheck = rotated[: _recheck_count(len(unverified))]
         rest = [n for n in verified if n not in recheck]
-        return unverified + recheck + newest7 + rest
-    return unverified + newest7 + verified
+        return unverified + recheck + newest8 + rest
+    return unverified + newest8 + verified
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

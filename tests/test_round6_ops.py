@@ -31,21 +31,27 @@ def test_gate_order_unverified_always_precede_verified():
     (or wasn't) added to.  A new query can therefore never silently
     queue behind the verified block and skip the sampled window.
 
-    One EXPLICIT exception (r6 verdict asks #1/#2): names staged in
-    ``_NEWEST_R7`` ride immediately behind the ≤``_RECHECK_SLOTS``-name
-    recheck slice so the r7 window stays pure backlog+recheck — they
-    must still precede the remaining verified block (checked below), so
-    they lead the next round's backlog rather than sinking."""
+    One EXPLICIT exception: names staged in ``_NEWEST_R8`` (added this
+    round) ride immediately behind the recheck slice so the window
+    stays pure backlog+recheck — they must still precede the remaining
+    verified block (checked below), so they lead the next round's
+    backlog rather than sinking."""
     Q = _registry()
     order = Q._gate_order()
     assert sorted(order) == sorted(Q.REGISTRY), "gate order must be a permutation"
-    staged_behind_recheck = set(Q._NEWEST_R7)
+    staged_behind_recheck = set(Q._NEWEST_R8)
+    n_unverified = sum(
+        1
+        for n in Q.REGISTRY
+        if n not in Q._DRIVER_VERIFIED and n not in staged_behind_recheck
+    )
+    max_recheck = Q._recheck_count(n_unverified)
     n_verified_seen = 0
     for name in order:
         if name in Q._DRIVER_VERIFIED:
             n_verified_seen += 1
         elif name in staged_behind_recheck:
-            assert n_verified_seen <= Q._RECHECK_SLOTS, (
+            assert n_verified_seen <= max_recheck, (
                 f"staged query {name!r} sank behind the recheck slice — "
                 "it would not lead the next round's backlog"
             )
@@ -79,14 +85,15 @@ def test_gate_order_staged_names_exist():
     """Frontload/newest tuples must reference real registry entries —
     a typo would silently drop the guarantee they encode."""
     Q = _registry()
-    for name in Q._FRONTLOAD_R6 + Q._NEWEST_R6 + Q._NEWEST_R7:
+    for name in Q._FRONTLOAD_R6 + Q._NEWEST_R6 + Q._NEWEST_R7 + Q._NEWEST_R8:
         assert name in Q.REGISTRY, name
 
 
 def test_gate_window_is_all_first_time_names_this_round():
-    """Round-7 contract from the r6 verdict (asks #1/#2): the sampled
-    window is the never-driver-checked backlog followed by recheck
-    slots; brand-new r7 queries (_NEWEST_R7) queue BEHIND the rechecks
+    """Round-8 contract from the r7 verdict (ask #5): the sampled
+    window leads with the never-driver-checked backlog (the nine
+    _NEWEST_R7 names) and the recheck rotation fills EVERY remaining
+    slot; brand-new r8 queries (_NEWEST_R8) queue BEHIND the rechecks
     so the window stays pure backlog+recheck until the backlog drains."""
     Q = _registry()
     order = Q._gate_order()
@@ -94,13 +101,30 @@ def test_gate_window_is_all_first_time_names_this_round():
     backlog = {
         n
         for n in Q.REGISTRY
-        if n not in Q._DRIVER_VERIFIED and n not in Q._NEWEST_R7
+        if n not in Q._DRIVER_VERIFIED and n not in Q._NEWEST_R8
     }
     if len(backlog) >= Q._GATE_WINDOW:
         assert all(n not in Q._DRIVER_VERIFIED for n in window)
     else:
         assert set(window[: len(backlog)]) == backlog
         assert all(n in Q._DRIVER_VERIFIED for n in window[len(backlog) :])
+
+
+def test_gate_window_r8_shape():
+    """The r8 window is exactly the nine round-7 first-timers followed
+    by 41 distinct verified recheck names (r7 verdict ask #5) — until a
+    round-8 staging tuple or a new driver artifact changes the counts,
+    which the other guards then re-derive."""
+    Q = _registry()
+    order = Q._gate_order()
+    window = order[: Q._GATE_WINDOW]
+    first_timers = [n for n in window if n not in Q._DRIVER_VERIFIED]
+    rechecks = [n for n in window if n in Q._DRIVER_VERIFIED]
+    assert set(first_timers) >= set(Q._NEWEST_R7) - set(Q._DRIVER_VERIFIED)
+    assert len(rechecks) == len(set(rechecks)), "recheck slice must not repeat"
+    if not Q._NEWEST_R8 and set(Q._NEWEST_R7).isdisjoint(Q._DRIVER_VERIFIED):
+        assert len(first_timers) == 9
+        assert len(rechecks) == 41
 
 
 # ---------------------------------------------------------------------------
