@@ -1486,11 +1486,15 @@ def prefix_filter_pairs(
     # pair can only reach J >= t when each side's size is >= t x the
     # other's. Applied INSIDE the candidate join it prunes pairs before
     # the distinct and the array_intersect verify (the fan-in the r6
-    # verdict measured as the suite's slowest stage). The 1e-9 epsilon
-    # keeps the filter LOSSLESS at exact-boundary pairs where t*sz in
-    # IEEE double rounds a hair above the rational value (verify, which
-    # compares round(inter/union, 6) >= t, remains the sole arbiter).
-    t_eps = float(threshold) - 1e-9
+    # verdict measured as the suite's slowest stage). The epsilon keeps
+    # the filter LOSSLESS relative to the verify arbiter, which accepts
+    # round(inter/union, 6) >= t: a pair with true J as low as t - 5e-7
+    # ROUND-passes verify, and J <= min(sz)/max(sz), so the filter must
+    # keep every pair with size ratio >= t - 5e-7.  5.1e-7 covers that
+    # 6dp rounding slack plus the IEEE error of t*sz itself (the old
+    # 1e-9 covered only the latter and could prune a round-passing pair
+    # once unions reach ~1e6 shingles — real at the 100 TB target).
+    t_eps = float(threshold) - 5.1e-7
     cands = (
         a.join(
             b,

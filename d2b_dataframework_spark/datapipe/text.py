@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from d2b_dataframework_spark.datapipe import cache
 from d2b_dataframework_spark.functions.strings import normalize_whitespace
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -1046,29 +1047,30 @@ def coverage_curve(
     id-like junk is flooding the vocabulary.
 
     Scale shape: one explode → token-count shuffle (map-side combine),
-    then rank/cumsum windows over the VOCABULARY-sized count frame
-    (never corpus-sized), one final single-row agg. The global window
-    sorts only the vocabulary — same contract as the top-k vocab cut in
-    vocab_coverage; a range-partitioned sort (global_ntile's shape)
-    replaces it if the vocabulary itself stops fitting a partition.
-    Returns one row: vocab_size, total_tokens, k_at_<pct> per target,
-    plus the top token and its mass share.
+    then rank + running mass over the VOCABULARY-sized count frame
+    (never corpus-sized) via the DISTRIBUTED
+    ``global_rank_running_sum`` (range partition + per-partition
+    windows + broadcast offsets, operators/ranking.py) — a web-scale
+    corpus's vocabulary is itself heavy-tailed and unbounded, so even
+    the vocab frame must never funnel through a single-partition
+    window. One final single-row agg. Returns one row: vocab_size,
+    total_tokens, k_at_<pct> per target, plus the top token and its
+    mass share.
     """
+    from ..operators.ranking import global_rank_running_sum
+
     counts = (
         df.select(F.explode(tokens(text_col)).alias("tok"))
         .filter(F.length("tok") > 0)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    ranked = counts.select(
-        "tok",
+    ranked = global_rank_running_sum(
+        counts,
+        [F.col("n").desc(), F.col("tok").asc()],
         "n",
-        F.row_number().over(w).cast("long").alias("rank"),
-        F.sum("n")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long")
-        .alias("cum"),
+        rank_col="rank",
+        cum_col="cum",
     )
     total = counts.agg(F.sum("n").cast("long").alias("total"))
     joined = ranked.crossJoin(F.broadcast(total))
@@ -1097,7 +1099,9 @@ def coverage_curve(
             6,
         ).alias("top_share"),
     ]
-    return joined.agg(*aggs)
+    # Re-track the range-partitioned intermediate: .crossJoin/.agg
+    # return new objects without the release handle.
+    return cache.track(joined.agg(*aggs), *getattr(ranked, "_d2b_persisted", ()))
 
 
 # Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446 Table A1 —

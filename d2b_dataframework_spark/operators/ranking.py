@@ -82,6 +82,73 @@ def global_row_number(
     return track(ranked, ranged)
 
 
+def global_rank_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    rank_col: str = "rn",
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number AND running sum of an integral
+    ``value_col`` over a total order, without a single-partition window
+    — the distributed form of
+    ``row_number() OVER (ORDER BY ...)`` + ``sum(v) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``.
+
+    Same shape as :func:`global_row_number` with one more number per
+    partition in the tiny driver job: per-partition row counts AND
+    value sums become broadcast literal CASE offsets, so rank and
+    running total are both local-window + offset. ``order_cols`` must
+    define a total order; ``value_col`` must be integral (offsets are
+    carried as exact Python ints — doubles would reorder rounding).
+    The range-partitioned intermediate stays persisted and is tracked
+    on the result for ``datapipe.cache.release``.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = df.repartitionByRange(n_part, *cols).persist()
+    # Materialize the range-partition id ONCE, below the windows, and
+    # partition both windows by the COLUMN: a bare spark_partition_id()
+    # in the second window spec would re-evaluate AFTER the first
+    # window's exchange (post-shuffle ids — with AQE coalescing, often
+    # a single id), silently turning the "local" running sum global.
+    pinned = ranged.withColumn("_pid", F.spark_partition_id())
+    local_w = Window.partitionBy(F.col("_pid")).orderBy(*cols)
+    run_w = local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = pinned.withColumn("_lrn", F.row_number().over(local_w)).withColumn(
+        "_lcum", F.sum(F.col(value_col)).over(run_w)
+    )
+    # Tiny job: two numbers per partition. The only driver-side data.
+    stats = {
+        r["_pid"]: (int(r["c"]), int(r["s"] or 0))
+        for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col(value_col).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    row_off: Column = F.lit(0).cast("long")
+    sum_off: Column = F.lit(0).cast("long")
+    acc_rows, acc_sum = 0, 0
+    for p in sorted(stats):
+        if acc_rows:
+            row_off = F.when(F.col("_pid") == p, F.lit(acc_rows)).otherwise(row_off)
+        if acc_sum:
+            sum_off = F.when(F.col("_pid") == p, F.lit(acc_sum)).otherwise(sum_off)
+        c, s = stats[p]
+        acc_rows += c
+        acc_sum += s
+    out = (
+        staged.withColumn(rank_col, (F.col("_lrn") + row_off).cast("long"))
+        .withColumn(cum_col, (F.col("_lcum").cast("long") + sum_off).cast("long"))
+        .drop("_pid", "_lrn", "_lcum")
+    )
+    return track(out, ranged)
+
+
 def ntile_from_rank(rank: Column | str, total: Column | str, k: int) -> Column:
     """SQL ``NTILE(k)`` from a precomputed 1-based global rank and total
     row count: the first ``total % k`` buckets hold ``ceil(total/k)`` rows,

@@ -602,22 +602,27 @@ def moments_profile(
         ).cast("double"),
         F.lit(0.0),
     )
+    # The guard rides on EVERY moment column, not just `mean`: if a
+    # caller selects only skewness/excess_kurtosis, Catalyst prunes the
+    # mean expression — and any guard attached solely to it — so
+    # out-of-domain inputs would silently null the high moments again.
+    # assert_true is NULL on pass, so `+ _ok` stays a no-op in-domain.
     out = sums.select(
         *keys,
         "n",
         (F.round(mean, 6) + _ok).alias("mean"),
-        (F.round(m2, 6) + F.lit(0.0)).alias("variance"),
+        (F.round(m2, 6) + _ok).alias("variance"),
         F.when(
             m2 > 0,
-            F.round(m3 / F.pow(F.sqrt(m2), F.lit(3.0)), 6) + F.lit(0.0),
+            F.round(m3 / F.pow(F.sqrt(m2), F.lit(3.0)), 6) + _ok,
         )
-        .otherwise(F.lit(0.0))
+        .otherwise(F.lit(0.0) + _ok)
         .alias("skewness"),
         F.when(
             m2 > 0,
-            F.round(m4 / (m2 * m2) - F.lit(3.0), 6) + F.lit(0.0),
+            F.round(m4 / (m2 * m2) - F.lit(3.0), 6) + _ok,
         )
-        .otherwise(F.lit(0.0))
+        .otherwise(F.lit(0.0) + _ok)
         .alias("excess_kurtosis"),
     )
     return out.orderBy(*keys) if keys else out

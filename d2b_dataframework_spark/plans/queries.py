@@ -2253,7 +2253,9 @@ _NEWEST_R7: tuple[str, ...] = (
 # the registry the way holt_winters did in round 5.  They run through
 # the full local gate (tools/check_correctness.py) every round
 # regardless.
-_NEWEST_R8: tuple[str, ...] = ()
+_NEWEST_R8: tuple[str, ...] = (
+    "semdedup_capped",
+)
 
 # Deterministic rotation seed for the verified re-check slice: derived
 # from |_DRIVER_VERIFIED|, which grows every round a correctness
@@ -5676,6 +5678,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     to rank/(n+1) — uniformized scores for threshold-free comparison
     across corpora. Reuses the distributed global_row_number (range
     partition + offsets), never a single-partition rank window."""
+    from d2b_dataframework_spark.datapipe.cache import track
     from d2b_dataframework_spark.operators.ranking import global_row_number
 
     docs = _t(spark, sf_dir, "documents")
@@ -5684,11 +5687,13 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(
         scored, [F.col("quality").asc(), F.col("doc_id").asc()], rank_col="rn"
     )
-    return ranked.select(
+    out = ranked.select(
         "doc_id",
         "quality",
         F.round(F.col("rn").cast("double") / F.lit(float(n + 1)), 6).alias("cdf"),
     ).orderBy("doc_id")
+    # Re-track: .select/.orderBy return new objects without the handle.
+    return track(out, *getattr(ranked, "_d2b_persisted", ()))
 
 
 def _sql_quantile_normalize() -> str:
@@ -6011,6 +6016,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the distributed global_row_number (range partition + offsets),
     the moment sums from exact decimals. One number a marketing org
     tracks for whale-dependence."""
+    from d2b_dataframework_spark.datapipe.cache import track
     from d2b_dataframework_spark.operators.ranking import global_row_number
 
     orders = _t(spark, sf_dir, "orders")
@@ -6027,11 +6033,13 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, six = F.col("_n"), F.col("_sx"), F.col("_six")
     gini = (F.lit(2.0) * six) / (n * sx) - (n + F.lit(1.0)) / n
-    return stats.select(
+    out = stats.select(
         n.cast("long").alias("n_customers"),
         F.round(sx, 2).alias("total_revenue"),
         F.round(gini, 6).alias("gini"),
     )
+    # Re-track: .agg/.select return new objects without the handle.
+    return track(out, *getattr(ranked, "_d2b_persisted", ()))
 
 
 SQL_REVENUE_GINI = """
@@ -13756,12 +13764,19 @@ def q_eb_late_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("raw_rate"),
         F.round(shrunk, 6).alias("shrunk_rate"),
     )
-    w = Window.orderBy(
+    # limit-then-rank (TakeOrderedAndProject) so the single-partition
+    # rank window only ever sees <= 20 rows — identical result because
+    # (shrunk_rate desc, n_lines desc, s_suppkey) is a total order; at
+    # 100 TB the supplier frame is millions of rows and a bare
+    # rank-then-filter would serialize them through one partition.
+    order = [
         F.col("shrunk_rate").desc(), F.col("n_lines").desc(), F.col("s_suppkey").asc()
-    )
+    ]
+    w = Window.orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        scored.orderBy(*order)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "s_suppkey", "n_lines", "n_late", "raw_rate", "shrunk_rate")
     )
 
@@ -14403,12 +14418,17 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     out = local_clustering(edges, min_degree=2)
-    w = Window.orderBy(
+    # limit-then-rank so the rank window sees <= 20 rows, not the full
+    # per-node frame (millions of nodes at scale); (lcc desc, degree
+    # desc, node) is a total order so the result is identical.
+    order = [
         F.col("lcc").desc(), F.col("degree").desc(), F.col("node").asc()
-    )
+    ]
+    w = Window.orderBy(*order)
     return (
-        out.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        out.orderBy(*order)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", F.col("node").cast("long").alias("node"),
                 "degree", "n_triangles", "lcc")
     )
@@ -18711,6 +18731,79 @@ REGISTRY.update(
 )
 
 
+_SEMDEDUP_CAP = 35
+
+
+def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semdedup_prune with the ``max_cluster_size`` guard ACTIVE
+    (similarity.py:semdedup_prune): clusters larger than 35 members
+    skip pair formation entirely — their docs are KEPT with NULL
+    max_sim_smaller and the oversize is visible via cluster_size (the
+    containment-cap pattern: reported, never silent). At the gate SFs
+    the dup corpus puts ~10 of the 32 clusters over the cap and ~21
+    under it, so BOTH arms of the guard flow through the oracle
+    comparison — the belt-and-braces path a 100 TB run would lean on
+    when a degenerate embedding cloud collapses into one cluster."""
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    return sim.semdedup_prune(
+        corpus, k=32, iters=2, threshold=0.95, max_cluster_size=_SEMDEDUP_CAP
+    ).orderBy("vec_id")
+
+
+def _sql_semdedup_capped() -> str:
+    # Same CTE chain as the uncapped oracle with ONE change: the pair
+    # join reads `pairable` (clusters at or under the cap) instead of
+    # the full xv frame — the exact relational mirror of the guard.
+    kmeans_ctes = (
+        SQL_KMEANS.replace("FROM embeddings", "FROM corpus")
+        .replace("FROM x WHERE vec_id < 8", "FROM x WHERE vec_id < 32")
+        .replace(
+            "SELECT vec_id, cid AS cluster, round(dist, 6) AS dist\nFROM a2 ORDER BY vec_id",
+            "",
+        )
+        .replace("WITH x AS", "x AS")
+        .strip()
+        .rstrip(",")
+    )
+    return f"""
+WITH corpus AS ({_SQL_EMB_DUP_CORPUS}),
+{kmeans_ctes},
+assign AS (SELECT vec_id, cid AS cluster FROM a2),
+v AS (SELECT vec_id, embedding AS ev,
+        sqrt(list_dot_product(embedding, embedding)) AS nrm
+      FROM corpus),
+xv AS (SELECT a.vec_id, a.cluster, v.ev, v.nrm
+       FROM assign a JOIN v USING (vec_id)),
+sizes AS (SELECT cluster, count(*)::BIGINT AS cluster_size FROM xv GROUP BY 1),
+pairable AS (
+  SELECT xv.* FROM xv JOIN sizes USING (cluster)
+  WHERE cluster_size <= {_SEMDEDUP_CAP}),
+best AS (
+  SELECT b.vec_id,
+    max(round(list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm), 6))
+      AS max_sim_smaller
+  FROM pairable a JOIN pairable b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  GROUP BY 1)
+SELECT x.vec_id, x.cluster, s.cluster_size, best.max_sim_smaller,
+  coalesce(best.max_sim_smaller >= 0.95, false) AS pruned
+FROM xv x JOIN sizes s USING (cluster)
+LEFT JOIN best ON best.vec_id = x.vec_id
+ORDER BY x.vec_id
+"""
+
+
+REGISTRY.update(
+    {
+        "semdedup_capped": QuerySpec(
+            q_semdedup_capped,
+            _sql_semdedup_capped(),
+            "SemDeDup with the max_cluster_size guard active (skip-and-report)",
+        ),
+    }
+)
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplicate localization
     (datapipe/dedup.py:duplicate_spans): contiguous runs of >= 5
@@ -18788,11 +18881,21 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     log w + Gumbel noise from the portable md5 hash (u strictly inside
     (0,1), so keys are finite), top 50 selected. Fully deterministic:
     the sampled set is a pure function of the corpus and the salt,
-    replayable on any engine."""
+    replayable on any engine.
+
+    The global rank comes from the distributed ``global_row_number``
+    (range partition on the Gumbel key + per-partition row_number +
+    broadcast offsets, operators/ranking.py) — never a bare
+    ``row_number() OVER (ORDER BY ...)``, which would funnel the ENTIRE
+    corpus through one partition (WindowExec "No Partition Defined"):
+    invisible at sf0.1, a single-executor sort of 100 TB at scale — in
+    the one operator whose whole point is corpus-scale resampling."""
+    from d2b_dataframework_spark.datapipe.cache import track
     from d2b_dataframework_spark.datapipe.splits import (
         dsir_log_importance,
         hash_bucket,
     )
+    from d2b_dataframework_spark.operators.ranking import global_row_number
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "_is_tgt", F.col("source") == "src0"
@@ -18803,13 +18906,24 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.round(
         F.col("log_importance") + (-F.log(-F.log(u))), 6
     ).alias("gumbel_key")
-    win = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
-    return (
-        w.select("doc_id", "n_tokens", "log_importance", key)
-        .withColumn("rank", F.row_number().over(win).cast("long"))
+    keyed = w.select("doc_id", "n_tokens", "log_importance", key)
+    ranked = global_row_number(
+        keyed,
+        [F.col("gumbel_key").desc(), F.col("doc_id").asc()],
+        rank_col="rank",
+    )
+    out = (
+        ranked.withColumn("rank", F.col("rank").cast("long"))
         .withColumn("selected", F.col("rank") <= 50)
+        .select(
+            "doc_id", "n_tokens", "log_importance", "gumbel_key",
+            "rank", "selected",
+        )
         .orderBy("doc_id")
     )
+    # Chaining creates new DataFrame objects: re-track the persisted
+    # range-partitioned intermediate so release(out) can free it.
+    return track(out, *getattr(ranked, "_d2b_persisted", ()))
 
 
 SQL_DSIR_IMPORTANCE = f"""

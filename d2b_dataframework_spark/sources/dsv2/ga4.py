@@ -20,10 +20,13 @@ Catalyst:
 - ``partitions`` fans the narrowed window out one ``InputPartition``
   per day; each task runs the reference's offset loop. When the
   ``maxrowsperday`` option bounds a day's row count, the fan-out goes
-  finer — one partition per (day, offset-page) with a fixed
-  ``offset``, so even a single hot day parallelizes across executors
-  (page count is otherwise unknowable at plan time: the API reports
-  ``rowCount`` only in responses);
+  finer — one partition per (day, offset-page), so even a single hot
+  day parallelizes across executors (page count is otherwise
+  unknowable at plan time: the API reports ``rowCount`` only in
+  responses). The last planned page of each day stays OPEN-ENDED —
+  it walks further offsets until a short page — so an option that
+  underestimates a day's true row count degrades to serial tail
+  fetching, never to silently dropped rows;
 - contradictory pushdown (two different equality values for one
   dimension, or an empty date window) plans an EMPTY scan — never a
   silently dropped predicate, and a pushed equality only ever NARROWS
@@ -73,6 +76,24 @@ def _iso(value) -> str:
     return str(value)
 
 
+def _strict_iso(value) -> str | None:
+    """The comparison value as ``YYYY-MM-DD`` — or None when it isn't
+    strictly that shape.  The column is an ISO string, so a predicate
+    against any OTHER string shape (``'20250601'``, ``'june'``) compares
+    lexicographically in Spark; absorbing it as a calendar bound would
+    silently change its semantics (py3.11's ``fromisoformat`` happily
+    parses compact ``YYYYMMDD``, so a parse-success check is NOT enough).
+    Such predicates are yielded back for post-scan evaluation instead."""
+    s = _iso(value)
+    if len(s) != 10 or s[4] != "-" or s[7] != "-":
+        return None
+    try:
+        _dt.date.fromisoformat(s)
+    except ValueError:
+        return None
+    return s
+
+
 def _shift(iso: str, days: int) -> str:
     return (_dt.date.fromisoformat(iso) + _dt.timedelta(days=days)).isoformat()
 
@@ -98,11 +119,15 @@ def report_schema(dims: list[str], mets: list[str], sampling: bool) -> StructTyp
 
 class _PagePartition(InputPartition):
     """One fetch unit: a day, optionally pinned to a single offset page
-    (``offset is None`` → walk the day's whole offset chain)."""
+    (``offset is None`` → walk the day's whole offset chain;
+    ``open_ended`` → start at ``offset`` but KEEP walking until a short
+    page, so the last planned page of a bounded day can never truncate
+    a day whose true row count exceeds the ``maxrowsperday`` option)."""
 
-    def __init__(self, day: str, offset: int | None = None):
+    def __init__(self, day: str, offset: int | None = None, open_ended: bool = False):
         self.day = day
         self.offset = offset
+        self.open_ended = open_ended
 
 
 class Ga4ReportReader(DataSourceReader):
@@ -125,22 +150,29 @@ class Ga4ReportReader(DataSourceReader):
             if attr == "date":
                 if isinstance(f, IsNotNull):
                     continue  # structural: every row carries its day
+                # A non-ISO comparison value (e.g. date > '20250601')
+                # must neither crash planning NOR be absorbed — its
+                # string-comparison semantics differ from the calendar
+                # bound, so it degrades to a post-scan Filter.
+                v = _strict_iso(getattr(f, "value", None))
+                if v is None:
+                    yield f
+                    continue
                 if isinstance(f, EqualTo):
-                    v = _iso(f.value)
                     self.start_date = max(self.start_date, v)
                     self.end_date = min(self.end_date, v)
                     continue
                 if isinstance(f, GreaterThanOrEqual):
-                    self.start_date = max(self.start_date, _iso(f.value))
+                    self.start_date = max(self.start_date, v)
                     continue
                 if isinstance(f, GreaterThan):
-                    self.start_date = max(self.start_date, _shift(_iso(f.value), 1))
+                    self.start_date = max(self.start_date, _shift(v, 1))
                     continue
                 if isinstance(f, LessThanOrEqual):
-                    self.end_date = min(self.end_date, _iso(f.value))
+                    self.end_date = min(self.end_date, v)
                     continue
                 if isinstance(f, LessThan):
-                    self.end_date = min(self.end_date, _shift(_iso(f.value), -1))
+                    self.end_date = min(self.end_date, _shift(v, -1))
                     continue
             elif attr in self.dims and isinstance(f, EqualTo):
                 v = str(f.value)
@@ -172,10 +204,17 @@ class Ga4ReportReader(DataSourceReader):
             return [_PagePartition(d) for d in days]
         # Bounded day: plan one partition per (day, offset-page) so a
         # hot day's pages fetch in parallel instead of one serial loop.
+        # The LAST planned page of each day is open-ended — it keeps
+        # walking offsets until a short page, so an underestimated
+        # maxrowsperday costs parallelism (the tail fetches serially in
+        # one task, like the reference's Google_GA4 offset loop) but
+        # NEVER silently drops rows past n_pages*page_size.
         page_size = int(self.options.get("pagesize", PAGE_SIZE))
         n_pages = max(1, -(-int(max_rows) // page_size))
         return [
-            _PagePartition(d, offset=p * page_size)
+            _PagePartition(
+                d, offset=p * page_size, open_ended=(p == n_pages - 1)
+            )
             for d in days
             for p in range(n_pages)
         ]
@@ -212,7 +251,9 @@ class Ga4ReportReader(DataSourceReader):
         sampling = self.options.get("sampling", "false").lower() == "true"
         names = [f.name for f in self.schema_.fields]
         offset = partition.offset if partition.offset is not None else 0
-        single_page = partition.offset is not None
+        single_page = partition.offset is not None and not getattr(
+            partition, "open_ended", False
+        )
         while True:
             payload = transport.get(
                 f"properties/{prop}:batchRunReports",

@@ -828,9 +828,10 @@ def test_ga4_offset_loop_walks_pages_within_day(spark):
 
 
 def test_ga4_bounded_day_fans_out_offset_partitions(spark):
-    """maxrowsperday=9 at pagesize 3 → 3 offset partitions per day,
-    each pinned to ONE page (no in-task walking): a 2-day window plans
-    6 partitions."""
+    """maxrowsperday=9 at pagesize 3 → 3 offset partitions per day: the
+    first two pinned to ONE page each, the LAST open-ended (it walks
+    further offsets until a short page, so an underestimate can't
+    truncate); a 2-day window plans 6 partitions."""
     from d2b_dataframework_spark.sources.dsv2.ga4 import Ga4ReportReader, report_schema
 
     reader = Ga4ReportReader(
@@ -854,11 +855,68 @@ def test_ga4_bounded_day_fans_out_offset_partitions(spark):
         ("2025-06-01", 0), ("2025-06-01", 3), ("2025-06-01", 6),
         ("2025-06-02", 0), ("2025-06-02", 3), ("2025-06-02", 6),
     ]
-    # union of the pinned pages covers the day exactly once
+    # only the last page of each day is open-ended
+    assert sorted((p.offset, p.open_ended) for p in parts if p.day == "2025-06-01") == [
+        (0, False), (3, False), (6, True),
+    ]
+    # union of the planned pages covers the day exactly once
     got = [r for p in parts if p.day == "2025-06-01" for r in reader.read(p)]
     names = [f.name for f in reader.schema_.fields]
     poss = sorted(int(dict(zip(names, r))["pos"]) for r in got)
     assert poss == list(range(1, 8))
+
+
+def test_ga4_underestimated_maxrowsperday_never_truncates(spark):
+    """ADVICE r7 (medium): maxrowsperday=3 on a 7-row day plans ONE
+    page partition — it must keep walking offsets (the reference's
+    Google_GA4 loop never truncates) and return all 7 rows, not
+    silently drop rows 4-7."""
+    from d2b_dataframework_spark.sources.dsv2.ga4 import Ga4ReportReader, report_schema
+
+    reader = Ga4ReportReader(
+        report_schema(["country"], ["reqEcho", "pos"], False),
+        {
+            "transport": GA4_ECHO,
+            "property": "123",
+            "dimensions": "country",
+            "metrics": "reqEcho,pos",
+            "pagesize": "3",
+            "maxrowsperday": "3",
+            "startdate": "2025-06-01",
+            "enddate": "2025-06-01",
+            "echo_rows_per_day": "7",
+            "echo_countries": "1",
+        },
+    )
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].open_ended
+    got = [r for p in parts for r in reader.read(p)]
+    names = [f.name for f in reader.schema_.fields]
+    poss = sorted(int(dict(zip(names, r))["pos"]) for r in got)
+    assert poss == list(range(1, 8))
+
+
+def test_ga4_malformed_pushed_date_degrades_to_postscan(spark):
+    """ADVICE r7: date > '20250601' (non-ISO) must NOT crash planning
+    with ValueError — the comparison is yielded back to Spark as a
+    post-scan Filter instead of being absorbed into dateRanges."""
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from d2b_dataframework_spark.sources.dsv2.ga4 import Ga4ReportReader, report_schema
+
+    reader = Ga4ReportReader(
+        report_schema(["country"], ["reqEcho"], False),
+        {"transport": GA4_ECHO, "property": "123"},
+    )
+    start0, end0 = reader.start_date, reader.end_date
+    leftover = list(
+        reader.pushFilters(
+            [GreaterThan(("date",), "20250601"), LessThan(("date",), "2025-06-30")]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+    assert reader.start_date == start0  # malformed bound not absorbed
+    assert reader.end_date == "2025-06-29" and end0 != reader.end_date
 
 
 def test_ga4_yyyymmdd_converts_to_iso(ga4):

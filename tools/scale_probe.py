@@ -727,12 +727,20 @@ def main() -> None:
         "semdedup_scaled_k": lambda d, e, m=1: _semdedup(e, m),
     }
 
+    # Ops whose probe time is dominated by OUTPUT volume (planted pairs
+    # grow with the corpus): also count emitted rows at each scale so
+    # the "the growth is the output, not the join" claim is MEASURED —
+    # rows/sec should stay roughly flat across 1x/3x/10x while raw time
+    # grows with the planted output (VERDICT r7 ask #8).
+    count_output = {"duplicate_spans"}
+
     only = set(sys.argv[2:])  # optional op-name filter
     if only:
         ops = {n: b for n, b in ops.items() if n in only}
     print(f"{'op':20s} {'1x':>8s} {'3x':>8s} {'10x':>8s} {'r3':>6s} {'r10':>6s}")
     for name, build in ops.items():
         times = {}
+        rows = {}
         for mult in (1, 3, 10):
             docs = base_docs if mult == 1 else synth_docs(base_docs, mult)
             emb = base_emb if mult == 1 else synth_vecs(base_emb, mult)
@@ -746,6 +754,8 @@ def main() -> None:
             out = _call(build, docs, emb, mult)
             out.write.format("noop").mode("overwrite").save()
             times[mult] = time.perf_counter() - t0
+            if name in count_output:
+                rows[mult] = out.count()  # outside the timer
             cache.release(out)
             spark.catalog.clearCache()
         r3, r10 = times[3] / times[1], times[10] / times[1]
@@ -753,6 +763,12 @@ def main() -> None:
             f"{name:20s} {times[1]:8.2f} {times[3]:8.2f} {times[10]:8.2f}"
             f" {r3:6.1f} {r10:6.1f}"
         )
+        if rows:
+            rps = {m: rows[m] / times[m] for m in rows}
+            print(
+                f"{name + ':rows':20s} {rows[1]:8d} {rows[3]:8d} {rows[10]:8d}"
+                f" rows/s {rps[1]:7.0f} {rps[3]:7.0f} {rps[10]:7.0f}"
+            )
 
 
 if __name__ == "__main__":
