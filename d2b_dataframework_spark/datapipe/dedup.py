@@ -1614,3 +1614,72 @@ def shingle_dup_mass(
             ).alias("dup_mass_share"),
         )
     )
+
+
+def idf_weighted_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """IDF-WEIGHTED set-similarity self-join: weighted Jaccard
+    ``Σ_{g∈A∩B} w_g / Σ_{g∈A∪B} w_g`` with ``w_g = ln(N/df_g)`` — rare
+    shingles count for more, so templated corpora (whose unweighted
+    Jaccard is inflated by boilerplate) separate cleanly from genuine
+    near-duplicates.  The standard refinement of plain Jaccard in
+    near-dup mining (same weighting TF-IDF applies to retrieval).
+
+    The measure is defined over shingles with ``df <= max_df`` — the
+    boilerplate-EXCLUDED weighted Jaccard (ubiquitous grams carry
+    negligible idf anyway, and excluding them is what keeps the
+    candidate join linear: every kept shingle touches at most
+    ``max_df`` docs, so bucket fan-out is bounded).  Candidates come
+    from the kept-shingle equi-join; the verify arithmetic is
+    order-free (weights rounded to 9 decimals, summed as
+    DECIMAL(28,9)), so a DuckDB replay matches bit-for-bit.
+
+    Scale shape: explode → df count (map-side combine) → bounded
+    equi-join → per-pair agg.  No all-pairs stage; N is one driver-side
+    count (a single long, same pattern as quantile_normalize's n).
+    """
+    n_docs = df.count()
+    flat = shingle_hash_frame(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("token_hashes").alias("_g")
+    )
+    dfreq = (
+        flat.groupBy("_g")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+    )
+    w = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("_df").cast("double")), 9
+    ).cast("decimal(28,9)")
+    weighted = flat.join(dfreq, "_g").select(id_col, "_g", w.alias("_w"))
+    # Persisted once: the per-doc totals, both join sides, and the pair
+    # agg all read it. Tracked for release.
+    weighted = weighted.persist()
+    totals = weighted.groupBy(id_col).agg(F.sum("_w").alias("_W"))
+    a = weighted.select(F.col(id_col).alias("id_a"), "_g", F.col("_w").alias("_wa"))
+    b = weighted.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
+    inter = (
+        a.join(b, (a["_g"] == b["_gb"]) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("_wa").alias("_inter"))
+    )
+    out = (
+        inter.join(totals.withColumnsRenamed({id_col: "id_a", "_W": "_Wa"}), "id_a")
+        .join(totals.withColumnsRenamed({id_col: "id_b", "_W": "_Wb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_Wa") + F.col("_Wb") - F.col("_inter")).cast("double"),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+        .filter(F.col("weighted_jaccard") >= F.lit(float(threshold)))
+    )
+    return cache.track(out, weighted)

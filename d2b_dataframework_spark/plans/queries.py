@@ -2255,6 +2255,12 @@ _NEWEST_R7: tuple[str, ...] = (
 # regardless.
 _NEWEST_R8: tuple[str, ...] = (
     "semdedup_capped",
+    "filter_funnel",
+    "idf_jaccard_pairs",
+    "doremi_mixture",
+    "perplexity_buckets",
+    "minhash_est_error",
+    "overlap_chunks",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -19484,6 +19490,585 @@ REGISTRY.update(
             q_dup_span_token_share,
             _sql_dup_span_token_share(),
             "per-doc fraction of tokens inside merged duplicated spans",
+        ),
+    }
+)
+
+
+# --- round 8: curation-funnel observability, IDF-weighted dedup, DoReMi
+#     mixture weights, CCNet perplexity buckets, MinHash estimator audit,
+#     overlapping RAG chunks ---
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/RefinedWeb-style curation-funnel report: the six Gopher
+    screens (datapipe/text.py:gopher_quality_flags) applied IN
+    SEQUENCE, one row per stage with the documents entering, surviving,
+    dropped, the surviving token mass, and overall survival — the
+    observability table every corpus-curation run publishes so a rule
+    that suddenly eats the corpus is visible at the stage it happens.
+    One scan + ONE aggregation (stage membership is six nested
+    conditional sums over the same flag projection); the 6-row stack is
+    driver-free."""
+    g = dt.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+    c1 = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    c2 = c1 & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    c3 = c2 & (F.col("symbol_ratio") < 0.1)
+    c4 = c3 & (F.col("alpha_word_fraction") > 0.8)
+    c5 = c4 & (F.col("stopword_hits") >= 2)
+    c6 = c5 & (F.col("dup_line_fraction") < 0.3)
+    conds = [c1, c2, c3, c4, c5, c6]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("n_words").cast("long").alias("t0"),
+    ]
+    for i, cond in enumerate(conds, 1):
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    one = g.agg(*aggs)
+    stages = [
+        "word_count", "word_length", "symbol_ratio",
+        "alpha_fraction", "stopwords", "dup_lines",
+    ]
+    stack_args: list = []
+    for i, s in enumerate(stages, 1):
+        stack_args += [
+            F.lit(f"{i}_{s}"),
+            F.col(f"n{i-1}"),
+            F.col(f"n{i}"),
+            F.col(f"t{i}"),
+        ]
+    rows = one.select(
+        F.stack(F.lit(len(stages)), *stack_args).alias(
+            "stage", "n_in", "n_kept", "kept_tokens"
+        ),
+        F.col("n0").alias("_n0"),
+    )
+    return rows.select(
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.col("n_in") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        F.round(
+            F.col("n_kept").cast("double") / F.col("_n0").cast("double"), 6
+        ).alias("survival"),
+    ).orderBy("stage")
+
+
+SQL_FILTER_FUNNEL = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, {_RAW_TOKS} AS words FROM documents),
+m AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS n_words,
+    round(list_sum(list_transform(words, w -> len(w)))::DOUBLE
+          / len(words)::DOUBLE, 6) AS mean_word_len,
+    round(((len(t) - len(replace(t, '#', '')))
+           + (len(t) - len(replace(t, '...', ''))) / 3)::DOUBLE
+          / len(words)::DOUBLE, 6) AS symbol_ratio,
+    round(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+          / len(words)::DOUBLE, 6) AS alpha_word_fraction,
+    len(list_intersect(list_distinct(words),
+        ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that']))::BIGINT
+      AS stopword_hits,
+    round(1.0 - len(list_distinct(string_split(t, chr(10))))::DOUBLE
+          / len(string_split(t, chr(10)))::DOUBLE, 6) AS dup_line_fraction
+  FROM base),
+f AS (
+  SELECT *,
+    (n_words BETWEEN 50 AND 100000) AS c1,
+    (n_words BETWEEN 50 AND 100000
+     AND mean_word_len BETWEEN 3.0 AND 10.0) AS c2,
+    (n_words BETWEEN 50 AND 100000
+     AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1) AS c3,
+    (n_words BETWEEN 50 AND 100000
+     AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1
+     AND alpha_word_fraction > 0.8) AS c4,
+    (n_words BETWEEN 50 AND 100000
+     AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1
+     AND alpha_word_fraction > 0.8 AND stopword_hits >= 2) AS c5,
+    (n_words BETWEEN 50 AND 100000
+     AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1
+     AND alpha_word_fraction > 0.8 AND stopword_hits >= 2
+     AND dup_line_fraction < 0.3) AS c6
+  FROM m),
+agg AS (
+  SELECT count(*)::BIGINT AS n0,
+    sum(CASE WHEN c1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN c2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+    sum(CASE WHEN c3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+    sum(CASE WHEN c4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+    sum(CASE WHEN c5 THEN 1 ELSE 0 END)::BIGINT AS n5,
+    sum(CASE WHEN c6 THEN 1 ELSE 0 END)::BIGINT AS n6,
+    sum(CASE WHEN c1 THEN n_words ELSE 0 END)::BIGINT AS t1,
+    sum(CASE WHEN c2 THEN n_words ELSE 0 END)::BIGINT AS t2,
+    sum(CASE WHEN c3 THEN n_words ELSE 0 END)::BIGINT AS t3,
+    sum(CASE WHEN c4 THEN n_words ELSE 0 END)::BIGINT AS t4,
+    sum(CASE WHEN c5 THEN n_words ELSE 0 END)::BIGINT AS t5,
+    sum(CASE WHEN c6 THEN n_words ELSE 0 END)::BIGINT AS t6
+  FROM f)
+SELECT s.stage, s.n_in, s.n_kept, (s.n_in - s.n_kept)::BIGINT AS n_dropped,
+  s.kept_tokens, round(s.n_kept::DOUBLE / agg.n0::DOUBLE, 6) AS survival
+FROM agg, LATERAL (
+  SELECT '1_word_count' AS stage, n0 AS n_in, n1 AS n_kept, t1 AS kept_tokens
+  UNION ALL SELECT '2_word_length', n1, n2, t2
+  UNION ALL SELECT '3_symbol_ratio', n2, n3, t3
+  UNION ALL SELECT '4_alpha_fraction', n3, n4, t4
+  UNION ALL SELECT '5_stopwords', n4, n5, t5
+  UNION ALL SELECT '6_dup_lines', n5, n6, t6) s
+ORDER BY s.stage
+"""
+
+
+def q_idf_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted near-dup pairs (datapipe/dedup.py:idf_weighted_pairs)
+    over the mutated dup corpus: weighted Jaccard with w_g = ln(N/df_g)
+    over shingles with df <= 50 — the boilerplate-excluded, rarity-
+    weighted refinement of prefix_filter_jaccard's plain measure (the
+    two are directly comparable on the same corpus). Candidates from
+    the capped-df shingle equi-join; verify sums 9-decimal weights in
+    DECIMAL(28,9), so the oracle replays bit-for-bit."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    return dd.idf_weighted_pairs(corpus, threshold=0.5, max_df=50).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_IDF_JACCARD_PAIRS = f"""
+WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
+w AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
+sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM w),
+flat AS (SELECT doc_id,
+  unnest(list_distinct(list_transform(ss,
+    x -> ('0x' || substr(md5(x), 1, 7))::BIGINT))) AS g FROM sh),
+nn AS (SELECT count(*)::DOUBLE AS n_docs FROM corpus),
+dfreq AS (
+  SELECT g, count(*)::BIGINT AS df FROM flat GROUP BY 1
+  HAVING count(*) <= 50),
+weighted AS (
+  SELECT f.doc_id, f.g,
+    CAST(round(ln(nn.n_docs / df::DOUBLE), 9) AS DECIMAL(28,9)) AS w
+  FROM flat f JOIN dfreq USING (g) CROSS JOIN nn),
+totals AS (SELECT doc_id, sum(w) AS W FROM weighted GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w) AS iw
+  FROM weighted a JOIN weighted b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+  round(CAST(i.iw AS DOUBLE)
+        / CAST(ta.W + tb.W - i.iw AS DOUBLE), 6) AS weighted_jaccard
+FROM inter i
+JOIN totals ta ON ta.doc_id = i.id_a
+JOIN totals tb ON tb.doc_id = i.id_b
+WHERE round(CAST(i.iw AS DOUBLE) / CAST(ta.W + tb.W - i.iw AS DOUBLE), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+_DOREMI_ETA = 5.0
+
+
+def q_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (one exponentiated-
+    gradient step, public arXiv:2305.10429): per source domain, proxy
+    excess loss = 1 − mean quality score (datapipe/text.py:
+    quality_score), new mixture weight ∝ exp(η·excess) normalized over
+    domains — domains the quality proxy says are HARD get upweighted,
+    exactly the reference-model feedback loop DoReMi iterates. With a
+    static proxy the T-step iterate collapses to softmax(T·η·excess),
+    so one step IS the fixed point shape; η = 5. Everything from one
+    corpus-wide agg + one |domains|-row softmax (decimal sums, order-
+    free); baseline share and tilt included so the table reads as a
+    sampling plan."""
+    docs = _t(spark, sf_dir, "documents")
+    q = dt.quality_score(docs).select("doc_id", "quality")
+    per = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("quality").cast("decimal(18,6)")).alias("_sq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("_sq").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_quality"),
+        )
+        .withColumn("excess_loss", F.round(F.lit(1.0) - F.col("mean_quality"), 6))
+        .withColumn(
+            "_ew",
+            F.round(F.exp(F.lit(_DOREMI_ETA) * F.col("excess_loss")), 9).cast(
+                "decimal(28,9)"
+            ),
+        )
+    )
+    tot = per.agg(
+        F.sum("_ew").alias("_tew"), F.sum("n_docs").cast("long").alias("_tn")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("_tn").cast("double"), 6)
+            .alias("baseline_share"),
+            "mean_quality",
+            "excess_loss",
+            F.round(
+                F.col("_ew").cast("double") / F.col("_tew").cast("double"), 6
+            ).alias("doremi_weight"),
+        )
+        .withColumn(
+            "tilt",
+            F.round(F.col("doremi_weight") / F.col("baseline_share"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOREMI_MIXTURE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_RAW_TOKS} AS words, coalesce(text, '') AS t
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+    round(least(len(words)::DOUBLE / 100.0, 1.0) * 0.5
+      + least(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','that')))::DOUBLE
+              / len(words)::DOUBLE * 4.0, 1.0) * 0.5, 6) AS quality
+  FROM toks),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    round(CAST(sum(quality::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE, 6)
+      AS mean_quality
+  FROM q GROUP BY 1),
+e AS (
+  SELECT *, round(1.0 - mean_quality, 6) AS excess_loss FROM per),
+x AS (
+  SELECT *, CAST(round(exp({_DOREMI_ETA} * excess_loss), 9) AS DECIMAL(28,9)) AS ew
+  FROM e),
+tot AS (SELECT sum(ew) AS tew, sum(n_docs)::BIGINT AS tn FROM x)
+SELECT source, n_docs,
+  round(n_docs::DOUBLE / tn::DOUBLE, 6) AS baseline_share,
+  mean_quality, excess_loss,
+  round(CAST(ew AS DOUBLE) / CAST(tew AS DOUBLE), 6) AS doremi_weight,
+  round(round(CAST(ew AS DOUBLE) / CAST(tew AS DOUBLE), 6)
+        / round(n_docs::DOUBLE / tn::DOUBLE, 6), 6) AS tilt
+FROM x CROSS JOIN tot ORDER BY source
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (public arXiv:1911.00359): odd
+    docs scored by the even-doc bigram LM (datapipe/text.py:
+    lm_bigram_scores — higher mean bigram probability = more
+    predictable = 'cleaner'), split per LANGUAGE into head/middle/tail
+    terciles by exact percentile — the head/middle/tail partition CCNet
+    uses to stratify a crawl before sampling. Per (lang, bucket):
+    docs, bigram mass, mean score. The exact per-lang percentile is an
+    all-values reducer; the documented 100 TB swap is
+    approx_percentile(…, accuracy) exactly as in feature_drift_ranking
+    (same trade, same bounded-sketch argument)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    scored = dt.lm_bigram_scores(train, score_docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    qs = scored.groupBy("lang").agg(
+        F.expr(
+            "percentile(mean_bigram_p, array(0.3333333333333333, 0.6666666666666666))"
+        ).alias("_q")
+    )
+    bucketed = scored.join(F.broadcast(qs), "lang").withColumn(
+        "bucket",
+        F.when(F.col("mean_bigram_p") >= F.col("_q")[1], "head")
+        .when(F.col("mean_bigram_p") >= F.col("_q")[0], "middle")
+        .otherwise("tail"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.sum(F.col("mean_bigram_p").cast("decimal(18,6)")).alias("_sp"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "total_bigrams",
+            F.round(
+                F.col("_sp").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH tk AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+train_bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tk WHERE doc_id % 2 = 0),
+uni AS (
+  SELECT w1, count(*)::BIGINT AS c1 FROM (
+    SELECT unnest(t) AS w1 FROM tk WHERE doc_id % 2 = 0) GROUP BY w1),
+bi AS (SELECT bg, count(*)::BIGINT AS c2 FROM train_bg GROUP BY bg),
+v AS (SELECT count(*)::DOUBLE AS nv FROM uni),
+doc_bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tk WHERE doc_id % 2 = 1),
+doc_bg2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM doc_bg),
+scored AS (
+  SELECT d.doc_id,
+    count(*)::BIGINT AS n_bigrams,
+    round(CAST(sum(CAST(round(
+        (coalesce(b.c2, 0)::DOUBLE + 0.5) / (coalesce(u.c1, 0)::DOUBLE + 0.5 * v.nv)
+      , 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_bigram_p
+  FROM doc_bg2 d
+  LEFT JOIN bi b USING (bg)
+  LEFT JOIN uni u USING (w1)
+  CROSS JOIN v
+  GROUP BY d.doc_id),
+sl AS (
+  SELECT s.*, doc.lang FROM scored s JOIN documents doc USING (doc_id)),
+qs AS (
+  SELECT lang,
+    quantile_cont(mean_bigram_p, 0.3333333333333333) AS q33,
+    quantile_cont(mean_bigram_p, 0.6666666666666666) AS q67
+  FROM sl GROUP BY 1),
+bucketed AS (
+  SELECT sl.lang, sl.n_bigrams, sl.mean_bigram_p,
+    CASE WHEN sl.mean_bigram_p >= q.q67 THEN 'head'
+         WHEN sl.mean_bigram_p >= q.q33 THEN 'middle'
+         ELSE 'tail' END AS bucket
+  FROM sl JOIN qs q USING (lang))
+SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+  sum(n_bigrams)::BIGINT AS total_bigrams,
+  round(CAST(sum(mean_bigram_p::DECIMAL(18,6)) AS DOUBLE)
+        / count(*)::DOUBLE, 6) AS mean_score
+FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: over the LSH candidate pairs of the
+    mutated dup corpus, compare the 16-slot signature-agreement
+    estimate of Jaccard (the quantity banding actually thresholds on)
+    against the EXACT shingle Jaccard, aggregated per true-J decile —
+    the measured counterpart of minhash_param_planner's closed-form
+    error model (expected |est − J| ~ sqrt(J(1−J)/16)): if the measured
+    mean error drifts from the model, the planner's b/r advice is
+    stale. Pure composition of the oracle-verified signature and
+    banding stages; only candidate pairs are scored (linear, never
+    all-pairs)."""
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    sigs = dd.minhash_signatures(corpus).persist()
+    cands = dd.lsh_candidate_pairs(sigs)
+    n_h = dd.N_HASHES
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("token_hashes").alias("_ha"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(n_h)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("token_hashes").alias("_hb"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(n_h)],
+    )
+    matches = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(n_h)
+    )
+    paired = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.round(matches.cast("double") / F.lit(float(n_h)), 6).alias("_est"),
+            F.round(dd.jaccard(F.col("_ha"), F.col("_hb")), 6).alias("_tj"),
+        )
+    )
+    out = (
+        paired.withColumn(
+            "j_band",
+            F.least(F.floor(F.col("_tj") * 10), F.lit(9)).cast("long"),
+        )
+        .groupBy("j_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("_tj").cast("decimal(18,6)")).alias("_st"),
+            F.sum(F.col("_est").cast("decimal(18,6)")).alias("_se"),
+            F.sum(
+                F.round(F.abs(F.col("_est") - F.col("_tj")), 9).cast(
+                    "decimal(28,9)"
+                )
+            ).alias("_serr"),
+            F.max(F.abs(F.col("_est") - F.col("_tj"))).alias("_merr"),
+        )
+        .select(
+            "j_band",
+            "n_pairs",
+            F.round(F.col("_st").cast("double") / F.col("n_pairs").cast("double"), 6)
+            .alias("mean_true"),
+            F.round(F.col("_se").cast("double") / F.col("n_pairs").cast("double"), 6)
+            .alias("mean_est"),
+            F.round(
+                F.col("_serr").cast("double") / F.col("n_pairs").cast("double"), 6
+            ).alias("mean_abs_err"),
+            F.round(F.col("_merr"), 6).alias("max_abs_err"),
+        )
+        .orderBy("j_band")
+    )
+    return track(out, sigs)
+
+
+def _sql_minhash_est_error() -> str:
+    perms = dd.PERMS
+    p = dd.MERSENNE31
+    n_h = dd.N_HASHES
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p}))" for a, b in perms
+    )
+    band_rows = ", ".join(f"({b})" for b in range(dd.N_BANDS))
+    rpb = dd.ROWS_PER_BAND
+    return f"""
+WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
+toks AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+hashes AS (SELECT doc_id,
+  list_distinct(list_transform(shingles, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT)) AS hs
+  FROM sh),
+sigs AS (SELECT doc_id, hs, [{sig_items}] AS sig FROM hashes),
+bands AS (
+  SELECT doc_id,
+    b.band_id,
+    array_to_string(list_slice(sig, b.band_id * {rpb} + 1, b.band_id * {rpb} + {rpb}), '_') AS band_key
+  FROM sigs, (VALUES {band_rows}) b(band_id)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+m AS (
+  SELECT
+    round(len(list_filter(range(1, {n_h + 1}),
+        i -> s1.sig[i] = s2.sig[i]))::DOUBLE / {n_h}.0, 6) AS est,
+    round(len(list_intersect(s1.hs, s2.hs))::DOUBLE
+          / len(list_distinct(s1.hs || s2.hs))::DOUBLE, 6) AS tj
+  FROM cands c
+  JOIN sigs s1 ON s1.doc_id = c.id_a
+  JOIN sigs s2 ON s2.doc_id = c.id_b)
+SELECT least(floor(tj * 10), 9)::BIGINT AS j_band,
+  count(*)::BIGINT AS n_pairs,
+  round(CAST(sum(tj::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_true,
+  round(CAST(sum(est::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_est,
+  round(CAST(sum(CAST(round(abs(est - tj), 9) AS DECIMAL(28,9))) AS DOUBLE)
+        / count(*)::DOUBLE, 6) AS mean_abs_err,
+  round(max(abs(est - tj)), 6) AS max_abs_err
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping RAG chunker: fixed 64-token windows at stride 48
+    (25% overlap so retrieval never loses a sentence to a chunk
+    boundary — the standard RAG indexing shape), one row per chunk with
+    its token span, size, overlap with the previous chunk, and first
+    token. Pure map-side sequence+explode — zero shuffles, zero Python;
+    the closed-form overlap needs no window function. Complements
+    text_chunks' non-overlapping fixed splitter."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", dt.tokens("text").alias("_t")).withColumn(
+        "_n", F.size("_t").cast("long")
+    )
+    ch = base.select(
+        "doc_id",
+        "_t",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.col("_n") - 1, F.lit(0).cast("long")),
+                F.lit(48).cast("long"),
+            )
+        ).alias("start_tok"),
+    )
+    chunk_id = (F.col("start_tok") / F.lit(48)).cast("long")
+    end_tok = F.least(F.col("start_tok") + 64, F.col("_n"))
+    prev_end = F.least((chunk_id - 1) * 48 + 64, F.col("_n"))
+    return ch.select(
+        "doc_id",
+        chunk_id.alias("chunk_id"),
+        F.col("start_tok"),
+        end_tok.cast("long").alias("end_tok"),
+        (end_tok - F.col("start_tok")).cast("long").alias("n_chunk_tokens"),
+        F.when(F.col("start_tok") == 0, F.lit(0))
+        .otherwise(F.greatest(prev_end - F.col("start_tok"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("overlap_prev"),
+        F.element_at("_t", (F.col("start_tok") + 1).cast("int")).alias("first_token"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+SQL_OVERLAP_CHUNKS = f"""
+WITH toks AS (SELECT doc_id, {_RAW_TOKS} AS t FROM documents),
+st AS (
+  SELECT doc_id, t, len(t)::BIGINT AS n,
+    unnest(range(0, greatest(len(t), 1), 48))::BIGINT AS start_tok
+  FROM toks)
+SELECT doc_id,
+  (start_tok // 48)::BIGINT AS chunk_id,
+  start_tok,
+  least(start_tok + 64, n)::BIGINT AS end_tok,
+  (least(start_tok + 64, n) - start_tok)::BIGINT AS n_chunk_tokens,
+  (CASE WHEN start_tok = 0 THEN 0
+        ELSE greatest(least((start_tok // 48 - 1) * 48 + 64, n) - start_tok, 0)
+   END)::BIGINT AS overlap_prev,
+  t[start_tok + 1] AS first_token
+FROM st ORDER BY doc_id, chunk_id
+"""
+
+
+REGISTRY.update(
+    {
+        "filter_funnel": QuerySpec(
+            q_filter_funnel,
+            SQL_FILTER_FUNNEL,
+            "staged Gopher-screen curation funnel with per-stage attrition",
+        ),
+        "idf_jaccard_pairs": QuerySpec(
+            q_idf_jaccard_pairs,
+            SQL_IDF_JACCARD_PAIRS,
+            "IDF-weighted near-dup pairs (boilerplate-excluded weighted Jaccard)",
+        ),
+        "doremi_mixture": QuerySpec(
+            q_doremi_mixture,
+            SQL_DOREMI_MIXTURE,
+            "DoReMi-style exp-gradient domain mixture reweighting",
+        ),
+        "perplexity_buckets": QuerySpec(
+            q_perplexity_buckets,
+            SQL_PERPLEXITY_BUCKETS,
+            "CCNet head/middle/tail LM-score terciles per language",
+        ),
+        "minhash_est_error": QuerySpec(
+            q_minhash_est_error,
+            _sql_minhash_est_error(),
+            "measured MinHash Jaccard-estimate error per true-J decile",
+        ),
+        "overlap_chunks": QuerySpec(
+            q_overlap_chunks,
+            SQL_OVERLAP_CHUNKS,
+            "overlapping 64/48 RAG chunk table with closed-form overlaps",
         ),
     }
 )

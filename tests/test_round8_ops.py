@@ -154,3 +154,86 @@ def test_topk_queries_have_no_unbounded_global_window(spark):
         df = REGISTRY[name].spark(spark, SF_DIR)
         assert _gwin(df) == 0, name
         cache.release(df)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 new operators
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_chunks_closed_form(spark, tmp_path):
+    """100-token doc at 64/48 → starts 0/48/96, sizes 64/52/4, overlaps
+    0/16/4 (the final short chunk overlaps its predecessor's tail)."""
+    import os
+
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text, "en", "src0", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf_chunks")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    rows = REGISTRY["overlap_chunks"].spark(spark, sf).collect()
+    got = [
+        (r["start_tok"], r["end_tok"], r["n_chunk_tokens"], r["overlap_prev"])
+        for r in rows
+    ]
+    assert got == [(0, 64, 64, 0), (48, 100, 52, 16), (96, 100, 4, 4)]
+    assert [r["first_token"] for r in rows] == ["w0", "w48", "w96"]
+
+
+def test_filter_funnel_is_monotone_chain(spark):
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["filter_funnel"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_kept"], "stages must chain"
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_in"]
+        assert r["n_dropped"] == r["n_in"] - r["n_kept"]
+
+
+def test_doremi_weights_normalize_and_tilt_hard_domains(spark):
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["doremi_mixture"].spark(spark, SF_DIR).collect()
+    assert abs(sum(r["doremi_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["baseline_share"] for r in rows) - 1.0) < 1e-4
+    hardest = max(rows, key=lambda r: r["excess_loss"])
+    easiest = min(rows, key=lambda r: r["excess_loss"])
+    if hardest["excess_loss"] > easiest["excess_loss"]:
+        assert hardest["doremi_weight"] >= easiest["doremi_weight"]
+
+
+def test_idf_jaccard_finds_planted_twins(spark):
+    """Every doc's ' zzzz'-suffixed twin shares all but the tail
+    shingles, so (i, i+10000) must surface with high weighted J."""
+    from d2b_dataframework_spark.datapipe import cache
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["idf_jaccard_pairs"].spark(spark, SF_DIR)
+    rows = df.collect()
+    twins = {(r["id_a"], r["id_b"]) for r in rows if r["id_b"] == r["id_a"] + 10000}
+    assert len(twins) > 0
+    assert all(r["weighted_jaccard"] <= 1.0 for r in rows)
+    cache.release(df)
+
+
+def test_minhash_est_error_tracks_binomial_model(spark):
+    """The 16-slot estimator's mean |err| should sit near the binomial
+    model sqrt(J(1-J)/16) <= 0.125 — a loose 3x bound catches a broken
+    estimator without flaking on small samples."""
+    from d2b_dataframework_spark.datapipe import cache
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["minhash_est_error"].spark(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "LSH candidates must exist on the dup corpus"
+    for r in rows:
+        assert r["mean_abs_err"] <= 3 * 0.125, r
+        assert abs(r["mean_est"] - r["mean_true"]) <= 0.25, r
+    cache.release(df)

@@ -244,6 +244,20 @@ def _dupspans(docs):
     return duplicate_spans(corpus, min_run=5, n=3, max_df=50)
 
 
+def _idf_weighted(docs):
+    """idf_weighted_pairs on corpus ∪ suffixed copy: each doc pairs with
+    its twin (linear planted output); the df<=50 cap bounds every
+    shingle bucket, so the candidate join must stay ~linear."""
+    from d2b_dataframework_spark.datapipe.dedup import idf_weighted_pairs
+
+    copy = docs.select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copy)
+    return idf_weighted_pairs(corpus, threshold=0.5, max_df=50)
+
+
 def _semdedup(emb, mult=1):
     """semdedup_prune with k SCALED to the corpus (k = 8·mult) — the
     SemDeDup recipe: cluster count grows with the data so cluster sizes
@@ -725,6 +739,10 @@ def main() -> None:
         # scales k with the corpus per the SemDeDup recipe.
         "duplicate_spans": lambda d, e: _dupspans(d),
         "semdedup_scaled_k": lambda d, e, m=1: _semdedup(e, m),
+        # Round-8: IDF-weighted pair join — candidates from the
+        # df<=50-capped shingle equi-join (same bound as containment),
+        # planted twin pairs grow linearly with the corpus.
+        "idf_weighted": lambda d, e: _idf_weighted(d),
     }
 
     # Ops whose probe time is dominated by OUTPUT volume (planted pairs
