@@ -2261,6 +2261,8 @@ _NEWEST_R8: tuple[str, ...] = (
     "perplexity_buckets",
     "minhash_est_error",
     "overlap_chunks",
+    "source_overlap",
+    "cluster_purity_nmi",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -20069,6 +20071,255 @@ REGISTRY.update(
             q_overlap_chunks,
             SQL_OVERLAP_CHUNKS,
             "overlapping 64/48 RAG chunk table with closed-form overlaps",
+        ),
+    }
+)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-slice contamination matrix: for every pair of corpus
+    sources, the shingle-set Jaccard and overlap coefficient between
+    the slices' distinct 3-gram vocabularies — the first thing a data
+    audit asks when two crawls/vendors are merged ("how much of B is
+    already in A?"), and the corpus-level complement of the per-pair
+    dedup stack. Scale shape: per-doc Arrow shingle pass → distinct
+    (source, gram) → gram-level self-join where each gram joins at most
+    |sources| rows (bounded fan-out, linear in vocabulary), finishing
+    in a |sources|²-row frame."""
+    docs = _t(spark, sf_dir, "documents")
+    flat = (
+        dd.shingle_hash_frame(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("token_hashes").alias("_g"))
+        .distinct()
+    )
+    sizes = flat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    a = flat.select(F.col("source").alias("source_a"), "_g")
+    b = flat.select(F.col("source").alias("source_b"), F.col("_g").alias("_gb"))
+    inter = (
+        a.join(b, (a["_g"] == b["_gb"]) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.withColumnsRenamed({"source": "source_a", "n_grams": "n_a"})
+    sb = sizes.withColumnsRenamed({"source": "source_b", "n_grams": "n_b"})
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("overlap_coef"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH w AS (SELECT doc_id, source, {_WORDS_ORDERED} AS words FROM documents),
+sh AS (SELECT source, {_SHINGLES} AS ss FROM w),
+flat AS (
+  SELECT DISTINCT source, g FROM (
+    SELECT source,
+      unnest(list_transform(ss, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT)) AS g
+    FROM sh)),
+sizes AS (SELECT source, count(*)::BIGINT AS n_grams FROM flat GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared
+  FROM flat a JOIN flat b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.source_a, i.source_b,
+  sa.n_grams AS n_a, sb.n_grams AS n_b, i.n_shared,
+  round(i.n_shared::DOUBLE
+        / (sa.n_grams + sb.n_grams - i.n_shared)::DOUBLE, 6) AS jaccard,
+  round(i.n_shared::DOUBLE / least(sa.n_grams, sb.n_grams)::DOUBLE, 6)
+    AS overlap_coef
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+"""
+
+
+def q_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report: k-means assignments (the exact
+    quantized Lloyd pass every clustering query shares) scored against
+    the embeddings' ground-truth labels — purity, mutual information,
+    both entropies, and NMI = MI/sqrt(H_c·H_l), the standard external
+    cluster-validity metric (a curation run uses it to decide whether
+    cluster-balanced sampling will actually balance semantics).  All
+    probability/log terms computed on the |clusters|×|labels| JOINT
+    frame (tiny at any corpus scale) with 9-decimal rounded terms in
+    DECIMAL sums, so both legs replay bit-identically."""
+    from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assignments(emb, k=8, iters=2).select(
+        F.col("vid").alias("vec_id"), "cluster"
+    )
+    joint = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cl"))
+    )
+    ct = joint.groupBy("cluster").agg(F.sum("n_cl").cast("long").alias("n_c"))
+    lt = joint.groupBy("label").agg(F.sum("n_cl").cast("long").alias("n_l"))
+    tot = joint.agg(F.sum("n_cl").cast("long").alias("_n"))
+    terms = (
+        joint.join(ct, "cluster")
+        .join(lt, "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("n_cl").cast("double") / F.col("_n").cast("double")).alias("pcl"),
+            (F.col("n_c").cast("double") / F.col("_n").cast("double")).alias("pc"),
+            (F.col("n_l").cast("double") / F.col("_n").cast("double")).alias("pl"),
+        )
+    )
+    mi = terms.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("pcl") * F.log(F.col("pcl") / (F.col("pc") * F.col("pl"))),
+                    9,
+                ).cast("decimal(28,9)")
+            ).cast("double"),
+            6,
+        ).alias("mi")
+    )
+    hc = (
+        ct.crossJoin(F.broadcast(tot))
+        .select((F.col("n_c").cast("double") / F.col("_n").cast("double")).alias("p"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.round(
+                F.sum(
+                    F.round(-F.col("p") * F.log("p"), 9).cast("decimal(28,9)")
+                ).cast("double"),
+                6,
+            ).alias("h_cluster"),
+        )
+    )
+    hl = (
+        lt.crossJoin(F.broadcast(tot))
+        .select((F.col("n_l").cast("double") / F.col("_n").cast("double")).alias("p"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.round(
+                F.sum(
+                    F.round(-F.col("p") * F.log("p"), 9).cast("decimal(28,9)")
+                ).cast("double"),
+                6,
+            ).alias("h_label"),
+        )
+    )
+    pur = (
+        joint.groupBy("cluster")
+        .agg(F.max("n_cl").alias("_mx"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum("_mx").cast("double") / F.max("_n").cast("double"), 6
+            ).alias("purity")
+        )
+    )
+    one = (
+        tot.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(pur))
+    )
+    return one.select(
+        F.col("_n").alias("n_vecs"),
+        "n_clusters",
+        "n_labels",
+        "purity",
+        "mi",
+        "h_cluster",
+        "h_label",
+        F.when(
+            (F.col("h_cluster") > 0) & (F.col("h_label") > 0),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_cluster") * F.col("h_label")), 6
+            ),
+        ).alias("nmi"),
+    )
+
+
+def _sql_cluster_purity_nmi() -> str:
+    kmeans_ctes = (
+        SQL_KMEANS.replace(
+            "SELECT vec_id, cid AS cluster, round(dist, 6) AS dist\nFROM a2 ORDER BY vec_id",
+            "",
+        )
+        .replace("WITH x AS", "x AS")
+        .strip()
+        .rstrip(",")
+    )
+    return f"""
+WITH {kmeans_ctes},
+assign AS (SELECT vec_id, cid AS cluster FROM a2),
+joint AS (
+  SELECT a.cluster, e.label, count(*)::BIGINT AS n_cl
+  FROM assign a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+ct AS (SELECT cluster, sum(n_cl)::BIGINT AS n_c FROM joint GROUP BY 1),
+lt AS (SELECT label, sum(n_cl)::BIGINT AS n_l FROM joint GROUP BY 1),
+tot AS (SELECT sum(n_cl)::BIGINT AS n FROM joint),
+terms AS (
+  SELECT (j.n_cl::DOUBLE / t.n::DOUBLE) AS pcl,
+    (c.n_c::DOUBLE / t.n::DOUBLE) AS pc,
+    (l.n_l::DOUBLE / t.n::DOUBLE) AS pl
+  FROM joint j JOIN ct c USING (cluster) JOIN lt l USING (label) CROSS JOIN tot t),
+mi AS (
+  SELECT round(CAST(sum(CAST(round(pcl * ln(pcl / (pc * pl)), 9)
+    AS DECIMAL(28,9))) AS DOUBLE), 6) AS mi FROM terms),
+hc AS (
+  SELECT count(*)::BIGINT AS n_clusters,
+    round(CAST(sum(CAST(round(-(n_c::DOUBLE / t.n::DOUBLE)
+      * ln(n_c::DOUBLE / t.n::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+      AS h_cluster
+  FROM ct CROSS JOIN tot t),
+hl AS (
+  SELECT count(*)::BIGINT AS n_labels,
+    round(CAST(sum(CAST(round(-(n_l::DOUBLE / t.n::DOUBLE)
+      * ln(n_l::DOUBLE / t.n::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+      AS h_label
+  FROM lt CROSS JOIN tot t),
+pur AS (
+  SELECT round(sum(mx)::DOUBLE / max(t.n)::DOUBLE, 6) AS purity
+  FROM (SELECT cluster, max(n_cl) AS mx FROM joint GROUP BY 1) CROSS JOIN tot t)
+SELECT t.n AS n_vecs, hc.n_clusters, hl.n_labels, pur.purity, mi.mi,
+  hc.h_cluster, hl.h_label,
+  CASE WHEN hc.h_cluster > 0 AND hl.h_label > 0
+    THEN round(mi.mi / sqrt(hc.h_cluster * hl.h_label), 6) END AS nmi
+FROM tot t CROSS JOIN hc CROSS JOIN hl CROSS JOIN mi CROSS JOIN pur
+"""
+
+
+REGISTRY.update(
+    {
+        "source_overlap": QuerySpec(
+            q_source_overlap,
+            SQL_SOURCE_OVERLAP,
+            "cross-source shingle contamination matrix (Jaccard + overlap coef)",
+        ),
+        "cluster_purity_nmi": QuerySpec(
+            q_cluster_purity_nmi,
+            _sql_cluster_purity_nmi(),
+            "external cluster validity: purity, MI, entropies, NMI vs labels",
         ),
     }
 )
