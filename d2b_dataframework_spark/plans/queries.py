@@ -18229,9 +18229,15 @@ def q_feature_drift_ranking(
         if approx_edges
         else f"percentile(v, array({qs_sql}))"
     )
+    # Persist the 3-row edges frame: it is broadcast into BOTH bucket
+    # passes and seeds the grid — without the pin each use re-runs the
+    # full percentile pass (an all-values reducer over the stacked
+    # scan), tripling the query's dominant cost. Tracked for release.
+    from d2b_dataframework_spark.datapipe.cache import track
+
     edges = ref.groupBy("feature").agg(
         F.transform(F.expr(edge_expr), lambda e: F.round(e, 6)).alias("_edges")
-    )
+    ).persist()
 
     def bucketed(df):
         return (
@@ -18282,9 +18288,10 @@ def q_feature_drift_ranking(
         .agg(F.round(F.sum("_term").cast("double"), 6).alias("psi"))
     )
     w = Window.orderBy(F.col("psi").desc(), F.col("feature").asc())
-    return psi.select(
+    out = psi.select(
         "feature", "psi", F.row_number().over(w).cast("long").alias("drift_rank")
     ).orderBy("drift_rank")
+    return track(out, edges)
 
 
 SQL_FEATURE_DRIFT = """
