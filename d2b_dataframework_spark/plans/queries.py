@@ -2263,6 +2263,7 @@ _NEWEST_R8: tuple[str, ...] = (
     "overlap_chunks",
     "source_overlap",
     "cluster_purity_nmi",
+    "lexical_hard_negatives",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -20327,6 +20328,128 @@ REGISTRY.update(
             q_cluster_purity_nmi,
             _sql_cluster_purity_nmi(),
             "external cluster validity: purity, MI, entropies, NMI vs labels",
+        ),
+    }
+)
+
+
+def q_lexical_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical hard-negative mining over the dup corpus: each anchor
+    document (every 20th original) issues its 8 rarest
+    CROSS-DOC 3-gram shingles (3 <= df <= 50 — df<=2 shingles live only
+    in the anchor+twin pair and cannot reach a negative; tie-broken by
+    hash) as a query; candidates score by
+    summed shingle idf over the inverted shingle index; the anchor
+    itself and its planted near-dup twin are EXCLUDED (those are the
+    positives) and the top-3 survivors per anchor are the hard
+    negatives — lexically close but not duplicates, the retrieval-side
+    complement of contrastive_pairs' embedding-side miner. Shingles,
+    not words: rarity lives at the n-gram level (the same reason the
+    whole dedup stack shingles). Fan-out is bounded twice: query
+    shingles are df<=50 (each joins at most 50 postings) and every
+    window is partitioned by anchor. One Arrow index pass, one bounded
+    join, no all-pairs stage."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    postings = dd.shingle_hash_frame(corpus).select(
+        "doc_id", F.explode("token_hashes").alias("_g")
+    )
+    dfreq = postings.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    n_docs = corpus.count()
+    idf = F.round(
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("_df").cast("double") + 1.0)), 6
+    ).cast("decimal(18,6)")
+    anchors = corpus.filter(
+        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 10000)
+    ).select(F.col("doc_id").alias("anchor"))
+    rare = (
+        postings.join(anchors, postings["doc_id"] == anchors["anchor"])
+        .select("anchor", "_g")
+        .join(
+            dfreq.filter((F.col("_df") >= 3) & (F.col("_df") <= 50)), "_g"
+        )
+    )
+    wq = Window.partitionBy("anchor").orderBy(F.col("_df").asc(), F.col("_g").asc())
+    qgrams = (
+        rare.withColumn("_qr", F.row_number().over(wq))
+        .filter(F.col("_qr") <= 8)
+        .select("anchor", "_g", idf.alias("_idf"))
+    )
+    scored = (
+        qgrams.join(postings, "_g")
+        .groupBy("anchor", "doc_id")
+        .agg(F.sum("_idf").cast("double").alias("_score"))
+        .filter(
+            (F.col("doc_id") != F.col("anchor"))
+            & (F.col("doc_id") != F.col("anchor") + 10000)
+        )
+    )
+    wr = Window.partitionBy("anchor").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("neg_rank") <= 3)
+        .select(
+            "anchor",
+            "neg_rank",
+            F.col("doc_id").alias("negative"),
+            F.round("_score", 6).alias("score"),
+        )
+        .orderBy("anchor", "neg_rank")
+    )
+
+
+SQL_LEXICAL_HARD_NEGATIVES = f"""
+WITH corpus AS ({_SQL_DUP_CORPUS_NEAR}),
+w AS (SELECT doc_id, {_WORDS_ORDERED} AS words FROM corpus),
+sh AS (SELECT doc_id, {_SHINGLES} AS ss FROM w),
+postings AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+      unnest(list_distinct(list_transform(ss,
+        x -> ('0x' || substr(md5(x), 1, 7))::BIGINT))) AS g
+    FROM sh)),
+dfreq AS (SELECT g, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM corpus),
+anchors AS (
+  SELECT doc_id AS anchor FROM corpus
+  WHERE doc_id % 20 = 0 AND doc_id < 10000),
+rare AS (
+  SELECT a.anchor, p.g, d.df
+  FROM postings p
+  JOIN anchors a ON p.doc_id = a.anchor
+  JOIN dfreq d ON d.g = p.g AND d.df BETWEEN 3 AND 50),
+qgrams AS (
+  SELECT anchor, g,
+    CAST(round(ln((nn.n + 1.0) / (df::DOUBLE + 1.0)), 6) AS DECIMAL(18,6)) AS idf
+  FROM (
+    SELECT anchor, g, df,
+      row_number() OVER (PARTITION BY anchor ORDER BY df ASC, g ASC) AS qr
+    FROM rare) r CROSS JOIN nn
+  WHERE qr <= 8),
+scored AS (
+  SELECT q.anchor, p.doc_id, CAST(sum(q.idf) AS DOUBLE) AS score
+  FROM qgrams q JOIN postings p ON p.g = q.g
+  GROUP BY 1, 2
+  HAVING p.doc_id <> q.anchor AND p.doc_id <> q.anchor + 10000),
+ranked AS (
+  SELECT anchor, doc_id, score,
+    row_number() OVER (PARTITION BY anchor ORDER BY score DESC, doc_id ASC) AS nr
+  FROM scored)
+SELECT anchor, nr::BIGINT AS neg_rank, doc_id::BIGINT AS negative,
+  round(score, 6) AS score
+FROM ranked WHERE nr <= 3 ORDER BY anchor, neg_rank
+"""
+
+
+REGISTRY.update(
+    {
+        "lexical_hard_negatives": QuerySpec(
+            q_lexical_hard_negatives,
+            SQL_LEXICAL_HARD_NEGATIVES,
+            "rare-term tf-idf hard negatives per anchor, twin-excluded",
         ),
     }
 )

@@ -237,3 +237,18 @@ def test_minhash_est_error_tracks_binomial_model(spark):
         assert r["mean_abs_err"] <= 3 * 0.125, r
         assert abs(r["mean_est"] - r["mean_true"]) <= 0.25, r
     cache.release(df)
+
+
+def test_lexical_hard_negatives_excludes_self_and_twin(spark):
+    from d2b_dataframework_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["lexical_hard_negatives"].spark(spark, SF_DIR).collect()
+    assert rows, "cross-doc rare shingles must yield negatives"
+    per_anchor: dict = {}
+    for r in rows:
+        assert r["negative"] != r["anchor"]
+        assert r["negative"] != r["anchor"] + 10000, "twin is a positive"
+        per_anchor.setdefault(r["anchor"], []).append(r["neg_rank"])
+    for anchor, ranks in per_anchor.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), anchor
+        assert len(ranks) <= 3
