@@ -563,7 +563,9 @@ def minhash_duplicate_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
-    return verified
+    # sigs feeds BOTH the banding and the verify join — cached above;
+    # tracked so cache.release(verified) can free it.
+    return cache.track(verified, sigs)
 
 
 def ngram_jaccard_pairs(

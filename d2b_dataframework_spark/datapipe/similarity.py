@@ -587,7 +587,9 @@ def semdedup_prune(
             ).alias("pruned"),
         )
     )
-    return cache.track(out, x)
+    # carry kmeans_assignments' quantized-embedding persist handle too —
+    # it lives on ``assign``, and release() on this result must free it
+    return cache.track(out, x, *getattr(assign, "_d2b_persisted", ()))
 
 
 def ivf_topk(

@@ -69,6 +69,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _carry(result: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Re-attach the ``_d2b_persisted`` handles of every ``source`` onto
+    ``result``.
+
+    DataFrame transformations return NEW objects, so a persist handle
+    tracked by a datapipe operator (``cache.track``) is silently dropped
+    the moment the query chains ``.select()``/``.orderBy()`` on it —
+    ``cache.release(result)`` then cannot unpersist the intermediate and
+    it stays cached for the rest of the bench/gate session (the r8
+    ADVICE leak class). Every registry query that derives from a
+    tracked frame must route its return through this helper."""
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    handles: list[DataFrame] = []
+    for s in sources:
+        handles.extend(getattr(s, "_d2b_persisted", ()))
+    return track(result, *handles)
+
+
 DEC = "decimal(12,2)"
 DEC_SMALL = "decimal(4,2)"
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -718,9 +737,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     in practice — exact-Jaccard verification is the quadratic stage of a
     dedup pipeline and must always run behind a blocker at scale."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
-    return dd.ngram_jaccard_pairs(
-        corpus, n=1, threshold=0.7, block_col="n_chars"
-    ).orderBy("id_a", "id_b")
+    pairs = dd.ngram_jaccard_pairs(corpus, n=1, threshold=0.7, block_col="n_chars")
+    return _carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -742,7 +760,8 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection over the mutated dup
     corpus, Jaccard-verified at 0.7."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
-    return dd.minhash_duplicate_pairs(corpus, threshold=0.7).orderBy("id_a", "id_b")
+    pairs = dd.minhash_duplicate_pairs(corpus, threshold=0.7)
+    return _carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 def _sql_minhash() -> str:
@@ -839,7 +858,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded quantized-LSH blocking +
     exact cosine verify at 0.99 over the perturbed dup corpus."""
     corpus = _emb_dup_corpus(spark, sf_dir)
-    return sim.cosine_near_dup_pairs(corpus, threshold=0.99).orderBy("id_a", "id_b")
+    pairs = sim.cosine_near_dup_pairs(corpus, threshold=0.99)
+    return _carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 def _sql_near_dup_ctes() -> str:
@@ -941,7 +961,8 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3, banded candidates) over the
     mutated dup corpus."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
-    return dd.simhash_near_dup_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
+    pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=3)
+    return _carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,7 +973,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a DuckDB recursive-CTE transitive closure."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
     pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=3)
-    return dd.connected_components(pairs).orderBy("doc_id")
+    comps = dd.connected_components(pairs)
+    return _carry(comps.orderBy("doc_id"), pairs, comps)
 
 
 def _sql_dedup_clusters() -> str:
@@ -2182,6 +2204,11 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "token_burstiness", "tokenizer_fertility", "top_supplier_revenue",
         "ucb_arm_selection", "user_behavior_entropy", "value_moments",
         "vocab_coverage_curve", "window_funnel",
+        # r8 (CORRECTNESS_r08.json, all 50 green: the 9 round-7
+        # first-timers below + 41 rechecks already listed above)
+        "contrastive_pairs", "dsir_importance", "dup_span_token_share",
+        "duplicate_spans", "gopher_quality", "lsh_ann_recall",
+        "multiprobe_ann_recall", "padding_waste", "semdedup_prune",
     }
 )
 
@@ -2245,14 +2272,10 @@ _NEWEST_R7: tuple[str, ...] = (
     "dup_span_token_share",
 )
 
-# Queries added THIS round (round 8).  The backlog is down to the nine
-# _NEWEST_R7 names, so the r8 window per the r7 verdict is those nine +
-# a 41-slot recheck rotation; brand-new round-8 entries queue
-# immediately AFTER the recheck slice — still ahead of the remaining
-# verified block, so they lead the r9 backlog and can never sink behind
-# the registry the way holt_winters did in round 5.  They run through
-# the full local gate (tools/check_correctness.py) every round
-# regardless.
+# Queries added in round 8.  The pre-r8 backlog drained through the r8
+# driver window (CORRECTNESS_r08.json, folded above), so these ten are
+# now the ONLY never-driver-sampled names and lead the r9 window per
+# the r8 verdict ask #2 (10 first-timers + 40 recheck slots).
 _NEWEST_R8: tuple[str, ...] = (
     "semdedup_capped",
     "filter_funnel",
@@ -2265,6 +2288,16 @@ _NEWEST_R8: tuple[str, ...] = (
     "cluster_purity_nmi",
     "lexical_hard_negatives",
 )
+
+# Queries added THIS round (round 9).  The backlog is down to the ten
+# _NEWEST_R8 names, so the r9 window per the r8 verdict is those ten +
+# a 40-slot recheck rotation; brand-new round-9 entries queue
+# immediately AFTER the recheck slice — still ahead of the remaining
+# verified block, so they lead the r10 backlog and can never sink
+# behind the registry the way holt_winters did in round 5.  They run
+# through the full local gate (tools/check_correctness.py) every round
+# regardless.
+_NEWEST_R9: tuple[str, ...] = ()
 
 # Deterministic rotation seed for the verified re-check slice: derived
 # from |_DRIVER_VERIFIED|, which grows every round a correctness
@@ -2294,7 +2327,7 @@ def _gate_order() -> list[str]:
     pair, then the backlog in registry order, then the newest staged
     names — followed by a rotating recheck slice of verified names that
     fills the remainder of the sampled window, then this round's
-    brand-new entries (``_NEWEST_R8``), then the rest of the verified
+    brand-new entries (``_NEWEST_R9``), then the rest of the verified
     block.  New entries therefore lead the next round's backlog while
     the current window spends every slot on never-sampled or
     re-verification work.
@@ -2307,8 +2340,8 @@ def _gate_order() -> list[str]:
     """
     names = list(REGISTRY)
     front = [n for n in _FRONTLOAD_R6 if n in REGISTRY and n not in _DRIVER_VERIFIED]
-    newest8 = [n for n in _NEWEST_R8 if n in REGISTRY and n not in _DRIVER_VERIFIED]
-    staged = set(front) | set(newest8)
+    newest9 = [n for n in _NEWEST_R9 if n in REGISTRY and n not in _DRIVER_VERIFIED]
+    staged = set(front) | set(newest9)
     backlog = [
         n for n in names if n not in _DRIVER_VERIFIED and n not in staged
     ]
@@ -2324,8 +2357,8 @@ def _gate_order() -> list[str]:
         rotated = verified[start:] + verified[:start]
         recheck = rotated[: _recheck_count(len(unverified))]
         rest = [n for n in verified if n not in recheck]
-        return unverified + recheck + newest8 + rest
-    return unverified + newest8 + verified
+        return unverified + recheck + newest9 + rest
+    return unverified + newest9 + verified
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2353,9 +2386,14 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     out = kmeans_assignments(emb, k=8, iters=2)
-    return out.select(
-        F.col("vid").alias("vec_id"), F.col("cluster").cast("long").alias("cluster"), "dist"
-    ).orderBy("vec_id")
+    return _carry(
+        out.select(
+            F.col("vid").alias("vec_id"),
+            F.col("cluster").cast("long").alias("cluster"),
+            "dist",
+        ).orderBy("vec_id"),
+        out,
+    )
 
 
 # Exact-arithmetic mirror of datapipe/clustering.py: quantized integer
@@ -2764,7 +2802,7 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     phased = global_ntile(
         scored, [F.col("quality").desc(), F.col("doc_id")], 4, phase_col="phase"
     )
-    return (
+    return _carry(
         phased
         .groupBy("phase")
         .agg(
@@ -2775,7 +2813,8 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality"),
             F.min("doc_id").cast("long").alias("first_doc"),
         )
-        .orderBy("phase")
+        .orderBy("phase"),
+        phased,
     )
 
 
@@ -2917,13 +2956,13 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d2b_dataframework_spark.datapipe.splits import sample_per_group
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = kmeans_assignments(emb, k=8, iters=2).select(
-        F.col("vid").alias("vec_id"), "cluster"
-    )
-    return (
+    assign0 = kmeans_assignments(emb, k=8, iters=2)
+    assigned = assign0.select(F.col("vid").alias("vec_id"), "cluster")
+    return _carry(
         sample_per_group(assigned, "cluster", 20, id_col="vec_id")
         .select(F.col("cluster").cast("long").alias("cluster"), "rank", "vec_id")
-        .orderBy("cluster", "rank")
+        .orderBy("cluster", "rank"),
+        assign0,
     )
 
 
@@ -3068,12 +3107,16 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cluster_profile(kmeans_assignments(emb, k=8, iters=2))
-    return out.select(
-        F.col("cluster").cast("long").alias("cluster"),
-        "n_members",
-        F.round(F.col("mean_dist"), 4).alias("mean_dist"),
-    ).orderBy("cluster")
+    assign0 = kmeans_assignments(emb, k=8, iters=2)
+    out = cluster_profile(assign0)
+    return _carry(
+        out.select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_members",
+            F.round(F.col("mean_dist"), 4).alias("mean_dist"),
+        ).orderBy("cluster"),
+        assign0,
+    )
 
 
 def _sql_cluster_profile() -> str:
@@ -3157,7 +3200,7 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     out = dd.incremental_dedup(batch, docs, threshold=0.7)
-    return out.orderBy("doc_id")
+    return _carry(out.orderBy("doc_id"), out)
 
 
 def _sql_incremental_ingest() -> str:
@@ -3851,7 +3894,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, damping=0.85, iterations=3)
-    return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+    return _carry(
+        ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node"),
+        ranks,
+    )
 
 
 def _sql_pagerank(iterations: int = 3) -> str:
@@ -5411,7 +5457,8 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     corpus = docs.unionByName(shorts).select("doc_id", "text")
-    return dd.containment_pairs(corpus, n=3, threshold=0.9).orderBy("id_a", "id_b")
+    pairs = dd.containment_pairs(corpus, n=3, threshold=0.9)
+    return _carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 SQL_CONTAINMENT = f"""
@@ -5460,9 +5507,10 @@ def q_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     corpus = docs.unionByName(shorts).select("doc_id", "text")
-    return dd.containment_pairs(
+    pairs = dd.containment_pairs(
         corpus, n=3, threshold=0.9, max_index_bucket_size=64
-    ).orderBy("id_a", "id_b")
+    )
+    return _carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 SQL_CONTAINMENT_CAPPED = SQL_CONTAINMENT.replace(
@@ -6298,10 +6346,11 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    return (
+    return _carry(
         sizes.groupBy("cluster_size")
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
-        .orderBy("cluster_size")
+        .orderBy("cluster_size"),
+        clusters,
     )
 
 
@@ -7182,7 +7231,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q", F.length("text").cast("long")
     )
     pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=3)
-    return dd.keep_best(corpus, pairs, "q").orderBy("doc_id")
+    best = dd.keep_best(corpus, pairs, "q")
+    return _carry(best.orderBy("doc_id"), pairs, best)
 
 
 def _sql_dedup_keep_best() -> str:
@@ -7856,8 +7906,11 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_qty"),
     )
     out = skyline_2d(pp, "min_price", "total_qty")
-    return out.select("part_id", "min_price", "total_qty").orderBy(
-        "min_price", "part_id"
+    return _carry(
+        out.select("part_id", "min_price", "total_qty").orderBy(
+            "min_price", "part_id"
+        ),
+        out,
     )
 
 
@@ -7893,7 +7946,8 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted alternative to keep_best's hard drop."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
     pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=3)
-    return dd.soft_dedup_weights(corpus, pairs).orderBy("doc_id")
+    weights = dd.soft_dedup_weights(corpus, pairs)
+    return _carry(weights.orderBy("doc_id"), pairs, weights)
 
 
 def _sql_soft_dedup_weights() -> str:
@@ -8734,10 +8788,13 @@ def q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "j")
         .agg(F.max("mj").alias("mj"))
     )
-    return (
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    return track(
         hll_estimate_from_registers(windowed, ["day"])
         .withColumnRenamed("ndv_approx", "rolling7_users")
-        .orderBy("day")
+        .orderBy("day"),
+        regs,
     )
 
 
@@ -9813,7 +9870,8 @@ def q_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("src", "dst")
     )
-    return kcore_filter(edges, k=3, iterations=3).orderBy("node")
+    core = kcore_filter(edges, k=3, iterations=3)
+    return _carry(core.orderBy("node"), core)
 
 
 SQL_KCORE = """
@@ -10239,10 +10297,8 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d2b_dataframework_spark.datapipe.retrieval import tfidf_cosine_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return (
-        tfidf_cosine_pairs(docs, threshold=0.6, max_df=200)
-        .orderBy("id_a", "id_b")
-    )
+    pairs = tfidf_cosine_pairs(docs, threshold=0.6, max_df=200)
+    return _carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 SQL_TFIDF_COSINE_PAIRS = f"""
@@ -10343,7 +10399,8 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     seeds = nodes.filter(F.col("node") % 100 == 0)
-    return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
+    hops = bfs_hops(edges, seeds, max_hops=3)
+    return _carry(hops.orderBy("node"), hops)
 
 
 SQL_BFS_HOPS = """
@@ -10386,9 +10443,8 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("src", "dst")
     )
-    return jaccard_link_prediction(
-        edges, max_pivot_degree=50, min_common=2
-    ).orderBy("na", "nb")
+    pred = jaccard_link_prediction(edges, max_pivot_degree=50, min_common=2)
+    return _carry(pred.orderBy("na", "nb"), pred)
 
 
 SQL_LINK_PREDICTION = """
@@ -11387,10 +11443,11 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node")
     ).filter(F.col("user_id") % 50 == 0).distinct()
     ranks = pagerank(edges, damping=0.85, iterations=3, seeds=seeds)
-    return (
+    return _carry(
         ranks.select("node", F.round("rank", 9).alias("rank"))
         .filter(F.col("rank") > 0)
-        .orderBy("node")
+        .orderBy("node"),
+        ranks,
     )
 
 
@@ -12806,10 +12863,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     out = label_propagation(edges, iterations=3)
-    return out.select(
-        F.col("node").cast("long").alias("node"),
-        F.col("label").cast("long").alias("label"),
-    ).orderBy("node")
+    return _carry(
+        out.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("label").cast("long").alias("label"),
+        ).orderBy("node"),
+        out,
+    )
 
 
 def _sql_lpa_ctes(iterations: int = 3) -> tuple[str, str]:
@@ -13173,13 +13233,14 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(28,9)").alias("_q")
         )
     )
-    return (
+    return _carry(
         per_c.agg(
             F.count(F.lit(1)).cast("long").alias("n_communities"),
             F.round(F.sum("_q").cast("double"), 6).alias("modularity"),
         )
         .crossJoin(F.broadcast(m))
-        .select("n_communities", F.col("_m").alias("n_edges"), "modularity")
+        .select("n_communities", F.col("_m").alias("n_edges"), "modularity"),
+        labels,
     )
 
 
@@ -13375,7 +13436,8 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash path, and the SAME similarity measure — directly
     comparable). The exact complement to probabilistic LSH."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
-    return dd.prefix_filter_pairs(corpus, threshold=0.7).orderBy("id_a", "id_b")
+    pairs = dd.prefix_filter_pairs(corpus, threshold=0.7)
+    return _carry(pairs.orderBy("id_a", "id_b"), pairs)
 
 
 SQL_PREFIX_FILTER_JACCARD = f"""
@@ -13490,10 +13552,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_mon"),
         )
     )
-    r = global_ntile(
+    r0 = global_ntile(
         per_cust, [F.col("recency_days").asc(), F.col("o_custkey").asc()], 5,
         phase_col="r_score",
-    ).select("o_custkey", "recency_days", "frequency", "_mon", "r_score")
+    )
+    r = r0.select("o_custkey", "recency_days", "frequency", "_mon", "r_score")
     f_ = global_ntile(
         r, [F.col("frequency").desc(), F.col("o_custkey").asc()], 5,
         phase_col="f_score",
@@ -13508,7 +13571,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("r_score") >= 4, "hibernating")
         .otherwise("other")
     )
-    return (
+    return _carry(
         m.withColumn("segment", seg)
         .groupBy("segment")
         .agg(
@@ -13520,7 +13583,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_recency_days"),
         )
-        .orderBy("segment")
+        .orderBy("segment"),
+        r0,
+        f_,
+        m,
     )
 
 
@@ -14434,12 +14500,13 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lcc").desc(), F.col("degree").desc(), F.col("node").asc()
     ]
     w = Window.orderBy(*order)
-    return (
+    return _carry(
         out.orderBy(*order)
         .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", F.col("node").cast("long").alias("node"),
-                "degree", "n_triangles", "lcc")
+                "degree", "n_triangles", "lcc"),
+        out,
     )
 
 
@@ -14525,12 +14592,13 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.countDistinct("d").cast("long").alias("n_docs"))
     )
-    return (
+    return _carry(
         per_t.join(docs_t, "threshold")
         .select(
             F.round(F.col("threshold"), 2).alias("threshold"), "n_pairs", "n_docs"
         )
-        .orderBy("threshold")
+        .orderBy("threshold"),
+        pairs,
     )
 
 
@@ -18692,9 +18760,10 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering co-locates them — the paraphrase-redundancy remover the
     shingle-based dedup stack cannot express."""
     corpus = _emb_dup_corpus(spark, sf_dir)
-    return sim.semdedup_prune(corpus, k=32, iters=2, threshold=0.95).orderBy(
-        "vec_id"
-    )
+    # _carry keeps semdedup_prune's internal persist handle across the
+    # orderBy so release() on the returned frame can unpersist it.
+    pruned = sim.semdedup_prune(corpus, k=32, iters=2, threshold=0.95)
+    return _carry(pruned.orderBy("vec_id"), pruned)
 
 
 def _sql_semdedup_prune() -> str:
@@ -18761,9 +18830,12 @@ def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison — the belt-and-braces path a 100 TB run would lean on
     when a degenerate embedding cloud collapses into one cluster."""
     corpus = _emb_dup_corpus(spark, sf_dir)
-    return sim.semdedup_prune(
+    # _carry keeps semdedup_prune's internal persist handle across the
+    # orderBy so release() on the returned frame can unpersist it.
+    pruned = sim.semdedup_prune(
         corpus, k=32, iters=2, threshold=0.95, max_cluster_size=_SEMDEDUP_CAP
-    ).orderBy("vec_id")
+    )
+    return _carry(pruned.orderBy("vec_id"), pruned)
 
 
 def _sql_semdedup_capped() -> str:
@@ -18836,9 +18908,8 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(
         F.col("doc_id") % 2 == 0
     )
-    return dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50).orderBy(
-        "id_a", "id_b", "start_a", "start_b"
-    )
+    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50)
+    return _carry(spans.orderBy("id_a", "id_b", "start_a", "start_b"), spans)
 
 
 SQL_DUPLICATE_SPANS = f"""
@@ -19147,9 +19218,8 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lives on the returned frame, not on derivations of it
     _pairs = sim.cosine_near_dup_pairs(corpus, threshold=0.99)
     pos = _pairs.select("id_a", "id_b")
-    assign = kmeans_assignments(corpus, k=8, iters=2).select(
-        F.col("vid").alias("vec_id"), F.col("cluster")
-    )
+    _assign0 = kmeans_assignments(corpus, k=8, iters=2)
+    assign = _assign0.select(F.col("vid").alias("vec_id"), F.col("cluster"))
     partners = (
         pos.select(F.col("id_a").alias("a"), F.col("id_b").alias("p"))
         .unionByName(pos.select(F.col("id_b").alias("a"), F.col("id_a").alias("p")))
@@ -19191,7 +19261,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive", "neg_rank")
     )
-    return track(out, *getattr(_pairs, "_d2b_persisted", ()))
+    return _carry(out, _pairs, _assign0)
 
 
 def _sql_contrastive_pairs() -> str:
@@ -19434,7 +19504,7 @@ def q_dup_span_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).cast("long").alias("n_tokens"),
     )
-    return (
+    out = (
         ntok.join(merged, "doc_id", "left")
         .select(
             "doc_id",
@@ -19448,6 +19518,7 @@ def q_dup_span_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return _carry(out, spans)
 
 
 def _sql_dup_span_token_share() -> str:
@@ -19644,9 +19715,10 @@ def q_idf_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the capped-df shingle equi-join; verify sums 9-decimal weights in
     DECIMAL(28,9), so the oracle replays bit-for-bit."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
-    return dd.idf_weighted_pairs(corpus, threshold=0.5, max_df=50).orderBy(
-        "id_a", "id_b"
-    )
+    # _carry re-tracks the persisted 'weighted' intermediate across the
+    # orderBy so cache.release() on the returned frame actually frees it.
+    inner = dd.idf_weighted_pairs(corpus, threshold=0.5, max_df=50)
+    return _carry(inner.orderBy("id_a", "id_b"), inner)
 
 
 SQL_IDF_JACCARD_PAIRS = f"""
@@ -20176,9 +20248,11 @@ def q_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d2b_dataframework_spark.datapipe.clustering import kmeans_assignments
 
     emb = _t(spark, sf_dir, "embeddings")
-    assign = kmeans_assignments(emb, k=8, iters=2).select(
-        F.col("vid").alias("vec_id"), "cluster"
-    )
+    # Capture the tracked frame BEFORE .select() strips the persist
+    # handle; _carry re-attaches it to the final result below so
+    # release() frees the quantized-embedding persist.
+    assign0 = kmeans_assignments(emb, k=8, iters=2)
+    assign = assign0.select(F.col("vid").alias("vec_id"), "cluster")
     joint = (
         assign.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cluster", "label")
@@ -20250,7 +20324,7 @@ def q_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mi))
         .crossJoin(F.broadcast(pur))
     )
-    return one.select(
+    out = one.select(
         F.col("_n").alias("n_vecs"),
         "n_clusters",
         "n_labels",
@@ -20265,6 +20339,7 @@ def q_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("nmi"),
     )
+    return _carry(out, assign0)
 
 
 def _sql_cluster_purity_nmi() -> str:

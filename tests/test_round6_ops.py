@@ -31,7 +31,7 @@ def test_gate_order_unverified_always_precede_verified():
     (or wasn't) added to.  A new query can therefore never silently
     queue behind the verified block and skip the sampled window.
 
-    One EXPLICIT exception: names staged in ``_NEWEST_R8`` (added this
+    One EXPLICIT exception: names staged in ``_NEWEST_R9`` (added this
     round) ride immediately behind the recheck slice so the window
     stays pure backlog+recheck — they must still precede the remaining
     verified block (checked below), so they lead the next round's
@@ -39,7 +39,7 @@ def test_gate_order_unverified_always_precede_verified():
     Q = _registry()
     order = Q._gate_order()
     assert sorted(order) == sorted(Q.REGISTRY), "gate order must be a permutation"
-    staged_behind_recheck = set(Q._NEWEST_R8)
+    staged_behind_recheck = set(Q._NEWEST_R9)
     n_unverified = sum(
         1
         for n in Q.REGISTRY
@@ -85,15 +85,17 @@ def test_gate_order_staged_names_exist():
     """Frontload/newest tuples must reference real registry entries —
     a typo would silently drop the guarantee they encode."""
     Q = _registry()
-    for name in Q._FRONTLOAD_R6 + Q._NEWEST_R6 + Q._NEWEST_R7 + Q._NEWEST_R8:
+    for name in (
+        Q._FRONTLOAD_R6 + Q._NEWEST_R6 + Q._NEWEST_R7 + Q._NEWEST_R8 + Q._NEWEST_R9
+    ):
         assert name in Q.REGISTRY, name
 
 
 def test_gate_window_is_all_first_time_names_this_round():
-    """Round-8 contract from the r7 verdict (ask #5): the sampled
-    window leads with the never-driver-checked backlog (the nine
-    _NEWEST_R7 names) and the recheck rotation fills EVERY remaining
-    slot; brand-new r8 queries (_NEWEST_R8) queue BEHIND the rechecks
+    """Round-9 contract from the r8 verdict (ask #2): the sampled
+    window leads with the never-driver-checked backlog (the ten
+    _NEWEST_R8 names) and the recheck rotation fills EVERY remaining
+    slot; brand-new r9 queries (_NEWEST_R9) queue BEHIND the rechecks
     so the window stays pure backlog+recheck until the backlog drains."""
     Q = _registry()
     order = Q._gate_order()
@@ -101,7 +103,7 @@ def test_gate_window_is_all_first_time_names_this_round():
     backlog = {
         n
         for n in Q.REGISTRY
-        if n not in Q._DRIVER_VERIFIED and n not in Q._NEWEST_R8
+        if n not in Q._DRIVER_VERIFIED and n not in Q._NEWEST_R9
     }
     if len(backlog) >= Q._GATE_WINDOW:
         assert all(n not in Q._DRIVER_VERIFIED for n in window)
@@ -110,21 +112,21 @@ def test_gate_window_is_all_first_time_names_this_round():
         assert all(n in Q._DRIVER_VERIFIED for n in window[len(backlog) :])
 
 
-def test_gate_window_r8_shape():
-    """The r8 window is exactly the nine round-7 first-timers followed
-    by 41 distinct verified recheck names (r7 verdict ask #5) — until a
-    round-8 staging tuple or a new driver artifact changes the counts,
+def test_gate_window_r9_shape():
+    """The r9 window is exactly the ten round-8 first-timers followed
+    by 40 distinct verified recheck names (r8 verdict ask #2) — until a
+    round-9 staging tuple or a new driver artifact changes the counts,
     which the other guards then re-derive."""
     Q = _registry()
     order = Q._gate_order()
     window = order[: Q._GATE_WINDOW]
     first_timers = [n for n in window if n not in Q._DRIVER_VERIFIED]
     rechecks = [n for n in window if n in Q._DRIVER_VERIFIED]
-    assert set(first_timers) >= set(Q._NEWEST_R7) - set(Q._DRIVER_VERIFIED)
+    assert set(first_timers) >= set(Q._NEWEST_R8) - set(Q._DRIVER_VERIFIED)
     assert len(rechecks) == len(set(rechecks)), "recheck slice must not repeat"
-    if not Q._NEWEST_R8 and set(Q._NEWEST_R7).isdisjoint(Q._DRIVER_VERIFIED):
-        assert len(first_timers) == 9
-        assert len(rechecks) == 41
+    if not Q._NEWEST_R9 and set(Q._NEWEST_R8).isdisjoint(Q._DRIVER_VERIFIED):
+        assert len(first_timers) == 10
+        assert len(rechecks) == 40
 
 
 # ---------------------------------------------------------------------------

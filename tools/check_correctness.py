@@ -69,12 +69,21 @@ def main() -> int:
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
+        plan = None
         try:
-            sdf = spec.spark(spark, sf_dir).toPandas()
+            plan = spec.spark(spark, sf_dir)
+            sdf = plan.toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
+        finally:
+            if plan is not None:
+                # unpersist tracked intermediates so 300+ queries in one
+                # session don't accumulate cached frames (mirrors bench.py)
+                from d2b_dataframework_spark.datapipe.cache import release
+
+                release(plan)
         if spec.sql is None:
             print(f"ok?   {name}: rows-only ({len(sdf)} rows)")
             continue

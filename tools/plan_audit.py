@@ -57,6 +57,15 @@ GWIN_ALLOWLIST: dict[str, int] = {
     # Cumulative counts over the 1000-bin mergeable histogram
     # (operators/sketches.py histogram_quantiles).
     "quantile_sketch": 3,
+    # KS cumulative-CDF window over the groupBy(bin) frame: bin is
+    # least(999, floor(...)) so the domain is ≤ 1000 rows at any corpus
+    # scale.  Flagged only since the join-aware bound fix (the scalar
+    # `tot` crossJoin no longer masks the unbounded-looking side).
+    "ks_drift": 1,
+    # BH rank + running-max windows over the (mktsegment × nation%5)
+    # cell grid: ≤ 25 rows by domain construction (operators/stats.py
+    # bh_fdr consumes the grouped-cell frame, never raw customers).
+    "bh_fdr": 2,
 }
 
 
@@ -68,15 +77,23 @@ def _iter_logical(node):
 
 
 def _subtree_bounded(node) -> bool:
-    """True if the subtree provably caps its row count: any limit node,
-    or an ungrouped (scalar) aggregate, bounds everything above it."""
-    for n in _iter_logical(node):
-        cls = n.getClass().getSimpleName()
-        if cls in ("GlobalLimit", "LocalLimit"):
-            return True
-        if cls == "Aggregate" and n.groupingExpressions().isEmpty():
-            return True
-    return False
+    """True if the subtree provably caps its row count: a limit node or
+    an ungrouped (scalar) aggregate bounds everything above it — but
+    only along UNARY ancestors.  A multi-child node (join, union) is
+    bounded only if EVERY child is: a limit/scalar-aggregate under one
+    side of a join does not bound the join's output (e.g. a global
+    window over big_frame.crossJoin(broadcast(scalar_agg)) is still a
+    full single-partition corpus sort — the r8 ADVICE finding)."""
+    cls = node.getClass().getSimpleName()
+    if cls in ("GlobalLimit", "LocalLimit"):
+        return True
+    if cls == "Aggregate" and node.groupingExpressions().isEmpty():
+        return True
+    children = node.children()
+    n = children.size()
+    if n == 0:
+        return False
+    return all(_subtree_bounded(children.apply(i)) for i in range(n))
 
 
 def count_unbounded_global_windows(df) -> int:
