@@ -423,6 +423,99 @@ def duplicate_spans(
     return cache.track(runs, base)
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Excise the duplicated regions :func:`duplicate_spans` reports —
+    the transform stage of substring-level dedup (RefinedWeb/CCNet-style
+    pipelines DROP or REWRITE copied regions rather than whole docs).
+
+    Per document: union the [start, start+span_tokens) intervals from
+    BOTH sides of every reported pair, merge overlaps (gaps-and-islands
+    over a per-doc window), delete the covered token positions from the
+    normalized token sequence, and re-join the survivors. Returns
+    (id, n_tokens, removed_tokens, removed_share, cleaned_text) — one
+    row per input document; untouched docs pass through with
+    removed_tokens = 0 and their normalized text.
+
+    Scale shape: the interval windows partition by document (never
+    global); merged intervals collapse to ONE small array row per
+    affected doc, so the only shuffle beyond the span join is the
+    per-doc groupBy, and the excision itself is a map-side HOF over
+    (token, position) pairs — cost O(tokens x islands_per_doc), with
+    islands bounded by the span report, not the corpus.
+    """
+    iv = (
+        spans.select(
+            F.col("id_a").alias(id_col),
+            F.col("start_a").cast("long").alias("s"),
+            (F.col("start_a") + F.col("span_tokens")).cast("long").alias("e"),
+        )
+        .unionAll(
+            spans.select(
+                F.col("id_b").alias(id_col),
+                F.col("start_b").cast("long").alias("s"),
+                (F.col("start_b") + F.col("span_tokens")).cast("long").alias("e"),
+            )
+        )
+        # identical intervals must collapse so the island window's
+        # orderBy is a total order (same reasoning as dup-share)
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        iv.withColumn(
+            "_new",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "_island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("s", "e")).alias("_iv"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("removed_tokens"),
+        )
+    )
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    joined = toks.join(merged, id_col, "left").withColumn(
+        "_iv",
+        F.coalesce(F.col("_iv"), F.array().cast("array<struct<s:bigint,e:bigint>>")),
+    )
+    # (token, 0-based position) pairs; a token survives iff no merged
+    # interval covers its position
+    pairs = F.zip_with(
+        F.col("_toks"),
+        F.sequence(F.lit(0).cast("long"), (F.size("_toks") - 1).cast("long")),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        pairs,
+        lambda x: ~F.exists(
+            F.col("_iv"), lambda r: (x["i"] >= r["s"]) & (x["i"] < r["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.greatest(F.size("_toks"), F.lit(1)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("removed_tokens"), F.lit(0)).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.round(
+            F.coalesce(F.col("removed_tokens"), F.lit(0)).cast("double")
+            / F.greatest(F.size("_toks"), F.lit(1)).cast("double"),
+            6,
+        ).alias("removed_share"),
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("cleaned_text"),
+    )
+
+
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, band_id, band_key) rows from a minhash-signature frame — the
     banding step shared by :func:`lsh_candidate_pairs` (which self-joins

@@ -439,15 +439,31 @@ def _wide_format(
 
 
 def fit_models(
-    df: DataFrame, config: ForecastConfig | None = None
+    df: DataFrame,
+    config: ForecastConfig | None = None,
+    max_driver_rows: int = 1_000_000,
 ) -> dict[str, OLSSeasonalModel]:
     """Driver-side fit of one model per metric (the persistence path —
     the distributed path re-fits inside the UDF; model objects only need
-    to exist driver-side for save/load parity, ProphetForecaster.py:405-473)."""
+    to exist driver-side for save/load parity, ProphetForecaster.py:405-473).
+
+    This path intentionally collects the frame to the driver (a daily
+    time series is a few thousand rows). ``max_driver_rows`` bounds the
+    pull: the collect reads at most ``max_driver_rows + 1`` rows and
+    raises ``ValueError`` if the frame exceeds the bound, so a caller
+    cannot silently point it at a corpus-sized frame — use the
+    distributed ``forecast()`` operator for anything bigger.
+    """
     config = config or ForecastConfig()
     date_col = detect_date_column(df.columns)
     metrics = select_metrics(df, date_col, config.regressors)
-    pdf = df.toPandas()
+    pdf = df.limit(max_driver_rows + 1).toPandas()
+    if len(pdf) > max_driver_rows:
+        raise ValueError(
+            f"fit_models collects to the driver and got more than "
+            f"max_driver_rows={max_driver_rows} rows; aggregate the frame "
+            "first or use the distributed forecast() operator"
+        )
     pdf["ds"] = pd.to_datetime(pdf[date_col])
     out = {}
     for m in metrics:

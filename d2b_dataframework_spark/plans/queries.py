@@ -2297,7 +2297,11 @@ _NEWEST_R8: tuple[str, ...] = (
 # behind the registry the way holt_winters did in round 5.  They run
 # through the full local gate (tools/check_correctness.py) every round
 # regardless.
-_NEWEST_R9: tuple[str, ...] = ()
+_NEWEST_R9: tuple[str, ...] = (
+    "remove_duplicate_spans",
+    "url_host_dedup",
+    "pq_drift_recall",
+)
 
 # Deterministic rotation seed for the verified re-check slice: derived
 # from |_DRIVER_VERIFIED|, which grows every round a correctness
@@ -19571,6 +19575,319 @@ REGISTRY.update(
             q_dup_span_token_share,
             _sql_dup_span_token_share(),
             "per-doc fraction of tokens inside merged duplicated spans",
+        ),
+    }
+)
+
+
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL — the transform the span REPORT feeds
+    (datapipe/dedup.py:remove_duplicate_spans): duplicated regions are
+    excised from each doc's normalized token sequence and the survivors
+    re-joined, RefinedWeb/CCNet-style, with per-doc removed-token
+    accounting. Runs on the same planted-twin corpus as
+    ``duplicate_spans``, so every copied block must disappear from BOTH
+    partners while the unique remainder survives verbatim — the oracle
+    hash covers the cleaned TEXT, not just the counts."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(
+        F.col("doc_id") % 2 == 0
+    )
+    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50)
+    out = dd.remove_duplicate_spans(corpus, spans)
+    return _carry(out.orderBy("doc_id"), spans)
+
+
+def _sql_remove_duplicate_spans() -> str:
+    spans_cte = SQL_DUPLICATE_SPANS.strip().rstrip()
+    return f"""
+WITH spans AS ({spans_cte}),
+corpus AS (
+  SELECT * FROM ({_SQL_DUP_CORPUS_NEAR}) WHERE doc_id % 2 = 0),
+iv AS (
+  SELECT id_a AS doc_id, start_a AS s, start_a + span_tokens AS e FROM spans
+  UNION
+  SELECT id_b, start_b, start_b + span_tokens FROM spans),
+marked AS (
+  SELECT doc_id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands0 AS (
+  SELECT doc_id, s, e,
+    sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked),
+islands AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e
+  FROM islands0 GROUP BY doc_id, island),
+removed AS (
+  SELECT doc_id, sum(e - s)::BIGINT AS removed_tokens
+  FROM islands GROUP BY doc_id),
+toks AS (SELECT doc_id, {_RAW_TOKS} AS words FROM corpus),
+flat AS (
+  SELECT doc_id, generate_subscripts(words, 1) - 1 AS pos, unnest(words) AS tok
+  FROM toks),
+kept AS (
+  SELECT f.doc_id, f.pos, f.tok FROM flat f
+  LEFT JOIN islands i
+    ON i.doc_id = f.doc_id AND f.pos >= i.s AND f.pos < i.e
+  WHERE i.doc_id IS NULL),
+cleaned AS (
+  SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS cleaned_text
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+  greatest(len(t.words), 1)::BIGINT AS n_tokens,
+  coalesce(r.removed_tokens, 0)::BIGINT AS removed_tokens,
+  round(coalesce(r.removed_tokens, 0)::DOUBLE
+        / greatest(len(t.words), 1)::DOUBLE, 6) AS removed_share,
+  coalesce(c.cleaned_text, '') AS cleaned_text
+FROM toks t
+LEFT JOIN removed r USING (doc_id)
+LEFT JOIN cleaned c USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "remove_duplicate_spans": QuerySpec(
+            q_remove_duplicate_spans,
+            _sql_remove_duplicate_spans(),
+            "excise merged duplicated spans; cleaned text + removed share",
+        ),
+    }
+)
+
+
+def q_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-host dedup rollup (datapipe/web.py)
+    — the pre-dedup stage every web corpus runs before content dedup.
+    The corpus has no URL column, so the query SYNTHESIZES the messy
+    crawl in-engine (the planted-twin convention): per document a
+    mixed-case/WWW/default-port/tracking-param/fragment variant and a
+    clean variant that must canonicalize IDENTICALLY, plus (every 3rd
+    doc) a genuinely distinct page. The rollup reports, per host,
+    records vs distinct raw vs distinct canonical and the canonical dup
+    rate — the crawl-health number that drives recrawl/blocklist
+    policy. Canonicalization is a pure Catalyst projection (regex
+    decomposition + HOF param filter/sort): map-side at any scale, one
+    groupBy(host) shuffle."""
+    from d2b_dataframework_spark.datapipe.web import host_dedup_rollup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sid = F.col("doc_id").cast("string")
+    v_a = F.concat(
+        F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".Example.COM:443/item/"),
+        sid, F.lit("/?utm_source=feed&b=2&a=1#frag"),
+    )
+    v_b = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/item/"),
+        sid, F.lit("?a=1&fbclid="), sid, F.lit("&b=2"),
+    )
+    v_c = F.concat(
+        F.lit("http://"), F.upper("source"), F.lit(".EXAMPLE.com:80/alt/"), sid
+    )
+    urls = (
+        docs.select(v_a.alias("url"))
+        .unionAll(docs.select(v_b.alias("url")))
+        .unionAll(docs.filter(F.col("doc_id") % 3 == 0).select(v_c.alias("url")))
+    )
+    return host_dedup_rollup(urls).orderBy("host")
+
+
+SQL_URL_HOST_DEDUP = """
+WITH raw AS (
+  SELECT 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/item/'
+         || doc_id::VARCHAR || '/?utm_source=feed&b=2&a=1#frag' AS url
+  FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.example.com/item/' || doc_id::VARCHAR
+         || '?a=1&fbclid=' || doc_id::VARCHAR || '&b=2'
+  FROM documents
+  UNION ALL
+  SELECT 'http://' || upper(source) || '.EXAMPLE.com:80/alt/' || doc_id::VARCHAR
+  FROM documents WHERE doc_id % 3 = 0),
+p1 AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM raw),
+p2 AS (
+  SELECT url, scheme, rest,
+    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS authority
+  FROM p1),
+p3 AS (
+  SELECT url, scheme,
+    regexp_replace(regexp_extract(authority, '^([^:]*)', 1), '^www\\.', '')
+      AS host,
+    -- DuckDB regexp_extract yields NULL on no match (Spark yields '');
+    -- coalesce so port-less/query-less URLs don't canonicalize to NULL
+    coalesce(regexp_extract(authority, ':([0-9]+)$', 1), '') AS port,
+    substr(rest, length(authority) + 1) AS pathq
+  FROM p2),
+p4 AS (
+  SELECT url, scheme, host,
+    CASE WHEN port = '' THEN ''
+         WHEN scheme = 'http' AND port = '80' THEN ''
+         WHEN scheme = 'https' AND port = '443' THEN ''
+         ELSE ':' || port END AS port_part,
+    regexp_replace(regexp_extract(pathq, '^([^?#]*)', 1), '/+$', '') AS path,
+    coalesce(regexp_extract(pathq, '\\?([^#]*)', 1), '') AS query
+  FROM p3),
+p5 AS (
+  SELECT url, scheme, host, port_part, path,
+    -- DuckDB list_sort([]) is NULL — coalesce so a query-less URL's
+    -- canonical form doesn't go NULL (Spark array_sort([]) stays [])
+    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '^utm_')
+        AND NOT regexp_matches(p, '^(fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))),
+      '&'), '') AS qcanon
+  FROM p4),
+canon AS (
+  SELECT url AS raw, host,
+    scheme || '://' || host || port_part || path
+      || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END AS canonical
+  FROM p5)
+SELECT host,
+  count(*)::BIGINT AS n_records,
+  count(DISTINCT raw)::BIGINT AS n_raw,
+  count(DISTINCT canonical)::BIGINT AS n_canonical,
+  round(1.0 - count(DISTINCT canonical)::DOUBLE / count(*)::DOUBLE, 6)
+    AS dup_rate
+FROM canon GROUP BY host ORDER BY host
+"""
+
+
+REGISTRY.update(
+    {
+        "url_host_dedup": QuerySpec(
+            q_url_host_dedup,
+            SQL_URL_HOST_DEDUP,
+            "URL canonicalization + per-host canonical dup-rate rollup",
+        ),
+    }
+)
+
+
+def q_pq_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer drift audit: the trained PQ index
+    (``pq_topk_trained``'s exact pipeline — one Lloyd pass per
+    subspace over the UNSHIFTED corpus) is scored against a SHIFTED
+    query distribution — each query vector perturbed per-dim by
+    0.25·((dim mod 5) − 2), the "next week's queries" the index was
+    not trained on. Per query: overlap of the ADC top-10 with the
+    exact cosine top-10 of the SAME shifted vector. Read next to
+    ``ann_recall``/``embedding_drift``: drift in recall (not just in
+    moments) is the retrain trigger a production ANN deployment
+    actually pages on. Exact arithmetic end-to-end (integer quantized
+    subspaces, 6dp-decimal ADC sums), so both legs replay
+    bit-identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    shifted = emb.filter(F.col("vec_id") < 8).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.lit(0.25) * ((i % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    exact = sim.brute_force_topk(emb, shifted, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_e")
+    )
+    approx = sim.pq_topk(
+        emb, shifted, k=10, m=8, ksub=16, train_iters=1
+    ).select("query_id", F.col("neighbor_id").alias("doc_a"))
+    overlap = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id) & (F.col("doc_e") == F.col("doc_a")),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        shifted.select(F.col("vec_id").alias("query_id"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(10.0), 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_pq_drift_recall() -> str:
+    # Corpus-side training CTEs verbatim from the trained-PQ oracle
+    # (x .. enc1) — only the query side (shifted LUT) and the recall
+    # join differ, so index parity is by construction.
+    base = SQL_PQ_TOPK_TRAINED[: SQL_PQ_TOPK_TRAINED.index("lut AS (")].rstrip()
+    return f"""{base}
+qshift AS (
+  SELECT vec_id AS query_id,
+    list_transform(range(len(emb)), u -> emb[u + 1] + 0.25 * ((u % 5) - 2))
+      AS qd
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+        FROM embeddings WHERE vec_id < 8)),
+qq AS (SELECT query_id, qd,
+         list_transform(qd, v -> round(v * 1000)) AS qv FROM qshift),
+qsubs AS (
+  SELECT query_id, t.sub, list_slice(qv, t.sub * 8 + 1, t.sub * 8 + 8) AS sv
+  FROM qq, range(0, 8) t(sub)),
+qsubs2 AS (SELECT query_id, sub, sv, list_dot_product(sv, sv) AS svv
+           FROM qsubs),
+lut AS (
+  SELECT s.query_id, c.sub, c.cid, {_PQ_RATIONAL_DIST} AS dsub
+  FROM qsubs2 s JOIN cb1 c ON s.sub = c.sub),
+scores AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+    CAST(sum(CAST(round(l.dsub, 6) AS DECIMAL(28,12))) AS DOUBLE) AS adc
+  FROM enc1 e JOIN lut l ON e.sub = l.sub AND e.cid = l.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+approx_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(adc, 6) ASC, neighbor_id ASC) AS rank
+    FROM scores) WHERE rank <= 10),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round(list_dot_product(q.qd, c.cv)
+              / (sqrt(list_dot_product(q.qd, q.qd))
+                 * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        c.neighbor_id ASC) AS rank
+    FROM qshift q
+    CROSS JOIN (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                FROM embeddings) c
+    WHERE c.neighbor_id <> q.query_id) WHERE rank <= 10),
+ov AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_overlap
+  FROM exact_top e JOIN approx_top a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1)
+SELECT q.query_id,
+  coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+  round(coalesce(ov.n_overlap, 0) / 10.0::DOUBLE, 6) AS recall_at_10
+FROM (SELECT query_id FROM qshift) q
+LEFT JOIN ov USING (query_id)
+ORDER BY query_id
+"""
+
+
+REGISTRY.update(
+    {
+        "pq_drift_recall": QuerySpec(
+            q_pq_drift_recall,
+            _sql_pq_drift_recall(),
+            "trained-PQ recall@10 under a shifted query distribution",
         ),
     }
 )

@@ -130,6 +130,25 @@ def test_grouped_series_scale_axis(spark):
     assert got[("pe", "2024-01-21")] == pytest.approx(520.0, abs=0.01)
 
 
+def test_fit_models_bounds_driver_collect(spark, metrics_df):
+    """fit_models pulls the frame to the driver (persistence-parity
+    path); max_driver_rows must turn an oversized pull into a raise,
+    not a silent full collect (the r8 verdict's toPandas guard)."""
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        fit_models(
+            metrics_df.select("date", "sessions"),
+            ForecastConfig(days=5),
+            max_driver_rows=10,
+        )
+    # at the bound exactly (61-row fixture) it still fits
+    models = fit_models(
+        metrics_df.select("date", "sessions"),
+        ForecastConfig(days=5),
+        max_driver_rows=61,
+    )
+    assert set(models) == {"sessions"}
+
+
 def test_model_persistence_roundtrip(spark, metrics_df, tmp_path):
     models = fit_models(metrics_df.select("date", "sessions"), ForecastConfig(days=5))
     paths = save_models(models, str(tmp_path))

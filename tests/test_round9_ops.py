@@ -64,3 +64,97 @@ def test_carry_attaches_all_source_handles(spark):
     finally:
         h1.unpersist()
         h2.unpersist()
+
+
+def test_remove_duplicate_spans_excises_planted_block(spark):
+    """A 12-token block copied between two docs must disappear from
+    BOTH partners (merged-interval excision), the unique remainder must
+    survive verbatim, and an untouched doc must pass through with
+    removed_tokens = 0 and its normalized text."""
+    from d2b_dataframework_spark.datapipe import dedup as dd
+
+    block = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        (1, f"one unique opening here {block} and a distinct tail one"),
+        (2, f"two other start text now {block} totally different ending two"),
+        (3, "independent document with no copied material at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dd.duplicate_spans(docs, min_run=5, n=3, max_df=50)
+    out = {
+        r["doc_id"]: r
+        for r in dd.remove_duplicate_spans(docs, spans).collect()
+    }
+    for tok in block.split():
+        assert tok not in out[1]["cleaned_text"].split()
+        assert tok not in out[2]["cleaned_text"].split()
+    assert "opening" in out[1]["cleaned_text"].split()
+    assert "ending" in out[2]["cleaned_text"].split()
+    assert out[1]["removed_tokens"] == 12
+    assert out[2]["removed_tokens"] == 12
+    assert out[3]["removed_tokens"] == 0
+    assert out[3]["cleaned_text"] == rows[2][1]
+    assert out[1]["n_tokens"] == len(rows[0][1].split())
+    assert out[1]["removed_share"] == pytest.approx(12 / out[1]["n_tokens"], abs=1e-6)
+
+
+def test_remove_duplicate_spans_merges_overlapping_intervals(spark):
+    """Two overlapping reported intervals on one doc must merge before
+    excision — tokens in the overlap are removed once, never counted
+    twice (removed_tokens = union length, not sum of spans)."""
+    from d2b_dataframework_spark.datapipe import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        # doc 1 intervals [2,7) and [5,9) -> union [2,9) = 7 tokens
+        [(1, 99, 2, 0, 5, 5), (1, 98, 5, 0, 4, 4)],
+        "id_a long, id_b long, start_a long, start_b long, "
+        "run_grams long, span_tokens long",
+    )
+    row = dd.remove_duplicate_spans(docs, spans).filter("doc_id = 1").collect()[0]
+    assert row["removed_tokens"] == 7
+    assert row["cleaned_text"] == "t0 t1 t9"
+
+
+def test_canonicalize_url_contract(spark):
+    """The documented canonical form: case, www, default ports,
+    fragments, tracking params, param order, trailing slashes — and
+    the things that must NOT collapse (non-default port, real params)."""
+    from d2b_dataframework_spark.datapipe.web import canonicalize_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_x=1&b=2&a=1#f", "https://ex.com/a/b?a=1&b=2"),
+        ("https://ex.com/a/b?a=1&b=2", "https://ex.com/a/b?a=1&b=2"),
+        ("http://ex.com:80/", "http://ex.com"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+        ("https://ex.com/p?fbclid=abc&gclid=x&ref=tw", "https://ex.com/p"),
+        ("https://ex.com/p?z=1&utm_campaign=c&y=2", "https://ex.com/p?y=2&z=1"),
+        ("https://www.ex.com", "https://ex.com"),
+        ("https://ex.com///", "https://ex.com"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_host_dedup_rollup_counts(spark):
+    from d2b_dataframework_spark.datapipe.web import host_dedup_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://A.com/x?utm_a=1",),
+            ("https://a.com/x",),
+            ("https://a.com/y",),
+            ("http://b.com/only",),
+        ],
+        "url string",
+    )
+    rows = {r["host"]: r for r in host_dedup_rollup(df).collect()}
+    assert rows["a.com"]["n_records"] == 3
+    assert rows["a.com"]["n_raw"] == 3
+    assert rows["a.com"]["n_canonical"] == 2
+    assert rows["a.com"]["dup_rate"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert rows["b.com"]["n_canonical"] == 1 and rows["b.com"]["dup_rate"] == 0.0
