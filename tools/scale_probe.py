@@ -743,14 +743,25 @@ def main() -> None:
         # df<=50-capped shingle equi-join (same bound as containment),
         # planted twin pairs grow linearly with the corpus.
         "idf_weighted": lambda d, e: _idf_weighted(d),
+        # Round-9 (VERDICT r8 ask #5): the same duplicate_spans probe
+        # with spark.sql.shuffle.partitions scaled to the input
+        # (32 -> 96 -> 320) — converts the "fixed-32-partition shuffle
+        # is the residual, a deployment knob not the algorithm" claim
+        # (SCALING.md r8) into a measurement: spans/sec should be ~flat
+        # across 1x/3x/10x when the knob tracks the data.
+        "dupspans_adaptive": lambda d, e: _dupspans(d),
     }
+
+    # Ops that re-size the shuffle-partition knob with the input (the
+    # way a real deployment would); everything else keeps the fixed 32.
+    adaptive_parts = {"dupspans_adaptive"}
 
     # Ops whose probe time is dominated by OUTPUT volume (planted pairs
     # grow with the corpus): also count emitted rows at each scale so
     # the "the growth is the output, not the join" claim is MEASURED —
     # rows/sec should stay roughly flat across 1x/3x/10x while raw time
     # grows with the planted output (VERDICT r7 ask #8).
-    count_output = {"duplicate_spans"}
+    count_output = {"duplicate_spans", "dupspans_adaptive"}
 
     only = set(sys.argv[2:])  # optional op-name filter
     if only:
@@ -760,6 +771,10 @@ def main() -> None:
         times = {}
         rows = {}
         for mult in (1, 3, 10):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(32 * mult if name in adaptive_parts else 32),
+            )
             docs = base_docs if mult == 1 else synth_docs(base_docs, mult)
             emb = base_emb if mult == 1 else synth_vecs(base_emb, mult)
             # warm once at 1x so JVM costs don't land on the 1x timing
