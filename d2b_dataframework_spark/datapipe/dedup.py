@@ -423,6 +423,62 @@ def duplicate_spans(
     return cache.track(runs, base)
 
 
+def remove_repeated_lines(
+    df: DataFrame,
+    max_df: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CORPUS-WIDE line-level dedup (RefinedWeb/CCNet line dedup): a
+    line that appears in more than ``max_df`` distinct documents is
+    boilerplate (navigation chrome, cookie banners, footers) and is
+    removed from every document; surviving lines are re-joined in
+    original order.  Complements :func:`text.strip_boilerplate` (token
+    level, per source) and :func:`remove_duplicate_spans` (token-run
+    level, per pair) at the granularity real web pipelines actually
+    dedup first — the LINE.
+
+    Returns (id, n_lines, n_removed, cleaned_text).
+
+    Scale shape: one posexplode (linear), one line-hash df aggregation
+    (the shuffle key is the line hash — vocabulary-of-lines sized), one
+    hash equi-join back, and a per-doc re-group whose collect_list is
+    bounded by the document's own line count.  No pair join anywhere.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_h", word_hash(F.col("_line")))
+    dfreq = lines.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_ldf")
+    )
+    marked = lines.join(dfreq, "_h").withColumn(
+        "_keep", F.col("_ldf") <= int(max_df)
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("long").alias(
+                "n_removed"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_keep"), F.struct("_pos", "_line"))
+                )
+            ).alias("_kept"),
+        )
+        .select(
+            F.col(id_col),
+            "n_lines",
+            "n_removed",
+            F.array_join(
+                F.transform(F.col("_kept"), lambda x: x["_line"]), "\n"
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     spans: DataFrame,

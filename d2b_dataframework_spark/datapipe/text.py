@@ -95,6 +95,108 @@ def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return out.withColumn("lang_pred", pred)
 
 
+def chunk_language_mix(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level code-switching detector: split each document into
+    fixed ``chunk_tokens``-token chunks (map-side sequence+explode, the
+    text_chunks shape), score each chunk against every language's
+    stopword-marker set, and aggregate per document — how many chunks
+    identify as each language, and is the doc MIXED (two or more
+    languages each owning a material share of the identifiable chunks)?
+    Doc-level language ID (:func:`language_scores`) averages the
+    evidence away: a 90% German page with an embedded English paragraph
+    still argmaxes German; this operator localizes the minority text,
+    which multilingual curation routes differently (translation pairs,
+    contamination review) rather than averaging it into the majority.
+
+    A chunk with ZERO marker hits is ``unknown`` (NULL prediction) and
+    never votes — the all-scores-zero argmax tie would otherwise
+    deterministically mislabel marker-free chunks as the alphabetically
+    first language.
+
+    Returns (id, n_chunks, n_known, n_langs, dom_lang, dom_share,
+    is_mixed): ``dom_share`` is the dominant language's share of the
+    KNOWN chunks (NULL when none are known); ``is_mixed`` is true when
+    at least two languages are seen and the dominant share is <= 0.75.
+
+    Scale shape: one explode (linear in chunks), per-chunk scoring is a
+    map-side HOF over a bounded chunk array, and the per-doc agg
+    shuffles one small row per chunk — no joins at all.
+    """
+    langs = sorted(STOPWORDS)
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_n", F.size("_t").cast("long")
+    )
+    step = int(chunk_tokens)
+    chunks = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(F.col("_n") - 1, F.lit(0).cast("long")),
+                    F.lit(step).cast("long"),
+                ),
+                lambda s: F.slice(F.col("_t"), s + 1, step),
+            )
+        ).alias("_ck"),
+    )
+
+    def _hits(words: list[str]):
+        return lambda t: t.isin(words)
+
+    hit_cols = {
+        lang: F.size(F.filter(F.col("_ck"), _hits(STOPWORDS[lang])))
+        for lang in langs
+    }
+    scored = chunks.select(
+        F.col(id_col), *[v.alias(f"_h_{k}") for k, v in hit_cols.items()]
+    )
+    best = F.greatest(*[F.col(f"_h_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"_h_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    labeled = scored.withColumn("_pred", pred)
+    per_lang = labeled.filter(F.col("_pred").isNotNull()).groupBy(
+        id_col, "_pred"
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    votes = per_lang.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_known"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        # dominant = max count, tie -> language code order (min struct)
+        F.min(
+            F.struct((-F.col("_c")).alias("nc"), F.col("_pred").alias("l"))
+        ).alias("_b"),
+    )
+    totals = labeled.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    dom_share = F.round(
+        (-F.col("_b.nc")).cast("double") / F.col("n_known").cast("double"), 6
+    )
+    return (
+        totals.join(votes, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_chunks",
+            F.coalesce(F.col("n_known"), F.lit(0)).cast("long").alias("n_known"),
+            F.coalesce(F.col("n_langs"), F.lit(0)).cast("long").alias("n_langs"),
+            F.col("_b.l").alias("dom_lang"),
+            dom_share.alias("dom_share"),
+            F.coalesce(
+                (F.col("n_langs") >= 2) & (dom_share <= 0.75), F.lit(False)
+            ).alias("is_mixed"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical document fingerprint: md5 of lowercased,
     whitespace-normalized text. The exact-dedup key."""

@@ -2301,6 +2301,8 @@ _NEWEST_R9: tuple[str, ...] = (
     "remove_duplicate_spans",
     "url_host_dedup",
     "pq_drift_recall",
+    "line_dedup",
+    "mixed_language_docs",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -19657,6 +19659,179 @@ REGISTRY.update(
             q_remove_duplicate_spans,
             _sql_remove_duplicate_spans(),
             "excise merged duplicated spans; cleaned text + removed share",
+        ),
+    }
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE-level dedup (datapipe/dedup.py:
+    remove_repeated_lines) — RefinedWeb/CCNet's first dedup pass: lines
+    appearing in more than max_df distinct docs are boilerplate and are
+    excised everywhere, order preserved. The corpus has no newlines, so
+    the query synthesizes the lined crawl in-engine: per doc a
+    per-source nav line (df ≈ docs-per-source, OVER cap), the doc's
+    own text (df 1, kept), a group-marker line shared by doc_id%100
+    (df ≈ 5, UNDER cap — the guard's keep arm), a per-lang section
+    line (df ≈ 100, over), and a corpus-wide footer (df = |corpus|,
+    over). Both boilerplate arms and both keep arms flow through the
+    oracle hash, cleaned TEXT included."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("nav home about contact "), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("group marker "), (F.col("doc_id") % 100).cast("string")),
+            F.concat(F.lit("lang section "), F.col("lang")),
+            F.lit("copyright footer all rights reserved"),
+        ).alias("text"),
+    )
+    return dd.remove_repeated_lines(lined, max_df=10).orderBy("doc_id")
+
+
+SQL_LINE_DEDUP = """
+WITH lined AS (
+  SELECT doc_id,
+    'nav home about contact ' || source || chr(10)
+    || text || chr(10)
+    || 'group marker ' || (doc_id % 100)::VARCHAR || chr(10)
+    || 'lang section ' || lang || chr(10)
+    || 'copyright footer all rights reserved' AS text
+  FROM documents),
+ls AS (
+  SELECT doc_id,
+    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+    unnest(string_split(text, chr(10))) AS line
+  FROM lined),
+h AS (
+  SELECT doc_id, pos, line,
+    ('0x' || substr(md5(line), 1, 7))::BIGINT AS hh
+  FROM ls),
+dfq AS (SELECT hh, count(DISTINCT doc_id)::BIGINT AS ldf FROM h GROUP BY 1),
+m AS (SELECT h.doc_id, h.pos, h.line, d.ldf <= 10 AS keep
+      FROM h JOIN dfq d USING (hh))
+SELECT doc_id,
+  count(*)::BIGINT AS n_lines,
+  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+           '') AS cleaned_text
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "line_dedup": QuerySpec(
+            q_line_dedup,
+            SQL_LINE_DEDUP,
+            "corpus-wide line-level boilerplate dedup, order-preserving",
+        ),
+    }
+)
+
+
+def q_mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level code-switching report (datapipe/text.py:
+    chunk_language_mix): each doc is split into 32-token chunks, each
+    chunk votes via its stopword-marker argmax (zero-hit chunks are
+    UNKNOWN and never vote), and the doc is flagged mixed when two or
+    more languages own material shares of the known chunks — the
+    signal doc-level language ID averages away. The corpus is
+    monolingual-synthetic, so the query plants the mix: every doc is
+    prefixed with a full marker chunk of language doc_id%4 and (for
+    doc_id%3 != 0) suffixed with a marker chunk of the NEXT language —
+    both detector arms (mixed and pure) plus the unknown-chunk guard
+    flow through the oracle hash."""
+    langs = sorted(dt.STOPWORDS)
+    blocks = [" ".join(dt.STOPWORDS[l] * 4) for l in langs]
+    docs = _t(spark, sf_dir, "documents")
+    barr = F.array(*[F.lit(b) for b in blocks])
+    p_block = F.element_at(barr, (F.col("doc_id") % 4 + 1).cast("int"))
+    m_block = F.element_at(barr, ((F.col("doc_id") + 1) % 4 + 1).cast("int"))
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            p_block,
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 != 0, m_block),
+        ).alias("text"),
+    )
+    return dt.chunk_language_mix(planted, chunk_tokens=32).orderBy("doc_id")
+
+
+def _sql_mixed_language_docs() -> str:
+    langs = sorted(dt.STOPWORDS)
+    blocks = {l: " ".join(dt.STOPWORDS[l] * 4) for l in langs}
+    block_case_p = " ".join(
+        f"WHEN doc_id % 4 = {i} THEN '{blocks[l]}'" for i, l in enumerate(langs)
+    )
+    block_case_m = " ".join(
+        f"WHEN (doc_id + 1) % 4 = {i} THEN '{blocks[l]}'"
+        for i, l in enumerate(langs)
+    )
+    hit_cols = ",\n    ".join(
+        "len(list_filter(ck, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in dt.STOPWORDS[l]), l
+        )
+        for l in langs
+    )
+    best = "greatest({})".format(", ".join(f"h_{l}" for l in langs))
+    pred_case = " ".join(f"WHEN h_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    (CASE {block_case_p} END) || ' ' || text
+      || CASE WHEN doc_id % 3 <> 0
+           THEN ' ' || (CASE {block_case_m} END) ELSE '' END AS text
+  FROM documents),
+base AS (SELECT doc_id, {_WORDS_ORDERED} AS t FROM planted),
+ch AS (
+  -- scalar range() (lateral-safe) instead of the range table function,
+  -- which cannot reference the row's own list length
+  SELECT doc_id, list_slice(t, r.s + 1, r.s + 32) AS ck
+  FROM base, unnest(range(0, greatest(len(t) - 1, 0) + 1, 32)) AS r(s)),
+hits AS (
+  SELECT doc_id,
+    {hit_cols}
+  FROM ch),
+labeled AS (
+  SELECT doc_id,
+    CASE WHEN {best} = 0 THEN NULL ELSE (
+      CASE {pred_case} END) END AS pred
+  FROM (SELECT doc_id, h_de, h_en, h_es, h_fr, {best} AS best FROM hits)),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM labeled GROUP BY 1),
+per_lang AS (
+  SELECT doc_id, pred, count(*)::BIGINT AS c
+  FROM labeled WHERE pred IS NOT NULL GROUP BY 1, 2),
+votes AS (
+  SELECT doc_id,
+    sum(c)::BIGINT AS n_known,
+    count(*)::BIGINT AS n_langs,
+    max(c)::BIGINT AS dom_c,
+    first(pred ORDER BY c DESC, pred ASC) AS dom_lang
+  FROM per_lang GROUP BY 1)
+SELECT t.doc_id, t.n_chunks,
+  coalesce(v.n_known, 0)::BIGINT AS n_known,
+  coalesce(v.n_langs, 0)::BIGINT AS n_langs,
+  v.dom_lang,
+  round(v.dom_c::DOUBLE / v.n_known::DOUBLE, 6) AS dom_share,
+  coalesce(v.n_langs >= 2
+           AND round(v.dom_c::DOUBLE / v.n_known::DOUBLE, 6) <= 0.75,
+           FALSE) AS is_mixed
+FROM totals t LEFT JOIN votes v USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "mixed_language_docs": QuerySpec(
+            q_mixed_language_docs,
+            _sql_mixed_language_docs(),
+            "chunk-level code-switching detection over planted bilingual docs",
         ),
     }
 )

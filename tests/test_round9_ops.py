@@ -158,3 +158,59 @@ def test_host_dedup_rollup_counts(spark):
     assert rows["a.com"]["n_canonical"] == 2
     assert rows["a.com"]["dup_rate"] == pytest.approx(1 - 2 / 3, abs=1e-6)
     assert rows["b.com"]["n_canonical"] == 1 and rows["b.com"]["dup_rate"] == 0.0
+
+
+def test_remove_repeated_lines_corpus_wide(spark):
+    """A line repeated across more than max_df distinct docs is removed
+    from every doc; under-cap shared lines and unique lines survive in
+    original order; repeats WITHIN one doc count once toward df."""
+    from d2b_dataframework_spark.datapipe import dedup as dd
+
+    footer = "copyright footer"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one\n{footer}\nshared pair"),
+            (2, f"{footer}\nunique two\nshared pair"),
+            (3, f"unique three\n{footer}\n{footer}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.remove_repeated_lines(docs, max_df=2).collect()
+    }
+    # footer df = 3 docs > 2 -> removed everywhere; "shared pair" df = 2 kept
+    assert out[1]["cleaned_text"] == "unique one\nshared pair"
+    assert out[2]["cleaned_text"] == "unique two\nshared pair"
+    assert out[3]["cleaned_text"] == "unique three"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[3]["n_lines"] == 3 and out[3]["n_removed"] == 2
+
+
+def test_chunk_language_mix_detects_code_switching(spark):
+    """Pure, mixed, and unknown-only docs: the minority chunk must be
+    localized (mixed flag), zero-hit chunks must never vote, and a pure
+    doc must stay unmixed with dom_share 1.0."""
+    from d2b_dataframework_spark.datapipe.text import STOPWORDS, chunk_language_mix
+
+    de = " ".join(STOPWORDS["de"] * 4)   # one full 32-token chunk
+    en = " ".join(STOPWORDS["en"] * 4)
+    fr = " ".join(STOPWORDS["fr"] * 4)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{de} {de}"),                 # pure: 2 de chunks
+            (2, f"{en} {fr}"),                 # mixed 50/50
+            (3, "xx yy zz qq " * 8),           # unknown only
+            (4, f"{de} {de} {de} {en}"),       # 75/25 -> mixed at the boundary
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_language_mix(docs, 32).collect()}
+    assert out[1]["dom_lang"] == "de" and out[1]["dom_share"] == 1.0
+    assert out[1]["is_mixed"] is False
+    assert out[2]["is_mixed"] is True and out[2]["n_langs"] == 2
+    assert out[2]["dom_share"] == 0.5
+    assert out[3]["n_known"] == 0 and out[3]["dom_lang"] is None
+    assert out[3]["is_mixed"] is False
+    assert out[4]["dom_lang"] == "de" and out[4]["dom_share"] == 0.75
+    assert out[4]["is_mixed"] is True  # <= 0.75 boundary is mixed
