@@ -244,6 +244,52 @@ def _dupspans(docs):
     return duplicate_spans(corpus, min_run=5, n=3, max_df=50)
 
 
+def _span_removal(docs):
+    """remove_duplicate_spans over the SAME planted corpus as the
+    duplicate_spans probe: the extra work beyond the span join is one
+    per-doc interval window + a map-side token excision, so growth must
+    track the span probe, never exceed it super-linearly."""
+    from d2b_dataframework_spark.datapipe.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    copy = docs.select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copy)
+    spans = duplicate_spans(corpus, min_run=5, n=3, max_df=50)
+    return remove_duplicate_spans(corpus, spans)
+
+
+def _line_dedup(docs):
+    """remove_repeated_lines on a lined corpus: each doc gets a
+    per-source nav line (over-cap), its own text line, and a corpus
+    footer (over-cap). One explode + one line-hash agg + a per-doc
+    regroup — ~linear is the contract."""
+    from d2b_dataframework_spark.datapipe.dedup import remove_repeated_lines
+
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("nav chrome "), F.col("source")),
+            F.col("text"),
+            F.lit("footer all rights"),
+        ).alias("text"),
+    )
+    return remove_repeated_lines(lined, max_df=10)
+
+
+def _lang_mix(docs):
+    """chunk_language_mix: pure map-side chunk scoring + one small
+    per-doc agg — must track the corpus scan."""
+    from d2b_dataframework_spark.datapipe.text import chunk_language_mix
+
+    return chunk_language_mix(docs, chunk_tokens=32)
+
+
 def _idf_weighted(docs):
     """idf_weighted_pairs on corpus ∪ suffixed copy: each doc pairs with
     its twin (linear planted output); the df<=50 cap bounds every
@@ -750,6 +796,10 @@ def main() -> None:
         # (SCALING.md r8) into a measurement: spans/sec should be ~flat
         # across 1x/3x/10x when the knob tracks the data.
         "dupspans_adaptive": lambda d, e: _dupspans(d),
+        # Round-9 operators.
+        "span_removal": lambda d, e: _span_removal(d),
+        "line_dedup": lambda d, e: _line_dedup(d),
+        "chunk_lang_mix": lambda d, e: _lang_mix(d),
     }
 
     # Ops that re-size the shuffle-partition knob with the input (the
