@@ -527,3 +527,78 @@ def dsir_log_importance(
         F.sum("_n").cast("long").alias("n_tokens"),
         F.round(F.sum("_term").cast("double"), 6).alias("log_importance"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment: every member of a near-dup
+    CLUSTER lands in the same split, because the hash is taken over the
+    cluster id, not the document id.  A plain per-doc split leaks
+    paraphrases/twins across the train/eval boundary and silently
+    inflates eval scores — the contamination mode
+    :func:`assign_split` alone cannot prevent.
+
+    ``pairs`` is any near-dup pair frame (id_a, id_b) — simhash,
+    MinHash, embedding; clusters come from the star connected-components
+    operator; singletons are their own cluster.  Returns
+    (id, cluster_id, bucket, split) — one row per input document.
+
+    Scale shape: connected components is the existing O(log n)-round
+    operator; the rest is one left join plus the pure-projection hash
+    assignment (no extra shuffle beyond the cluster join).
+    """
+    from d2b_dataframework_spark.datapipe import cache
+    from d2b_dataframework_spark.datapipe.dedup import connected_components
+
+    comps = connected_components(pairs)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comps, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    out = assign_split(labeled, id_col="cluster_id", weights=weights, salt=salt)
+    return cache.track(out, *getattr(comps, "_d2b_persisted", ()))
+
+
+def token_budget_sample(
+    scored: DataFrame,
+    budget_tokens: int,
+    cell_col: str = "lang",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Budgeted best-first selection: per cell (language, domain, ...),
+    take documents in descending quality order until the cell's token
+    budget is exhausted — the "best N tokens per domain" curation stage
+    that turns unbounded crawl cells into a size-controlled mixture.
+    A document is kept while the cell's RUNNING token total (itself
+    included) still fits the budget; the first overflowing doc and
+    everything below it are dropped.
+
+    ``scored`` must carry (id, cell, quality, token count).  Returns the
+    kept rows with 1-based ``rank`` and running ``cum_tokens``.
+
+    Scale shape: one window per CELL (partitioned — never global), rank
+    ties broken by id so selection is a total order; cost is one
+    shuffle on the cell key.
+    """
+    w = Window.partitionBy(cell_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_tokens", F.sum(F.col(tokens_col)).over(run).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= int(budget_tokens))
+    )

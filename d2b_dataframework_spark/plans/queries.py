@@ -44,6 +44,10 @@ from d2b_dataframework_spark.operators.asof import asof_join
 from d2b_dataframework_spark.operators.dedup import keep_latest
 from d2b_dataframework_spark.operators.joins import broadcast_dim_join, left_join_fill_zero
 from d2b_dataframework_spark.operators.pivots import pivot_wide
+from d2b_dataframework_spark.datapipe.splits import (
+    leakage_safe_split,
+    token_budget_sample,
+)
 from d2b_dataframework_spark.operators.ranking import global_ntile
 from d2b_dataframework_spark.operators.sessions import session_summary
 from d2b_dataframework_spark.operators.unions import concat
@@ -2303,6 +2307,8 @@ _NEWEST_R9: tuple[str, ...] = (
     "pq_drift_recall",
     "line_dedup",
     "mixed_language_docs",
+    "leakage_safe_split",
+    "token_budget_sample",
 )
 
 # Deterministic rotation seed for the verified re-check slice: derived
@@ -19832,6 +19838,114 @@ REGISTRY.update(
             q_mixed_language_docs,
             _sql_mixed_language_docs(),
             "chunk-level code-switching detection over planted bilingual docs",
+        ),
+    }
+)
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (datapipe/splits.py:
+    leakage_safe_split): the 8/1/1 md5-bucket assignment hashed over
+    the near-dup CLUSTER id instead of the doc id, so a planted twin
+    can never land opposite its original across the train/eval
+    boundary — the paraphrase-leakage mode a per-doc split silently
+    allows. Clusters come from the simhash pair graph's connected
+    components; singletons are their own cluster. Run on the mutated
+    dup corpus, every doc has a twin, so every cluster has >= 2
+    members and the invariant is load-bearing in the oracle hash (a
+    doc-id hash would scatter them)."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=3)
+    out = leakage_safe_split(corpus, pairs)
+    return _carry(
+        out.select("doc_id", "cluster_id", "bucket", "split").orderBy("doc_id"),
+        pairs,
+        out,
+    )
+
+
+def _sql_leakage_safe_split() -> str:
+    comp_sql = _sql_dedup_clusters().replace("ORDER BY doc_id", "")
+    h = "('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 7))::BIGINT % 10"
+    return f"""
+WITH comp AS ({comp_sql}),
+corpus AS (SELECT doc_id FROM ({_SQL_DUP_CORPUS_NEAR})),
+labeled AS (
+  SELECT c.doc_id, coalesce(comp.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id)
+SELECT doc_id, cluster_id,
+  {h} AS bucket,
+  CASE WHEN {h} < 8 THEN 'train'
+       WHEN {h} < 9 THEN 'val' ELSE 'test' END AS split
+FROM labeled ORDER BY doc_id
+"""
+
+
+_TOKEN_BUDGET = 2000
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted best-first curation (datapipe/splits.py:
+    token_budget_sample): per language, documents are taken in
+    descending quality order until the 2000-token budget is exhausted
+    — the "best N tokens per domain" stage that turns unbounded crawl
+    cells into a size-controlled mixture. Kept rows carry their rank
+    and running token total, so the oracle hash pins the exact
+    selection frontier, not just the counts. Per-cell windows only —
+    the ranking never crosses a language boundary, so the shape
+    survives any number of cells."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        dt.quality_score(docs)
+        .select("doc_id", "quality")
+        .join(
+            docs.select(
+                "doc_id", "lang", F.size(dt.tokens("text")).cast("long").alias("n_tokens")
+            ),
+            "doc_id",
+        )
+    )
+    return (
+        token_budget_sample(scored, _TOKEN_BUDGET, cell_col="lang")
+        .select("doc_id", "lang", "quality", "n_tokens", "rank", "cum_tokens")
+        .orderBy("lang", "rank")
+    )
+
+
+def _sql_token_budget_sample() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split({_NORM}, ' ') AS words FROM documents),
+scored AS (
+  SELECT doc_id, lang, len(words)::BIGINT AS n_tokens,
+    round(least(len(words)::DOUBLE / 100.0, 1.0) * 0.5
+      + least(len(list_filter(words, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+              / len(words)::DOUBLE * 4.0, 1.0) * 0.5, 6) AS quality
+  FROM toks),
+ranked AS (
+  SELECT doc_id, lang, quality, n_tokens,
+    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC)::BIGINT
+      AS rank,
+    sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM scored)
+SELECT doc_id, lang, quality, n_tokens, rank, cum_tokens
+FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}
+ORDER BY lang, rank
+"""
+
+
+REGISTRY.update(
+    {
+        "leakage_safe_split": QuerySpec(
+            q_leakage_safe_split,
+            _sql_leakage_safe_split(),
+            "train/val/test split hashed over near-dup cluster ids",
+        ),
+        "token_budget_sample": QuerySpec(
+            q_token_budget_sample,
+            _sql_token_budget_sample(),
+            "per-language best-first selection under a token budget",
         ),
     }
 )

@@ -214,3 +214,58 @@ def test_chunk_language_mix_detects_code_switching(spark):
     assert out[3]["is_mixed"] is False
     assert out[4]["dom_lang"] == "de" and out[4]["dom_share"] == 0.75
     assert out[4]["is_mixed"] is True  # <= 0.75 boundary is mixed
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every near-dup cluster member gets the SAME split (the hash is
+    over the cluster id); singletons are their own cluster and still
+    get an assignment."""
+    from d2b_dataframework_spark.datapipe.splits import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 21)], "doc_id long"
+    )
+    # clusters: {1,2,3}, {4,5}; 6..20 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    rows = leakage_safe_split(docs, pairs).collect()
+    assert len(rows) == 20
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert (
+        by_doc[1]["split"] == by_doc[2]["split"] == by_doc[3]["split"]
+    )
+    assert by_doc[1]["cluster_id"] == by_doc[2]["cluster_id"] == 1
+    assert by_doc[4]["split"] == by_doc[5]["split"]
+    assert by_doc[7]["cluster_id"] == 7  # singleton
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # invariant over the whole frame: one split per cluster
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for r in rows:
+        seen[r["cluster_id"]].add(r["split"])
+    assert all(len(s) == 1 for s in seen.values())
+
+
+def test_token_budget_sample_frontier(spark):
+    """Selection stops at the first doc whose inclusion would overflow
+    the cell budget; ranking is quality-desc with doc-id tiebreak and
+    never crosses cells."""
+    from d2b_dataframework_spark.datapipe.splits import token_budget_sample
+
+    scored = spark.createDataFrame(
+        [
+            (1, "en", 0.9, 50),
+            (2, "en", 0.8, 40),
+            (3, "en", 0.7, 30),   # cum 120 > 100 -> dropped
+            (4, "en", 0.6, 5),    # below the frontier -> also dropped
+            (5, "de", 0.1, 60),   # other cell: own budget
+        ],
+        "doc_id long, lang string, quality double, n_tokens long",
+    )
+    rows = {r["doc_id"]: r for r in token_budget_sample(scored, 100).collect()}
+    assert set(rows) == {1, 2, 5}
+    assert rows[1]["rank"] == 1 and rows[1]["cum_tokens"] == 50
+    assert rows[2]["rank"] == 2 and rows[2]["cum_tokens"] == 90
+    assert rows[5]["rank"] == 1 and rows[5]["cum_tokens"] == 60
