@@ -28,6 +28,16 @@ def main() -> None:
     from d2b_dataframework_spark.core.session import get_session
     from d2b_dataframework_spark.plans.queries import REGISTRY
 
+    # Optional subset (comma-separated names): used by tools/close_round.sh
+    # follow-ups to pin late-landing queries without a full-registry run.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only_env:
+        only = {n for n in only_env.split(",") if n}
+        unknown = only - set(REGISTRY)
+        if unknown:
+            sys.exit(f"SPARK_GRAFT_BENCH_ONLY names not in registry: {sorted(unknown)}")
+        REGISTRY = {n: s for n, s in REGISTRY.items() if n in only}
+
     spark = get_session("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1144,6 +1144,134 @@ def decontaminate(
     )
 
 
+def decontaminate_multi(
+    train: DataFrame,
+    benchmarks: dict[str, DataFrame],
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination against a benchmark SUITE (MMLU+GSM8K+HumanEval
+    style): per training document and per benchmark, the hashed word
+    n-gram overlap — so the caller gets per-benchmark hit masks and a
+    combined drop decision in one pass over the corpus, instead of
+    re-scanning the corpus once per benchmark the single-set
+    :func:`decontaminate` would need.
+
+    Returns one row per (training doc x benchmark):
+    ``(id, benchmark, n_grams, n_contaminated, contaminated,
+    contamination_ratio)`` — zero-filled for benchmarks the doc does
+    not hit, so downstream rollups see every cell.
+
+    Scale shape: each benchmark's gram set is distinct-ed, tagged with
+    its name, UNIONed, and the union is broadcast ONCE (benchmark
+    suites are thousands of documents, never corpus-scale) — the corpus
+    explodes to grams exactly once and is never shuffled by text. Two
+    key-shuffles total, both on the doc id: the per-doc gram count and
+    the per-(doc, benchmark) hit count; the dense (doc x benchmark)
+    grid comes from a broadcast join against the literal name list.
+    """
+    t_grams = train.select(
+        F.col(id_col).alias("did"), tokens(text_col).alias("toks")
+    ).select(
+        "did",
+        F.explode(shingle_hashes("toks", n, pre_tokenized=True)).alias("g"),
+    )
+    b_union = None
+    for name in sorted(benchmarks):
+        bg = (
+            benchmarks[name]
+            .select(tokens(text_col).alias("toks"))
+            .select(
+                F.explode(shingle_hashes("toks", n, pre_tokenized=True)).alias("g")
+            )
+            .distinct()
+            .select(F.lit(name).alias("benchmark"), "g")
+        )
+        b_union = bg if b_union is None else b_union.unionByName(bg)
+    if b_union is None:
+        raise ValueError("decontaminate_multi needs at least one benchmark")
+    spark = train.sparkSession
+    names = spark.createDataFrame(
+        [(name,) for name in sorted(benchmarks)], "benchmark string"
+    )
+    doc_tot = t_grams.groupBy("did").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    hits = (
+        t_grams.join(F.broadcast(b_union), "g")
+        .groupBy("did", "benchmark")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    grid = doc_tot.crossJoin(F.broadcast(names))
+    per = grid.join(hits, ["did", "benchmark"], "left").select(
+        F.col("did").alias(id_col),
+        "benchmark",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_contaminated"),
+    )
+    return per.select(
+        id_col,
+        "benchmark",
+        "n_grams",
+        "n_contaminated",
+        (F.col("n_contaminated") > 0).alias("contaminated"),
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("contamination_ratio"),
+    )
+
+
+def decontamination_rollup(
+    per_doc: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Suite-level report over :func:`decontaminate_multi` output: per
+    benchmark, how many training docs are hit and the doc/gram hit
+    rates — plus a combined ``__any__`` row (docs hit by AT LEAST one
+    benchmark, i.e. the suite's drop mask size). Two small aggregations
+    over the (doc x benchmark) grid; output is |benchmarks|+1 rows.
+
+    The ``__any__`` row's ``n_hit_grams`` sums gram hits ACROSS
+    benchmarks (a gram shared by k benchmark sets counts k times) —
+    a documented convention so the rollup stays derivable from the
+    per-doc grid without re-scanning the corpus."""
+    per_b = per_doc.groupBy("benchmark").agg(
+        F.count("*").cast("long").alias("n_train_docs"),
+        F.sum(F.col("contaminated").cast("long")).cast("long").alias("n_hit_docs"),
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        F.sum("n_contaminated").cast("long").alias("n_hit_grams"),
+    )
+    any_doc = (
+        per_doc.groupBy(id_col)
+        .agg(
+            F.max(F.col("contaminated").cast("long")).alias("hit"),
+            # n_grams repeats per benchmark row of the grid; min() picks
+            # the one per-doc value deterministically on both legs
+            F.min("n_grams").alias("n_grams"),
+            F.sum("n_contaminated").cast("long").alias("n_hit_grams"),
+        )
+        .agg(
+            F.lit("__any__").alias("benchmark"),
+            F.count("*").cast("long").alias("n_train_docs"),
+            F.sum("hit").cast("long").alias("n_hit_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_hit_grams").cast("long").alias("n_hit_grams"),
+        )
+    )
+    return per_b.unionByName(any_doc).select(
+        "benchmark",
+        "n_train_docs",
+        "n_hit_docs",
+        F.round(
+            F.col("n_hit_docs").cast("double") / F.col("n_train_docs").cast("double"),
+            6,
+        ).alias("doc_hit_rate"),
+        F.round(
+            F.col("n_hit_grams").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("gram_hit_rate"),
+    )
+
+
 def segment_dup_stats(
     df: DataFrame,
     window: int = 15,

@@ -556,6 +556,13 @@ def leakage_safe_split(
     from d2b_dataframework_spark.datapipe.dedup import connected_components
 
     comps = connected_components(pairs)
+    # connected_components always labels its id column ``doc_id``;
+    # realign it to the caller's id_col so non-default names join.
+    # (Capture the tracked persist handles FIRST — withColumnRenamed
+    # returns a fresh DataFrame object without the _d2b_persisted tag.)
+    comp_handles = tuple(getattr(comps, "_d2b_persisted", ()))
+    if id_col != "doc_id":
+        comps = comps.withColumnRenamed("doc_id", id_col)
     labeled = (
         docs.select(F.col(id_col))
         .join(comps, id_col, "left")
@@ -565,7 +572,7 @@ def leakage_safe_split(
         )
     )
     out = assign_split(labeled, id_col="cluster_id", weights=weights, salt=salt)
-    return cache.track(out, *getattr(comps, "_d2b_persisted", ()))
+    return cache.track(out, *comp_handles)
 
 
 def token_budget_sample(
@@ -602,3 +609,66 @@ def token_budget_sample(
         )
         .filter(F.col("cum_tokens") <= int(budget_tokens))
     )
+
+
+def cluster_budget_mixture(
+    scored: DataFrame,
+    pairs: DataFrame,
+    budget_tokens: int,
+    cell_col: str = "lang",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Cluster-aware token-budget selection — the curation step
+    :func:`leakage_safe_split` (cluster ids) and
+    :func:`token_budget_sample` (budget frontier) exist to serve,
+    composed: the budget is spent on UNIQUE content only, so the
+    selection can never pick two near-dup twins the way a plain
+    per-doc budget walk silently does (paying the budget twice for
+    one document's content).
+
+    Three stages, all key-partitioned:
+
+    1. near-dup pairs -> connected components -> cluster ids
+       (singletons are their own cluster);
+    2. per-cluster election: the highest-``quality_col`` member (ties
+       to the smallest id) represents the cluster — everything else is
+       excluded before the budget walk even sees it;
+    3. :func:`token_budget_sample` over the representatives, per cell.
+
+    A cluster whose members span cells is represented ONCE, in its
+    representative's cell — the dedup-wins-over-mixture convention
+    (content appears in the corpus once, whichever cell gets it).
+
+    Returns kept rows with ``cluster_id``, ``rank`` and ``cum_tokens``.
+    Scale shape: components is the O(log n)-round star operator; the
+    election and budget windows are both partitioned (cluster / cell) —
+    nothing global, no all-pairs."""
+    from d2b_dataframework_spark.datapipe import cache
+    from d2b_dataframework_spark.datapipe.dedup import connected_components
+
+    comps = connected_components(pairs)
+    comp_handles = tuple(getattr(comps, "_d2b_persisted", ()))
+    if id_col != "doc_id":
+        comps = comps.withColumnRenamed("doc_id", id_col)
+    labeled = scored.join(comps, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+    elect = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    reps = (
+        labeled.withColumn("_rn", F.row_number().over(elect))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = token_budget_sample(
+        reps,
+        budget_tokens,
+        cell_col=cell_col,
+        id_col=id_col,
+        quality_col=quality_col,
+        tokens_col=tokens_col,
+    )
+    return cache.track(out, *comp_handles)

@@ -16,6 +16,7 @@ identical regex/HOF pipeline is replayable in the DuckDB oracle
 
 Canonical form (documented contract, applied in this order):
 
+0. surrounding ASCII whitespace trimmed from the raw URL string
 1. scheme lowercased
 2. host lowercased; a leading ``www.`` is stripped
 3. default ports dropped (``:80`` for http, ``:443`` for https);

@@ -31,15 +31,15 @@ def test_gate_order_unverified_always_precede_verified():
     (or wasn't) added to.  A new query can therefore never silently
     queue behind the verified block and skip the sampled window.
 
-    One EXPLICIT exception: names staged in ``_NEWEST_R9`` (added this
-    round) ride immediately behind the recheck slice so the window
-    stays pure backlog+recheck — they must still precede the remaining
-    verified block (checked below), so they lead the next round's
-    backlog rather than sinking."""
+    One EXPLICIT exception: names staged in the CURRENT round's tuple
+    (``_STAGING[-1]``) ride immediately behind the recheck slice so the
+    window stays pure backlog+recheck — they must still precede the
+    remaining verified block (checked below), so they lead the next
+    round's backlog rather than sinking."""
     Q = _registry()
     order = Q._gate_order()
     assert sorted(order) == sorted(Q.REGISTRY), "gate order must be a permutation"
-    staged_behind_recheck = set(Q._NEWEST_R9)
+    staged_behind_recheck = set(Q._STAGING[-1])
     n_unverified = sum(
         1
         for n in Q.REGISTRY
@@ -92,18 +92,19 @@ def test_gate_order_staged_names_exist():
 
 
 def test_gate_window_is_all_first_time_names_this_round():
-    """Round-9 contract from the r8 verdict (ask #2): the sampled
-    window leads with the never-driver-checked backlog (the ten
-    _NEWEST_R8 names) and the recheck rotation fills EVERY remaining
-    slot; brand-new r9 queries (_NEWEST_R9) queue BEHIND the rechecks
-    so the window stays pure backlog+recheck until the backlog drains."""
+    """Standing contract: the sampled window leads with the
+    never-driver-checked backlog (everything unverified except THIS
+    round's staging tuple, ``_STAGING[-1]``) and the recheck rotation
+    fills EVERY remaining slot; brand-new queries queue BEHIND the
+    rechecks so the window stays pure backlog+recheck until the
+    backlog drains."""
     Q = _registry()
     order = Q._gate_order()
     window = order[: Q._GATE_WINDOW]
     backlog = {
         n
         for n in Q.REGISTRY
-        if n not in Q._DRIVER_VERIFIED and n not in Q._NEWEST_R9
+        if n not in Q._DRIVER_VERIFIED and n not in Q._STAGING[-1]
     }
     if len(backlog) >= Q._GATE_WINDOW:
         assert all(n not in Q._DRIVER_VERIFIED for n in window)
@@ -112,21 +113,37 @@ def test_gate_window_is_all_first_time_names_this_round():
         assert all(n in Q._DRIVER_VERIFIED for n in window[len(backlog) :])
 
 
-def test_gate_window_r9_shape():
-    """The r9 window is exactly the ten round-8 first-timers followed
-    by 40 distinct verified recheck names (r8 verdict ask #2) — until a
-    round-9 staging tuple or a new driver artifact changes the counts,
-    which the other guards then re-derive."""
+def test_gate_window_r10_shape():
+    """The r10 window is exactly the seven round-9 first-timers
+    followed by 43 distinct verified recheck names (r9 verdict ask #2)
+    — until the round-10 staging tuple grows or a new driver artifact
+    lands, after which the other guards re-derive the counts."""
     Q = _registry()
     order = Q._gate_order()
     window = order[: Q._GATE_WINDOW]
     first_timers = [n for n in window if n not in Q._DRIVER_VERIFIED]
     rechecks = [n for n in window if n in Q._DRIVER_VERIFIED]
-    assert set(first_timers) >= set(Q._NEWEST_R8) - set(Q._DRIVER_VERIFIED)
+    assert set(first_timers) >= set(Q._NEWEST_R9) - set(Q._DRIVER_VERIFIED)
     assert len(rechecks) == len(set(rechecks)), "recheck slice must not repeat"
-    if not Q._NEWEST_R9 and set(Q._NEWEST_R8).isdisjoint(Q._DRIVER_VERIFIED):
-        assert len(first_timers) == 10
-        assert len(rechecks) == 40
+    if not Q._STAGING[-1] and set(Q._NEWEST_R9).isdisjoint(Q._DRIVER_VERIFIED):
+        assert first_timers == list(Q._NEWEST_R9)
+        assert len(rechecks) == 43
+
+
+def test_driver_verified_is_derived_from_committed_artifacts():
+    """Round-10 structural fix (r9 verdict ask #1): ``_DRIVER_VERIFIED``
+    is the import-time union of green rows across CORRECTNESS_r*.json,
+    so committing the artifact IS the fold — the literal fallback must
+    be a (strict, once r9's artifact landed) subset, never the source
+    of extra names."""
+    Q = _registry()
+    assert Q._DRIVER_VERIFIED_FALLBACK <= Q._DRIVER_VERIFIED
+    derived = Q._load_driver_verified()
+    assert derived == Q._DRIVER_VERIFIED
+    # The r9 artifact's ten first-timers prove derivation is live.
+    for name in ("semdedup_capped", "filter_funnel", "cluster_purity_nmi"):
+        assert name in Q._DRIVER_VERIFIED
+        assert name not in Q._DRIVER_VERIFIED_FALLBACK
 
 
 # ---------------------------------------------------------------------------

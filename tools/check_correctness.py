@@ -84,6 +84,14 @@ def main() -> int:
                 from d2b_dataframework_spark.datapipe.cache import release
 
                 release(plan)
+            else:
+                # builder raised partway through: any intermediate a
+                # datapipe op already persisted has no handle to release,
+                # so clear the whole CacheManager — an orphaned cached
+                # frame would otherwise be silently substituted into
+                # later queries' matching plan subtrees for the rest of
+                # the 300+-query session (the r9 cache-pollution class)
+                spark.catalog.clearCache()
         if spec.sql is None:
             print(f"ok?   {name}: rows-only ({len(sdf)} rows)")
             continue

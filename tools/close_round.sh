@@ -35,6 +35,20 @@ done
 python tools/pin_baseline.py "${DETAILS[@]}" \
   --note "close_round.sh: ${RUNS} idle runs at ${SF_DIR}"
 
+echo "== [3b/4] pin-completeness guard (r9 verdict ask #3)"
+# The snapshot commit must not pass with a stale pin: every registry
+# query needs a row in the freshly-written BENCH_BASELINE.json.
+python - <<'PY'
+import json, sys
+from d2b_dataframework_spark.plans.queries import REGISTRY
+pin = set(json.load(open("BENCH_BASELINE.json"))["queries"])
+missing = set(REGISTRY) - pin
+stale = pin - set(REGISTRY)
+if missing or stale:
+    sys.exit(f"PIN INCOMPLETE: missing={sorted(missing)} stale={sorted(stale)}")
+print(f"pin covers all {len(pin)} registry queries")
+PY
+
 echo "== [4/4] pointer audit"
 python -m pytest tests/test_pointer_audit.py -x -q
 

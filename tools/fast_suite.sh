@@ -18,7 +18,7 @@ cd "$(dirname "$0")/.."
 # longer serialize behind each other).
 G1="tests/test_datapipe.py tests/test_properties.py"
 G2="tests/test_operators.py tests/test_forecast.py tests/test_dsv2.py tests/test_prophet_optional.py tests/test_codecs.py tests/test_codec_optional.py tests/test_round9_ops.py"
-G3="tests/test_streaming.py tests/test_round5_ops.py tests/test_round6_ops.py tests/test_round7_ops.py tests/test_round8_ops.py"
+G3="tests/test_streaming.py tests/test_round5_ops.py tests/test_round6_ops.py tests/test_round7_ops.py tests/test_round8_ops.py tests/test_round10_ops.py"
 G4="tests/test_pointer_audit.py tests/test_round4_ops.py tests/test_frequency.py tests/test_functions.py tests/test_connectors.py tests/test_google_auth.py tests/test_sources.py tests/test_sinks.py tests/test_core.py"
 
 # Completeness guard: a new tests/test_*.py module not yet assigned to

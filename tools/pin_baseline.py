@@ -25,6 +25,12 @@ def main() -> None:
         i = args.index("--note")
         note = args[i + 1]
         del args[i : i + 2]
+    # --merge: update/add only the queries present in the given runs,
+    # keeping every other existing pin entry (for pinning a late-landing
+    # query subset without re-benching the whole registry).
+    merge = "--merge" in args
+    if merge:
+        args.remove("--merge")
     if not args:
         sys.exit("need at least one BENCH_DETAIL.json")
     runs = []
@@ -63,6 +69,22 @@ def main() -> None:
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dest = os.path.join(repo, "BENCH_BASELINE.json")
+    if merge and os.path.exists(dest):
+        with open(dest) as fh:
+            prev = json.load(fh)
+        merged_q = dict(prev.get("queries", {}))
+        merged_d = dict(prev.get("queries_detail", {}))
+        merged_q.update(queries)
+        merged_d.update(detail)
+        out["queries"] = merged_q
+        out["queries_detail"] = merged_d
+        out["value"] = round(sum(merged_q.values()), 3)
+        out["pinned_from"] = (
+            prev.get("pinned_from", "")
+            + f" | merged {sorted(names)}: {out['pinned_from']}"
+        )
+        names = set(merged_q)
+        total = out["value"]
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -656,6 +656,49 @@ def _nb(docs):
     return pred.groupBy("actual", "predicted").count()
 
 
+def _leakage_split(docs):
+    """Composite r9 operator (VERDICT r9 ask #4): planted-twin corpus ->
+    simhash pairs -> connected components -> left join -> hash assign.
+    The CC input rides the probed simhash/CC path; this measures the
+    COMPOSITE including the cluster join + split projection."""
+    from d2b_dataframework_spark.datapipe import dedup as dd
+    from d2b_dataframework_spark.datapipe.splits import leakage_safe_split
+
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 50_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+        )
+    )
+    pairs = dd.simhash_near_dup_pairs(corpus, max_hamming=3)
+    return leakage_safe_split(corpus, pairs)
+
+
+def _budget_skew(docs):
+    """token_budget_sample under deliberate cell skew (VERDICT r9 ask
+    #4): 90% of docs land in one 'hot' cell, so the per-cell rank +
+    running-sum windows concentrate on a single partition — the probe
+    shows the partitioned windows hold (~n log n within the hot cell,
+    no global window, no shuffle amplification). Budget is effectively
+    unbounded so the windows' full cost is what's timed."""
+    from d2b_dataframework_spark.datapipe.splits import token_budget_sample
+
+    scored = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+            ).cast("double")
+            / 65535.0
+        ).alias("quality"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return token_budget_sample(scored, budget_tokens=1_000_000_000, cell_col="lang")
+
+
 def _call(build, docs, emb, mult):
     try:
         return build(docs, emb, mult)
@@ -800,6 +843,9 @@ def main() -> None:
         "span_removal": lambda d, e: _span_removal(d),
         "line_dedup": lambda d, e: _line_dedup(d),
         "chunk_lang_mix": lambda d, e: _lang_mix(d),
+        # Round-10 (VERDICT r9 ask #4): the two unprobed r9 composites.
+        "leakage_split": lambda d, e: _leakage_split(d),
+        "token_budget_skewed": lambda d, e: _budget_skew(d),
     }
 
     # Ops that re-size the shuffle-partition knob with the input (the
