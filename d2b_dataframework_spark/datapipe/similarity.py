@@ -1440,3 +1440,58 @@ def power_iteration_top_eigvec(
         )
         .orderBy("dim")
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose best
+    cosine against ANY benchmark vector reaches ``threshold`` — the
+    companion to the n-gram screen (datapipe/dedup.py::decontaminate
+    family), catching PARAPHRASED benchmark leakage that shares no
+    surface n-grams with the eval set.
+
+    Returns one row per corpus vector: ``(id, best_bench_id,
+    best_cosine, contaminated)`` — best_bench_id is the argmax
+    benchmark (smallest id on cosine ties), so audits can trace every
+    flag to the eval item that triggered it.
+
+    Scale shape: the benchmark side is broadcast (eval suites are
+    thousands of vectors, never corpus-scale); the corpus streams
+    through one scan, norms are computed once per vector (never per
+    pair), and the per-vector argmax is a map-side-combinable
+    ``max(struct(cosine, -bench_id))`` aggregation — one shuffle on
+    the corpus id, nothing shuffled by vector payload. For benchmark
+    suites too large to broadcast, pre-reduce them with
+    :func:`semdedup_prune` or route through :func:`ivf_topk` buckets.
+    """
+    bid = bench_id_col or id_col
+    b = benchmark.select(
+        F.col(bid).alias("bench_id"), _as_double(F.col(vec_col)).alias("bv")
+    ).withColumn("bn", norm(F.col("bv")))
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    pairs = c.crossJoin(F.broadcast(b)).select(
+        "_cid",
+        "bench_id",
+        F.round(
+            dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6
+        ).alias("cos"),
+    )
+    best = pairs.groupBy("_cid").agg(
+        F.max(
+            F.struct(F.col("cos"), (-F.col("bench_id")).alias("_nb"))
+        ).alias("m")
+    )
+    return best.select(
+        F.col("_cid").alias(id_col),
+        (-F.col("m._nb")).cast("long").alias("best_bench_id"),
+        F.col("m.cos").alias("best_cosine"),
+        (F.col("m.cos") >= F.lit(float(threshold))).alias("contaminated"),
+    )

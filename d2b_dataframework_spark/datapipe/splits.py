@@ -596,7 +596,14 @@ def token_budget_sample(
 
     Scale shape: one window per CELL (partitioned — never global), rank
     ties broken by id so selection is a total order; cost is one
-    shuffle on the cell key.
+    shuffle on the cell key. A pathologically hot cell (most of the
+    corpus in one language/domain) turns its window into one big
+    per-partition sort — still ~n log n, not a shuffle amplification
+    (measured under 90%-hot skew in tools/scale_probe.py
+    token_budget_skewed) — but at real scale that skew is the cue to
+    sub-split the cell key (e.g. (lang, quality-decile)) and stitch
+    the per-subcell frontiers, which preserves the selection because
+    the walk is quality-ordered.
     """
     w = Window.partitionBy(cell_col).orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()

@@ -2374,6 +2374,7 @@ _NEWEST_R10: tuple[str, ...] = (
     "decontamination_report",
     "cluster_budget_mixture",
     "jpeg_dimensions",
+    "semantic_decontaminate",
 )
 
 # Staging tuples in age order.  Every tuple except the LAST is a past
@@ -21519,6 +21520,54 @@ REGISTRY.update(
             q_jpeg_dimensions,
             SQL_JPEG_DIMENSIONS,
             "planted variable-layout JFIF streams parsed by the SOFn walk",
+        ),
+    }
+)
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (datapipe/similarity.py::
+    decontaminate_semantic): the paraphrase-leakage companion to the
+    n-gram suite screen. The benchmark is the vec_id % 50 == 0 slice of
+    the corpus ITSELF (the planted-leak convention — those corpus rows
+    are guaranteed cos=1.0 hits), broadcast against one streaming
+    corpus scan; every corpus vector reports its argmax benchmark and
+    whether it clears the 0.95 threshold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.decontaminate_semantic(emb, bench, threshold=0.95).orderBy(
+        "vec_id"
+    )
+
+
+SQL_SEMANTIC_DECONTAMINATE = """
+WITH b AS (
+  SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+  FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+pairs AS (
+  SELECT vec_id, bench_id,
+    round(list_dot_product(cv, bv)
+          / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))),
+          6) AS cos
+  FROM c CROSS JOIN b),
+best AS (
+  SELECT vec_id, bench_id, cos,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC)
+      AS rn
+  FROM pairs)
+SELECT vec_id, bench_id::BIGINT AS best_bench_id, cos AS best_cosine,
+  cos >= 0.95 AS contaminated
+FROM best WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+REGISTRY.update(
+    {
+        "semantic_decontaminate": QuerySpec(
+            q_semantic_decontaminate,
+            SQL_SEMANTIC_DECONTAMINATE,
+            "argmax-benchmark cosine decontamination over a broadcast eval slice",
         ),
     }
 )

@@ -311,3 +311,38 @@ def test_jpeg_parse_com_and_fill_bytes():
     # SOS before any SOF: dimensions unrecoverable without entropy decode
     sos = b"\xff\xd8" + b"\xff\xda\x00\x08" + b"\x00" * 8
     assert parse_image_dimensions(sos) is None
+
+
+def test_semantic_decontaminate_planted(spark):
+    """Corpus vec 1 is identical to bench 100 (cos 1.0, flagged); vec 2
+    is orthogonal to both bench vectors (cos 0, clean); vec 3 is a
+    scaled copy of bench 200 (cosine is scale-invariant -> flagged)."""
+    from d2b_dataframework_spark.datapipe.similarity import (
+        decontaminate_semantic,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (3, [0.0, 2.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in decontaminate_semantic(corpus, bench, threshold=0.95).collect()
+    }
+    assert rows[1]["contaminated"] is True
+    assert rows[1]["best_bench_id"] == 100
+    assert rows[1]["best_cosine"] == 1.0
+    assert rows[2]["contaminated"] is False
+    assert rows[2]["best_cosine"] == 0.0
+    # cosine tie at 0.0 for vec 2: argmax must pick the SMALLEST bench id
+    assert rows[2]["best_bench_id"] == 100
+    assert rows[3]["contaminated"] is True
+    assert rows[3]["best_bench_id"] == 200
