@@ -103,3 +103,66 @@ def host_dedup_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# HTML boilerplate stripping (trafilatura/Dolma-lite): the pre-clean
+# every web-crawl corpus runs before quality scoring and dedup.  Pure
+# Catalyst regex pipeline — map-side at any scale, replayable verbatim
+# in the DuckDB oracle.  Documented extraction order (each step feeds
+# the next):
+#
+# 1. <script>/<style> elements dropped WITH their content (case-
+#    insensitive, dotall)
+# 2. HTML comments <!-- ... --> dropped
+# 3. remaining tags <...> replaced by a space (so "</p><p>" never
+#    glues two words together)
+# 4. the five predefined XML entities decoded (&amp; LAST so "&amp;lt;"
+#    decodes to the literal "&lt;", not "<")
+# 5. whitespace runs collapsed, ends trimmed
+_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_TAG_RE = r"(?s)<[^>]+>"
+_HREF_RE = r"(?i)<a\s[^>]*href"
+
+
+def strip_html(col: Column | str) -> Column:
+    """Visible text of an HTML payload per the module contract."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _SCRIPT_RE, " ")
+    c = F.regexp_replace(c, _STYLE_RE, " ")
+    c = F.regexp_replace(c, _COMMENT_RE, " ")
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_text_stats(df: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Extracted text + the link-density screen: anchor count over
+    extracted word count — the classic boilerplate-page signal (nav/
+    footer link farms score high and get dropped).  One projection,
+    zero shuffles; thresholds are the caller's business."""
+    text = strip_html(html_col)
+    n_links = F.regexp_count(F.col(html_col), F.lit(_HREF_RE)).cast("long")
+    n_words = F.when(text == "", F.lit(0)).otherwise(
+        F.size(F.split(text, " "))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        text.alias("text"),
+        n_links.alias("n_links"),
+        n_words.alias("n_words"),
+        F.round(
+            n_links.cast("double")
+            / F.greatest(n_words.cast("double"), F.lit(1.0)),
+            6,
+        ).alias("link_density"),
+    )

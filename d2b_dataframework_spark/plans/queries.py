@@ -2375,6 +2375,9 @@ _NEWEST_R10: tuple[str, ...] = (
     "cluster_budget_mixture",
     "jpeg_dimensions",
     "semantic_decontaminate",
+    "tiff_dimensions",
+    "flac_streaminfo",
+    "html_text_extract",
 )
 
 # Staging tuples in age order.  Every tuple except the LAST is a past
@@ -21568,6 +21571,224 @@ REGISTRY.update(
             q_semantic_decontaminate,
             SQL_SEMANTIC_DECONTAMINATE,
             "argmax-benchmark cosine decontamination over a broadcast eval slice",
+        ),
+    }
+)
+
+
+def q_tiff_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-TIFF parity for the IFD walk (multimodal.py::
+    parse_image_dimensions): per document a minimal TIFF is synthesized
+    IN-ENGINE — even doc_ids get little-endian ('II*\\0') files with
+    SHORT-typed width/height entries, odd doc_ids get big-endian
+    ('MM\\0*') files with LONG-typed entries, so one hash-match covers
+    both byte orders AND both value layouts (SHORT left-justified in
+    the 4-byte slot vs full LONG). The oracle computes the expected
+    dimensions arithmetically."""
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    wdt = (F.col("doc_id") % 900 + 8).cast("long")
+    hgt = (F.col("doc_id") % 600 + 8).cast("long")
+    le16 = lambda v: F.format_string(  # noqa: E731 - local hex helpers
+        "%02x%02x", (v % 256).cast("int"), (v / 256).cast("int")
+    )
+    le_tiff = F.concat(
+        F.lit("49492a00" + "08000000" + "0200"),
+        F.lit("0001" + "0300" + "01000000"), le16(wdt), F.lit("0000"),
+        F.lit("0101" + "0300" + "01000000"), le16(hgt), F.lit("0000"),
+        F.lit("00000000"),
+    )
+    be_tiff = F.concat(
+        F.lit("4d4d002a" + "00000008" + "0002"),
+        F.lit("0100" + "0004" + "00000001"), F.format_string("%08x", wdt),
+        F.lit("0101" + "0004" + "00000001"), F.format_string("%08x", hgt),
+        F.lit("00000000"),
+    )
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(
+            F.when(F.col("doc_id") % 2 == 0, le_tiff).otherwise(be_tiff)
+        ).alias("content"),
+    )
+    return (
+        mm.image_dimensions(assets)
+        .select(
+            F.col("asset_id").cast("long").alias("doc_id"),
+            "format",
+            "width",
+            "height",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TIFF_DIMENSIONS = """
+SELECT doc_id, 'tiff' AS format,
+  (doc_id % 900 + 8)::BIGINT AS width,
+  (doc_id % 600 + 8)::BIGINT AS height
+FROM documents ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "tiff_dimensions": QuerySpec(
+            q_tiff_dimensions,
+            SQL_TIFF_DIMENSIONS,
+            "planted dual-endian dual-type TIFF IFDs parsed by the walker",
+        ),
+    }
+)
+
+
+def q_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-FLAC parity for the STREAMINFO bit-unpack (multimodal.py::
+    parse_flac_streaminfo): per document a minimal FLAC is synthesized
+    IN-ENGINE — the 64-bit word packing sample rate (20 bits),
+    channels-1 (3), bits-per-sample-1 (5) and total samples (36) is
+    assembled with shiftleft + format_string; odd doc_ids additionally
+    prepend a PADDING metadata block so the walker's skip path is
+    exercised, not just the first-block happy path. The oracle computes
+    the expected fields arithmetically, so a hash-match proves the
+    bit-level unpack."""
+    from d2b_dataframework_spark.datapipe import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    sr = (F.col("doc_id") % 40000 + 8000).cast("long")
+    ch = (F.col("doc_id") % 8 + 1).cast("long")
+    bps = (F.col("doc_id") % 24 + 8).cast("long")
+    total = (F.col("doc_id") * 1000 + 7).cast("long")
+    packed = (
+        F.shiftleft(sr, 44)
+        + F.shiftleft(ch - 1, 41)
+        + F.shiftleft(bps - 1, 36)
+        + total
+    )
+    streaminfo = F.concat(
+        F.lit("80" + "000022"),  # last-block STREAMINFO header, len 34
+        F.lit("1000" + "1000" + "000000" + "000000"),  # block/frame sizes
+        F.format_string("%016x", packed),
+        F.lit("0" * 32),  # unaudited md5 placeholder
+    )
+    flac_hex = F.concat(
+        F.lit("664c6143"),  # fLaC
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.lit("01" + "000004" + "00000000"),  # PADDING block to skip
+        ).otherwise(F.lit("")),
+        streaminfo,
+    )
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        F.unhex(flac_hex).alias("content"),
+    )
+    return (
+        mm.flac_meta(assets)
+        .select(
+            F.col("asset_id").cast("long").alias("doc_id"),
+            "sample_rate",
+            "channels",
+            "bit_depth",
+            "total_samples",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_FLAC_STREAMINFO = """
+SELECT doc_id,
+  (doc_id % 40000 + 8000)::BIGINT AS sample_rate,
+  (doc_id % 8 + 1)::BIGINT AS channels,
+  (doc_id % 24 + 8)::BIGINT AS bit_depth,
+  (doc_id * 1000 + 7)::BIGINT AS total_samples
+FROM documents ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "flac_streaminfo": QuerySpec(
+            q_flac_streaminfo,
+            SQL_FLAC_STREAMINFO,
+            "planted FLAC metadata walked and bit-unpacked from raw bytes",
+        ),
+    }
+)
+
+
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip + link-density screen (datapipe/web.py::
+    strip_html / html_text_stats): per document the query synthesizes a
+    crawl page IN-ENGINE — uppercase tag casing, a <style> and a
+    <script> element whose CONTENT must vanish, doc_id-many nav links,
+    predefined entities (incl. the &amp;lt; double-escape trap) and a
+    trailing comment — then extracts visible text and the anchors-per-
+    word boilerplate signal. Both legs run the byte-identical regex/
+    replace pipeline, so the text hash pins every extraction step."""
+    from d2b_dataframework_spark.datapipe.web import html_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<HTML><head><title>t</title><STYLE>p{color:red}</STYLE>"
+              "<script type=\"text/javascript\">var id="),
+        sid,
+        F.lit("; if (id &lt; 0) {}</script></head><body><h1>Doc &amp;lt; "),
+        sid,
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.expr("repeat('<a href=\"/l\">x</a> ', cast(doc_id % 5 as int))"),
+        F.lit("<!-- crawler: it&#39;s over --></body></HTML>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return html_text_stats(pages).orderBy("doc_id")
+
+
+SQL_HTML_TEXT_EXTRACT = r"""
+WITH raw AS (
+  SELECT doc_id,
+    '<HTML><head><title>t</title><STYLE>p{color:red}</STYLE>'
+    || '<script type="text/javascript">var id=' || doc_id::VARCHAR
+    || '; if (id &lt; 0) {}</script></head><body><h1>Doc &amp;lt; '
+    || doc_id::VARCHAR || '</h1>' || chr(10) || '<p>' || text || '</p>'
+    || repeat('<a href="/l">x</a> ', (doc_id % 5)::INT)
+    || '<!-- crawler: it&#39;s over --></body></HTML>' AS html
+  FROM documents),
+cleaned AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?s)<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&amp;', '&'),
+      '\s+', ' ', 'g')) AS text
+  FROM raw),
+stats AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(html, '(?i)<a\s[^>]*href'))::BIGINT AS n_links,
+    (CASE WHEN text = '' THEN 0
+          ELSE len(string_split(text, ' ')) END)::BIGINT AS n_words
+  FROM cleaned)
+SELECT doc_id, text, n_links, n_words,
+  round(n_links::DOUBLE / greatest(n_words, 1)::DOUBLE, 6) AS link_density
+FROM stats ORDER BY doc_id
+"""
+
+
+REGISTRY.update(
+    {
+        "html_text_extract": QuerySpec(
+            q_html_text_extract,
+            SQL_HTML_TEXT_EXTRACT,
+            "visible-text extraction + link-density over synthesized crawl pages",
         ),
     }
 )

@@ -346,3 +346,143 @@ def test_semantic_decontaminate_planted(spark):
     assert rows[2]["best_bench_id"] == 100
     assert rows[3]["contaminated"] is True
     assert rows[3]["best_bench_id"] == 200
+
+
+def test_tiff_parse_both_endians_and_types():
+    from d2b_dataframework_spark.datapipe.multimodal import (
+        parse_image_dimensions,
+    )
+
+    def le_tiff(w, h, typ=3):
+        vw = w.to_bytes(2, "little") + b"\x00\x00" if typ == 3 else w.to_bytes(4, "little")
+        vh = h.to_bytes(2, "little") + b"\x00\x00" if typ == 3 else h.to_bytes(4, "little")
+        return (
+            b"II*\x00" + (8).to_bytes(4, "little") + (2).to_bytes(2, "little")
+            + (256).to_bytes(2, "little") + typ.to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + vw
+            + (257).to_bytes(2, "little") + typ.to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + vh
+            + b"\x00\x00\x00\x00"
+        )
+
+    def be_tiff(w, h, typ=4):
+        vw = w.to_bytes(2, "big") + b"\x00\x00" if typ == 3 else w.to_bytes(4, "big")
+        vh = h.to_bytes(2, "big") + b"\x00\x00" if typ == 3 else h.to_bytes(4, "big")
+        return (
+            b"MM\x00*" + (8).to_bytes(4, "big") + (2).to_bytes(2, "big")
+            + (256).to_bytes(2, "big") + typ.to_bytes(2, "big")
+            + (1).to_bytes(4, "big") + vw
+            + (257).to_bytes(2, "big") + typ.to_bytes(2, "big")
+            + (1).to_bytes(4, "big") + vh
+            + b"\x00\x00\x00\x00"
+        )
+
+    assert parse_image_dimensions(le_tiff(640, 480)) == ("tiff", 640, 480)
+    assert parse_image_dimensions(le_tiff(70000, 2, typ=4)) == ("tiff", 70000, 2)
+    assert parse_image_dimensions(be_tiff(907, 607)) == ("tiff", 907, 607)
+    assert parse_image_dimensions(be_tiff(9, 11, typ=3)) == ("tiff", 9, 11)
+    # IFD offset beyond the buffer: unparseable, never a crash
+    assert parse_image_dimensions(b"II*\x00" + (900).to_bytes(4, "little")) is None
+    # IFD present but missing the ImageLength tag
+    broken = (
+        b"II*\x00" + (8).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (256).to_bytes(2, "little") + (3).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + (640).to_bytes(2, "little") + b"\x00\x00"
+        + b"\x00\x00\x00\x00"
+    )
+    assert parse_image_dimensions(broken) is None
+
+
+def test_flac_streaminfo_parse():
+    from d2b_dataframework_spark.datapipe.multimodal import (
+        parse_flac_streaminfo,
+    )
+
+    def flac(sr, ch, bps, total, pad_first=False):
+        packed = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        si = (
+            (4096).to_bytes(2, "big") * 2
+            + b"\x00\x00\x00" * 2
+            + packed.to_bytes(8, "big")
+            + b"\x00" * 16
+        )
+        b = b"fLaC"
+        if pad_first:
+            b += b"\x01" + (4).to_bytes(3, "big") + b"\x00" * 4
+        return b + b"\x80" + (34).to_bytes(3, "big") + si
+
+    assert parse_flac_streaminfo(flac(44100, 2, 16, 1234567)) == (
+        44100, 2, 16, 1234567,
+    )
+    # field extremes: 3-bit channels, 5-bit bps, 36-bit total
+    assert parse_flac_streaminfo(flac(8000, 8, 31, (1 << 36) - 1, True)) == (
+        8000, 8, 31, (1 << 36) - 1,
+    )
+    # last metadata block without STREAMINFO: unparseable
+    assert parse_flac_streaminfo(b"fLaC\x81\x00\x00\x04AAAA") is None
+    assert parse_flac_streaminfo(b"RIFF1234WAVE") is None
+
+
+def test_decontaminate_multi_single_benchmark_matches_decontaminate(spark):
+    """With exactly one benchmark, the suite grid must reduce to the
+    single-set operator's answer (same gram machinery, same counts) —
+    the two screens can never drift apart."""
+    from d2b_dataframework_spark.datapipe.dedup import (
+        decontaminate,
+        decontaminate_multi,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "alpha beta gamma unrelated tail words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    single = {
+        r["doc_id"]: r for r in decontaminate(train, bench, n=3).collect()
+    }
+    multi = {
+        r["doc_id"]: r
+        for r in decontaminate_multi(train, {"only": bench}, n=3).collect()
+    }
+    assert set(single) == set(multi) == {1, 2, 3}
+    for did in single:
+        assert multi[did]["n_grams"] == single[did]["n_grams"]
+        assert multi[did]["n_contaminated"] == single[did]["n_contaminated"]
+        assert multi[did]["contaminated"] == single[did]["contaminated"]
+        assert (
+            multi[did]["contamination_ratio"]
+            == single[did]["contamination_ratio"]
+        )
+
+
+def test_strip_html_contract(spark):
+    """Each documented extraction step: script/style content vanishes,
+    comments vanish, tags become spaces (no word-gluing), entities
+    decode with &amp; last (the &amp;lt; double-escape stays literal),
+    whitespace collapses."""
+    from d2b_dataframework_spark.datapipe.web import html_text_stats
+
+    pages = spark.createDataFrame(
+        [
+            (1, "<p>hello</p><p>world</p>"),
+            (2, "<script>var x = 'hello';</script>visible<style>p{}</style>"),
+            (3, "a &amp;lt; b &lt; c &#39;d&#39; <!-- gone -->"),
+            (4, '<a href="/x">one</a> <A HREF="/y">two</A> word'),
+            (5, "<div>\n\n  spaced \t out  </div>"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in html_text_stats(pages).collect()}
+    assert rows[1]["text"] == "hello world"  # tags never glue words
+    assert rows[2]["text"] == "visible"  # element CONTENT removed
+    assert rows[3]["text"] == "a &lt; b < c 'd'"  # decode order contract
+    assert rows[4]["n_links"] == 2  # case-insensitive anchor count
+    assert rows[4]["text"] == "one two word"
+    assert rows[5]["text"] == "spaced out"
+    assert rows[4]["link_density"] == round(2 / 3, 6)
