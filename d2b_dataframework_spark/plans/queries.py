@@ -61,17 +61,111 @@ class QuerySpec:
     doc: str = ""
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Fact/corpus tables whose scans feed heavy map-side work (hashing,
+# shingling, Arrow decode, partial aggregation), keyed by a unique row
+# key for deterministic hash spreading. Dimension tables (nation,
+# region, customer, part, supplier) are deliberately absent: they are
+# small and frequently broadcast, and a rebalance exchange would only
+# delay the broadcast collect.
+_REBALANCE_KEYS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "orders": ("o_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+# (path) -> effective scan parallelism (total parquet row groups).
+# File layout is immutable for a given path during a session, so this
+# is metadata memoization, not result caching.
+_SCAN_SPLITS_MEMO: dict[str, int] = {}
+
+
+def _scan_row_groups(path: str) -> int:
+    """Total row groups across the parquet file(s) at ``path`` — the
+    ceiling on scan-stage parallelism Spark can extract from the
+    layout (splits are assigned by row-group offsets)."""
+    n = _SCAN_SPLITS_MEMO.get(path)
+    if n is not None:
+        return n
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        n = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:  # noqa: BLE001 - layout probe must never break a query
+        n = 1 << 30  # unknown layout: assume splittable, never rebalance
+    _SCAN_SPLITS_MEMO[path] = n
+    return n
+
+
+def _maybe_rebalance(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
+    """Repartition an UNSPLITTABLE scan to cluster parallelism — only
+    requested at call sites whose downstream MAP work is heavy.
+
+    The bench/test parquet files carry a single row group, so every
+    scan stage — and everything before the first shuffle: projections,
+    md5 shingling, higher-order functions, Arrow-batched Python stages,
+    map-side partial aggregation — runs in ONE task regardless of core
+    count (optimization guide §2.5: "one huge unsplittable file ...
+    repartition immediately after the read"). One tiny hash exchange on
+    the table's unique key buys full-width parallelism for every
+    downstream map stage.
+
+    Measured (round 10): applied blanket to every fact-table scan this
+    LOSES ~20% of total bench time — most registry queries do light map
+    work per row, and the extra exchange plus 32-way task/Python
+    overheads (amplified by every replayed plan branch) outweigh the
+    parallelism. It wins 1.3–2.6 s/query exactly where per-row map cost
+    is high: full pixel decode (image_luma_histogram, image_dhash),
+    array_intersect verify over shingle arrays (containment_*), exact
+    percentile + stacked scan (feature_drift_ranking), iterative GD
+    aggregation over a persisted frame. Those call sites opt in with
+    ``_t(..., rebalance=True)``; everything else keeps the plain scan.
+
+    Scale-adaptive by construction: when the table's layout already
+    offers at least half the cluster's parallelism in row groups (the
+    normal case for any production-written table), this is a no-op —
+    no added exchange at 100 TB. ``SPARK_GRAFT_SCAN_REBALANCE=off``
+    disables it outright.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCAN_REBALANCE", "auto") in ("off", "0", "false"):
+        return df
+    keys = _REBALANCE_KEYS.get(name)
+    if keys is None:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if _scan_row_groups(path) * 2 >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
         # nanos under this flag — truncate to micros (matches DuckDB's
         # ns→us truncation) and restore TimestampType.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(path)
+    return _maybe_rebalance(spark, df, path, name) if rebalance else df
 
 
 def _carry(result: DataFrame, *sources: DataFrame) -> DataFrame:
@@ -5553,7 +5647,7 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     while Jaccard stays low (the quote/subset case Jaccard dedup
     misses). Anchor-probe candidates (min-shingle probe vs full
     inverted index) — never a block-squared pair join."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", rebalance=True).select(
         "doc_id", normalize_whitespace(F.lower("text")).alias("text"), "lang"
     )
     shorts = docs.filter(F.col("doc_id") % 5 == 0).select(
@@ -5603,7 +5697,7 @@ def q_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, not a tolerance check. On a boilerplate-free corpus the
     two variants coincide; on one with hot shingles this one stays
     linear (SCALING.md hot-shingle probe)."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", rebalance=True).select(
         "doc_id", normalize_whitespace(F.lower("text")).alias("text"), "lang"
     )
     shorts = docs.filter(F.col("doc_id") % 5 == 0).select(
@@ -9286,7 +9380,7 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d2b_dataframework_spark.datapipe import multimodal as mm
     from d2b_dataframework_spark.datapipe.codecs import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", rebalance=True).select("doc_id")
 
     def enc(batches):
         for pdf in batches:
@@ -9884,7 +9978,7 @@ def q_image_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d2b_dataframework_spark.datapipe import multimodal as mm
     from d2b_dataframework_spark.datapipe.codecs import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents", rebalance=True).select("doc_id")
 
     def enc(batches):
         for pdf in batches:
@@ -10189,7 +10283,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrieve_topk,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     postings = inverted_index(docs).persist()
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     qs = {
@@ -10590,7 +10684,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     by exact order statistics (2nd smallest/largest replicate)."""
     from d2b_dataframework_spark.operators.stats import bootstrap_ci
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", rebalance=True)
     return bootstrap_ci(
         orders, "o_orderpriority", "o_totalprice", "o_orderkey", n_reps=32, trim=2
     )
@@ -16081,7 +16175,7 @@ def q_quantile_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges."""
     from d2b_dataframework_spark.datapipe.classify import quantile_regression_gd
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=True)
     base = li.select(
         F.col("l_extendedprice").cast("decimal(18,2)").alias("ep"),
         F.col("l_quantity").cast("decimal(18,2)").alias("qt"),
@@ -18155,7 +18249,7 @@ def q_huber_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     influence in the tails."""
     from d2b_dataframework_spark.datapipe.classify import huber_regression_gd
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=True)
     base = li.select(
         F.col("l_extendedprice").cast("decimal(18,2)").alias("ep"),
         F.col("l_quantity").cast("decimal(18,2)").alias("qt"),
@@ -18374,8 +18468,11 @@ def q_feature_drift_ranking(
     its REFERENCE deciles (ship dates before 1998 — frozen edges), PSI
     against the current slice is summed from 9-decimal decimal terms
     (1e-4 share floor on both sides, the standard zero-bucket guard),
-    and features rank worst-first. One stacked scan, one decile agg per
-    feature, a features x 10 grid fill — no window over raw rows.
+    and features rank worst-first. One stacked scan (rebalanced: the
+    exact-percentile partial aggregation is the dominant map cost, and
+    the single-row-group bench layout would otherwise run it on one
+    core — measured 5.1 s → 3.8 s), one decile agg per feature, a
+    features x 10 grid fill — no window over raw rows.
 
     ``approx_edges=True`` is the 100 TB path (module convention,
     operators/aggregates.py): the frozen-edge pass swaps exact
@@ -18383,7 +18480,7 @@ def q_feature_drift_ranking(
     ``approx_percentile(v, qs, accuracy)``'s bounded per-partition
     sketch; PSI shifts only O(1/accuracy) in rank terms (asserted at
     sf0.01 by tests/test_round7_ops.py). Exact stays the oracle leg."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=True)
     stacked = li.select(
         F.to_date("l_shipdate").alias("_d"),
         F.stack(
