@@ -1932,30 +1932,42 @@ def idf_weighted_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("_df"))
         .filter(F.col("_df") <= max_df)
     )
-    w = F.round(
-        F.log(F.lit(float(n_docs)) / F.col("_df").cast("double")), 9
-    ).cast("decimal(28,9)")
-    weighted = flat.join(dfreq, "_g").select(id_col, "_g", w.alias("_w"))
+    # Weights ride as SCALED LONGS (w * 1e9, classify._scale9 form), not
+    # DECIMAL(28,9): the candidate join fans each gram out df-ways and
+    # the per-pair partial aggregation over that fan-out was allocating
+    # one BigDecimal per joined row — the query's dominant cost AND its
+    # GC-jitter source (idle medians swung 5.7–13.6 s; optimization
+    # guide §2.3 "narrower types"). Long sums are exact integers, so the
+    # final ratio is the same rational as the decimal form; overflow
+    # would need ~2.3e8 grams in ONE document/pair intersection
+    # (|w9| <= ln(N)*1e9 ~ 4e10 at N=1e16), far past any real document.
+    from d2b_dataframework_spark.datapipe.classify import _scale9
+
+    w9 = _scale9(F.log(F.lit(float(n_docs)) / F.col("_df").cast("double")))
+    weighted = flat.join(dfreq, "_g").select(id_col, "_g", w9.alias("_w9"))
     # Persisted once: the per-doc totals, both join sides, and the pair
     # agg all read it. Tracked for release.
     weighted = weighted.persist()
-    totals = weighted.groupBy(id_col).agg(F.sum("_w").alias("_W"))
-    a = weighted.select(F.col(id_col).alias("id_a"), "_g", F.col("_w").alias("_wa"))
+    totals = weighted.groupBy(id_col).agg(F.sum("_w9").alias("_W9"))
+    a = weighted.select(F.col(id_col).alias("id_a"), "_g", F.col("_w9").alias("_wa9"))
     b = weighted.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
     inter = (
         a.join(b, (a["_g"] == b["_gb"]) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")
-        .agg(F.sum("_wa").alias("_inter"))
+        .agg(F.sum("_wa9").alias("_i9"))
     )
     out = (
-        inter.join(totals.withColumnsRenamed({id_col: "id_a", "_W": "_Wa"}), "id_a")
-        .join(totals.withColumnsRenamed({id_col: "id_b", "_W": "_Wb"}), "id_b")
+        inter.join(totals.withColumnsRenamed({id_col: "id_a", "_W9": "_Wa9"}), "id_a")
+        .join(totals.withColumnsRenamed({id_col: "id_b", "_W9": "_Wb9"}), "id_b")
         .select(
             "id_a",
             "id_b",
+            # the 1e9 scale cancels exactly in the rational, so the
+            # ratio of scaled longs is the same value; both legs replay
+            # this exact cast/divide sequence
             F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_Wa") + F.col("_Wb") - F.col("_inter")).cast("double"),
+                F.col("_i9").cast("double")
+                / (F.col("_Wa9") + F.col("_Wb9") - F.col("_i9")).cast("double"),
                 6,
             ).alias("weighted_jaccard"),
         )

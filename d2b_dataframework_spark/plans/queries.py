@@ -20540,20 +20540,20 @@ dfreq AS (
   HAVING count(*) <= 50),
 weighted AS (
   SELECT f.doc_id, f.g,
-    CAST(round(ln(nn.n_docs / df::DOUBLE), 9) AS DECIMAL(28,9)) AS w
+    {_sql_scale9("ln(nn.n_docs / df::DOUBLE)")} AS w9
   FROM flat f JOIN dfreq USING (g) CROSS JOIN nn),
-totals AS (SELECT doc_id, sum(w) AS W FROM weighted GROUP BY 1),
+totals AS (SELECT doc_id, sum(w9) AS W9 FROM weighted GROUP BY 1),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w) AS iw
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w9) AS iw9
   FROM weighted a JOIN weighted b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT i.id_a, i.id_b,
-  round(CAST(i.iw AS DOUBLE)
-        / CAST(ta.W + tb.W - i.iw AS DOUBLE), 6) AS weighted_jaccard
+  round(CAST(i.iw9 AS DOUBLE)
+        / CAST(ta.W9 + tb.W9 - i.iw9 AS DOUBLE), 6) AS weighted_jaccard
 FROM inter i
 JOIN totals ta ON ta.doc_id = i.id_a
 JOIN totals tb ON tb.doc_id = i.id_b
-WHERE round(CAST(i.iw AS DOUBLE) / CAST(ta.W + tb.W - i.iw AS DOUBLE), 6) >= 0.5
+WHERE round(CAST(i.iw9 AS DOUBLE) / CAST(ta.W9 + tb.W9 - i.iw9 AS DOUBLE), 6) >= 0.5
 ORDER BY id_a, id_b
 """
 
