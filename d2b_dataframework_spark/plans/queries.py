@@ -19673,7 +19673,12 @@ def q_dup_span_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting is impossible by construction), and the union length
     divides by the doc's token count."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(F.col("doc_id") % 2 == 0)
-    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50)
+    # Persist the span list: the interval union below consumes it TWICE
+    # (one union leg per pair side), and each leg would otherwise replay
+    # the candidate equi-join + island window — the pipeline's dominant
+    # stage (guide §5). The frame is span-count sized, tracked for
+    # release alongside the operator's own positional-shingle persist.
+    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50).persist()
     # DISTINCT is load-bearing, not cosmetic: identical (s, e) rows are
     # legal (the same span reached from two pair partners), and the
     # island computation below runs as TWO physical window sorts (the
@@ -19734,7 +19739,9 @@ def q_dup_span_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    return _carry(out, spans)
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    return track(_carry(out, spans), spans)
 
 
 def _sql_dup_span_token_share() -> str:
@@ -19804,9 +19811,15 @@ def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir, mutate=True).filter(
         F.col("doc_id") % 2 == 0
     )
-    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50)
+    # Persisted: the excision operator unions BOTH pair sides of the
+    # span list, and each union leg would otherwise replay the candidate
+    # equi-join + island window (guide §5; same fix as dup_span_token_
+    # share). Tracked for release below.
+    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50).persist()
     out = dd.remove_duplicate_spans(corpus, spans)
-    return _carry(out.orderBy("doc_id"), spans)
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    return track(_carry(out.orderBy("doc_id"), spans), spans)
 
 
 def _sql_remove_duplicate_spans() -> str:
