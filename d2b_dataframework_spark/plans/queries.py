@@ -19678,7 +19678,10 @@ def q_dup_span_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate equi-join + island window — the pipeline's dominant
     # stage (guide §5). The frame is span-count sized, tracked for
     # release alongside the operator's own positional-shingle persist.
-    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50).persist()
+    # (persist() on the next line, not chained: the no-chain-on-tracked-
+    # call lint can't see that persist returns self.)
+    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50)
+    spans.persist()
     # DISTINCT is load-bearing, not cosmetic: identical (s, e) rows are
     # legal (the same span reached from two pair partners), and the
     # island computation below runs as TWO physical window sorts (the
@@ -19814,8 +19817,10 @@ def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: the excision operator unions BOTH pair sides of the
     # span list, and each union leg would otherwise replay the candidate
     # equi-join + island window (guide §5; same fix as dup_span_token_
-    # share). Tracked for release below.
-    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50).persist()
+    # share). Tracked for release below. (persist() unchained — see
+    # dup_span_token_share.)
+    spans = dd.duplicate_spans(corpus, min_run=5, n=3, max_df=50)
+    spans.persist()
     out = dd.remove_duplicate_spans(corpus, spans)
     from d2b_dataframework_spark.datapipe.cache import track
 
