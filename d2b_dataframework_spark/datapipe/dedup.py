@@ -937,8 +937,9 @@ def connected_components(
     the fixpoint contract is identical.
 
     Materialization: edges are persisted (re-referenced every round);
-    each round's labels are ``localCheckpoint``-ed, which BOTH
-    materializes them and truncates lineage — without truncation the
+    each round's labels are ``localCheckpoint``-ed (lazily — the
+    fixpoint sum is the materializing action, so the truncation costs
+    no extra job) — without truncation the
     logical plan deepens every round and Catalyst analysis time grows
     superlinearly (measured 1.2s → 10s per round by round 4 at sf0.1).
     Checkpoint blocks of dropped rounds are reclaimed by the context
@@ -956,10 +957,19 @@ def connected_components(
     # early: star-shaped near-dup components (a doc and its variants)
     # are already converged at init, so the loop only pays the one
     # verification round. Same shuffle count as a plain distinct init.
+    #
+    # localCheckpoint(eager=False) + the fixpoint collect as the
+    # materializing action: the LAZY checkpoint truncates the logical
+    # plan immediately (same analysis-blowup protection as eager) while
+    # the sum aggregate — which every round needs anyway — triggers the
+    # one job that materializes the round. Eager checkpointing ran a
+    # dedicated job per round and then a second job for the sum; fusing
+    # them halves the per-round job count (guide §1.2: per-round driver
+    # latency is pure overhead at any scale).
     labels = (
         edges.groupBy(F.col("a").alias("id"))
         .agg(F.least(F.col("a"), F.min("b")).alias("cluster_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iter):
@@ -979,7 +989,7 @@ def connected_components(
                     "cluster_id"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # fused with the sum below
         )
         new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if new_sum == prev_sum:  # fixpoint: no label decreased
@@ -1022,11 +1032,17 @@ def connected_components_star(
     sym0 = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
+    # Lazy localCheckpoints throughout: the plan is truncated
+    # immediately (the analysis-blowup protection), while
+    # materialization rides the job each round runs anyway — the
+    # signature collect (for edges) and the final label join (for
+    # nodes). Eager checkpointing paid one extra dedicated job per
+    # frame per round.
     nodes = (
         sym0.select(F.col("a").alias("id"))
         .unionByName(sym0.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # canonical (big, small) orientation; self-loops dropped
     edges = (
@@ -1035,7 +1051,7 @@ def connected_components_star(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _signature(e: DataFrame) -> tuple:
@@ -1073,7 +1089,7 @@ def connected_components_star(
             small.filter(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # fused with the signature below
         )
         new_sig = _signature(edges)
         if new_sig == sig:

@@ -285,43 +285,57 @@ def kcore_filter(
     FINAL surviving subgraph.
     """
     e = edges.select(src, dst).persist()
-    # undirected incidence: each edge contributes to both endpoints
-    inc = e.select(F.col(src).alias("node"), F.col(dst).alias("peer")).unionAll(
-        e.select(F.col(dst).alias("node"), F.col(src).alias("peer"))
-    ).persist()
+    # Undirected incidence, hash-partitioned on the node id and
+    # persisted ONCE: every round's degree aggregation groups by the
+    # same key, so the single up-front exchange is reused by all
+    # iterations+1 aggs (guide §2.4 "two operations keyed the same way
+    # can share one exchange").
+    inc = (
+        e.select(F.col(src).alias("node"), F.col(dst).alias("peer"))
+        .unionAll(e.select(F.col(dst).alias("node"), F.col(src).alias("peer")))
+        .repartition("node")
+        .persist()
+    )
 
-    def surviving_deg(alive_df: DataFrame) -> DataFrame:
-        # semi-joins, not broadcasts: the alive set starts as ALL nodes,
-        # so hinting a broadcast would be wrong at scale — AQE downgrades
-        # to broadcast on its own once peeling shrinks the set
-        return (
-            inc.join(
-                alive_df.withColumnRenamed("node", "peer"), "peer", "left_semi"
-            )
-            .join(alive_df, "node", "left_semi")
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
-
-    # Persist every iteration's alive set: surviving_deg consumes it
-    # TWICE (both semi-join sides) and iteration k's plan embeds every
-    # previous iteration — unpersisted, the peel chain replays
-    # super-linearly (the pagerank lineage lesson; measured 16.9s -> a
-    # fraction at sf0.1). Handles are tracked on the result for
-    # datapipe.cache.release.
+    # Peel over a SHRINKING incidence frame: alive sets only ever
+    # shrink, so inc ∩ alive_t² == (inc ∩ alive_{t-1}²) ∩ alive_t² —
+    # filtering the previous round's survivors is identical to
+    # re-filtering the full list (the original shape) but each round's
+    # joins and agg run over a monotonically smaller frame, and round
+    # 1's two all-nodes semi-joins (semantic no-ops) disappear
+    # entirely. Semi-joins, not broadcast hints: the alive set starts
+    # as ALL nodes, so a hint would be wrong at scale — AQE downgrades
+    # to broadcast on its own once peeling shrinks the set.
+    #
+    # Persist every round's alive set and shrunk incidence: both are
+    # consumed twice (the two semi-join sides / this round's agg plus
+    # next round's filter) and iteration k's plan embeds every previous
+    # iteration — unpersisted, the peel chain replays super-linearly
+    # (the pagerank lineage lesson; measured 16.9s -> a fraction at
+    # sf0.1). Handles are tracked for datapipe.cache.release.
     handles: list[DataFrame] = [e, inc]
-    alive = inc.select("node").distinct().persist()
-    handles.append(alive)
+    alive_inc = inc
     for _ in range(int(iterations)):
         alive = (
-            surviving_deg(alive)
+            alive_inc.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
             .filter(F.col("degree") >= k)
             .select("node")
             .persist()
         )
         handles.append(alive)
-    out = surviving_deg(alive).select(
-        "node", F.col("degree").cast("long").alias("degree")
+        alive_inc = (
+            alive_inc.join(
+                alive.withColumnRenamed("node", "peer"), "peer", "left_semi"
+            )
+            .join(alive, "node", "left_semi")
+            .persist()
+        )
+        handles.append(alive_inc)
+    out = (
+        alive_inc.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select("node", F.col("degree").cast("long").alias("degree"))
     )
     return track(out, *handles)
 
@@ -429,7 +443,13 @@ def jaccard_link_prediction(
     und = e.select(F.col(src).alias("node"), F.col(dst).alias("peer")).unionAll(
         e.select(F.col(dst).alias("node"), F.col(src).alias("peer"))
     )
+    # deg is consumed THREE times (the pivot cap filter and the two
+    # score-join sides) and piv TWICE (both legs of the wedge
+    # self-join); unpersisted, each consumer replays the degree agg /
+    # cap join over the full incidence list (guide §5). Both are
+    # node-/edge-sized narrow frames.
     deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg.persist()
     piv = (
         und.withColumnRenamed("node", "pivot")
         .join(
@@ -438,6 +458,7 @@ def jaccard_link_prediction(
             "pivot",
         )
     )
+    piv.persist()
     a = piv.select("pivot", F.col("peer").alias("na"))
     b = piv.select("pivot", F.col("peer").alias("nb"))
     cand = (
@@ -468,7 +489,7 @@ def jaccard_link_prediction(
             ).alias("jaccard"),
         )
     )
-    return track(scored, e)
+    return track(scored, e, deg, piv)
 
 
 def label_propagation(

@@ -4087,15 +4087,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d2b_dataframework_spark.datapipe.graph import pagerank
 
     ev = _t(spark, sf_dir, "events")
+    # Persisted: the undirected edge list unions pairs with its swap,
+    # and each union leg would otherwise replay the events scan +
+    # JSON extraction + distinct (guide §5).
     pairs = ev.select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
         F.concat(F.lit("k"), F.get_json_object("props", "$.k")).alias("dst"),
     ).distinct()
+    pairs.persist()
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, damping=0.85, iterations=3)
-    return _carry(
-        ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node"),
-        ranks,
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    return track(
+        _carry(
+            ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node"),
+            ranks,
+        ),
+        pairs,
     )
 
 
@@ -10584,6 +10593,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    # Persist the co-purchase edge build at the QUERY level: the seed
+    # derivation below and the operator's own edge frame both consume
+    # it, and the operator's internal persist (a .select() of this
+    # frame) is not a CacheManager match for the nodes/seeds lineage —
+    # unpersisted, the lineitem self-join ran three times (guide §5).
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("src") < F.col("dst"))
@@ -10592,6 +10606,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("src", "dst")
     )
+    edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -10599,7 +10614,9 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.filter(F.col("node") % 100 == 0)
     hops = bfs_hops(edges, seeds, max_hops=3)
-    return _carry(hops.orderBy("node"), hops)
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    return track(_carry(hops.orderBy("node"), hops), edges)
 
 
 SQL_BFS_HOPS = """
@@ -11631,10 +11648,13 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d2b_dataframework_spark.datapipe.graph import pagerank
 
     ev = _t(spark, sf_dir, "events")
+    # Persisted: both union legs of the undirected edge list replay the
+    # events scan + JSON extraction + distinct otherwise (guide §5).
     pairs = ev.select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
         F.concat(F.lit("k"), F.get_json_object("props", "$.k")).alias("dst"),
     ).distinct()
+    pairs.persist()
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -11642,11 +11662,16 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("node")
     ).filter(F.col("user_id") % 50 == 0).distinct()
     ranks = pagerank(edges, damping=0.85, iterations=3, seeds=seeds)
-    return _carry(
-        ranks.select("node", F.round("rank", 9).alias("rank"))
-        .filter(F.col("rank") > 0)
-        .orderBy("node"),
-        ranks,
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    return track(
+        _carry(
+            ranks.select("node", F.round("rank", 9).alias("rank"))
+            .filter(F.col("rank") > 0)
+            .orderBy("node"),
+            ranks,
+        ),
+        pairs,
     )
 
 
