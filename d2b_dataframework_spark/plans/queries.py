@@ -17856,12 +17856,19 @@ def q_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid join as spatial_neighbors (never all-pairs); degrees are one
     count agg over the pair frame; border detection is one semi-join
     against the (small) core set."""
+    # Persist the grid-blocked pair frame and the core set: the pair
+    # join (the query's dominant stage) is consumed by BOTH incidence
+    # union legs and again by the border path, and `core` by three
+    # consumers — the differing projections defeat exchange reuse
+    # (guide §5). Both tracked for release below.
     pairs = q_spatial_neighbors(spark, sf_dir).select("id_a", "id_b")
+    pairs.persist()
     neigh = pairs.select(
         F.col("id_a").alias("cid"), F.col("id_b").alias("peer")
     ).unionAll(pairs.select(F.col("id_b").alias("cid"), F.col("id_a").alias("peer")))
     deg = neigh.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_nb"))
     core = deg.filter(F.col("n_nb") >= 3).select("cid")
+    core.persist()
     border = (
         neigh.join(core.withColumnRenamed("cid", "peer"), "peer", "left_semi")
         .select("cid")
@@ -17873,7 +17880,9 @@ def q_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nc = core.agg(F.count(F.lit(1)).cast("long").alias("n_core"))
     nb = border.agg(F.count(F.lit(1)).cast("long").alias("n_border"))
-    return (
+    from d2b_dataframework_spark.datapipe.cache import track
+
+    return track(
         total.crossJoin(F.broadcast(nc))
         .crossJoin(F.broadcast(nb))
         .select(
@@ -17886,7 +17895,9 @@ def q_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_core").cast("double") / F.col("n_points").cast("double"), 6
             ).alias("core_fraction"),
-        )
+        ),
+        pairs,
+        core,
     )
 
 
@@ -18549,20 +18560,27 @@ def q_feature_drift_ranking(
         F.transform(F.expr(edge_expr), lambda e: F.round(e, 6)).alias("_edges")
     ).persist()
 
-    def bucketed(df):
-        return (
-            df.join(F.broadcast(edges), "feature")
-            .select(
-                "feature",
-                F.aggregate(
-                    "_edges",
-                    F.lit(0),
-                    lambda acc, e: acc + (F.col("v") > e).cast("int"),
-                ).alias("bucket"),
-            )
-            .groupBy("feature", "bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # ONE bucket pass over the stacked scan for BOTH slices (guide
+    # §1.2/§2.3): ref and cur are disjoint date ranges of the same
+    # frame, so bucketing them separately re-ran the scan + stack +
+    # broadcast-join twice; a `_cur` flag in the grouping key computes
+    # the identical per-(feature, bucket) counts in one pass. The
+    # counts frame is features×2×10 rows — persisted so the two share
+    # legs read it, tracked for release.
+    counts = (
+        stacked.join(F.broadcast(edges), "feature")
+        .select(
+            "feature",
+            (F.col("_d") >= cutoff).alias("_cur"),
+            F.aggregate(
+                "_edges",
+                F.lit(0),
+                lambda acc, e: acc + (F.col("v") > e).cast("int"),
+            ).alias("bucket"),
         )
+        .groupBy("feature", "_cur", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ).persist()
 
     grid = edges.select("feature").crossJoin(
         spark.range(10).select(F.col("id").cast("int").alias("bucket"))
@@ -18584,8 +18602,8 @@ def q_feature_drift_ranking(
             )
         )
 
-    r = shares(bucketed(ref), "r")
-    c = shares(bucketed(cur), "c")
+    r = shares(counts.filter(~F.col("_cur")).drop("_cur"), "r")
+    c = shares(counts.filter(F.col("_cur")).drop("_cur"), "c")
     psi = (
         r.join(c, ["feature", "bucket"])
         .select(
@@ -18601,7 +18619,7 @@ def q_feature_drift_ranking(
     out = psi.select(
         "feature", "psi", F.row_number().over(w).cast("long").alias("drift_rank")
     ).orderBy("drift_rank")
-    return track(out, edges)
+    return track(out, edges, counts)
 
 
 SQL_FEATURE_DRIFT = """
