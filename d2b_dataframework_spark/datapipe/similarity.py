@@ -1386,21 +1386,27 @@ def power_iteration_top_eigvec(
     GD learners): ``w`` feeds BOTH the norm and the update, so without
     severing, each iteration doubles the plan and the upstream moment
     pass re-executes 2^iters times (~100 s measured at 8 iterations).
-    The cells frame is localCheckpointed ONCE (materializing dims² rows
-    cuts the corpus-scan lineage), and each iterate materializes to a
-    leaf the same way — every iteration is then a join of two tiny
-    leaves, constant cost.
+    The cells frame is checkpointed ONCE (truncating the corpus-scan
+    lineage), each iterate is checkpointed LAZILY, and the norm — which
+    every iteration must reduce anyway — is collected as the scalar
+    that BOTH materializes the iterate and parameterizes the next one
+    as a literal: one job per iteration, no per-iteration broadcast
+    joins, no dedicated checkpoint jobs (guide §1.2 — per-round driver
+    latency is pure overhead at any scale). The collected norm is the
+    exact double the engine's own sqrt produced, so embedding it via
+    ``F.lit`` replays the identical IEEE arithmetic the old
+    broadcast-join form computed.
     """
     sc = cells.sparkSession.sparkContext
     def _leaf(df: DataFrame) -> DataFrame:
         if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     cells = _leaf(cells)
     dims = cells.select(F.col("i")).distinct()
     v = dims.select(F.col("i").alias("j"), F.lit(1.0).alias("v"))
-    lam = None
+    nrm_val: float | None = None
     for _ in range(int(iters)):
         w = _leaf(
             cells.join(v, "j")
@@ -1410,29 +1416,31 @@ def power_iteration_top_eigvec(
                 F.sum(F.col("t").cast("decimal(28,9)")).cast("double").alias("w")
             )
         )
-        nrm = w.agg(
+        # The norm collect is the lazy checkpoint's materializing
+        # action — the one job this iteration runs.
+        nrm_val = w.agg(
             F.sqrt(
                 F.sum(F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,9)"))
                 .cast("double")
             ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
+        ).collect()[0][0]
+        # zero-matrix guard: ||Cv|| = 0 (or an empty/NULL reduce) must
+        # yield 0.0 in both engines (Spark NULL vs DuckDB nan
+        # otherwise); NaN > 0 is False in SQL and Python alike.
+        if nrm_val is not None and nrm_val > 0:
+            v = w.select(
                 F.col("i").alias("j"),
-                # zero-matrix guard: ||Cv|| = 0 must yield 0.0 in both
-                # engines (Spark NULL vs DuckDB nan otherwise)
-                F.when(
-                    F.col("nrm") > 0,
-                    F.round(F.col("w") / F.col("nrm"), 9),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("v"),
+                F.round(F.col("w") / F.lit(float(nrm_val)), 9).alias("v"),
             )
-        )
-        lam = nrm
+        else:
+            v = w.select(F.col("i").alias("j"), F.lit(0.0).alias("v"))
+    eig = (
+        F.lit(float(nrm_val))
+        if nrm_val is not None
+        else F.lit(None).cast("double")
+    )
     return (
-        v.crossJoin(F.broadcast(lam))
+        v.withColumn("nrm", eig)
         .select(
             F.col("j").cast("long").alias("dim"),
             (F.round(F.col("v"), 6) + F.lit(0.0)).alias("component"),

@@ -44,6 +44,23 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def quality_expr(text_col: str | Column = "text") -> Column:
+    """The composite 0-1 quality score as a bare Column — the exact
+    expression :func:`quality_score` publishes as ``quality``, exposed
+    separately so a caller that also derives other per-row columns from
+    the same text (token counts, language cells) can compute everything
+    in ONE projection instead of joining ``quality_score``'s output back
+    to a second scan of the corpus (one tokenize pass, no self-join)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"]))).cast("double")
+    return F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_hits / n_tok * 4.0, F.lit(1.0)) * 0.5,
+        6,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features: length, alpha ratio, punctuation ratio,
     digit ratio, stopword ratio (English marker set), plus a composite
@@ -61,11 +78,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.round(punct / n, 6).alias("punct_ratio"),
         F.round(digits / n, 6).alias("digit_ratio"),
         F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
-        F.round(
-            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
-            + F.least(stop_hits / n_tok * 4.0, F.lit(1.0)) * 0.5,
-            6,
-        ).alias("quality"),
+        quality_expr(text_col).alias("quality"),
     )
 
 

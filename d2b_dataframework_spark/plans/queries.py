@@ -5408,8 +5408,15 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N+1 copies of every row (measured ~10s at sf0.1); the explode is
     # the same row volume but one pass, and min/max/null counts stay in
     # a plain single-pass agg.
+    #
+    # The NDV leg alone takes the rebalanced scan: the 5-way explode +
+    # string casts + map-side distinct are heavy map work that would
+    # otherwise run in ONE task on a single-row-group layout (guide
+    # §2.5). The min/max/null agg below keeps the plain scan — light
+    # map work, the extra exchange isn't worth it there.
+    li_ndv = _t(spark, sf_dir, "lineitem", rebalance=True)
     ndv_rows = (
-        li.select(
+        li_ndv.select(
             F.explode(
                 F.array(
                     *[
@@ -10301,6 +10308,12 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q3": ["vector", "stream", "batch"],
     }
     ranked = retrieve_topk(postings, qs, n_docs, k=10)
+    # |queries| x k rows, consumed by BOTH the relevance grading and the
+    # graded join below through different projections — unpersisted,
+    # each consumer replayed the TF-IDF scoring join + top-k window over
+    # the postings cache (10 InMemoryTableScans in the before plan,
+    # guide §5). Tracked for release.
+    ranked = ranked.persist()
     qterms = spark.createDataFrame(
         [(q, t) for q, terms in qs.items() for t in terms],
         "query_id string, term string",
@@ -10316,7 +10329,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from d2b_dataframework_spark.datapipe.cache import track
 
-    return track(ndcg_at_k(graded, k=10).orderBy("query_id"), postings)
+    return track(ndcg_at_k(graded, k=10).orderBy("query_id"), postings, ranked)
 
 
 SQL_NDCG_EVAL = f"""
@@ -12057,13 +12070,29 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     late = F.col("l_shipdate").cast("date") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    # Two-level aggregation instead of two DISTINCT aggregates: N
+    # distinct aggs in one groupBy compile to an Expand of N+1 copies
+    # of every joined row before the first exchange (guide §2.3 — the
+    # same pattern table_stats routes around). Level 1 collapses to one
+    # row per (order, supplier) with an any-late flag — map-side
+    # partials shrink it before the shuffle; level 2 then counts rows
+    # (= distinct suppliers), sums flags (= distinct LATE suppliers)
+    # and takes the flagged max (= the late supplier's key when there
+    # is exactly one) — the identical three statistics, no Expand.
+    # (the isNotNull filter keeps count(1)-over-groups identical to
+    # COUNT(DISTINCT l_suppkey), which ignores NULL keys)
+    per_supp = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("_any_late"))
+    )
     per_order = (
-        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("_ns"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_nl"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+            F.count(F.lit(1)).alias("_ns"),
+            F.sum("_any_late").alias("_nl"),
+            F.max(F.when(F.col("_any_late") == 1, F.col("l_suppkey"))).alias("_late_supp"),
         )
         .filter((F.col("_ns") >= 2) & (F.col("_nl") == 1))
     )
@@ -19476,8 +19505,16 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # capture the persist handles BEFORE .select() — the tracking attr
     # lives on the returned frame, not on derivations of it
     _pairs = sim.cosine_near_dup_pairs(corpus, threshold=0.99)
+    # Persist the pair frame and the final assignment: `pos` feeds FOUR
+    # consumers (both partner union legs, the anchor distinct, the final
+    # triplet join) and `assign` two (anchor lookup + pool window) —
+    # each through a different projection, defeating exchange reuse, so
+    # unpersisted every consumer replayed the LSH verify join / the
+    # Lloyd assignment pass (guide §5). Tracked for release via _carry.
+    _pairs.persist()
     pos = _pairs.select("id_a", "id_b")
     _assign0 = kmeans_assignments(corpus, k=8, iters=2)
+    _assign0.persist()
     assign = _assign0.select(F.col("vid").alias("vec_id"), F.col("cluster"))
     partners = (
         pos.select(F.col("id_a").alias("a"), F.col("id_b").alias("p"))
@@ -19520,7 +19557,11 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive", "neg_rank")
     )
-    return _carry(out, _pairs, _assign0)
+    from d2b_dataframework_spark.datapipe.cache import track as _track
+
+    # _carry moves the operators' INTERNAL handles (signature tables);
+    # the two query-level persists above are tracked explicitly.
+    return _track(_carry(out, _pairs, _assign0), _pairs, _assign0)
 
 
 def _sql_contrastive_pairs() -> str:
@@ -20161,15 +20202,15 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking never crosses a language boundary, so the shape
     survives any number of cells."""
     docs = _t(spark, sf_dir, "documents")
-    scored = (
-        dt.quality_score(docs)
-        .select("doc_id", "quality")
-        .join(
-            docs.select(
-                "doc_id", "lang", F.size(dt.tokens("text")).cast("long").alias("n_tokens")
-            ),
-            "doc_id",
-        )
+    # quality + n_tokens in ONE projection (dt.quality_expr): both
+    # derive from the same text, so the old quality_score-joined-back
+    # shape paid a second tokenize pass plus a doc_id self-join shuffle
+    # for columns one scan already had (guide §2.1/§4.2).
+    scored = docs.select(
+        "doc_id",
+        dt.quality_expr("text").alias("quality"),
+        "lang",
+        F.size(dt.tokens("text")).cast("long").alias("n_tokens"),
     )
     return (
         token_budget_sample(scored, _TOKEN_BUDGET, cell_col="lang")
@@ -21554,16 +21595,16 @@ def q_cluster_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("_oid"), "lang"
     )
+    # quality + n_tokens + the lang key in ONE corpus projection
+    # (dt.quality_expr): the old quality_score-joined-back shape paid a
+    # second tokenize pass over the dup corpus plus a doc_id self-join
+    # shuffle for columns one scan already had (guide §2.1/§4.2).
     scored = (
-        dt.quality_score(corpus)
-        .select("doc_id", "quality")
-        .join(
-            corpus.select(
-                "doc_id",
-                F.size(dt.tokens("text")).cast("long").alias("n_tokens"),
-                (F.col("doc_id") % 10000).alias("_oid"),
-            ),
+        corpus.select(
             "doc_id",
+            dt.quality_expr("text").alias("quality"),
+            F.size(dt.tokens("text")).cast("long").alias("n_tokens"),
+            (F.col("doc_id") % 10000).alias("_oid"),
         )
         .join(langs, "_oid")
         .drop("_oid")
